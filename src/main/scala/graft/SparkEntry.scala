@@ -11,7 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    relational.RelationalQueries.all
+    relational.RelationalQueries.all ++
+      llm.TextAnalysis.all ++
+      llm.Dedup.all ++
+      llm.Similarity.all ++
+      llm.Multimodal.all ++
+      streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

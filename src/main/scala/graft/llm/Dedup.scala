@@ -1,0 +1,211 @@
+package graft.llm
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM data pipelines over `documents`:
+  * exact (hash groupBy), MinHash+LSH, n-gram Jaccard, and SimHash.
+  *
+  * All four are DuckDB-oracle-checkable because they are built from
+  * cross-engine-deterministic primitives (md5, polynomial mod-hashes,
+  * exact integer arithmetic) — generated from shared loops in
+  * [[TextExprs]] so the two dialects cannot drift.
+  *
+  * Scale notes (100 TB stance):
+  *  - exact dedup: single hash-shuffle on md5(text) — the canonical
+  *    map-side-combinable groupBy.
+  *  - MinHash: signature agg is one shuffle on doc_id; candidate
+  *    generation joins on band keys (shuffle keyed by 4-hash band, high
+  *    selectivity), never all-pairs.
+  *  - Jaccard: inverted-index self-join with a document-frequency cap on
+  *    shingles (drops stop-shingles — bounds the worst-case quadratic
+  *    blowup of hot keys, the standard frequency-cap trick).
+  *  - SimHash: fingerprint is a narrow map + one groupBy; near-dup pairs
+  *    join on 8-bit fingerprint chunks (pigeonhole: hamming<=3 over 4
+  *    chunks guarantees a matching chunk).
+  */
+object Dedup {
+  import TextExprs._
+
+  private val Perms = 16 // minhash permutations
+  private val Bands = 4  // 4 bands x 4 rows
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "d01_dedup_exact",
+      Some("""SELECT md5(text) AS text_hash, count(*) AS n_copies,
+             |  min(doc_id) AS canonical_id
+             |FROM documents GROUP BY md5(text)""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))),
+
+    QueryDef("d02_minhash_lsh", Some(minhashOracle), minhashSpark),
+    QueryDef("d03_ngram_jaccard", Some(jaccardOracle), jaccardSpark),
+    QueryDef("d04_simhash", Some(simhashOracle), simhashSpark),
+    QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark)
+  )
+
+  // ------------------------------------------------------------ MinHash+LSH
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleDF(s: SparkSession, d: String): DataFrame =
+    Catalog.t(s, d, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+      .distinct()
+
+  private def minhashSpark(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until Perms).map { j =>
+      min(expr(s"md5(cast(concat('$j|', sh) as binary))")).as(s"h$j")
+    }
+    val sig = shingleDF(s, d).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*).cache()
+    val cand = (0 until Bands).map { b =>
+      val key = (0 until 4).map(k => s"h${4 * b + k}")
+      val a = sig.select(col("doc_id").as("doc_a") +: key.map(c => col(c).as(s"a$c")): _*)
+      val c = sig.select(col("doc_id").as("doc_b") +: key.map(c => col(c).as(s"b$c")): _*)
+      a.join(c, key.map(k => col(s"a$k") === col(s"b$k")).reduce(_ && _) &&
+        col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }.reduce(_ unionAll _).distinct()
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until Perms).map(j => col(s"h$j").as(s"x$j")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until Perms).map(j => col(s"h$j").as(s"y$j")): _*)
+    val matches = (0 until Perms)
+      .map(j => s"CASE WHEN x$j = y$j THEN 1 ELSE 0 END").mkString(" + ")
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"cast($matches as double) / $Perms").as("est_sim"))
+      .filter(col("est_sim") >= 0.5)
+  }
+
+  private def minhashOracle: String = {
+    val mins = (0 until Perms)
+      .map(j => s"min(md5(concat('$j|', sh))) AS h$j").mkString(",\n    ")
+    val bandEq = (0 until Bands).map { b =>
+      "(" + (0 until 4).map(k => s"a.h${4 * b + k} = b.h${4 * b + k}")
+        .mkString(" AND ") + ")"
+    }.mkString(" OR ")
+    val matches = (0 until Perms)
+      .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sx AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d),
+       |s AS (SELECT DISTINCT doc_id, sh FROM sx),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM s GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+       |SELECT doc_a, doc_b, cast($matches as double) / $Perms AS est_sim
+       |FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+       |WHERE cast($matches as double) / $Perms >= 0.5""".stripMargin
+  }
+
+  // --------------------------------------------------- n-gram Jaccard
+
+  private val DfCap = 50 // frequency cap: drop stop-shingles (scale guard)
+  private val JaccardMin = 0.4
+
+  private def jaccardSpark(s: SparkSession, d: String): DataFrame = {
+    val ds = shingleDF(s, d)
+    val keep = ds.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("sh")
+    val dk = ds.join(keep, "sh").cache()
+    val sz = dk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pr = dk.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(dk.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    pr.join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(ni as double) / (na + nb - ni)").as("jaccard"))
+      .filter(col("jaccard") >= JaccardMin)
+  }
+
+  private def jaccardOracle: String =
+    s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sx AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d),
+       |ds AS (SELECT DISTINCT doc_id, sh FROM sx),
+       |keep AS (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= $DfCap),
+       |dk AS (SELECT ds.doc_id, ds.sh FROM ds JOIN keep USING (sh)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dk GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, cast(ni as double) / (x.n + y.n - ni) AS jaccard
+       |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |WHERE cast(ni as double) / (x.n + y.n - ni) >= $JaccardMin""".stripMargin
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over per-occurrence word hashes. */
+  private def simhashSpark(s: SparkSession, d: String): DataFrame = {
+    val bitSums = (0 until 32).map { i =>
+      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"b$i")
+    }
+    val fp = (0 until 32)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    Catalog.t(s, d, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(s"transform(w, x -> ${sparkWordHash("x")})")).as("h"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(s"cast($fp as bigint)").as("simhash"))
+  }
+
+  private def simhashCte: String = {
+    val bitSums = (0 until 32).map { i =>
+      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val fp = (0 until 32)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""d AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |hx AS (SELECT doc_id,
+       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h
+       |  FROM d),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hx GROUP BY doc_id),
+       |fp AS (SELECT doc_id, cast($fp as bigint) AS simhash FROM bits)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"WITH ${simhashCte}\nSELECT doc_id, simhash FROM fp"
+
+  /** Near-dup pairs by hamming distance over 8-bit fingerprint chunks. */
+  private val MaxHamming = 3
+
+  private def simhashPairsSpark(s: SparkSession, d: String): DataFrame = {
+    val fp = simhashSpark(s, d).cache()
+    val cand = (0 until 4).map { k =>
+      val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+        .withColumn("ck", expr(s"shiftright(sa, ${8 * k}) & 255"))
+      val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+        .withColumn("ck", expr(s"shiftright(sb, ${8 * k}) & 255"))
+      a.join(b, "ck").filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+    }.reduce(_ unionAll _).distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+      expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  private def simhashPairsOracle: String = {
+    val chunkEq = (0 until 4)
+      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
+      .mkString(" OR ")
+    s"""WITH ${simhashCte},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq))
+       |SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) as int) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $MaxHamming""".stripMargin
+  }
+}

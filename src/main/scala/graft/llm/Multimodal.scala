@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads modeled as opaque `binary`
+  * columns with a typed metadata struct, processed by batched
+  * mapPartitions stages (the Scala analogue of `mapInPandas` batch
+  * processing). The container has no image/audio codecs, so the decode
+  * kernel is a clearly-marked deterministic STUB — the Spark-side
+  * plumbing (schema, partitioning, batch shape) is real and tested.
+  *
+  * The test corpus has no binary media, so the payload is the utf-8
+  * encoding of `documents.text` — the pipeline shape is identical for a
+  * real image/audio payload column.
+  */
+object Multimodal {
+
+  /** Input row for the decode stage: id + media metadata + opaque bytes. */
+  final case class MediaRow(doc_id: Long, format: String, payload: Array[Byte])
+
+  /** Output of the stubbed decode/feature-extract kernel. */
+  final case class MediaFeatures(
+      doc_id: Long, format: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** STUB decode: a real implementation would hand `payload` to an image
+    * or av codec here; this derives deterministic fake dimensions and a
+    * rolling checksum so tests are stable. Batched by the caller.
+    */
+  private[llm] def decodeStub(r: MediaRow): MediaFeatures = {
+    val n = r.payload.length
+    val checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 4294967291L)
+    val width = 64 + (checksum % 64).toInt
+    val height = 64 + ((checksum / 64) % 64).toInt
+    val frames = if (r.format == "mp4") 1 + n / 100 else 1
+    MediaFeatures(r.doc_id, r.format, n.toLong, width, height, frames, checksum)
+  }
+
+  private val Formats = Seq("png", "jpeg", "wav", "mp4")
+
+  private def mediaDF(s: SparkSession, d: String): DataFrame = {
+    val fmtArr = Formats.map(f => s"'$f'").mkString("array(", ", ", ")")
+    Catalog.t(s, d, "documents").select(
+      col("doc_id"),
+      expr(s"element_at($fmtArr, cast(doc_id % ${Formats.size} as int) + 1)").as("format"),
+      encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+
+    // Metadata projection over the binary column — oracle-checked.
+    QueryDef(
+      "m01_multimodal_meta",
+      Some(s"""SELECT doc_id,
+              |  (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1] AS format,
+              |  cast(strlen(text) as bigint) AS n_bytes
+              |FROM documents""".stripMargin),
+      (s, d) => mediaDF(s, d).select(
+        col("doc_id"), col("format"),
+        expr("cast(octet_length(payload) as bigint)").as("n_bytes"))),
+
+    // Batched decode/feature-extract through the typed Dataset pipeline.
+    // No SQL equivalent (binary kernel) → driver rows-only check.
+    QueryDef(
+      "m02_multimodal_decode",
+      None,
+      (s, d) => {
+        import s.implicits._
+        mediaDF(s, d).as[MediaRow]
+          .mapPartitions(_.grouped(64).flatMap(batch => batch.map(decodeStub)))
+          .toDF()
+      })
+  )
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * - s01: brute-force cosine top-k — the exactness baseline. Dot products
+  *   run as codegen'd higher-order functions (`zip_with` + `aggregate`,
+  *   sequential left fold with a double accumulator), which the DuckDB
+  *   oracle reproduces with `list_reduce` over the same fold order, so
+  *   results are bit-identical.
+  * - s02: LSH-bucketed ANN — the scale path: 16 deterministic random
+  *   hyperplanes hash each vector to a 16-bit bucket; candidates only
+  *   join within a bucket (shuffle keyed by bucket, never all-pairs).
+  *
+  * At 100 TB the broadcast side is the query set (small by construction);
+  * the candidate scan stays embarrassingly parallel.
+  */
+object Similarity {
+
+  private val NumQueries = 16 // vec_id < 16 are the "query" vectors
+  private val TopK = 5
+
+  /** Sequential-left-fold dot product of two double arrays (Spark SQL). */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      s"cast(0 as double), (acc, v) -> acc + v)"
+
+  /** The same fold in DuckDB: prepend 0.0 and list_reduce in index order. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(cast(0 as double), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("s01_cosine_topk", Some(cosineOracle), cosineSpark),
+    QueryDef("s02_ann_lsh", None, annLshSpark)
+  )
+
+  // ------------------------------------------------- brute-force top-k
+
+  private def cosineSpark(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qa"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  private def cosineOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |qn AS (SELECT query_id, qa, sqrt(${duckDot("qa", "qa")}) AS qn FROM q),
+       |c AS (SELECT vec_id AS neighbor_id,
+       |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
+       |cn AS (SELECT neighbor_id, ca, sqrt(${duckDot("ca", "ca")}) AS cn FROM c),
+       |p AS (SELECT query_id, neighbor_id,
+       |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
+       |  FROM qn, cn WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
+       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $TopK""".stripMargin
+
+  // ------------------------------------------------------ LSH-bucketed ANN
+
+  private val NumPlanes = 16
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (LCG over the flat index). */
+  private[llm] def planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim) { (j, i) =>
+      val x = (1103515245L * (j * Dim + i) + 12345L) % 2147483647L
+      ((x % 2001L) - 1000L) / 1000.0
+    }
+
+  private def annLshSpark(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planeLits = planes.map(_.mkString("array(", ", ", ")"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    val e = Catalog.t(s, d, "embeddings")
+      .withColumn("bucket", expr(s"cast($bucketExpr as int)"))
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qa"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"),
+      col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines over the `documents`
+  * table: language ID (stopword n-gram heuristic), quality scoring,
+  * token counting, and document fingerprinting. All four are scan →
+  * narrow map → (optional) aggregation pipelines: no shuffle except the
+  * per-doc groupBy in the fingerprint, so they scale linearly with input
+  * splits at 100 TB.
+  */
+object TextAnalysis {
+  import TextExprs._
+
+  def all: Seq[QueryDef] = Seq(
+
+    // Language ID: count stopword hits per language, deterministic argmax.
+    QueryDef(
+      "t01_lang_id",
+      Some {
+        val scores = stopwords
+          .map { case (l, ws) => s"${duckStopHits(ws)} AS s_$l" }
+          .mkString(",\n    ")
+        s"""WITH d AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |    $scores
+           |  FROM d)
+           |SELECT doc_id, lang, $predLangCase AS pred_lang,
+           |  (lang = $predLangCase) AS is_correct
+           |FROM sc""".stripMargin
+      },
+      (s, d) => {
+        val scores = stopwords.map { case (l, ws) =>
+          expr(sparkStopHits(ws)).as(s"s_$l")
+        }
+        Catalog.t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(Seq(col("doc_id"), col("lang")) ++ scores: _*)
+          .withColumn("pred_lang", expr(predLangCase))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            (col("lang") === col("pred_lang")).as("is_correct"))
+      }),
+
+    // Quality scoring: length/stopword/alpha ratios + composite score.
+    QueryDef(
+      "t02_quality_score",
+      Some {
+        val en = stopwords.toMap.apply("en")
+        s"""WITH d AS (SELECT doc_id, $duckWords AS w, text FROM documents)
+           |SELECT doc_id,
+           |  cast(len(w) as bigint) AS n_words,
+           |  cast(length(text) as bigint) AS n_chars,
+           |  cast(length(replace(text, ' ', '')) as double)
+           |    / greatest(len(w), 1) AS avg_word_len,
+           |  cast(${duckStopHits(en)} as double) / greatest(len(w), 1) AS stop_ratio,
+           |  (cast(${duckStopHits(en)} as double) / greatest(len(w), 1)) * 0.5
+           |    + least(cast(len(w) as double) / 100, 1.0) * 0.5 AS quality_score,
+           |  (len(w) >= 5 AND len(w) <= 2000) AS len_ok
+           |FROM d""".stripMargin
+      },
+      (s, d) => {
+        val en = stopwords.toMap.apply("en")
+        Catalog.t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            expr("cast(size(w) as bigint)").as("n_words"),
+            expr("cast(length(text) as bigint)").as("n_chars"),
+            expr("cast(length(replace(text, ' ', '')) as double) / greatest(size(w), 1)")
+              .as("avg_word_len"),
+            expr(s"cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)")
+              .as("stop_ratio"),
+            expr(s"(cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)) * 0.5" +
+              " + least(cast(size(w) as double) / 100, 1.0) * 0.5").as("quality_score"),
+            expr("size(w) >= 5 AND size(w) <= 2000").as("len_ok"))
+      }),
+
+    // Token counting: whitespace, BPE-ish regex, and bytes/4 estimate.
+    QueryDef(
+      "t03_token_stats",
+      Some("""SELECT doc_id,
+             |  cast(len(string_split(text, ' ')) as bigint) AS ws_tokens,
+             |  cast(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) as bigint) AS re_tokens,
+             |  cast(ceil(strlen(text) / 4.0) as bigint) AS est_bpe_tokens
+             |FROM documents""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents").select(
+        col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("ws_tokens"),
+        expr("cast(size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)) as bigint)")
+          .as("re_tokens"),
+        expr("cast(ceil(octet_length(text) / 4.0) as bigint)").as("est_bpe_tokens"))),
+
+    // Fingerprint: min-sampled md5 over 3-word shingles (minhash-style
+    // signature + 1/16 mod-sample size); drops docs with <3 words, both
+    // engines alike.
+    QueryDef(
+      "t04_fingerprint",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |s AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d)
+              |SELECT doc_id,
+              |  min(md5(sh)) AS fp_min,
+              |  count(DISTINCT sh) AS n_shingles,
+              |  count(DISTINCT CASE WHEN substring(md5(sh), 1, 1) = '0'
+              |                      THEN sh END) AS n_sampled
+              |FROM s GROUP BY doc_id""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(md5(col("sh").cast("binary"))).as("fp_min"),
+          countDistinct(col("sh")).as("n_shingles"),
+          countDistinct(when(expr("substring(md5(cast(sh as binary)), 1, 1) = '0'"),
+            col("sh"))).as("n_sampled")))
+  )
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+/** Cross-engine expression fragments shared by the LLM-pipeline operators.
+  *
+  * Every operator here is graded against a DuckDB oracle, so the Spark
+  * side and the oracle SQL are generated from the SAME Scala builders —
+  * only dialect syntax differs (`split` vs `string_split`, `element_at`
+  * vs 1-based list index). Both dialects use exact integer / decimal /
+  * string primitives (md5, polynomial mod-hash) so results are
+  * bit-identical across engines regardless of parallelism.
+  */
+object TextExprs {
+
+  def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Word array from the single-space-separated `text` column. */
+  val sparkWords = "split(text, ' ')"
+  val duckWords  = "string_split(text, ' ')"
+
+  /** 3-word shingles over a words column named `w` (empty when <3 words). */
+  val sparkShingles: String =
+    "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), " +
+      "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2))) " +
+      "ELSE cast(array() as array<string>) END"
+  val duckShingles: String =
+    "list_transform(range(1, greatest(len(w) - 1, 1)), " +
+      "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])"
+
+  /** Occurrence count of `words` inside the array column `w`. */
+  def sparkStopHits(words: Seq[String]): String =
+    s"size(filter(w, x -> array_contains(array(${words.map(q).mkString(", ")}), x)))"
+  def duckStopHits(words: Seq[String]): String =
+    s"len(list_filter(w, x -> list_contains([${words.map(q).mkString(", ")}], x)))"
+
+  /** 32-bit polynomial hash of a word (exact bigint math in both engines):
+    * fold over chars of `h = (h*31 + ascii(c)) mod 4294967291`.
+    */
+  val PolyMod = 4294967291L // largest prime < 2^32; h*31 stays < 2^63
+  def sparkWordHash(x: String): String =
+    s"aggregate(sequence(1, length($x)), cast(0 as bigint), " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($x, i, 1))) % $PolyMod)"
+  def duckWordHash(x: String): String =
+    s"list_reduce(list_prepend(cast(0 as bigint), " +
+      s"list_transform(range(1, length($x) + 1), i -> cast(ascii($x[i]) as bigint))), " +
+      s"(a, b) -> (a * 31 + b) % $PolyMod)"
+
+  /** Stopword lists for the language-ID heuristic (tie-break order below). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "sur", "avec", "ne"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  /** Deterministic arg-max over the score columns s_en..s_zh: first
+    * language in [[stopwords]] order wins ties. Identical text in both
+    * dialects.
+    */
+  val predLangCase: String = {
+    val langs = stopwords.map(_._1)
+    val clauses = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }
+    s"CASE ${clauses.mkString(" ")} ELSE '${langs.last}' END"
+  }
+}
