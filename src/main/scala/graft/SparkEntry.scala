@@ -16,7 +16,8 @@ object SparkEntry {
       llm.Dedup.all ++
       llm.Similarity.all ++
       llm.Multimodal.all ++
-      streaming.StreamingQueries.all
+      streaming.StreamingQueries.all ++
+      state.StateQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,91 @@
+package graft.core.codec
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream}
+
+/** Minimal DataInput/DataOutput-style views used by every codec and the
+  * snapshot stream format. Big-endian, mirroring the reference's Java
+  * DataInput framing (reference: bravo/src/main/java/com/king/bravo/utils/
+  * RocksDBUtils.java:120-143 for var-ints).
+  */
+class ByteReader(in: InputStream) {
+  def this(bytes: Array[Byte]) = this(new java.io.ByteArrayInputStream(bytes))
+  private val d = new DataInputStream(in)
+
+  def readByte(): Byte = d.readByte()
+  def readBoolean(): Boolean = d.readBoolean()
+  def readShort(): Short = d.readShort()
+  def readInt(): Int = d.readInt()
+  def readLong(): Long = d.readLong()
+  def readFloat(): Float = d.readFloat()
+  def readDouble(): Double = d.readDouble()
+  def readFully(n: Int): Array[Byte] = { val b = new Array[Byte](n); d.readFully(b); b }
+  def skip(n: Long): Unit = { var left = n; while (left > 0) left -= d.skip(left) }
+
+  /** Unsigned LEB128-style var-int. */
+  def readVarInt(): Int = {
+    var result = 0; var shift = 0; var b = 0
+    do {
+      b = d.readUnsignedByte()
+      result |= (b & 0x7f) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    result
+  }
+
+  def readVarLong(): Long = {
+    var result = 0L; var shift = 0; var b = 0
+    do {
+      b = d.readUnsignedByte()
+      result |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    result
+  }
+
+  def readString(): String = {
+    val n = readVarInt()
+    new String(readFully(n), java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def readBytes(): Array[Byte] = readFully(readVarInt())
+
+  /** -1 at clean EOF, otherwise 0-255. */
+  def tryReadUnsignedByte(): Int =
+    try d.readUnsignedByte() catch { case _: EOFException => -1 }
+}
+
+final class ByteWriter(val out: ByteArrayOutputStream = new ByteArrayOutputStream()) {
+  private val d = new DataOutputStream(out)
+
+  def writeByte(v: Int): Unit = d.writeByte(v)
+  def writeBoolean(v: Boolean): Unit = d.writeBoolean(v)
+  def writeShort(v: Int): Unit = d.writeShort(v)
+  def writeInt(v: Int): Unit = d.writeInt(v)
+  def writeLong(v: Long): Unit = d.writeLong(v)
+  def writeFloat(v: Float): Unit = d.writeFloat(v)
+  def writeDouble(v: Double): Unit = d.writeDouble(v)
+  def writeRaw(b: Array[Byte]): Unit = d.write(b)
+
+  def writeVarInt(v0: Int): Unit = {
+    var v = v0
+    require(v >= 0, s"negative var-int $v")
+    while ((v & ~0x7f) != 0) { d.writeByte((v & 0x7f) | 0x80); v >>>= 7 }
+    d.writeByte(v)
+  }
+
+  def writeVarLong(v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"negative var-long $v")
+    while ((v & ~0x7fL) != 0) { d.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    d.writeByte(v.toInt)
+  }
+
+  def writeString(s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    writeVarInt(b.length); d.write(b)
+  }
+
+  def writeBytes(b: Array[Byte]): Unit = { writeVarInt(b.length); d.write(b) }
+
+  def toBytes: Array[Byte] = { d.flush(); out.toByteArray }
+}

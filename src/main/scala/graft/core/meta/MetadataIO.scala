@@ -1,0 +1,157 @@
+package graft.core.meta
+
+import graft.core.codec.{ByteReader, ByteWriter}
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Binary `_metadata` reader/writer (S1/S10 in SURVEY.md §2.1).
+  *
+  * The reference deserializes Flink's checkpoint metadata
+  * (StateMetadataUtils.java:59-74) and writes it back NO_OVERWRITE
+  * (:189-194). We use our own compact, versioned layout (documented
+  * below) since savepoints here are produced by our own writer — format
+  * self-consistency is the testable contract (FIXTURES.md §A). Layout:
+  *
+  * {{{
+  * magic "GRFTSP01"
+  * varlong checkpointId
+  * varint numOperators, each:
+  *   string uid | string operatorId | varint parallelism | varint maxPar
+  *   bool hasKeyCodec [string keyCodecId]
+  *   varint numStates, each: string name | byte kind | string valueCodecId
+  *                           | bool hasMapKeyCodec [string mapKeyCodecId]
+  *   bool compression
+  *   varint numKeyedFiles, each: varint subtask | string relPath
+  *       | varint kgStart | varint kgEnd | varint n | varlong offsets...
+  *   varint numNonKeyedSubtasks, each: varint subtask
+  *     varint numListStates, each: string name | byte mode
+  *         | varint n | (varint len + bytes)...
+  *     varint numBroadcastStates, each: string name
+  *         | varint n | (bytes key, bytes value)...
+  * }}}
+  */
+object MetadataIO {
+
+  val Magic = "GRFTSP01"
+  val MetadataFile = "_metadata"
+
+  def resolveMetadataPath(pathStr: String): Path = {
+    val p = Paths.get(pathStr)
+    if (Files.isDirectory(p)) p.resolve(MetadataFile) else p
+  }
+
+  def load(pathStr: String): SavepointMeta = {
+    val mp = resolveMetadataPath(pathStr)
+    val in = new BufferedInputStream(Files.newInputStream(mp))
+    try {
+      val r = new ByteReader(in)
+      val magic = new String(r.readFully(Magic.length),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(magic == Magic, s"not a graft savepoint: bad magic '$magic'")
+      val checkpointId = r.readVarLong()
+      val nOps = r.readVarInt()
+      val ops = (0 until nOps).map { _ =>
+        val uid = r.readString()
+        val opId = r.readString()
+        val par = r.readVarInt()
+        val maxPar = r.readVarInt()
+        val keyCodec = if (r.readBoolean()) Some(r.readString()) else None
+        val nStates = r.readVarInt()
+        val states = (0 until nStates).map { _ =>
+          val name = r.readString()
+          val kind = r.readByte()
+          val vc = r.readString()
+          val mkc = if (r.readBoolean()) Some(r.readString()) else None
+          StateMeta(name, kind, vc, mkc)
+        }
+        val compression = r.readBoolean()
+        val nFiles = r.readVarInt()
+        val files = (0 until nFiles).map { _ =>
+          KeyedFileHandle(r.readVarInt(), r.readString(), r.readVarInt(),
+            r.readVarInt(), (0 until r.readVarInt()).map(_ => r.readVarLong()))
+        }
+        val nNk = r.readVarInt()
+        val nonKeyed = (0 until nNk).map { _ =>
+          val sub = r.readVarInt()
+          val nls = r.readVarInt()
+          val ls = (0 until nls).map { _ =>
+            val name = r.readString()
+            val mode = r.readByte()
+            val entries = (0 until r.readVarInt()).map(_ => r.readBytes())
+            name -> (mode, entries: Seq[Array[Byte]])
+          }.toMap
+          val nbs = r.readVarInt()
+          val bs = (0 until nbs).map { _ =>
+            val name = r.readString()
+            val entries = (0 until r.readVarInt()).map(_ => (r.readBytes(), r.readBytes()))
+            name -> (entries: Seq[(Array[Byte], Array[Byte])])
+          }.toMap
+          sub -> OperatorBackendState(ls, bs)
+        }.toMap
+        OperatorStateMeta(uid, opId, par, maxPar, keyCodec, states,
+          compression, files, nonKeyed)
+      }
+      SavepointMeta(checkpointId,
+        mp.getParent.toAbsolutePath.toString, ops)
+    } finally in.close()
+  }
+
+  /** NO_OVERWRITE like the reference (StateMetadataUtils.java:189-194). */
+  def write(dirStr: String, meta: SavepointMeta): Path = {
+    val dir = Paths.get(dirStr)
+    Files.createDirectories(dir)
+    val mp = dir.resolve(MetadataFile)
+    val w = new ByteWriter()
+    w.writeRaw(Magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w.writeVarLong(meta.checkpointId)
+    w.writeVarInt(meta.operators.size)
+    meta.operators.foreach { o =>
+      w.writeString(o.uid)
+      w.writeString(o.operatorId)
+      w.writeVarInt(o.parallelism)
+      w.writeVarInt(o.maxParallelism)
+      w.writeBoolean(o.keyCodecId.isDefined)
+      o.keyCodecId.foreach(w.writeString)
+      w.writeVarInt(o.states.size)
+      o.states.foreach { s =>
+        w.writeString(s.name)
+        w.writeByte(s.kind)
+        w.writeString(s.valueCodecId)
+        w.writeBoolean(s.mapKeyCodecId.isDefined)
+        s.mapKeyCodecId.foreach(w.writeString)
+      }
+      w.writeBoolean(o.compression)
+      w.writeVarInt(o.keyedFiles.size)
+      o.keyedFiles.foreach { f =>
+        w.writeVarInt(f.subtaskIndex)
+        w.writeString(f.relativePath)
+        w.writeVarInt(f.kgStart)
+        w.writeVarInt(f.kgEnd)
+        w.writeVarInt(f.offsets.size)
+        f.offsets.foreach(w.writeVarLong)
+      }
+      w.writeVarInt(o.nonKeyed.size)
+      o.nonKeyed.toSeq.sortBy(_._1).foreach { case (sub, b) =>
+        w.writeVarInt(sub)
+        w.writeVarInt(b.listStates.size)
+        b.listStates.toSeq.sortBy(_._1).foreach { case (name, (mode, entries)) =>
+          w.writeString(name)
+          w.writeByte(mode)
+          w.writeVarInt(entries.size)
+          entries.foreach(w.writeBytes)
+        }
+        w.writeVarInt(b.broadcastStates.size)
+        b.broadcastStates.toSeq.sortBy(_._1).foreach { case (name, entries) =>
+          w.writeString(name)
+          w.writeVarInt(entries.size)
+          entries.foreach { case (k, v) => w.writeBytes(k); w.writeBytes(v) }
+        }
+      }
+    }
+    val out = new BufferedOutputStream(Files.newOutputStream(mp,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE))
+    try out.write(w.toBytes) finally out.close()
+    mp
+  }
+}

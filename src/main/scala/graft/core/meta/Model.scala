@@ -1,0 +1,106 @@
+package graft.core.meta
+
+/** Driver-side savepoint metadata model (SURVEY.md §1.1). Mirrors the
+  * reference's `Savepoint` / `OperatorState` / state-meta structures
+  * (utils/StateMetadataUtils.java:59-87, 149-174) in plain Scala case
+  * classes. All of this is driver-only: no Spark job touches metadata.
+  */
+
+/** What kind of keyed state a name refers to. */
+object StateKind {
+  val Value = 0: Byte
+  val List = 1: Byte
+  val Map = 2: Byte
+}
+
+/** Per-state metadata: the stand-in for Flink's `StateMetaInfoSnapshot`
+  * (reference: StateMetadataUtils.java:149-162). Codec ids resolve via
+  * [[graft.core.codec.CodecRegistry]]; `ttl` marks TTL-wrapped values
+  * (detect + unwrap parity with StateMetadataUtils.java:196-206).
+  */
+final case class StateMeta(
+    name: String,
+    kind: Byte,
+    valueCodecId: String,
+    mapKeyCodecId: Option[String] = None) {
+  def ttl: Boolean = graft.core.codec.CodecRegistry.isTtl(valueCodecId)
+}
+
+/** One keyed-state file written by one subtask: where it lives and the
+  * per-key-group offsets into it (the stand-in for Flink's
+  * `KeyGroupsStateHandle` + `KeyGroupRangeOffsets`, reference:
+  * RocksDBSavepointWriter.java:113-121).
+  */
+final case class KeyedFileHandle(
+    subtaskIndex: Int,
+    relativePath: String,
+    kgStart: Int,
+    kgEnd: Int,
+    offsets: Seq[Long])
+
+/** Non-keyed (operator) state of one subtask: named list states with a
+  * distribution mode, and broadcast key-value states. Kept fully
+  * in-memory, like the reference (OperatorStateReader.java:161-163;
+  * README.md:115). Entries are raw codec-encoded bytes.
+  */
+object ListStateMode {
+  val SplitDistribute = 0: Byte
+  val Union = 1: Byte
+}
+
+final case class OperatorBackendState(
+    listStates: Map[String, (Byte, Seq[Array[Byte]])] = Map.empty,
+    broadcastStates: Map[String, Seq[(Array[Byte], Array[Byte])]] = Map.empty)
+
+/** Per-operator state (reference OperatorState: uid-hashed id,
+  * parallelism, maxParallelism, per-subtask handles).
+  */
+final case class OperatorStateMeta(
+    uid: String,
+    operatorId: String, // 32-hex murmur3_128(uid), Identifiers.operatorId
+    parallelism: Int,
+    maxParallelism: Int,
+    keyCodecId: Option[String],
+    states: Seq[StateMeta],
+    compression: Boolean,
+    keyedFiles: Seq[KeyedFileHandle],
+    nonKeyed: Map[Int, OperatorBackendState] = Map.empty) {
+
+  def stateId(name: String): Int = states.indexWhere(_.name == name) match {
+    case -1 => throw new NoSuchElementException(s"no state named '$name' in operator $uid")
+    case i  => i
+  }
+  def stateName(id: Int): String = states(id).name
+  def stateMeta(name: String): StateMeta = states(stateId(name))
+}
+
+/** The savepoint: checkpoint id + operator states (reference
+  * Savepoint, StateMetadataUtils.java:59-74).
+  */
+final case class SavepointMeta(
+    checkpointId: Long,
+    basePath: String,
+    operators: Seq[OperatorStateMeta]) {
+
+  def operator(uid: String): OperatorStateMeta =
+    operators.find(o => o.uid == uid || o.operatorId == uid).getOrElse(
+      throw new NoSuchElementException(s"no operator with uid '$uid' in savepoint"))
+
+  /** Metadata-level replace of operator states (reference
+    * StateMetadataUtils.createNewSavepoint, :103-125).
+    */
+  def withReplacedOperators(replaced: Seq[OperatorStateMeta]): SavepointMeta = {
+    val byId = replaced.map(o => o.operatorId -> o).toMap
+    copy(operators = operators.map(o => byId.getOrElse(o.operatorId, o)))
+  }
+}
+
+/** Operator uid → 128-bit operator id, murmur3_128 over UTF-8 bytes
+  * (reference: utils/Identifiers.java:29-37). Guava ships in
+  * /opt/spark/jars.
+  */
+object Identifiers {
+  def operatorId(uid: String): String =
+    com.google.common.hash.Hashing.murmur3_128(0)
+      .hashString(uid, java.nio.charset.StandardCharsets.UTF_8).toString
+}

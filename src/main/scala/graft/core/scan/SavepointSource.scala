@@ -1,0 +1,236 @@
+package graft.core.scan
+
+import graft.core.meta.{KeyedFileHandle, MetadataIO, OperatorStateMeta}
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 savepoint source (SURVEY.md §2.1 S3/S5/S6):
+  * `spark.read.format("flink-savepoint").option("uid", ...).load(dir)`
+  * yields the raw `KeyedStateRow` relation
+  * `(stateName string, keyAndNamespaceBytes binary, valueBytes binary)`.
+  *
+  * - One `InputPartition` per subtask state file by default; set
+  *   `splitPerKeyGroup=true` for per-key-group partitions (the
+  *   finer-grained split the reference names as future work at
+  *   README.md:71 — free here because offsets are per key-group).
+  * - `SupportsPushDownFilters` on `stateName` (`=`, `IN`): filtered
+  *   states are length-skipped during decode without materializing
+  *   key/value bytes, mirroring the reference's scan-time state skip
+  *   (RocksDBSavepointIterator.java:178-191).
+  */
+class SavepointSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "flink-savepoint"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SavepointSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SavepointTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SavepointSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("stateName", StringType, nullable = false),
+    StructField("keyAndNamespaceBytes", BinaryType, nullable = false),
+    StructField("valueBytes", BinaryType, nullable = false)))
+}
+
+final class SavepointTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("flink-savepoint source requires a path"))
+  private val uid = Option(options.get("uid")).getOrElse(
+    throw new IllegalArgumentException("flink-savepoint source requires option 'uid'"))
+
+  override def name(): String = s"flink-savepoint($path, $uid)"
+  override def schema(): StructType = SavepointSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val meta = MetadataIO.load(path)
+    new SavepointScanBuilder(meta.basePath, meta.operator(uid), options)
+  }
+}
+
+final class SavepointScanBuilder(
+    basePath: String,
+    op: OperatorStateMeta,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  // `states` option = reader-level state filter (reference F1,
+  // OperatorStateReader.java:76-91); pushed filters narrow it further.
+  private var nameFilter: Option[Set[String]] =
+    Option(options.get("states")).map(_.split(",").map(_.trim).toSet)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("stateName", _: String) => true
+      case In("stateName", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case IsNotNull("stateName") => true
+      case _ => false
+    }
+    pushed = supported
+    supported.foreach {
+      case EqualTo(_, v: String) => intersect(Set(v))
+      case In(_, vs) => intersect(vs.map(_.asInstanceOf[String]).toSet)
+      case _ =>
+    }
+    residual
+  }
+
+  private def intersect(names: Set[String]): Unit =
+    nameFilter = Some(nameFilter.fold(names)(_ intersect names))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SavepointScan(
+    basePath, op, nameFilter,
+    options.getBoolean("splitPerKeyGroup", false))
+}
+
+final case class StateSegmentPartition(
+    filePath: String,
+    fileLen: Long,
+    offsets: Array[Long],
+    kgStart: Int,
+    kgEnd: Int,
+    groupFrom: Int, // inclusive, relative to kgStart
+    groupTo: Int,   // inclusive
+    compression: Boolean,
+    stateNames: Array[String],   // id -> name
+    keepIds: Array[Int])         // empty = keep all
+    extends InputPartition
+
+final class SavepointScan(
+    basePath: String,
+    op: OperatorStateMeta,
+    nameFilter: Option[Set[String]],
+    splitPerKeyGroup: Boolean)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = SavepointSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"flink-savepoint uid=${op.uid} states=${nameFilter.getOrElse(Set("*")).mkString("|")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stateNames = op.states.map(_.name).toArray
+    val keepIds = nameFilter
+      .map(names => op.states.zipWithIndex.collect {
+        case (s, i) if names.contains(s.name) => i
+      }.toArray)
+      .getOrElse(Array.empty[Int])
+    // nothing matches the filter -> zero partitions
+    if (nameFilter.isDefined && keepIds.isEmpty) return Array.empty
+
+    val conf = new org.apache.hadoop.conf.Configuration()
+    op.keyedFiles.flatMap { f =>
+      val p = resolved(f)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      val nGroups = f.kgEnd - f.kgStart + 1
+      if (splitPerKeyGroup) {
+        (0 until nGroups).map { g =>
+          StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
+            f.kgEnd, g, g, op.compression, stateNames, keepIds)
+        }
+      } else {
+        Seq(StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
+          f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds))
+      }
+    }.toArray
+  }
+
+  private def resolved(f: KeyedFileHandle): org.apache.hadoop.fs.Path = {
+    val raw = new org.apache.hadoop.fs.Path(f.relativePath)
+    if (raw.isAbsolute) raw else new org.apache.hadoop.fs.Path(basePath, f.relativePath)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SavepointReaderFactory()
+}
+
+final class SavepointReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StateSegmentPartition]
+    new StateSegmentReader(p)
+  }
+}
+
+/** Executor-side decode of [groupFrom, groupTo] segments of one state
+  * file. Seeks to each group's offset; bounds the segment; streams
+  * records (no whole-file materialization — scale stance SURVEY §7.4#7).
+  */
+final class StateSegmentReader(p: StateSegmentPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new org.apache.hadoop.fs.Path(p.filePath)
+  private val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val in = fs.open(hPath)
+  private val keep: Int => Boolean =
+    if (p.keepIds.isEmpty) _ => true else p.keepIds.toSet
+  private val names = p.stateNames.map(UTF8String.fromString)
+
+  private var group = p.groupFrom
+  private var it: Iterator[StateStreamFormat.Record] = Iterator.empty
+  private var current: StateStreamFormat.Record = _
+
+  private def segmentEnd(g: Int): Long =
+    if (g + 1 < p.offsets.length) p.offsets(g + 1) else p.fileLen
+
+  private def nextGroupIterator(): Boolean = {
+    if (group > p.groupTo) return false
+    val off = p.offsets(group)
+    val end = segmentEnd(group)
+    in.seek(off)
+    val bounded = new BoundedInputStream(in, end - off)
+    it = StateStreamFormat.decodeGroup(bounded, p.compression, keep)
+    group += 1
+    true
+  }
+
+  override def next(): Boolean = {
+    while (!it.hasNext) if (!nextGroupIterator()) return false
+    current = it.next()
+    true
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](names(current.stateId), current.key, current.value))
+
+  override def close(): Unit = in.close()
+}
+
+/** Reads at most `limit` bytes from `in` without closing it. */
+final class BoundedInputStream(in: java.io.InputStream, limit: Long)
+    extends java.io.InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (remaining <= 0) return -1
+    val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+    if (n > 0) remaining -= n
+    n
+  }
+  override def close(): Unit = () // underlying stream is managed by caller
+}

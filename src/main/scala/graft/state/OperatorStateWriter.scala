@@ -1,0 +1,269 @@
+package graft.state
+
+import graft.core.codec._
+import graft.core.meta._
+import graft.core.scan.StateStreamFormat
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Savepoint write path (SURVEY.md §2.10 W1-W9, §2.1 S9-S11): accumulate
+  * typed / raw state rows, then run the mirror image of the reference's
+  * `groupBy(operatorIndex) → sortGroup(keyGroup, stateId) → reduceGroup
+  * (sequential encode)` job (OperatorStateWriter.java:245-251) as
+  * `groupByKey(opIndex).flatMapSortedGroups(keyGroup, stateId)(encode)`
+  * — Spark 4's `flatMapSortedGroups` gives exactly bravo's contract
+  * (SURVEY.md §7.4 #3): one group per subtask, secondary-sorted, and we
+  * collect only (small) file handles to the driver, never rows.
+  */
+final class OperatorStateWriter(
+    spark: SparkSession,
+    savepoint: SavepointMeta,
+    uid: String) {
+
+  private val base: OperatorStateMeta = savepoint.operator(uid)
+
+  private var states: Vector[StateMeta] = base.states.toVector
+  private var removed: Set[String] = Set.empty
+  private var keyCodecId: Option[String] = base.keyCodecId
+  private var parallelism: Int = base.parallelism
+  private var maxParallelism: Int = base.maxParallelism
+  private var rowsAcc: Option[Dataset[KeyedStateRow]] = None
+  private var nonKeyedTransform: Option[(Int, OperatorBackendState) => OperatorBackendState] = None
+
+  private implicit val rowEnc: org.apache.spark.sql.Encoder[KeyedStateRow] =
+    Encoders.product[KeyedStateRow]
+
+  /** W4: raw row passthrough/union — bag semantics like the reference's
+    * DataSet union (OperatorStateWriter.java:127-130); duplicate
+    * state+key rows are NOT deduped, last-writer is backend-ambiguous.
+    */
+  def addKeyedStateRows(rows: Dataset[KeyedStateRow]): this.type = {
+    rowsAcc = Some(rowsAcc.fold(rows)(_ unionAll rows))
+    this
+  }
+
+  def addKeyedStateRows(rows: org.apache.spark.sql.DataFrame)(
+      implicit d: DummyImplicit): this.type =
+    addKeyedStateRows(rows.as[KeyedStateRow])
+
+  /** W1+W2: re-encode (K,V) pairs into an EXISTING value state's codecs.
+    * Rejects TTL states exactly like the reference
+    * (OperatorStateWriter.java:182-184).
+    */
+  def addValueState[K, V](name: String, ds: Dataset[(K, V)]): this.type = {
+    val meta = states.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"state '$name' does not exist; " +
+        "use createNewValueState to define it"))
+    if (meta.ttl)
+      throw new UnsupportedOperationException("Writing of TTL states is not supported")
+    val vc = CodecRegistry.resolve(meta.valueCodecId).asInstanceOf[Codec[V]]
+    encodeAndAdd(name, ds, vc)
+  }
+
+  /** W3: define/replace state metadata then encode — enables new states
+    * and type changes (OperatorStateWriter.java:204-216).
+    */
+  def createNewValueState[K, V](name: String, ds: Dataset[(K, V)],
+      valueCodec: Codec[V]): this.type = {
+    states = states.filterNot(_.name == name) :+
+      StateMeta(name, StateKind.Value, valueCodec.id)
+    removed -= name
+    encodeAndAdd(name, ds, valueCodec)
+  }
+
+  /** Advanced companion to [[addKeyedStateRows]]: register metadata for a
+    * state whose rows are supplied raw (list/map state bootstraps,
+    * byte-level schema surgery). Value-state users should prefer
+    * [[createNewValueState]].
+    */
+  def defineState(meta: StateMeta): this.type = {
+    states = states.filterNot(_.name == meta.name) :+ meta
+    removed -= meta.name
+    this
+  }
+
+  /** W5: drop state metadata; its rows are filtered on write (F4). */
+  def deleteKeyedState(name: String): this.type = {
+    removed += name
+    states = states.filterNot(_.name == name)
+    this
+  }
+
+  /** W6: key codec for bootstrapping a previously state-less operator
+    * (OperatorStateWriter.java:112-114).
+    */
+  def withKeyCodec[K](c: Codec[K]): this.type = { keyCodecId = Some(c.id); this }
+
+  /** W9: max-parallelism change — the write path recomputes key-groups
+    * from keys, so new parallelism parameters just re-shard.
+    */
+  def withParallelism(par: Int, maxPar: Int): this.type = {
+    require(par >= 1 && maxPar >= par, s"bad parallelism $par/$maxPar")
+    parallelism = par; maxParallelism = maxPar; this
+  }
+
+  /** S11: per-subtask non-keyed state transform, applied driver-side
+    * in-memory ("executed sequentially, in-memory on the client",
+    * OperatorStateWriter.java:320-321).
+    */
+  def transformNonKeyedState(
+      f: (Int, OperatorBackendState) => OperatorBackendState): this.type = {
+    nonKeyedTransform = Some(f); this
+  }
+
+  private def encodeAndAdd[K, V](name: String, ds: Dataset[(K, V)],
+      vc: Codec[V]): this.type = {
+    val kc = CodecRegistry.resolve(keyCodecId.getOrElse(
+      throw new IllegalStateException(
+        "no key codec: operator had no keyed state — call withKeyCodec")))
+      .asInstanceOf[Codec[K]]
+    val maxPar = maxParallelism
+    val rows = ds.map { case (k, v) =>
+      StateRowEncoder.valueRow(name, k, v, kc, vc, maxPar)
+    }(rowEnc)
+    addKeyedStateRows(rows)
+  }
+
+  /** W7 orchestration + W8 metadata replace + S10 metadata sink: runs the
+    * exact-partitioned encode job, collects handles only, assembles the
+    * new savepoint under `outDir` (files + `_metadata`), and returns its
+    * metadata. Untouched operators keep their (absolutized) files.
+    */
+  def writeAll(outDir: String): SavepointMeta = {
+    val outAbs = new org.apache.hadoop.fs.Path(outDir).toString
+    val finalStates = states
+    val par = parallelism
+    val maxPar = maxParallelism
+    val compression = base.compression
+    val opId = base.operatorId
+    val prefix = KeyGroups.prefixBytes(maxPar)
+
+    val newFiles: Seq[KeyedFileHandle] = rowsAcc match {
+      case None => base.keyedFiles.map(absolutize)
+      case Some(rows) =>
+        require(finalStates.nonEmpty, "rows added but no state metadata defined")
+        val nameToId = finalStates.map(_.name).zipWithIndex.toMap
+        val keepNames = nameToId.keySet
+        // F4 RowFilter: only rows whose state still has metadata
+        val kept = rows.filter(col("stateName").isin(keepNames.toSeq: _*))
+        val idMap = nameToId // serializable small map
+        val withIds = kept.map { r =>
+          val kg = KeyGroups.readKeyGroup(r.keyAndNamespaceBytes, maxPar)
+          EncRow(
+            KeyGroups.operatorIndexForKeyGroup(maxPar, par, kg),
+            kg, idMap(r.stateName), r.stateName, r.keyAndNamespaceBytes, r.valueBytes)
+        }(Encoders.product[EncRow])
+        val handles = withIds
+          .groupByKey(_.opIndex)(Encoders.scalaInt)
+          .flatMapSortedGroups(col("keyGroup"), col("stateId")) {
+            (opIndex: Int, it: Iterator[EncRow]) =>
+              Iterator.single(OperatorStateWriter.encodeSubtask(
+                outAbs, opId, opIndex, par, maxPar, compression, it))
+          }(Encoders.product[HandleRow])
+          .collect() // handles only — never rows (SURVEY §7.4 #7)
+        handles.map(h => KeyedFileHandle(h.subtaskIndex, h.relativePath,
+          h.kgStart, h.kgEnd, h.offsets)).toSeq.sortBy(_.subtaskIndex)
+    }
+
+    // S11: non-keyed transform, driver-side
+    val baseNonKeyed =
+      (0 until par).map(i => i -> base.nonKeyed.getOrElse(i, OperatorBackendState())).toMap
+    val newNonKeyed = nonKeyedTransform match {
+      case None => base.nonKeyed
+      case Some(f) => baseNonKeyed.map { case (i, b) => i -> f(i, b) }
+    }
+
+    val newOp = OperatorStateMeta(base.uid, opId, par, maxPar,
+      keyCodecId, finalStates, compression, newFiles, newNonKeyed)
+    val others = savepoint.operators
+      .filterNot(_.operatorId == opId)
+      .map(o => o.copy(keyedFiles = o.keyedFiles.map(absolutize)))
+    val newMeta = SavepointMeta(savepoint.checkpointId + 1, outAbs,
+      others :+ newOp)
+    MetadataIO.write(outAbs, newMeta)
+    newMeta
+  }
+
+  private def absolutize(f: KeyedFileHandle): KeyedFileHandle = {
+    val p = new org.apache.hadoop.fs.Path(f.relativePath)
+    if (p.isAbsolute) f
+    else f.copy(relativePath =
+      new org.apache.hadoop.fs.Path(savepoint.basePath, f.relativePath).toString)
+  }
+}
+
+/** Shuffle row for the write job: exact subtask partitioning key +
+  * secondary sort columns (reference functions/OperatorIndexForKeyGroupKey
+  * .java:24-40 + KeyGroupAndStateNameKey.java:25-39 — we sort by state
+  * ID, see SURVEY §2.5 A2 note).
+  */
+final case class EncRow(
+    opIndex: Int, keyGroup: Int, stateId: Int, stateName: String,
+    key: Array[Byte], value: Array[Byte])
+
+final case class HandleRow(
+    subtaskIndex: Int, relativePath: String, kgStart: Int, kgEnd: Int,
+    offsets: Seq[Long])
+
+object OperatorStateWriter {
+
+  /** Executor-side sequential encode of one subtask's sorted rows into
+    * one state file (reference S9, RocksDBSavepointWriter.java:49-183).
+    */
+  private[state] def encodeSubtask(
+      outDir: String, opId: String, opIndex: Int, par: Int, maxPar: Int,
+      compression: Boolean, it: Iterator[EncRow]): HandleRow = {
+    val (kgStart, kgEnd) = KeyGroups.keyGroupRange(maxPar, par, opIndex)
+    val rel = s"op-$opId/part-$opIndex-${java.util.UUID.randomUUID().toString.take(8)}"
+    val path = new org.apache.hadoop.fs.Path(outDir, rel)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(path, false)
+    val offsets =
+      try StateStreamFormat.encode(
+        out,
+        it.map(e => (e.keyGroup, StateStreamFormat.Record(e.stateId, e.key, e.value))),
+        kgStart, kgEnd, compression)
+      finally out.close()
+    HandleRow(opIndex, rel, kgStart, kgEnd, offsets)
+  }
+}
+
+/** W1: typed pair → raw state row (reference
+  * writer/functions/ValueStateToKeyedStateRow.java:34-68): assign
+  * key-group from the key, write [prefix][key][namespace], serialize the
+  * value.
+  */
+object StateRowEncoder {
+  def valueRow[K, V](name: String, key: K, value: V,
+      kc: Codec[K], vc: Codec[V], maxParallelism: Int): KeyedStateRow = {
+    val kg = KeyGroups.assignToKeyGroup(key, maxParallelism)
+    val w = new ByteWriter()
+    KeyGroups.writeKeyGroup(w, kg, maxParallelism)
+    kc.write(w, key)
+    Codecs.VoidNamespaceCodec.write(w, ())
+    KeyedStateRow(name, w.toBytes, vc.toBytes(value))
+  }
+}
+
+/** Facade + bootstrap helpers (savepoints created from scratch). */
+object Savepoints {
+  def load(path: String): SavepointMeta = MetadataIO.load(path)
+
+  def reader(spark: SparkSession, sp: SavepointMeta, uid: String,
+      states: Set[String] = null): OperatorStateReader =
+    new OperatorStateReader(spark, sp, uid, Option(states))
+
+  def writer(spark: SparkSession, sp: SavepointMeta, uid: String): OperatorStateWriter =
+    new OperatorStateWriter(spark, sp, uid)
+
+  /** An empty savepoint containing one state-less operator — the
+    * bootstrap entry point (reference KeyedStateAddRemoveTest.java:50-94
+    * scenario: add state to an operator that had none).
+    */
+  def bootstrap(uid: String, parallelism: Int, maxParallelism: Int,
+      checkpointId: Long = 0L): SavepointMeta =
+    SavepointMeta(checkpointId, basePath = "",
+      Seq(OperatorStateMeta(uid, Identifiers.operatorId(uid), parallelism,
+        maxParallelism, None, Seq.empty, compression = true, Seq.empty)))
+}
