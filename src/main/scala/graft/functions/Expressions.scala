@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot kernels of the LLM-pipeline
+  * operators. These stay inside whole-stage codegen (no UDF boxing, no
+  * per-char object churn), which matters at 100 TB: the SimHash/MinHash
+  * scans are pure narrow maps whose cost is exactly these kernels.
+  *
+  * Both implement the SAME arithmetic as the SQL formulations mirrored in
+  * the DuckDB oracles, so results stay bit-identical cross-engine:
+  *  - [[PolyHash32]] = fold over UTF-16 chars of
+  *    `h = (h*31 + char) mod 4294967291` (equals the per-codepoint fold
+  *    for BMP text, which is all the corpus has).
+  *  - [[ArrayDotProduct]] = sequential left-fold of
+  *    `acc + (double)a[i] * (double)b[i]` — identical IEEE operation
+  *    order to the `aggregate(zip_with(...))` / `list_reduce` folds.
+  */
+case class PolyHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"polyhash32 needs a string, got ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    PolyHash32.hash(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |String $s = $c.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * 31L + $s.charAt($i)) % ${PolyHash32.Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash32 =
+    copy(child = newChild)
+}
+
+object PolyHash32 {
+  val Mod = 4294967291L
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31L + s.charAt(i)) % Mod; i += 1 }
+    h
+  }
+}
+
+/** Sequential-fold dot product of two float/double arrays as double. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot needs two arrays of float/double, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aFloat = elemType(left) == FloatType
+    val bFloat = elemType(right) == FloatType
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (elemType(left) == FloatType) s"(double) $l.getFloat($i)"
+                 else s"$l.getDouble($i)"
+      val getB = if (elemType(right) == FloatType) s"(double) $r.getFloat($i)"
+                 else s"$r.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getA * $getB;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQL registration (idempotent per session). Spark 4 no longer exposes
+  * `Column(expr)` publicly, so these kernels surface through the
+  * function registry and `expr("graft_...(...)")` strings.
+  */
+object GraftFunctions {
+
+  /** Registers `graft_polyhash32` / `graft_dot` for use inside SQL
+    * expressions and higher-order-function lambdas.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_polyhash32",
+      exprs => PolyHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -143,8 +143,12 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash over per-occurrence word hashes. */
+  /** 32-bit SimHash over per-occurrence word hashes. The word hash runs
+    * as the codegen'd [[graft.functions.PolyHash32]] kernel — identical
+    * arithmetic to the `duckWordHash` fold in the oracle.
+    */
   private def simhashSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val bitSums = (0 until 32).map { i =>
       sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"b$i")
@@ -154,7 +158,7 @@ object Dedup {
       .mkString(" + ")
     Catalog.t(s, d, "documents")
       .withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(s"transform(w, x -> ${sparkWordHash("x")})")).as("h"))
+      .select(col("doc_id"), explode(expr("transform(w, x -> graft_polyhash32(x))")).as("h"))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(s"cast($fp as bigint)").as("simhash"))
   }

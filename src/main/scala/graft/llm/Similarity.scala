@@ -23,10 +23,11 @@ object Similarity {
   private val NumQueries = 16 // vec_id < 16 are the "query" vectors
   private val TopK = 5
 
-  /** Sequential-left-fold dot product of two double arrays (Spark SQL). */
-  private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      s"cast(0 as double), (acc, v) -> acc + v)"
+  /** Sequential-left-fold dot product — the codegen'd
+    * [[graft.functions.ArrayDotProduct]] kernel (identical IEEE fold
+    * order to the oracle's `list_reduce`).
+    */
+  private def sparkDot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** The same fold in DuckDB: prepend 0.0 and list_reduce in index order. */
   private def duckDot(a: String, b: String): String =
@@ -41,6 +42,7 @@ object Similarity {
   // ------------------------------------------------- brute-force top-k
 
   private def cosineSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = Catalog.t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < NumQueries)
@@ -86,8 +88,10 @@ object Similarity {
     }
 
   private def annLshSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    val planeLits = planes.map(_.mkString("array(", ", ", ")"))
+    // literal arrays parse as decimals; graft_dot wants float/double
+    val planeLits = planes.map(_.mkString("cast(array(", ", ", ") as array<double>)"))
     val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * broadcast, AQE) — each paired with a DuckDB oracle.
   *
   * Determinism rules for oracle parity:
-  *   - Double-typed SUMs are computed over exact `decimal` casts and cast
-  *     back to `double` at the end. Decimal arithmetic is exact in both
-  *     engines, so partial-aggregation order (Spark shuffles) cannot
-  *     perturb low-order bits the way naive double summation does.
+  *   - Double-typed SUMs are computed over exact fixed-point (cents)
+  *     integer views and cast back to `double` at the end. Integer
+  *     arithmetic is exact in both engines, so partial-aggregation order
+  *     (Spark shuffles) cannot perturb low-order bits the way naive
+  *     double summation does.
   *   - DuckDB `sum(INTEGER)` returns HUGEINT; oracles cast those sums to
   *     BIGINT to match Spark's LongType.
   *   - Every LIMIT / window ordering includes a unique tie-break column.
@@ -22,12 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
-  // Exact-decimal views of the double measure columns (both engines).
-  private val DQ  = "cast(l_quantity as decimal(12,2))"
-  private val DEP = "cast(l_extendedprice as decimal(14,2))"
-  private val DDI = "cast(l_discount as decimal(4,2))"
-  private val DTX = "cast(l_tax as decimal(4,2))"
-  private val DTP = "cast(o_totalprice as decimal(14,2))"
+  // Exact fixed-point (cents) views of the double measure columns. The
+  // source data carries <=2 decimals, so round(x*100) is an exact integer
+  // in both engines; long-sum then one double division keeps results
+  // bit-identical cross-engine while staying on the codegen'd long-adder
+  // path (wide decimal sums fall back to BigDecimal and were the q01
+  // bottleneck at sf0.1).
+  private val Q100  = "cast(round(l_quantity * 100) as bigint)"
+  private val EP100 = "cast(round(l_extendedprice * 100) as bigint)"
+  private val DI100 = "cast(round(l_discount * 100) as bigint)"
+  private val TX100 = "cast(round(l_tax * 100) as bigint)"
+  private val TP100 = "cast(round(o_totalprice * 100) as bigint)"
+  private val AB100 = "cast(round(c_acctbal * 100) as bigint)"
 
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Catalog.t(s, d, n)
@@ -37,12 +44,12 @@ object RelationalQueries {
     QueryDef(
       "q01_pricing_summary",
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  cast(sum($DQ) as double) AS sum_qty,
-              |  cast(sum($DEP) as double) AS sum_base_price,
-              |  cast(sum($DEP * (1 - $DDI)) as double) AS sum_disc_price,
-              |  cast(sum($DEP * (1 - $DDI) * (1 + $DTX)) as double) AS sum_charge,
-              |  cast(sum($DQ) as double) / count(*) AS avg_qty,
-              |  cast(sum($DEP) as double) / count(*) AS avg_price,
+              |  cast(sum($Q100) as double) / 100 AS sum_qty,
+              |  cast(sum($EP100) as double) / 100 AS sum_base_price,
+              |  cast(sum($EP100 * (100 - $DI100)) as double) / 10000 AS sum_disc_price,
+              |  cast(sum($EP100 * (100 - $DI100) * (100 + $TX100)) as double) / 1000000 AS sum_charge,
+              |  cast(sum($Q100) as double) / 100 / count(*) AS avg_qty,
+              |  cast(sum($EP100) as double) / 100 / count(*) AS avg_price,
               |  count(*) AS count_order
               |FROM lineitem
               |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -51,18 +58,18 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          expr(s"cast(sum($DQ) as double)").as("sum_qty"),
-          expr(s"cast(sum($DEP) as double)").as("sum_base_price"),
-          expr(s"cast(sum($DEP * (1 - $DDI)) as double)").as("sum_disc_price"),
-          expr(s"cast(sum($DEP * (1 - $DDI) * (1 + $DTX)) as double)").as("sum_charge"),
-          expr(s"cast(sum($DQ) as double) / count(*)").as("avg_qty"),
-          expr(s"cast(sum($DEP) as double) / count(*)").as("avg_price"),
+          expr(s"cast(sum($Q100) as double) / 100").as("sum_qty"),
+          expr(s"cast(sum($EP100) as double) / 100").as("sum_base_price"),
+          expr(s"cast(sum($EP100 * (100 - $DI100)) as double) / 10000").as("sum_disc_price"),
+          expr(s"cast(sum($EP100 * (100 - $DI100) * (100 + $TX100)) as double) / 1000000").as("sum_charge"),
+          expr(s"cast(sum($Q100) as double) / 100 / count(*)").as("avg_qty"),
+          expr(s"cast(sum($EP100) as double) / 100 / count(*)").as("avg_price"),
           count(lit(1)).as("count_order"))),
 
     QueryDef(
       "q02_revenue_by_segment",
       Some(s"""SELECT c_mktsegment,
-              |  cast(sum($DEP * (1 - $DDI)) as double) AS revenue,
+              |  cast(sum($EP100 * (100 - $DI100)) as double) / 10000 AS revenue,
               |  count(*) AS n_items
               |FROM lineitem
               |JOIN orders ON l_orderkey = o_orderkey
@@ -73,13 +80,13 @@ object RelationalQueries {
         .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          expr(s"cast(sum($DEP * (1 - $DDI)) as double)").as("revenue"),
+          expr(s"cast(sum($EP100 * (100 - $DI100)) as double) / 10000").as("revenue"),
           count(lit(1)).as("n_items"))),
 
     QueryDef(
       "q03_region_nation_stats",
-      Some("""SELECT r_name, n_name, count(*) AS n_customers,
-             |  cast(sum(cast(c_acctbal as decimal(12,2))) as double) AS total_acctbal
+      Some(s"""SELECT r_name, n_name, count(*) AS n_customers,
+             |  cast(sum($AB100) as double) / 100 AS total_acctbal
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -90,7 +97,7 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          expr("cast(sum(cast(c_acctbal as decimal(12,2))) as double)").as("total_acctbal"))),
+          expr(s"cast(sum($AB100) as double) / 100").as("total_acctbal"))),
 
     // ------------------------------------------------------- filtered scans
     QueryDef(
@@ -139,16 +146,16 @@ object RelationalQueries {
     QueryDef(
       "q07_running_qty",
       Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber,
-              |  cast(sum($DQ) OVER (PARTITION BY l_suppkey
+              |  cast(sum($Q100) OVER (PARTITION BY l_suppkey
               |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_qty
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) / 100 AS run_qty
               |FROM lineitem""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem")
-          .withColumn("run_qty", sum(expr(DQ)).over(w).cast("double"))
+          .withColumn("run_qty", (sum(expr(Q100)).over(w).cast("double") / 100).as("run_qty"))
           .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
       }),
 
@@ -208,22 +215,22 @@ object RelationalQueries {
     QueryDef(
       "q11_rollup",
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  cast(sum($DQ) as double) AS sum_qty, count(*) AS cnt
+              |  cast(sum($Q100) as double) / 100 AS sum_qty, count(*) AS cnt
               |FROM lineitem
               |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
       (s, d) => t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(expr(s"cast(sum($DQ) as double)").as("sum_qty"), count(lit(1)).as("cnt"))),
+        .agg(expr(s"cast(sum($Q100) as double) / 100").as("sum_qty"), count(lit(1)).as("cnt"))),
 
     QueryDef(
       "q12_cube",
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  cast(sum($DEP) as double) AS sum_price, count(*) AS cnt
+              |  cast(sum($EP100) as double) / 100 AS sum_price, count(*) AS cnt
               |FROM lineitem
               |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
       (s, d) => t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(expr(s"cast(sum($DEP) as double)").as("sum_price"), count(lit(1)).as("cnt"))),
+        .agg(expr(s"cast(sum($EP100) as double) / 100").as("sum_price"), count(lit(1)).as("cnt"))),
 
     // ----------------------------------------------------- semi / anti join
     QueryDef(
@@ -265,17 +272,17 @@ object RelationalQueries {
 
     QueryDef(
       "q15_date_funcs",
-      Some("""SELECT cast(year(o_orderdate) as int) AS yr,
+      Some(s"""SELECT cast(year(o_orderdate) as int) AS yr,
              |  cast(month(o_orderdate) as int) AS mo,
              |  count(*) AS n_orders,
-             |  cast(sum(cast(o_totalprice as decimal(14,2))) as double) AS total
+             |  cast(sum($TP100) as double) / 100 AS total
              |FROM orders GROUP BY 1, 2""".stripMargin),
       (s, d) => t(s, d, "orders")
         .groupBy(
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"))
         .agg(count(lit(1)).as("n_orders"),
-          expr(s"cast(sum($DTP) as double)").as("total"))),
+          expr(s"cast(sum($TP100) as double) / 100").as("total"))),
 
     QueryDef(
       "q16_case_buckets",
@@ -302,7 +309,7 @@ object RelationalQueries {
     QueryDef(
       "q18_star_join_revenue",
       Some(s"""SELECT r_name, n_name,
-              |  cast(sum($DEP * (1 - $DDI)) as double) AS revenue,
+              |  cast(sum($EP100 * (100 - $DI100)) as double) / 10000 AS revenue,
               |  count(*) AS n_items
               |FROM lineitem
               |JOIN orders ON l_orderkey = o_orderkey
@@ -317,13 +324,13 @@ object RelationalQueries {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          expr(s"cast(sum($DEP * (1 - $DDI)) as double)").as("revenue"),
+          expr(s"cast(sum($EP100 * (100 - $DI100)) as double) / 10000").as("revenue"),
           count(lit(1)).as("n_items"))),
 
     QueryDef(
       "q19_supplier_revenue",
       Some(s"""SELECT s_name, n_name,
-              |  cast(sum($DEP * (1 - $DDI)) as double) AS revenue
+              |  cast(sum($EP100 * (100 - $DI100)) as double) / 10000 AS revenue
               |FROM lineitem
               |JOIN supplier ON l_suppkey = s_suppkey
               |JOIN nation ON s_nationkey = n_nationkey
@@ -332,18 +339,18 @@ object RelationalQueries {
         .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("s_name"), col("n_name"))
-        .agg(expr(s"cast(sum($DEP * (1 - $DDI)) as double)").as("revenue"))),
+        .agg(expr(s"cast(sum($EP100 * (100 - $DI100)) as double) / 10000").as("revenue"))),
 
     // --------------------------------------------------------------- events
     QueryDef(
       "q20_events_agg",
       Some("""SELECT user_id, event_type, count(*) AS n,
-             |  cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+             |  cast(sum(cast(round(value * 100) as bigint)) as double) / 100 AS total_value
              |FROM events GROUP BY user_id, event_type""".stripMargin),
       (s, d) => t(s, d, "events")
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          expr("cast(sum(cast(value as decimal(12,2))) as double)").as("total_value"))),
+          expr("cast(sum(cast(round(value * 100) as bigint)) as double) / 100").as("total_value"))),
 
     QueryDef(
       "q21_events_json",
