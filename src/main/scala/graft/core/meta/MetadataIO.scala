@@ -24,6 +24,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *   bool compression
   *   varint numKeyedFiles, each: varint subtask | string relPath
   *       | varint kgStart | varint kgEnd | varint n | varlong offsets...
+  *       | byte kind (0 = stream file, 1 = RocksDB checkpoint dir)
   *   varint numNonKeyedSubtasks, each: varint subtask
   *     varint numListStates, each: string name | byte mode
   *         | varint n | (varint len + bytes)...
@@ -69,7 +70,8 @@ object MetadataIO {
         val nFiles = r.readVarInt()
         val files = (0 until nFiles).map { _ =>
           KeyedFileHandle(r.readVarInt(), r.readString(), r.readVarInt(),
-            r.readVarInt(), (0 until r.readVarInt()).map(_ => r.readVarLong()))
+            r.readVarInt(), (0 until r.readVarInt()).map(_ => r.readVarLong()),
+            r.readByte())
         }
         val nNk = r.readVarInt()
         val nonKeyed = (0 until nNk).map { _ =>
@@ -130,6 +132,7 @@ object MetadataIO {
         w.writeVarInt(f.kgEnd)
         w.writeVarInt(f.offsets.size)
         f.offsets.foreach(w.writeVarLong)
+        w.writeByte(f.kind)
       }
       w.writeVarInt(o.nonKeyed.size)
       o.nonKeyed.toSeq.sortBy(_._1).foreach { case (sub, b) =>

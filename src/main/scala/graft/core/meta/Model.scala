@@ -36,7 +36,17 @@ final case class KeyedFileHandle(
     relativePath: String,
     kgStart: Int,
     kgEnd: Int,
-    offsets: Seq[Long])
+    offsets: Seq[Long],
+    kind: Byte = KeyedFileHandle.StreamKind)
+
+object KeyedFileHandle {
+  /** Full-savepoint stream file (reference S3 layout). */
+  val StreamKind: Byte = 0
+  /** Incremental checkpoint: a RocksDB directory, one column family per
+    * state (reference S4; offsets unused).
+    */
+  val RocksDbKind: Byte = 1
+}
 
 /** Non-keyed (operator) state of one subtask: named list states with a
   * distribution mode, and broadcast key-value states. Kept fully

@@ -1,0 +1,132 @@
+package graft.core.scan
+
+import org.rocksdb._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Incremental-checkpoint support (SURVEY.md §2.1 S4): state stored as a
+  * real RocksDB instance, one column family per state name, iterated
+  * with the JNI bindings — the graft analogue of the reference's
+  * RocksDBCheckpointIterator.java:73-248 (transfer :92-148, open
+  * :196-216, iterate :218-238).
+  *
+  * Read path only, like the reference (writes always produce full
+  * savepoint streams). `createCheckpoint` exists so fixtures and
+  * round-trips can fabricate native-format state without a running
+  * Flink/RocksDB job.
+  */
+object RocksDbCheckpoints {
+  RocksDB.loadLibrary()
+
+  /** Build a RocksDB checkpoint directory from raw state rows: one
+    * column family per state name, key = keyAndNamespaceBytes,
+    * value = valueBytes.
+    */
+  def createCheckpoint(
+      targetDir: String,
+      rows: Seq[(String, Array[Byte], Array[Byte])]): Unit = {
+    val work = Files.createTempDirectory("graft-rocks-work").toString
+    val opts = new Options().setCreateIfMissing(true)
+    val db = RocksDB.open(opts, work)
+    try {
+      val handles = scala.collection.mutable.Map.empty[String, ColumnFamilyHandle]
+      rows.foreach { case (state, k, v) =>
+        val h = handles.getOrElseUpdate(state,
+          db.createColumnFamily(new ColumnFamilyDescriptor(
+            state.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        db.put(h, k, v)
+      }
+      val cp = Checkpoint.create(db)
+      try cp.createCheckpoint(targetDir) finally cp.close()
+      handles.values.foreach(_.close())
+    } finally { db.close(); opts.close() }
+  }
+
+  /** Closeable scan over the kept column families of a checkpoint dir. */
+  final class CheckpointScan(localDir: String, keep: Option[Set[String]])
+      extends Iterator[(String, Array[Byte], Array[Byte])] with AutoCloseable {
+    private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    private val cfNames = {
+      val listOpts = new Options()
+      try RocksDB.listColumnFamilies(listOpts, localDir).asScala.toSeq
+      finally listOpts.close()
+    }
+    // state-name pushdown: open ONLY the matching column families
+    // (reference RocksDBCheckpointIterator.java:150-166); "default" must
+    // always be opened per RocksDB contract but holds no graft state.
+    private val wanted = cfNames.filter { n =>
+      val name = new String(n, utf8)
+      name == "default" || keep.forall(_.contains(name))
+    }
+    private val handles = new java.util.ArrayList[ColumnFamilyHandle]()
+    private val dbOpts = new DBOptions()
+    private val db = RocksDB.openReadOnly(dbOpts, localDir, wanted.map(
+      new ColumnFamilyDescriptor(_)).asJava, handles)
+
+    private val perCf = handles.asScala.toSeq.zip(wanted)
+      .filter { case (_, n) => new String(n, utf8) != "default" }
+    private var cfIdx = 0
+    private var rit: RocksIterator = _
+    private var curName: String = _
+    private var closed = false
+
+    private def advance(): Boolean = {
+      while (true) {
+        if (rit != null && rit.isValid) return true
+        if (rit != null) { rit.close(); rit = null }
+        if (cfIdx >= perCf.size) return false
+        val (h, nameBytes) = perCf(cfIdx)
+        cfIdx += 1
+        curName = new String(nameBytes, utf8)
+        rit = db.newIterator(h)
+        rit.seekToFirst()
+      }
+      false
+    }
+
+    def hasNext: Boolean = !closed && advance()
+
+    def next(): (String, Array[Byte], Array[Byte]) = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = (curName, rit.key(), rit.value())
+      rit.next()
+      r
+    }
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      if (rit != null) rit.close()
+      db.close()
+      dbOpts.close()
+    }
+  }
+
+  /** `keep = None` reads every state (reference
+    * RocksDBCheckpointIterator.java:73-248 iterate path).
+    */
+  def iterate(localDir: String, keep: Option[Set[String]]): CheckpointScan =
+    new CheckpointScan(localDir, keep)
+
+  /** Ensure the checkpoint directory is on local disk; if the handle
+    * points at a distributed FS, download it first (the reference's
+    * transfer step, RocksDBCheckpointIterator.java:92-148).
+    */
+  def localize(dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = p.getFileSystem(conf)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file" || fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      p.toUri.getPath
+    } else {
+      val local: Path = Files.createTempDirectory("graft-rocks-dl")
+      fs.listStatus(p).foreach { st =>
+        fs.copyToLocalFile(st.getPath,
+          new org.apache.hadoop.fs.Path(local.resolve(st.getPath.getName).toString))
+      }
+      local.toString
+    }
+  }
+}

@@ -144,19 +144,36 @@ final class SavepointScan(
     val conf = new org.apache.hadoop.conf.Configuration()
     op.keyedFiles.flatMap { f =>
       val p = resolved(f)
-      val fs = p.getFileSystem(conf)
-      val len = fs.getFileStatus(p).getLen
-      val nGroups = f.kgEnd - f.kgStart + 1
-      if (splitPerKeyGroup) {
-        (0 until nGroups).map { g =>
-          StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
-            f.kgEnd, g, g, op.compression, stateNames, keepIds)
-        }
-      } else {
-        Seq(StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
-          f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds))
-      }
+      if (f.kind == KeyedFileHandle.RocksDbKind) {
+        // S4: one partition per subtask checkpoint dir; pushdown = the
+        // set of column families to open
+        Seq(RocksDbPartition(p.toString, nameFilter.map(_.toArray)))
+      } else streamPartitions(f, p, conf)
     }.toArray
+  }
+
+  private def streamPartitions(
+      f: KeyedFileHandle,
+      p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
+    val stateNames = op.states.map(_.name).toArray
+    val keepIds = nameFilter
+      .map(names => op.states.zipWithIndex.collect {
+        case (s, i) if names.contains(s.name) => i
+      }.toArray)
+      .getOrElse(Array.empty[Int])
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val nGroups = f.kgEnd - f.kgStart + 1
+    if (splitPerKeyGroup) {
+      (0 until nGroups).map { g =>
+        StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
+          f.kgEnd, g, g, op.compression, stateNames, keepIds)
+      }
+    } else {
+      Seq(StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
+        f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds))
+    }
   }
 
   private def resolved(f: KeyedFileHandle): org.apache.hadoop.fs.Path = {
@@ -168,11 +185,41 @@ final class SavepointScan(
     new SavepointReaderFactory()
 }
 
+/** One subtask's incremental-checkpoint directory (S4). */
+final case class RocksDbPartition(
+    dirPath: String,
+    keepStates: Option[Array[String]])
+    extends InputPartition
+
 final class SavepointReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[StateSegmentPartition]
-    new StateSegmentReader(p)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: StateSegmentPartition => new StateSegmentReader(p)
+      case p: RocksDbPartition => new RocksDbPartitionReader(p)
+    }
+}
+
+/** Executor-side iterate of one RocksDB checkpoint dir: localize (S4
+  * transfer step), open read-only, scan kept column families.
+  */
+final class RocksDbPartitionReader(p: RocksDbPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val it = RocksDbCheckpoints.iterate(
+    RocksDbCheckpoints.localize(p.dirPath), p.keepStates.map(_.toSet))
+  private var current: (String, Array[Byte], Array[Byte]) = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    current = it.next()
+    true
   }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(current._1), current._2, current._3))
+
+  override def close(): Unit = it.close()
 }
 
 /** Executor-side decode of [groupFrom, groupTo] segments of one state

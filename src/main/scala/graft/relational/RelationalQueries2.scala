@@ -1,0 +1,83 @@
+package graft.relational
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational coverage: outer joins, GROUPING SETS,
+  * correlated subqueries, and approximate sketches. SQL-first constructs
+  * (grouping sets, correlated scalar subqueries) run through
+  * `spark.sql` over per-query temp views — still fully Catalyst-planned.
+  */
+object RelationalQueries2 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Catalog.t(s, d, n)
+
+  def all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q22_full_outer_join",
+      Some("""SELECT coalesce(r.c_custkey, b.c_custkey) AS custkey,
+             |  coalesce(r.rich, false) AS is_rich,
+             |  coalesce(b.n_big, 0) AS n_big
+             |FROM (SELECT c_custkey, true AS rich FROM customer WHERE c_acctbal > 7500) r
+             |FULL OUTER JOIN (SELECT c_custkey, cast(count(*) as bigint) AS n_big
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  WHERE o_totalprice > 250000 GROUP BY c_custkey) b
+             |ON r.c_custkey = b.c_custkey""".stripMargin),
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val rich = c.filter(col("c_acctbal") > 7500)
+          .select(col("c_custkey"), lit(true).as("rich"))
+        val big = c.join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+          .filter(col("o_totalprice") > 250000)
+          .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_big"))
+        rich.join(big, Seq("c_custkey"), "full_outer")
+          .select(col("c_custkey").as("custkey"),
+            coalesce(col("rich"), lit(false)).as("is_rich"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"))
+      }),
+
+    QueryDef(
+      "q23_grouping_sets",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100 AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_q23")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                |  cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100 AS sum_qty
+                |FROM li_q23
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      }),
+
+    QueryDef(
+      "q24_correlated_subquery",
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey = c_custkey AND o_totalprice > 150000) AS n_big
+             |FROM customer""".stripMargin),
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("cust_q24")
+        t(s, d, "orders").createOrReplaceTempView("ord_q24")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT count(*) FROM ord_q24
+                |   WHERE o_custkey = c_custkey AND o_totalprice > 150000) AS n_big
+                |FROM cust_q24""".stripMargin)
+      }),
+
+    // Approximate distinct sketches (HLL++): algorithm differs from
+    // DuckDB's estimator, so no value oracle — driver rows-only check.
+    QueryDef(
+      "q25_approx_distinct",
+      None,
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_quantiles")))
+  )
+}

@@ -4,7 +4,17 @@ import graft.{Catalog, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
 import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable.ListBuffer
+
+/** Event row for the sessionizer (ns timestamp already floored to ms). */
+final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)
+
+/** One user session: consecutive events with < 30 min gaps. */
+final case class UserSession(
+    user_id: Long, session_id: Int, n_events: Long, start_ms: Long, end_ms: Long)
 
 /** Structured Streaming surface: the `events` parquet drives a real
   * `readStream` → windowed aggregation → memory-sink query, executed
@@ -39,6 +49,69 @@ object StreamingQueries {
         try q.processAllAvailable() finally q.stop()
         // materialize: the memory table lives in the session after stop
         s.table(name)
+      }),
+
+    // Stateful streaming: custom per-key session logic through
+    // flatMapGroupsWithState (SURVEY.md §2.11 → Structured Streaming
+    // stateful ops). The DuckDB oracle is the batch gap-and-islands
+    // formulation of the same 30-minute-gap sessionization.
+    QueryDef(
+      "st02_sessionize",
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+              |    epoch_ms(cast(ts as timestamp)) AS ts_ms FROM events),
+              |x AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+              |      OR ts_ms - lag(ts_ms) OVER w > $GapMs THEN 1 ELSE 0 END AS new_s
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+              |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM x)
+              |SELECT user_id, cast(session_id as int) AS session_id,
+              |  count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+              |FROM s GROUP BY user_id, session_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"st02_mem_${counter.incrementAndGet()}"
+        val ev = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000").as("ts_ms")) // ns -> ms floor, = epoch_ms
+          .as[SessEvent]
+        val sessions = ev.groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+            StreamingQueries.sessionize)
+        val q = sessions.writeStream
+          .outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
       })
   )
+
+  /** Per-user sessionizer: sort the micro-batch's events, split on >30min
+    * gaps. State is unused in this single-batch demo but the signature is
+    * the real streaming one (carrying open sessions across batches is the
+    * GroupState's job in a continuous deployment).
+    */
+  private val GapMs = 1800000L
+
+  private def sessionize(
+      userId: Long,
+      events: Iterator[SessEvent],
+      state: GroupState[Int]): Iterator[UserSession] = {
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val out = ListBuffer.empty[UserSession]
+    var sid = 1
+    var start = sorted.head.ts_ms
+    var last = start
+    var n = 0L
+    sorted.foreach { e =>
+      if (e.ts_ms - last > GapMs) {
+        out += UserSession(userId, sid, n, start, last)
+        sid += 1; start = e.ts_ms; n = 0L
+      }
+      n += 1; last = e.ts_ms
+    }
+    out += UserSession(userId, sid, n, start, last)
+    out.iterator
+  }
 }
