@@ -31,6 +31,14 @@ object Dedup {
   private val Perms = 16 // minhash permutations
   private val Bands = 4  // 4 bands x 4 rows
 
+  // MinHash permutation family over the 32-bit polyhash of a shingle:
+  // perm_j(h) = (a_j*h + b_j) mod P. a_j is capped below 2^30 so
+  // a*h < 2^62 never overflows int64 in either engine.
+  private val P = 4294967291L
+  private def permA(j: Int): Long =
+    ((1103515245L * (j + 1) + 12345L) % (1L << 30)) | 1L
+  private def permB(j: Int): Long = (69069L * (j + 7) + 1L) % P
+
   def all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -58,10 +66,13 @@ object Dedup {
       .distinct()
 
   private def minhashSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val withH = shingleDF(s, d)
+      .select(col("doc_id"), expr("graft_polyhash32(sh)").as("h"))
     val aggs = (0 until Perms).map { j =>
-      min(expr(s"md5(cast(concat('$j|', sh) as binary))")).as(s"h$j")
+      min(expr(s"(${permA(j)} * h + ${permB(j)}) % $P")).as(s"h$j")
     }
-    val sig = shingleDF(s, d).groupBy(col("doc_id"))
+    val sig = withH.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*).cache()
     val cand = (0 until Bands).map { b =>
       val key = (0 until 4).map(k => s"h${4 * b + k}")
@@ -85,7 +96,8 @@ object Dedup {
 
   private def minhashOracle: String = {
     val mins = (0 until Perms)
-      .map(j => s"min(md5(concat('$j|', sh))) AS h$j").mkString(",\n    ")
+      .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $P) AS h$j")
+      .mkString(",\n    ")
     val bandEq = (0 until Bands).map { b =>
       "(" + (0 until 4).map(k => s"a.h${4 * b + k} = b.h${4 * b + k}")
         .mkString(" AND ") + ")"
@@ -95,9 +107,10 @@ object Dedup {
     s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
        |sx AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d),
        |s AS (SELECT DISTINCT doc_id, sh FROM sx),
+       |hs AS (SELECT doc_id, ${duckWordHash("sh")} AS h FROM s),
        |sig AS (SELECT doc_id,
        |    $mins
-       |  FROM s GROUP BY doc_id),
+       |  FROM hs GROUP BY doc_id),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
        |SELECT doc_a, doc_b, cast($matches as double) / $Perms AS est_sim

@@ -1,7 +1,9 @@
 package graft.state
 
 import graft.{Catalog, QueryDef}
-import graft.core.codec.Codecs.LongCodec
+import graft.core.codec.{ByteWriter, Codecs, KeyGroups}
+import graft.core.codec.Codecs.{DoubleCodec, ListCodec, LongCodec, StringCodec}
+import graft.core.meta.{StateKind, StateMeta}
 
 import org.apache.spark.sql.functions._
 
@@ -71,6 +73,87 @@ object StateQueries {
         Savepoints.reader(s, meta2, "counts")
           .readValueStates[Long, Long]("Count")
           .toDF("key", "cnt")
+      }),
+
+    // List-state roundtrip (P3/P4 + the ',' separated list layout):
+    // quantities per order packed into list state, read back FLATTENED —
+    // which must equal the plain projection of lineitem.
+    QueryDef(
+      "sp03_state_list_roundtrip",
+      Some("SELECT l_orderkey AS key, l_quantity AS qty FROM lineitem"),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val lc = ListCodec(DoubleCodec)
+        val packed = Catalog.t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(col("l_quantity")).as("qs"))
+          .as[(Long, Seq[Double])]
+          .map { case (k, qs) =>
+            StateQueries.listRow("Quantities", k, lc.toBytes(qs.toList), maxPar)
+          }
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("lists", 4, maxPar), "lists")
+          .withKeyCodec(LongCodec)
+          .defineState(StateMeta("Quantities", StateKind.List, "list<double>"))
+          .addKeyedStateRows(packed)
+          .writeAll(tmp("graft-sp03"))
+        Savepoints.reader(s, meta, "lists")
+          .readListStateValues[Long, Double]("Quantities")
+          .toDF("key", "qty")
+      }),
+
+    // Map-state roundtrip (P5 + per-entry null markers): per-customer
+    // map orderstatus -> order count, read back as entries.
+    QueryDef(
+      "sp04_state_map_roundtrip",
+      Some("""SELECT o_custkey AS key, o_orderstatus AS status,
+             |  count(*) AS cnt FROM orders GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val rows = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"))
+          .as[(Long, String, Long)]
+          .map { case (k, status, cnt) =>
+            StateQueries.mapRow("StatusCounts", k, status, cnt, maxPar)
+          }
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("maps", 4, maxPar), "maps")
+          .withKeyCodec(LongCodec)
+          .defineState(StateMeta("StatusCounts", StateKind.Map, "long", Some("string")))
+          .addKeyedStateRows(rows)
+          .writeAll(tmp("graft-sp04"))
+        Savepoints.reader(s, meta, "maps")
+          .readMapStates[Long, String, Long]("StatusCounts")
+          .toDF("key", "status", "cnt")
       })
   )
+
+  /** [prefix][key][namespace] row carrying a packed list value. */
+  private[state] def listRow(name: String, key: Long, value: Array[Byte],
+      maxPar: Int): KeyedStateRow = {
+    val w = new ByteWriter()
+    KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, maxPar), maxPar)
+    LongCodec.write(w, key)
+    Codecs.VoidNamespaceCodec.write(w, ())
+    KeyedStateRow(name, w.toBytes, value)
+  }
+
+  /** Map-state row: [prefix][key][namespace][mapKey] + null-marked value
+    * (reference MapStateKKVReader.java:50-82 layout).
+    */
+  private[state] def mapRow(name: String, key: Long, mapKey: String,
+      value: Long, maxPar: Int): KeyedStateRow = {
+    val w = new ByteWriter()
+    KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, maxPar), maxPar)
+    LongCodec.write(w, key)
+    Codecs.VoidNamespaceCodec.write(w, ())
+    StringCodec.write(w, mapKey)
+    val vw = new ByteWriter()
+    vw.writeBoolean(false)
+    LongCodec.write(vw, value)
+    KeyedStateRow(name, w.toBytes, vw.toBytes)
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.relational.ScaleOps
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique checks: salted joins return identical results, and
+  * bucketed tables join with zero shuffle exchanges.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join result-equivalent to plain join") {
+    val li = Catalog.t(spark, sf, "lineitem")
+    val ord = Catalog.t(spark, sf, "orders")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)), sum("l_quantity"), sum("o_totalprice"))
+      .collect()(0)
+    val salted = ScaleOps.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+      .agg(count(lit(1)), sum("l_quantity"), sum("o_totalprice"))
+      .collect()(0)
+    assert(salted.getLong(0) == plain.getLong(0))
+    assert(salted.getDouble(1) == plain.getDouble(1))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Catalog.t(spark, sf, "lineitem")
+    val ord = Catalog.t(spark, sf, "orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located: sort-merge join straight over the bucketed scans
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}

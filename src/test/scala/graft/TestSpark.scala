@@ -10,6 +10,8 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config(Catalog.sessionConfs)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
