@@ -36,7 +36,8 @@ object Similarity {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_topk", Some(cosineOracle), cosineSpark),
-    QueryDef("s02_ann_lsh", None, annLshSpark)
+    QueryDef("s02_ann_lsh", None, annLshSpark),
+    QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark)
   )
 
   // ------------------------------------------------- brute-force top-k
@@ -74,6 +75,78 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
        |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $TopK""".stripMargin
+
+  // ------------------------------------------------------------- IVF ANN
+
+  // IVF: vectors partition into Voronoi cells around deterministic
+  // centroids (every 100th vector); queries probe the NProbe nearest
+  // cells only. At scale the cell assignment is one narrow map over a
+  // broadcast centroid set and candidate search shuffles on cell id —
+  // never all-pairs. Fully oracle-checked (exact fold arithmetic).
+  private val CentroidEvery = 100
+  private val NProbe = 2
+  private val IvfTopK = 3
+
+  private def ivfSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.t(s, d, "embeddings")
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
+    val cent = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    // cell assignment: nearest centroid by cosine (tie -> lowest cid)
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${sparkDot("embedding", "cemb")} / (nrm * cnrm)"))
+      .withColumn("arn", row_number().over(wAsg))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"),
+        col("nrm").as("cn"), col("cid"))
+    // queries probe the NProbe nearest cells
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qa"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${sparkDot("qa", "cemb")} / (qn * cnrm)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NProbe)
+      .select(col("query_id"), col("qa"), col("qn"), col("cid"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= IvfTopK)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  private def ivfOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id AS neighbor_id, va AS na, vn AS nn, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |probes AS (SELECT query_id, qa, qn, cid FROM (
+       |  SELECT v.vec_id AS query_id, va AS qa, vn AS qn, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS prn
+       |  FROM v, c WHERE v.vec_id < $NumQueries) x WHERE prn <= $NProbe),
+       |cand AS (SELECT query_id, neighbor_id,
+       |    ${duckDot("qa", "na")} / (qn * nn) AS cosine
+       |  FROM probes JOIN asg USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM cand)
+       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $IvfTopK""".stripMargin
 
   // ------------------------------------------------------ LSH-bucketed ANN
 

@@ -68,6 +68,22 @@ object RelationalQueries2 {
                 |FROM cust_q24""".stripMargin)
       }),
 
+    // Array/collection functions: collect -> sort -> join as string (a
+    // string output keeps the cross-engine compare scalar-typed).
+    QueryDef(
+      "q26_array_funcs",
+      Some("""SELECT l_orderkey AS key,
+             |  string_agg(cast(l_linenumber as varchar), ','
+             |             ORDER BY l_linenumber) AS lines,
+             |  count(*) AS n_lines
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin),
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(
+          expr("array_join(transform(sort_array(collect_list(l_linenumber)), " +
+            "x -> cast(x as string)), ',')").as("lines"),
+          count(lit(1)).as("n_lines"))),
+
     // Approximate distinct sketches (HLL++): algorithm differs from
     // DuckDB's estimator, so no value oracle — driver rows-only check.
     QueryDef(

@@ -83,8 +83,40 @@ object StreamingQueries {
           .outputMode("append").format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
         s.table(name)
-      })
+      }),
+
+    watermarkQuery
   )
+
+  /** st03: watermarked append-mode windows — only windows closed by the
+    * event-time watermark (max event time - 1h) are emitted; the oracle
+    * replicates the eviction predicate `window.end <= watermark` in
+    * batch SQL. Demonstrates late-data semantics (SURVEY §2.11).
+    */
+  private[streaming] val watermarkQuery: QueryDef = QueryDef(
+    "st03_watermarked_windows",
+    Some("""WITH e AS (SELECT time_bucket(INTERVAL '1 hour', cast(ts as timestamp))
+           |    AS window_start, event_type FROM events),
+           |wm AS (SELECT epoch_ms(max(cast(ts as timestamp))) - 3600000 AS wmms
+           |  FROM events)
+           |SELECT window_start, event_type, count(*) AS n FROM e, wm
+           |WHERE epoch_ms(window_start) + 3600000 <= wmms
+           |GROUP BY window_start, event_type""".stripMargin),
+    (s, d) => {
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val name = s"st03_mem_${counter.incrementAndGet()}"
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    })
 
   /** Per-user sessionizer: sort the micro-batch's events, split on >30min
     * gaps. State is unused in this single-batch demo but the signature is
