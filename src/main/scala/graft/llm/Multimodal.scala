@@ -71,6 +71,27 @@ object Multimodal {
         mediaDF(s, d).as[MediaRow]
           .mapPartitions(_.grouped(64).flatMap(batch => batch.map(decodeStub)))
           .toDF()
+      }),
+
+    // Frame sampling: one row per sampled frame of each decoded video
+    // (every 4th frame). The decode stub drives n_frames; the explode is
+    // the real frame-sample plumbing shape. Oracle reproduces the
+    // deterministic stub arithmetic (checksum -> n_frames) in SQL, so
+    // even the stubbed kernel is hash-verified.
+    QueryDef(
+      "m03_frame_sample",
+      Some("""WITH f AS (SELECT doc_id,
+             |    1 + cast(strlen(text) // 100 as int) AS n_frames
+             |  FROM documents WHERE doc_id % 4 = 3)
+             |SELECT doc_id, cast(unnest(range(0, n_frames, 4)) as int) AS frame_idx
+             |FROM f""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        mediaDF(s, d).as[MediaRow]
+          .filter((r: MediaRow) => r.format == "mp4")
+          .mapPartitions(_.grouped(64).flatMap(batch => batch.map(decodeStub)))
+          .flatMap(f => (0 until f.n_frames by 4).map(i => (f.doc_id, i)))
+          .toDF("doc_id", "frame_idx")
       })
   )
 }

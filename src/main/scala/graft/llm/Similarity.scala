@@ -37,8 +37,39 @@ object Similarity {
   def all: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_topk", Some(cosineOracle), cosineSpark),
     QueryDef("s02_ann_lsh", None, annLshSpark),
-    QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark)
+    QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark),
+    QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  // Exact near-duplicate pairs above a high cosine threshold. This is
+  // the verification baseline (all-pairs on the broadcast side); at
+  // 100 TB candidate generation moves to the LSH buckets of s02 and only
+  // candidate pairs get the exact cosine.
+  private val NearDupMin = 0.92
+
+  private def nearDupSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Catalog.t(s, d, "embeddings")
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
+      .filter(col("cosine") >= NearDupMin)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  private def nearDupOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |n AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= $NearDupMin""".stripMargin
 
   // ------------------------------------------------- brute-force top-k
 

@@ -112,6 +112,31 @@ object TextAnalysis {
           min(md5(col("sh").cast("binary"))).as("fp_min"),
           countDistinct(col("sh")).as("n_shingles"),
           countDistinct(when(expr("substring(md5(cast(sh as binary)), 1, 1) = '0'"),
-            col("sh"))).as("n_sampled")))
+            col("sh"))).as("n_sampled"))),
+
+    // Rolling-hash fingerprint: polynomial hash over each 3-word shingle
+    // (the codegen'd PolyHash32 kernel), mod-16 sampled — winnowing-style
+    // content signature with bounded size per document.
+    QueryDef(
+      "t05_rolling_fingerprint",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |s AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d),
+              |h AS (SELECT doc_id, ${duckWordHash("sh")} AS h FROM s)
+              |SELECT doc_id,
+              |  cast(sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) as bigint) AS n_sampled,
+              |  min(h) AS min_hash, max(h) AS max_hash
+              |FROM h GROUP BY doc_id""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Catalog.t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+          .select(col("doc_id"), expr("graft_polyhash32(sh)").as("h"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(expr("h % 16 = 0"), 1).otherwise(0)).cast("long").as("n_sampled"),
+            min(col("h")).as("min_hash"),
+            max(col("h")).as("max_hash"))
+      })
   )
 }

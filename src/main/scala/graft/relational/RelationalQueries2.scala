@@ -84,6 +84,25 @@ object RelationalQueries2 {
             "x -> cast(x as string)), ',')").as("lines"),
           count(lit(1)).as("n_lines"))),
 
+    // Pivot with explicit values -> deterministic column names; oracle
+    // is the equivalent conditional aggregation.
+    QueryDef(
+      "q27_pivot",
+      Some("""SELECT l_returnflag,
+             |  cast(sum(CASE WHEN l_linestatus = 'F'
+             |    THEN cast(round(l_quantity * 100) as bigint) END) as double) / 100 AS F,
+             |  cast(sum(CASE WHEN l_linestatus = 'O'
+             |    THEN cast(round(l_quantity * 100) as bigint) END) as double) / 100 AS O
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("q100", expr("cast(round(l_quantity * 100) as bigint)"))
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("q100")))
+        .select(col("l_returnflag"),
+          (col("F").cast("double") / 100).as("F"),
+          (col("O").cast("double") / 100).as("O"))),
+
     // Approximate distinct sketches (HLL++): algorithm differs from
     // DuckDB's estimator, so no value oracle — driver rows-only check.
     QueryDef(
