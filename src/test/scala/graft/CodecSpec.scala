@@ -150,3 +150,32 @@ class KeyGroupSpec extends AnyFunSuite {
     assert(id != graft.core.meta.Identifiers.operatorId("hello2"))
   }
 }
+
+class KeyFramingSpec extends AnyFunSuite {
+  import Codecs._
+  import KeyFraming._
+
+  test("ambiguity detection (RocksDBUtils.java:89-92)") {
+    assert(!isAmbiguousKeyPossible(IntCodec, VoidNamespaceCodec))
+    assert(!isAmbiguousKeyPossible(StringCodec, VoidNamespaceCodec))
+    assert(!isAmbiguousKeyPossible(LongCodec, StringCodec))
+    assert(isAmbiguousKeyPossible(StringCodec, StringCodec))
+    assert(isAmbiguousKeyPossible(BytesCodec, ListCodec(StringCodec)))
+    assert(isVarLength(TtlCodec(StringCodec)) && !isVarLength(TtlCodec(IntCodec)))
+    assert(isVarLength(Tuple2Codec(IntCodec, StringCodec)))
+    assert(!isVarLength(Tuple2Codec(IntCodec, LongCodec)))
+  }
+
+  test("length-suffix framing roundtrip for ambiguous key+namespace") {
+    val w = new ByteWriter()
+    writePart(w, "user-42", StringCodec, ambiguous = true)
+    writePart(w, "window-7", StringCodec, ambiguous = true)
+    val r = new ByteReader(w.toBytes)
+    assert(readPart(r, StringCodec, ambiguous = true) == "user-42")
+    assert(readPart(r, StringCodec, ambiguous = true) == "window-7")
+    // non-ambiguous parts carry no suffix
+    val w2 = new ByteWriter()
+    writePart(w2, 42, IntCodec, ambiguous = false)
+    assert(w2.toBytes.length == 4)
+  }
+}
