@@ -9,7 +9,26 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFExc
   */
 class ByteReader(in: InputStream) {
   def this(bytes: Array[Byte]) = this(new java.io.ByteArrayInputStream(bytes))
-  private val d = new DataInputStream(in)
+
+  /** Bytes consumed so far — lets callers measure how many bytes a codec
+    * decode consumed (position delta), as the reference's key framing
+    * does (RocksDBUtils.java:120-125).
+    */
+  private var pos = 0L
+  def position: Long = pos
+
+  private val counting: InputStream = new java.io.FilterInputStream(in) {
+    override def read(): Int = {
+      val b = in.read(); if (b >= 0) pos += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(b, off, len); if (n > 0) pos += n; n
+    }
+    override def skip(n: Long): Long = {
+      val s = in.skip(n); pos += s; s
+    }
+  }
+  private val d = new DataInputStream(counting)
 
   def readByte(): Byte = d.readByte()
   def readBoolean(): Boolean = d.readBoolean()
@@ -56,6 +75,9 @@ class ByteReader(in: InputStream) {
 
 final class ByteWriter(val out: ByteArrayOutputStream = new ByteArrayOutputStream()) {
   private val d = new DataOutputStream(out)
+
+  /** Bytes written so far (for position-delta length measurement). */
+  def size: Long = { d.flush(); out.size().toLong }
 
   def writeByte(v: Int): Unit = d.writeByte(v)
   def writeBoolean(v: Boolean): Unit = d.writeBoolean(v)

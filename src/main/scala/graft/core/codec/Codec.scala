@@ -19,6 +19,13 @@ trait Codec[T] extends Serializable {
   def read(r: ByteReader): T
   def write(w: ByteWriter, v: T): Unit
 
+  /** Wire-format width in bytes when fixed, None when variable-length —
+    * the analogue of Flink `TypeSerializer.getLength()`; drives the
+    * ambiguous-key framing decision ([[KeyFraming]]). User codecs with a
+    * fixed layout should override.
+    */
+  def fixedWidth: Option[Int] = None
+
   final def toBytes(v: T): Array[Byte] = {
     val w = new ByteWriter(); write(w, v); w.toBytes
   }
@@ -28,36 +35,43 @@ trait Codec[T] extends Serializable {
 object Codecs {
   implicit object IntCodec extends Codec[Int] {
     val id = "int"
+    override def fixedWidth: Option[Int] = Some(4)
     def read(r: ByteReader): Int = r.readInt()
     def write(w: ByteWriter, v: Int): Unit = w.writeInt(v)
   }
   implicit object LongCodec extends Codec[Long] {
     val id = "long"
+    override def fixedWidth: Option[Int] = Some(8)
     def read(r: ByteReader): Long = r.readLong()
     def write(w: ByteWriter, v: Long): Unit = w.writeLong(v)
   }
   implicit object ShortCodec extends Codec[Short] {
     val id = "short"
+    override def fixedWidth: Option[Int] = Some(2)
     def read(r: ByteReader): Short = r.readShort()
     def write(w: ByteWriter, v: Short): Unit = w.writeShort(v)
   }
   implicit object ByteCodec extends Codec[Byte] {
     val id = "byte"
+    override def fixedWidth: Option[Int] = Some(1)
     def read(r: ByteReader): Byte = r.readByte()
     def write(w: ByteWriter, v: Byte): Unit = w.writeByte(v)
   }
   implicit object BooleanCodec extends Codec[Boolean] {
     val id = "boolean"
+    override def fixedWidth: Option[Int] = Some(1)
     def read(r: ByteReader): Boolean = r.readBoolean()
     def write(w: ByteWriter, v: Boolean): Unit = w.writeBoolean(v)
   }
   implicit object FloatCodec extends Codec[Float] {
     val id = "float"
+    override def fixedWidth: Option[Int] = Some(4)
     def read(r: ByteReader): Float = r.readFloat()
     def write(w: ByteWriter, v: Float): Unit = w.writeFloat(v)
   }
   implicit object DoubleCodec extends Codec[Double] {
     val id = "double"
+    override def fixedWidth: Option[Int] = Some(8)
     def read(r: ByteReader): Double = r.readDouble()
     def write(w: ByteWriter, v: Double): Unit = w.writeDouble(v)
   }
@@ -75,6 +89,7 @@ object Codecs {
   /** Single placeholder byte, like Flink's VoidNamespaceSerializer. */
   object VoidNamespaceCodec extends Codec[Unit] {
     val id = "void"
+    override def fixedWidth: Option[Int] = Some(1)
     def read(r: ByteReader): Unit = { r.readByte(); () }
     def write(w: ByteWriter, v: Unit): Unit = w.writeByte(0)
   }
@@ -139,6 +154,7 @@ object Codecs {
     */
   final case class TtlCodec[T](inner: Codec[T]) extends Codec[T] {
     val id = s"ttl<${inner.id}>"
+    override def fixedWidth: Option[Int] = inner.fixedWidth.map(_ + 8)
     def read(r: ByteReader): T = { r.readLong(); inner.read(r) }
     def write(w: ByteWriter, v: T): Unit =
       throw new UnsupportedOperationException("Writing of TTL states is not supported")
@@ -149,6 +165,8 @@ object Codecs {
     */
   final case class Tuple2Codec[A, B](a: Codec[A], b: Codec[B]) extends Codec[(A, B)] {
     val id = s"tuple2<${a.id},${b.id}>"
+    override def fixedWidth: Option[Int] =
+      for (wa <- a.fixedWidth; wb <- b.fixedWidth) yield wa + wb
     def read(r: ByteReader): (A, B) = (a.read(r), b.read(r))
     def write(w: ByteWriter, v: (A, B)): Unit = { a.write(w, v._1); b.write(w, v._2) }
   }

@@ -178,4 +178,24 @@ class KeyFramingSpec extends AnyFunSuite {
     writePart(w2, 42, IntCodec, ambiguous = false)
     assert(w2.toBytes.length == 4)
   }
+
+  test("suffix is raw little-endian shift-by-8 digits (RocksDBUtils.java:135-143), " +
+    "correct past 127 and 255 bytes") {
+    for (n <- Seq(1, 127, 128, 255, 300, 70000)) {
+      val s1 = "x" * n
+      val w = new ByteWriter()
+      writePart(w, s1, StringCodec, ambiguous = true)
+      writePart(w, "tail", StringCodec, ambiguous = true)
+      val bytes = w.toBytes
+      // suffix layout: part bytes, then LE digits of the part length
+      val partLen = StringCodec.toBytes(s1).length
+      val expectedSuffix =
+        Iterator.iterate(partLen)(_ >>> 8).takeWhile(_ != 0).map(v => (v & 0xff).toByte).toSeq
+      val gotSuffix = bytes.slice(partLen, partLen + expectedSuffix.length).toSeq
+      assert(gotSuffix == expectedSuffix, s"n=$n")
+      val r = new ByteReader(bytes)
+      assert(readPart(r, StringCodec, ambiguous = true) == s1)
+      assert(readPart(r, StringCodec, ambiguous = true) == "tail")
+    }
+  }
 }
