@@ -53,8 +53,38 @@ object Dedup {
     QueryDef("d02_minhash_lsh", Some(minhashOracle), minhashSpark),
     QueryDef("d03_ngram_jaccard", Some(jaccardOracle), jaccardSpark),
     QueryDef("d04_simhash", Some(simhashOracle), simhashSpark),
-    QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark)
+    QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark),
+    QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle), fuzzySpark)
   )
+
+  // ------------------------------------------------- edit-distance dedup
+
+  // Fuzzy near-duplicate part names: block on (brand, type) so the
+  // quadratic edit-distance comparison only runs inside small blocks —
+  // the classic blocking+verify shape for fuzzy dedup at scale.
+  private val MaxEdit = 2
+
+  private def fuzzySpark(s: SparkSession, d: String): DataFrame = {
+    val p = Catalog.t(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+    val a = p.select(col("p_partkey").as("part_a"), col("p_brand"),
+      col("p_type"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("part_b"), col("p_brand"),
+      col("p_type"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_type"))
+      .filter(col("part_a") < col("part_b"))
+      .select(col("part_a"), col("part_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= MaxEdit)
+  }
+
+  private def fuzzyOracle: String =
+    s"""SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       |  cast(levenshtein(a.p_name, b.p_name) as int) AS edit_dist
+       |FROM part a JOIN part b
+       |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       |  AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $MaxEdit""".stripMargin
 
   // ------------------------------------------------------------ MinHash+LSH
 
@@ -200,17 +230,21 @@ object Dedup {
   private val MaxHamming = 3
 
   private def simhashPairsSpark(s: SparkSession, d: String): DataFrame = {
-    val fp = simhashSpark(s, d).cache()
-    val cand = (0 until 4).map { k =>
-      val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-        .withColumn("ck", expr(s"shiftright(sa, ${8 * k}) & 255"))
-      val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
-        .withColumn("ck", expr(s"shiftright(sb, ${8 * k}) & 255"))
-      a.join(b, "ck").filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-    }.reduce(_ unionAll _).distinct()
-    cand.select(col("doc_a"), col("doc_b"),
-      expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
+    // single self-join on exploded (chunkIdx, chunkVal) keys — one
+    // shuffle instead of four band-wise joins
+    val fp = simhashSpark(s, d)
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), k -> " +
+        "struct(k as ci, shiftright(simhash, k * 8) & 255 as cv))")).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("ci"), col("cv"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
   }
 

@@ -84,6 +84,39 @@ object RelationalQueries2 {
             "x -> cast(x as string)), ',')").as("lines"),
           count(lit(1)).as("n_lines"))),
 
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicity, unlike q09's set variants).
+    QueryDef(
+      "q28_setops_all",
+      Some("""SELECT l_partkey, 'common' AS tag FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') i
+             |UNION ALL
+             |SELECT l_partkey, 'r_extra' AS tag FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  EXCEPT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') e""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+        val a = li.filter(col("l_returnflag") === "A").select("l_partkey")
+        r.intersectAll(a).withColumn("tag", lit("common"))
+          .unionAll(r.exceptAll(a).withColumn("tag", lit("r_extra")))
+      }),
+
+    // JSON extraction through the native json path functions.
+    QueryDef(
+      "q29_json_funcs",
+      Some("""SELECT event_id,
+             |  cast(json_extract_string(props, '$.k') as int) AS k,
+             |  cast(json_extract_string(props, '$.missing') as int) AS missing
+             |FROM events""".stripMargin),
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        get_json_object(col("props"), "$.missing").cast("int").as("missing"))),
+
     // Pivot with explicit values -> deterministic column names; oracle
     // is the equivalent conditional aggregation.
     QueryDef(
