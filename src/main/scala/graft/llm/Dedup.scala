@@ -4,13 +4,15 @@ import graft.{Catalog, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deduplication operators for LLM data pipelines over `documents`:
-  * exact (hash groupBy), MinHash+LSH, n-gram Jaccard, and SimHash.
+/** Deduplication operators for LLM data pipelines: exact (hash
+  * groupBy), MinHash+LSH, n-gram Jaccard, and SimHash over `documents`,
+  * plus blocked edit-distance fuzzy dedup over `part` names.
   *
-  * All four are DuckDB-oracle-checkable because they are built from
-  * cross-engine-deterministic primitives (md5, polynomial mod-hashes,
-  * exact integer arithmetic) — generated from shared loops in
-  * [[TextExprs]] so the two dialects cannot drift.
+  * All are DuckDB-oracle-checked. The hash-based operators are built
+  * from cross-engine-deterministic primitives (md5, polynomial
+  * mod-hashes, exact integer arithmetic), with the MinHash/SimHash
+  * expression lists generated from shared loops so those dialect pairs
+  * cannot drift; d07's levenshtein is the engines' common built-in.
   *
   * Scale notes (100 TB stance):
   *  - exact dedup: single hash-shuffle on md5(text) — the canonical
@@ -24,6 +26,9 @@ import org.apache.spark.sql.functions._
   *  - SimHash: fingerprint is a narrow map + one groupBy; near-dup pairs
   *    join on 8-bit fingerprint chunks (pigeonhole: hamming<=3 over 4
   *    chunks guarantees a matching chunk).
+  *  - Fuzzy (edit distance): blocking on (brand, type) bounds the
+  *    quadratic verify to within-block pairs; block sizes are
+  *    catalog-bounded (brands x types), independent of corpus growth.
   */
 object Dedup {
   import TextExprs._
@@ -104,14 +109,20 @@ object Dedup {
     }
     val sig = withH.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*).cache()
-    val cand = (0 until Bands).map { b =>
-      val key = (0 until 4).map(k => s"h${4 * b + k}")
-      val a = sig.select(col("doc_id").as("doc_a") +: key.map(c => col(c).as(s"a$c")): _*)
-      val c = sig.select(col("doc_id").as("doc_b") +: key.map(c => col(c).as(s"b$c")): _*)
-      a.join(c, key.map(k => col(s"a$k") === col(s"b$k")).reduce(_ && _) &&
-        col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-    }.reduce(_ unionAll _).distinct()
+    // candidates via ONE self-join on exploded (bandIdx, bandKey) rows —
+    // same idiom as d05's chunk join (one shuffle, not one per band)
+    val bandStructs = (0 until Bands).map { b =>
+      val key = (0 until 4).map(k => s"h${4 * b + k}").mkString(", '|', ")
+      s"struct($b as bi, concat($key) as bk)"
+    }.mkString(", ")
+    val banded = sig.select(col("doc_id"),
+      explode(expr(s"array($bandStructs)")).as("band"))
+      .select(col("doc_id"), col("band.bi"), col("band.bk"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("bi"), col("bk"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bi"), col("bk")),
+        Seq("bi", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until Perms).map(j => col(s"h$j").as(s"x$j")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +:
@@ -231,8 +242,9 @@ object Dedup {
 
   private def simhashPairsSpark(s: SparkSession, d: String): DataFrame = {
     // single self-join on exploded (chunkIdx, chunkVal) keys — one
-    // shuffle instead of four band-wise joins
-    val fp = simhashSpark(s, d)
+    // shuffle instead of four band-wise joins; cache the fingerprints so
+    // the simhash pipeline isn't planned once per join side
+    val fp = simhashSpark(s, d).cache()
     val chunked = fp.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), k -> " +
         "struct(k as ci, shiftright(simhash, k * 8) & 255 as cv))")).as("c"))
