@@ -38,7 +38,22 @@ class ByteReader(in: InputStream) {
   def readFloat(): Float = d.readFloat()
   def readDouble(): Double = d.readDouble()
   def readFully(n: Int): Array[Byte] = { val b = new Array[Byte](n); d.readFully(b); b }
-  def skip(n: Long): Unit = { var left = n; while (left > 0) left -= d.skip(left) }
+
+  /** Skips exactly `n` bytes; EOFException on truncated input (a bare
+    * `skip` loop would spin forever once `InputStream.skip` returns 0).
+    */
+  def skip(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = d.skip(left)
+      if (s > 0) left -= s
+      else {
+        if (d.read() == -1)
+          throw new EOFException(s"truncated stream: $left bytes short of skip($n)")
+        left -= 1
+      }
+    }
+  }
 
   /** Unsigned LEB128-style var-int. */
   def readVarInt(): Int = {

@@ -193,23 +193,33 @@ object CodecRegistry {
     .map(c => c.id -> (c: Codec[_])).toMap
 
   def resolve(id: String): Codec[_] = {
-    def parse(s: String): Codec[_] = s match {
+    // ListCodec's wire format is EOF-delimited (',' separators, no
+    // length framing — the reference's list layout), so a list is only
+    // decodable as the OUTERMOST value codec: nested anywhere else it
+    // would consume its container's bytes. Reject such ids up front.
+    def parse(s: String, top: Boolean): Codec[_] = s match {
       case p if primitives.contains(p) => primitives(p)
       case l if l.startsWith("list<") && l.endsWith(">") =>
-        ListCodec(parse(l.substring(5, l.length - 1)))
+        if (!top) throw new IllegalArgumentException(
+          s"list codec is EOF-delimited and only valid as the outermost value codec: $id")
+        ListCodec(parse(l.substring(5, l.length - 1), top = false))
       case t if t.startsWith("ttl<") && t.endsWith(">") =>
-        TtlCodec(parse(t.substring(4, t.length - 1)))
+        // ttl is a transparent prefix wrapper: its payload keeps the
+        // wrapper's position (top stays top)
+        TtlCodec(parse(t.substring(4, t.length - 1), top))
       case m if m.startsWith("map<") && m.endsWith(">") =>
         val inner = m.substring(4, m.length - 1)
         val comma = splitTopLevel(inner)
-        MapCodec(parse(inner.substring(0, comma)), parse(inner.substring(comma + 1)))
+        MapCodec(parse(inner.substring(0, comma), top = false),
+          parse(inner.substring(comma + 1), top = false))
       case t2 if t2.startsWith("tuple2<") && t2.endsWith(">") =>
         val inner = t2.substring(7, t2.length - 1)
         val comma = splitTopLevel(inner)
-        Tuple2Codec(parse(inner.substring(0, comma)), parse(inner.substring(comma + 1)))
+        Tuple2Codec(parse(inner.substring(0, comma), top = false),
+          parse(inner.substring(comma + 1), top = false))
       case other => throw new IllegalArgumentException(s"unknown codec id: $other")
     }
-    parse(id)
+    parse(id, top = true)
   }
 
   /** TTL wrapper detection by id, like the reference's class-name check. */

@@ -26,21 +26,25 @@ object RocksDbCheckpoints {
   def createCheckpoint(
       targetDir: String,
       rows: Seq[(String, Array[Byte], Array[Byte])]): Unit = {
-    val work = Files.createTempDirectory("graft-rocks-work").toString
+    val work = Files.createTempDirectory("graft-rocks-work")
     val opts = new Options().setCreateIfMissing(true)
-    val db = RocksDB.open(opts, work)
+    val db = RocksDB.open(opts, work.toString)
     try {
       val handles = scala.collection.mutable.Map.empty[String, ColumnFamilyHandle]
-      rows.foreach { case (state, k, v) =>
-        val h = handles.getOrElseUpdate(state,
-          db.createColumnFamily(new ColumnFamilyDescriptor(
-            state.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-        db.put(h, k, v)
-      }
-      val cp = Checkpoint.create(db)
-      try cp.createCheckpoint(targetDir) finally cp.close()
-      handles.values.foreach(_.close())
-    } finally { db.close(); opts.close() }
+      try {
+        rows.foreach { case (state, k, v) =>
+          val h = handles.getOrElseUpdate(state,
+            db.createColumnFamily(new ColumnFamilyDescriptor(
+              state.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          db.put(h, k, v)
+        }
+        val cp = Checkpoint.create(db)
+        try cp.createCheckpoint(targetDir) finally cp.close()
+      } finally handles.values.foreach(_.close()) // CF handles before db
+    } finally {
+      db.close(); opts.close()
+      deleteRecursively(work)
+    }
   }
 
   /** Closeable scan over the kept column families of a checkpoint dir. */
@@ -97,6 +101,7 @@ object RocksDbCheckpoints {
     def close(): Unit = if (!closed) {
       closed = true
       if (rit != null) rit.close()
+      handles.asScala.foreach(_.close()) // CF handles before db (RocksJava contract)
       db.close()
       dbOpts.close()
     }
@@ -108,25 +113,40 @@ object RocksDbCheckpoints {
   def iterate(localDir: String, keep: Option[Set[String]]): CheckpointScan =
     new CheckpointScan(localDir, keep)
 
+  /** A checkpoint directory usable from local disk; `close()` deletes it
+    * iff it was downloaded (remote handles).
+    */
+  final case class LocalizedDir(path: String, downloaded: Boolean) extends AutoCloseable {
+    def close(): Unit =
+      if (downloaded) deleteRecursively(Paths.get(path))
+  }
+
   /** Ensure the checkpoint directory is on local disk; if the handle
     * points at a distributed FS, download it first (the reference's
     * transfer step, RocksDBCheckpointIterator.java:92-148).
     */
-  def localize(dir: String): String = {
+  def localize(dir: String): LocalizedDir = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = p.getFileSystem(conf)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file" || fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
-      p.toUri.getPath
+      LocalizedDir(p.toUri.getPath, downloaded = false)
     } else {
       val local: Path = Files.createTempDirectory("graft-rocks-dl")
       fs.listStatus(p).foreach { st =>
         fs.copyToLocalFile(st.getPath,
           new org.apache.hadoop.fs.Path(local.resolve(st.getPath.getName).toString))
       }
-      local.toString
+      LocalizedDir(local.toString, downloaded = true)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }

@@ -148,20 +148,16 @@ final class SavepointScan(
         // S4: one partition per subtask checkpoint dir; pushdown = the
         // set of column families to open
         Seq(RocksDbPartition(p.toString, nameFilter.map(_.toArray)))
-      } else streamPartitions(f, p, conf)
+      } else streamPartitions(f, p, conf, stateNames, keepIds)
     }.toArray
   }
 
   private def streamPartitions(
       f: KeyedFileHandle,
       p: org.apache.hadoop.fs.Path,
-      conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
-    val stateNames = op.states.map(_.name).toArray
-    val keepIds = nameFilter
-      .map(names => op.states.zipWithIndex.collect {
-        case (s, i) if names.contains(s.name) => i
-      }.toArray)
-      .getOrElse(Array.empty[Int])
+      conf: org.apache.hadoop.conf.Configuration,
+      stateNames: Array[String],
+      keepIds: Array[Int]): Seq[InputPartition] = {
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     val nGroups = f.kgEnd - f.kgStart + 1
@@ -205,8 +201,8 @@ final class SavepointReaderFactory extends PartitionReaderFactory {
 final class RocksDbPartitionReader(p: RocksDbPartition)
     extends PartitionReader[InternalRow] {
 
-  private val it = RocksDbCheckpoints.iterate(
-    RocksDbCheckpoints.localize(p.dirPath), p.keepStates.map(_.toSet))
+  private val localDir = RocksDbCheckpoints.localize(p.dirPath)
+  private val it = RocksDbCheckpoints.iterate(localDir.path, p.keepStates.map(_.toSet))
   private var current: (String, Array[Byte], Array[Byte]) = _
 
   override def next(): Boolean = {
@@ -219,7 +215,10 @@ final class RocksDbPartitionReader(p: RocksDbPartition)
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(current._1), current._2, current._3))
 
-  override def close(): Unit = it.close()
+  override def close(): Unit = {
+    it.close()
+    localDir.close() // removes the downloaded copy, if any
+  }
 }
 
 /** Executor-side decode of [groupFrom, groupTo] segments of one state

@@ -24,6 +24,13 @@ object StateStreamFormat {
 
   final case class Record(stateId: Int, key: Array[Byte], value: Array[Byte])
 
+  /** Allocation-free var-int on the sequential encode hot path. */
+  private def writeVarInt(d: java.io.DataOutputStream, v0: Int): Unit = {
+    var v = v0
+    while ((v & ~0x7f) != 0) { d.writeByte((v & 0x7f) | 0x80); v >>>= 7 }
+    d.writeByte(v)
+  }
+
   /** Prevents per-group snappy streams from closing the file stream. */
   private final class NonClosing(out: OutputStream) extends FilterOutputStream(out) {
     override def close(): Unit = flush()
@@ -68,12 +75,8 @@ object StateStreamFormat {
         val (_, r) = it.next()
         require(r.stateId >= 0 && r.stateId < EndOfKeyGroup, s"bad stateId ${r.stateId}")
         d.writeShort(r.stateId)
-        val w = new ByteWriter()
-        w.writeVarInt(r.key.length)
-        d.write(w.toBytes); d.write(r.key)
-        val w2 = new ByteWriter()
-        w2.writeVarInt(r.value.length)
-        d.write(w2.toBytes); d.write(r.value)
+        writeVarInt(d, r.key.length); d.write(r.key)
+        writeVarInt(d, r.value.length); d.write(r.value)
       }
       d.writeShort(EndOfKeyGroup)
       d.flush()

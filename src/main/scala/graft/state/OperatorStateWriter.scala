@@ -24,7 +24,6 @@ final class OperatorStateWriter(
   private val base: OperatorStateMeta = savepoint.operator(uid)
 
   private var states: Vector[StateMeta] = base.states.toVector
-  private var removed: Set[String] = Set.empty
   private var keyCodecId: Option[String] = base.keyCodecId
   private var parallelism: Int = base.parallelism
   private var maxParallelism: Int = base.maxParallelism
@@ -68,7 +67,6 @@ final class OperatorStateWriter(
       valueCodec: Codec[V]): this.type = {
     states = states.filterNot(_.name == name) :+
       StateMeta(name, StateKind.Value, valueCodec.id)
-    removed -= name
     encodeAndAdd(name, ds, valueCodec)
   }
 
@@ -79,13 +77,11 @@ final class OperatorStateWriter(
     */
   def defineState(meta: StateMeta): this.type = {
     states = states.filterNot(_.name == meta.name) :+ meta
-    removed -= meta.name
     this
   }
 
   /** W5: drop state metadata; its rows are filtered on write (F4). */
   def deleteKeyedState(name: String): this.type = {
-    removed += name
     states = states.filterNot(_.name == name)
     this
   }
@@ -118,7 +114,9 @@ final class OperatorStateWriter(
       throw new IllegalStateException(
         "no key codec: operator had no keyed state — call withKeyCodec")))
       .asInstanceOf[Codec[K]]
-    val maxPar = maxParallelism
+    // rows always encode in the BASE key-group space; writeAll re-shards
+    // uniformly if withParallelism changed maxParallelism (W9)
+    val maxPar = base.maxParallelism
     val rows = ds.map { case (k, v) =>
       StateRowEncoder.valueRow(name, k, v, kc, vc, maxPar)
     }(rowEnc)
@@ -137,12 +135,33 @@ final class OperatorStateWriter(
     val maxPar = maxParallelism
     val compression = base.compression
     val opId = base.operatorId
-    val prefix = KeyGroups.prefixBytes(maxPar)
 
     val newFiles: Seq[KeyedFileHandle] = rowsAcc match {
-      case None => base.keyedFiles.map(absolutize)
-      case Some(rows) =>
+      case None =>
+        // metadata-only writes may not mutate the state list: existing
+        // files embed state ids positional in base.states — reusing them
+        // under different metadata would silently misattribute rows
+        require(finalStates == base.states.toVector &&
+          maxPar == base.maxParallelism && par == base.parallelism,
+          "state list / parallelism changed but no rows were supplied: " +
+            "add the rewritten rows (e.g. reader.getAllUnreadKeyedStateRows)")
+        base.keyedFiles.map(absolutize)
+      case Some(rows0) =>
         require(finalStates.nonEmpty, "rows added but no state metadata defined")
+        // W9: rows are encoded in the base key-group space; re-shard by
+        // decoding each key and re-assigning its group under the new
+        // maxParallelism (the reference recomputes groups from keys,
+        // ValueStateToKeyedStateRow.java:55)
+        val rows =
+          if (maxPar == base.maxParallelism) rows0
+          else {
+            val kc = CodecRegistry.resolve(keyCodecId.getOrElse(
+              throw new IllegalStateException(
+                "max-parallelism change needs a key codec to re-shard")))
+            val oldMaxPar = base.maxParallelism
+            val newMaxPar = maxPar
+            rows0.map(r => OperatorStateWriter.reshardRow(r, oldMaxPar, newMaxPar, kc))(rowEnc)
+          }
         val nameToId = finalStates.map(_.name).zipWithIndex.toMap
         val keepNames = nameToId.keySet
         // F4 RowFilter: only rows whose state still has metadata
@@ -152,7 +171,7 @@ final class OperatorStateWriter(
           val kg = KeyGroups.readKeyGroup(r.keyAndNamespaceBytes, maxPar)
           EncRow(
             KeyGroups.operatorIndexForKeyGroup(maxPar, par, kg),
-            kg, idMap(r.stateName), r.stateName, r.keyAndNamespaceBytes, r.valueBytes)
+            kg, idMap(r.stateName), r.keyAndNamespaceBytes, r.valueBytes)
         }(Encoders.product[EncRow])
         val handles = withIds
           .groupByKey(_.opIndex)(Encoders.scalaInt)
@@ -166,12 +185,17 @@ final class OperatorStateWriter(
           h.kgStart, h.kgEnd, h.offsets)).toSeq.sortBy(_.subtaskIndex)
     }
 
-    // S11: non-keyed transform, driver-side
-    val baseNonKeyed =
-      (0 until par).map(i => i -> base.nonKeyed.getOrElse(i, OperatorBackendState())).toMap
+    // S11: non-keyed transform, driver-side; a parallelism change first
+    // redistributes entries across the new subtask count
+    val redistributed =
+      if (par == base.parallelism) base.nonKeyed
+      else OperatorStateWriter.redistributeNonKeyed(base.nonKeyed, par)
     val newNonKeyed = nonKeyedTransform match {
-      case None => base.nonKeyed
-      case Some(f) => baseNonKeyed.map { case (i, b) => i -> f(i, b) }
+      case None => redistributed
+      case Some(f) =>
+        (0 until par).map { i =>
+          i -> f(i, redistributed.getOrElse(i, OperatorBackendState()))
+        }.toMap
     }
 
     val newOp = OperatorStateMeta(base.uid, opId, par, maxPar,
@@ -199,7 +223,7 @@ final class OperatorStateWriter(
   * ID, see SURVEY §2.5 A2 note).
   */
 final case class EncRow(
-    opIndex: Int, keyGroup: Int, stateId: Int, stateName: String,
+    opIndex: Int, keyGroup: Int, stateId: Int,
     key: Array[Byte], value: Array[Byte])
 
 final case class HandleRow(
@@ -207,6 +231,58 @@ final case class HandleRow(
     offsets: Seq[Long])
 
 object OperatorStateWriter {
+
+  /** W9 re-shard: strip the old key-group prefix, decode the key to
+    * recompute its group under the new maxParallelism, re-prefix. The
+    * namespace/map-key tail bytes pass through untouched.
+    */
+  private[graft] def reshardRow(
+      r: KeyedStateRow, oldMaxPar: Int, newMaxPar: Int,
+      kc: Codec[_]): KeyedStateRow = {
+    val oldPrefix = KeyGroups.prefixBytes(oldMaxPar)
+    val rest = java.util.Arrays.copyOfRange(
+      r.keyAndNamespaceBytes, oldPrefix, r.keyAndNamespaceBytes.length)
+    val key = kc.read(new ByteReader(rest))
+    val w = new ByteWriter()
+    KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, newMaxPar), newMaxPar)
+    w.writeRaw(rest)
+    r.copy(keyAndNamespaceBytes = w.toBytes)
+  }
+
+  /** Redistribute non-keyed state across a new subtask count: broadcast
+    * states are copied to every subtask (they are identical by
+    * contract); union-list entries are gathered (each subtask re-reads
+    * the full union on restore, so placement is free — we put them on
+    * subtask 0); split-distribute entries are dealt round-robin.
+    */
+  private[graft] def redistributeNonKeyed(
+      nonKeyed: Map[Int, OperatorBackendState],
+      newPar: Int): Map[Int, OperatorBackendState] = {
+    if (nonKeyed.isEmpty) return nonKeyed
+    val old = nonKeyed.toSeq.sortBy(_._1).map(_._2)
+    val listNames = old.flatMap(_.listStates.toSeq).groupBy(_._1)
+    val newList: Map[Int, Map[String, (Byte, Seq[Array[Byte]])]] =
+      (0 until newPar).map { i =>
+        i -> listNames.flatMap { case (name, entries) =>
+          val mode = entries.head._2._1
+          val all = entries.flatMap(_._2._2)
+          mode match {
+            case ListStateMode.Union =>
+              if (i == 0) Some(name -> (mode, all)) else None
+            case _ => // split-distribute: round-robin deal
+              val mine = all.zipWithIndex.collect {
+                case (e, idx) if idx % newPar == i => e
+              }
+              Some(name -> (mode, mine))
+          }
+        }
+      }.toMap
+    val broadcasts = old.flatMap(_.broadcastStates.toSeq).groupBy(_._1)
+      .map { case (name, entries) => name -> entries.head._2 }
+    (0 until newPar).map { i =>
+      i -> OperatorBackendState(newList.getOrElse(i, Map.empty), broadcasts)
+    }.toMap
+  }
 
   /** Executor-side sequential encode of one subtask's sorted rows into
     * one state file (reference S9, RocksDBSavepointWriter.java:49-183).

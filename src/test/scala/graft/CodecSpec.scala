@@ -199,3 +199,22 @@ class KeyFramingSpec extends AnyFunSuite {
     }
   }
 }
+
+class CodecSafetySpec extends AnyFunSuite {
+  import Codecs._
+
+  test("nested list codec ids are rejected (EOF-delimited wire format)") {
+    // a nested list would silently merge elements: reject at resolve time
+    intercept[IllegalArgumentException] { CodecRegistry.resolve("list<list<long>>") }
+    intercept[IllegalArgumentException] { CodecRegistry.resolve("map<string,list<int>>") }
+    intercept[IllegalArgumentException] { CodecRegistry.resolve("tuple2<list<int>,long>") }
+    // lists remain fine as the outermost value codec, incl. under ttl
+    assert(CodecRegistry.resolve("list<int>").id == "list<int>")
+    assert(CodecRegistry.resolve("ttl<list<ttl<long>>>").id == "ttl<list<ttl<long>>>")
+  }
+
+  test("skip on truncated input raises EOFException instead of hanging") {
+    val r = new ByteReader(Array[Byte](1, 2, 3))
+    intercept[java.io.EOFException] { r.skip(10) }
+  }
+}

@@ -56,9 +56,10 @@ class RocksDbCheckpointSpec extends AnyFunSuite {
       .filter(col("stateName") === "Count")
     assert(df.count() == 2)
     // direct CF-level check: keep=Some(Set("Count")) never touches Other
-    val scan = RocksDbCheckpoints.iterate(
-      RocksDbCheckpoints.localize(s"${meta.basePath}/rocks-0"), Some(Set("Count")))
-    try assert(scan.map(_._1).toSet == Set("Count")) finally scan.close()
+    val local = RocksDbCheckpoints.localize(s"${meta.basePath}/rocks-0")
+    val scan = RocksDbCheckpoints.iterate(local.path, Some(Set("Count")))
+    try assert(scan.map(_._1).toSet == Set("Count"))
+    finally { scan.close(); local.close() }
   }
 
   test("rocksdb checkpoint state can be rewritten as a full savepoint (S4 -> S9)") {

@@ -4,6 +4,7 @@ import graft.core.codec._
 import graft.core.codec.Codecs._
 import graft.core.meta._
 import graft.state._
+import graft.state.OperatorStateWriter
 
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
@@ -254,6 +255,61 @@ class StateRoundtripSpec extends AnyFunSuite {
       val (s, e) = KeyGroups.keyGroupRange(4096, 3, f.subtaskIndex)
       assert(f.kgStart == s && f.kgEnd == e)
     }
+  }
+
+  test("metadata-only state mutation without rows is rejected (stale stateId guard)") {
+    val dir1 = tmp()
+    val meta1 = Savepoints.writer(spark, Savepoints.bootstrap("g", 2, 128), "g")
+      .withKeyCodec(IntCodec)
+      .createNewValueState("A", spark.createDataset(Seq((1, 1))), IntCodec)
+      .createNewValueState("B", spark.createDataset(Seq((2, 2))), IntCodec)
+      .writeAll(dir1)
+    // deleting A re-numbers B's positional state id; reusing the old
+    // files would silently misattribute rows -> must demand rows
+    val e = intercept[IllegalArgumentException] {
+      Savepoints.writer(spark, meta1, "g").deleteKeyedState("A").writeAll(tmp())
+    }
+    assert(e.getMessage.contains("no rows were supplied"))
+  }
+
+  test("raw copy-through rows survive a max-parallelism change (re-shard by key decode)") {
+    val dir1 = tmp(); val dir2 = tmp()
+    val data = (1 to 30).map(i => (i, i * 7))
+    val meta1 = Savepoints.writer(spark, Savepoints.bootstrap("rs", 2, 128), "rs")
+      .withKeyCodec(IntCodec)
+      .createNewValueState("s", spark.createDataset(data), IntCodec)
+      .writeAll(dir1)
+    val raw = Savepoints.reader(spark, meta1, "rs").allKeyedStateRows
+    val meta2 = Savepoints.writer(spark, meta1, "rs")
+      .withParallelism(2, 256) // 1-byte -> 2-byte prefixes
+      .addKeyedStateRows(raw)
+      .writeAll(dir2)
+    assert(Savepoints.reader(spark, meta2, "rs")
+      .readValueStates[Int, Int]("s").collect().toMap == data.toMap)
+  }
+
+  test("non-keyed state redistributes across a parallelism change") {
+    import graft.core.meta.{ListStateMode, OperatorBackendState}
+    val nk = Map(
+      0 -> OperatorBackendState(
+        listStates = Map(
+          "u" -> (ListStateMode.Union, Seq(Array[Byte](1))),
+          "s" -> (ListStateMode.SplitDistribute, Seq(Array[Byte](10), Array[Byte](11)))),
+        broadcastStates = Map("bc" -> Seq((Array[Byte](0), Array[Byte](9))))),
+      1 -> OperatorBackendState(
+        listStates = Map(
+          "u" -> (ListStateMode.Union, Seq(Array[Byte](2))),
+          "s" -> (ListStateMode.SplitDistribute, Seq(Array[Byte](12)))),
+        broadcastStates = Map("bc" -> Seq((Array[Byte](0), Array[Byte](9))))))
+    val r = OperatorStateWriter.redistributeNonKeyed(nk, 3)
+    assert(r.keySet == Set(0, 1, 2))
+    // union entries gathered (placement free; all on subtask 0)
+    assert(r(0).listStates("u")._2.map(_.head).sorted == Seq(1, 2))
+    // split entries dealt round-robin, none lost
+    val dealt = r.values.flatMap(_.listStates.get("s").toSeq.flatMap(_._2)).map(_.head)
+    assert(dealt.toSeq.sorted == Seq(10, 11, 12))
+    // broadcast copied everywhere
+    (0 until 3).foreach(i => assert(r(i).broadcastStates("bc").head._2.head == 9))
   }
 
   test("per-key-group splits read the same data (README.md:71 finer splits)") {
