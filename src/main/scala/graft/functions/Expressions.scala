@@ -137,3 +137,21 @@ object GraftFunctions {
       exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
   }
 }
+
+/** Session-extension entry point for cluster deployments:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * the kernels available in every session without driver code.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_polyhash32"),
+      new ExpressionInfo(classOf[PolyHash32].getName, "graft_polyhash32"),
+      (exprs: Seq[Expression]) => PolyHash32(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -84,6 +84,20 @@ object RelationalQueries2 {
             "x -> cast(x as string)), ',')").as("lines"),
           count(lit(1)).as("n_lines"))),
 
+    // Date arithmetic: shipping delay in days + interval comparison.
+    QueryDef(
+      "q30_date_arithmetic",
+      Some("""SELECT cast(date_diff('day', o_orderdate, l_shipdate) as int) AS delay_days,
+             |  count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= o_orderdate
+             |GROUP BY 1""".stripMargin),
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate"))
+        .groupBy(datediff(col("l_shipdate"), col("o_orderdate")).as("delay_days"))
+        .agg(count(lit(1)).as("n"))),
+
     // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep
     // duplicate multiplicity, unlike q09's set variants).
     QueryDef(

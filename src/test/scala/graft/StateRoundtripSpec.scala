@@ -257,6 +257,37 @@ class StateRoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-operator savepoint: untouched operators carry through by absolute path (W8)") {
+    val dir1 = tmp(); val dir2 = tmp()
+    // one savepoint, two operators
+    val sp0 = SavepointMeta(0L, "", Seq(
+      Savepoints.bootstrap("opA", 2, 128).operators.head,
+      Savepoints.bootstrap("opB", 2, 128).operators.head))
+    val meta1a = Savepoints.writer(spark, sp0, "opA")
+      .withKeyCodec(IntCodec)
+      .createNewValueState("a", spark.createDataset(Seq((1, 10))), IntCodec)
+      .writeAll(dir1)
+    // opB written into the same savepoint dir is not possible twice
+    // (NO_OVERWRITE) — write opB into a second savepoint derived from it
+    val dir1b = tmp()
+    val meta1 = Savepoints.writer(spark, meta1a, "opB")
+      .withKeyCodec(IntCodec)
+      .createNewValueState("b", spark.createDataset(Seq((2, 20))), IntCodec)
+      .writeAll(dir1b)
+    // now transform only opA; opB's files stay in dir1b via absolute path
+    val state = Savepoints.reader(spark, meta1, "opA").readValueStates[Int, Int]("a")
+    val meta2 = Savepoints.writer(spark, meta1, "opA")
+      .addValueState("a", state.map { case (k, v) => (k, v + 1) })
+      .writeAll(dir2)
+    assert(Savepoints.reader(spark, meta2, "opA")
+      .readValueStates[Int, Int]("a").collect().toMap == Map(1 -> 11))
+    assert(Savepoints.reader(spark, meta2, "opB")
+      .readValueStates[Int, Int]("b").collect().toMap == Map(2 -> 20))
+    // reloading from disk (not just the returned meta) also resolves
+    assert(Savepoints.reader(spark, Savepoints.load(dir2), "opB")
+      .readValueStates[Int, Int]("b").collect().toMap == Map(2 -> 20))
+  }
+
   test("metadata-only state mutation without rows is rejected (stale stateId guard)") {
     val dir1 = tmp()
     val meta1 = Savepoints.writer(spark, Savepoints.bootstrap("g", 2, 128), "g")
