@@ -257,6 +257,20 @@ class StateRoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("tuple2-keyed state roundtrip (composite keys; Tuple codec parity " +
+    "with OperatorStateReader.java:110-119)") {
+    val dir = tmp()
+    val kc = Tuple2Codec(IntCodec, StringCodec)
+    val data = Seq(((1, "a"), 10L), ((2, "b"), 20L), ((1, "c"), 30L))
+    val meta = Savepoints.writer(spark, Savepoints.bootstrap("tup", 2, 128), "tup")
+      .withKeyCodec(kc)
+      .createNewValueState("v", spark.createDataset(data), LongCodec)
+      .writeAll(dir)
+    assert(Savepoints.reader(spark, meta, "tup")
+      .readValueStates[(Int, String), Long]("v", keyCodec = kc).collect().toMap ==
+      data.toMap)
+  }
+
   test("multi-operator savepoint: untouched operators carry through by absolute path (W8)") {
     val dir1 = tmp(); val dir2 = tmp()
     // one savepoint, two operators
