@@ -137,6 +137,63 @@ object TextAnalysis {
             sum(when(expr("h % 16 = 0"), 1).otherwise(0)).cast("long").as("n_sampled"),
             min(col("h")).as("min_hash"),
             max(col("h")).as("max_hash"))
-      })
+      }),
+
+    // Repetition filter (RefinedWeb-style): share of the most frequent
+    // word bigram among all bigrams — high ratio = boilerplate/looped
+    // text that LLM corpora drop.
+    QueryDef(
+      "t06_repetition",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |b AS (SELECT doc_id, unnest(list_transform(
+              |    range(1, greatest(len(w), 1)),
+              |    i -> w[i] || ' ' || w[i + 1])) AS bg FROM d),
+              |c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+              |m AS (SELECT doc_id, max(n) AS max_n,
+              |    cast(sum(n) as bigint) AS total_n FROM c GROUP BY doc_id)
+              |SELECT doc_id, max_n, total_n,
+              |  cast(max_n as double) / total_n AS rep_ratio,
+              |  (cast(max_n as double) / total_n > 0.2) AS is_repetitive
+              |FROM m""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+            "ELSE cast(array() as array<string>) END")).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("max_n"), sum(col("n")).as("total_n"))
+        .select(col("doc_id"), col("max_n"), col("total_n"),
+          expr("cast(max_n as double) / total_n").as("rep_ratio"),
+          expr("cast(max_n as double) / total_n > 0.2").as("is_repetitive"))),
+
+    // Scrubbing: digit-run redaction (the PII-scrub pipeline shape).
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    QueryDef(
+      "t07_scrub",
+      Some("""SELECT doc_id,
+             |  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+             |  cast(len(regexp_extract_all(text, '[0-9]+')) as bigint) AS n_number_runs
+             |FROM documents""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrubbed"),
+        expr("cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint)")
+          .as("n_number_runs"))),
+
+    // Vocabulary building: corpus-level token frequencies, top 50.
+    QueryDef(
+      "t08_vocab_topk",
+      Some(s"""WITH d AS (SELECT $duckWords AS w FROM documents),
+              |t AS (SELECT unnest(w) AS word FROM d)
+              |SELECT word, count(*) AS freq FROM t GROUP BY word
+              |ORDER BY freq DESC, word ASC LIMIT 50""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word").asc)
+        .limit(50))
   )
 }

@@ -357,6 +357,27 @@ class StateRoundtripSpec extends AnyFunSuite {
     (0 until 3).foreach(i => assert(r(i).broadcastStates("bc").head._2.head == 9))
   }
 
+  test("high-parallelism savepoint: 8 subtasks x 1024 key-groups, 5k keys") {
+    val dir = tmp()
+    val data = (1 to 5000).map(i => (i, i.toLong))
+    val meta = Savepoints.writer(spark, Savepoints.bootstrap("big", 8, 1024), "big")
+      .withKeyCodec(IntCodec)
+      .createNewValueState("v", spark.createDataset(data), LongCodec)
+      .writeAll(dir)
+    val op = meta.operator("big")
+    assert(op.keyedFiles.map(_.subtaskIndex).sorted == (0 until 8))
+    op.keyedFiles.foreach { f =>
+      assert(f.offsets.length == f.kgEnd - f.kgStart + 1)
+      assert(f.offsets.head == 0L)
+    }
+    val r = Savepoints.reader(spark, meta, "big")
+    assert(r.readValueStates[Int, Long]("v").collect().toMap == data.toMap)
+    // per-key-group splits agree
+    val fine = spark.read.format("flink-savepoint")
+      .option("uid", "big").option("splitPerKeyGroup", "true").load(dir)
+    assert(fine.rdd.getNumPartitions == 1024 && fine.count() == 5000)
+  }
+
   test("per-key-group splits read the same data (README.md:71 finer splits)") {
     val dir = tmp()
     val data = (1 to 40).map(i => (i, i.toString))
