@@ -44,6 +44,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // queries may cache() intermediates (LSH signatures); release them
+      // so storage memory stays flat across the suite
+      spark.catalog.clearCache()
       q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -82,7 +82,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // dimension mismatch = corrupt embedding data: fail loudly rather
+    // than truncating to a plausible-but-wrong dot product
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     val aFloat = elemType(left) == FloatType
     val bFloat = elemType(right) == FloatType
     var acc = 0d
@@ -106,7 +111,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val getB = if (elemType(right) == FloatType) s"(double) $r.getFloat($i)"
                  else s"$r.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |if ($l.numElements() != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch " + $l.numElements() + " vs " + $r.numElements());
+         |}
+         |int $n = $l.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $getA * $getB;

@@ -36,9 +36,8 @@ object TextExprs {
     * fold over chars of `h = (h*31 + ascii(c)) mod 4294967291`.
     */
   val PolyMod = 4294967291L // largest prime < 2^32; h*31 stays < 2^63
-  def sparkWordHash(x: String): String =
-    s"aggregate(sequence(1, length($x)), cast(0 as bigint), " +
-      s"(acc, i) -> (acc * 31 + ascii(substring($x, i, 1))) % $PolyMod)"
+  // (Spark-side word hashing runs as the graft_polyhash32 kernel,
+  // functions/Expressions.scala — same fold as this oracle builder.)
   def duckWordHash(x: String): String =
     s"list_reduce(list_prepend(cast(0 as bigint), " +
       s"list_transform(range(1, length($x) + 1), i -> cast(ascii($x[i]) as bigint))), " +

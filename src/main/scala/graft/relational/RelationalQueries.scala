@@ -77,7 +77,7 @@ object RelationalQueries {
               |GROUP BY c_mktsegment""".stripMargin),
       (s, d) => t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           expr(s"cast(sum($EP100 * (100 - $DI100)) as double) / 10000").as("revenue"),
@@ -319,7 +319,7 @@ object RelationalQueries {
               |GROUP BY r_name, n_name""".stripMargin),
       (s, d) => t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -336,7 +336,7 @@ object RelationalQueries {
               |JOIN nation ON s_nationkey = n_nationkey
               |GROUP BY s_name, n_name""".stripMargin),
       (s, d) => t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("s_name"), col("n_name"))
         .agg(expr(s"cast(sum($EP100 * (100 - $DI100)) as double) / 10000").as("revenue"))),
@@ -355,10 +355,11 @@ object RelationalQueries {
     QueryDef(
       "q21_events_json",
       Some("""SELECT event_id,
-             |  cast(regexp_extract(props, '"k": ([0-9]+)', 1) as int) AS k
+             |  cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') as int) AS k
              |FROM events""".stripMargin),
       (s, d) => t(s, d, "events").select(
         col("event_id"),
-        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k")))
+        expr("cast(nullif(regexp_extract(props, '\"k\": ([0-9]+)', 1), '') as int)")
+          .as("k")))
   )
 }

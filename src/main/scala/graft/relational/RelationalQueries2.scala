@@ -46,10 +46,13 @@ object RelationalQueries2 {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
       (s, d) => {
-        t(s, d, "lineitem").createOrReplaceTempView("li_q23")
-        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        // view name derived from the data dir: concurrent runs against
+        // different scale factors must not rebind each other's views
+        val v = s"li_q23_${math.abs(d.hashCode)}"
+        t(s, d, "lineitem").createOrReplaceTempView(v)
+        s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 |  cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100 AS sum_qty
-                |FROM li_q23
+                |FROM $v
                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
       }),
 
@@ -60,12 +63,14 @@ object RelationalQueries2 {
              |   WHERE o_custkey = c_custkey AND o_totalprice > 150000) AS n_big
              |FROM customer""".stripMargin),
       (s, d) => {
-        t(s, d, "customer").createOrReplaceTempView("cust_q24")
-        t(s, d, "orders").createOrReplaceTempView("ord_q24")
-        s.sql("""SELECT c_custkey,
-                |  (SELECT count(*) FROM ord_q24
+        val suffix = math.abs(d.hashCode)
+        val cv = s"cust_q24_$suffix"; val ov = s"ord_q24_$suffix"
+        t(s, d, "customer").createOrReplaceTempView(cv)
+        t(s, d, "orders").createOrReplaceTempView(ov)
+        s.sql(s"""SELECT c_custkey,
+                |  (SELECT count(*) FROM $ov
                 |   WHERE o_custkey = c_custkey AND o_totalprice > 150000) AS n_big
-                |FROM cust_q24""".stripMargin)
+                |FROM $cv""".stripMargin)
       }),
 
     // Array/collection functions: collect -> sort -> join as string (a

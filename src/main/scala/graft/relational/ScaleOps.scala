@@ -27,14 +27,17 @@ object ScaleOps {
       smallKey: String,
       factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val saltedBig = big.withColumn("__salt",
+    val saltCol = "__graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"inputs may not already contain a '$saltCol' column")
+    val saltedBig = big.withColumn(saltCol,
       pmod(hash(monotonically_increasing_id()), lit(factor)))
-    val replicatedSmall = small.withColumn("__salt",
+    val replicatedSmall = small.withColumn(saltCol,
       explode(array((0 until factor).map(lit): _*)))
     saltedBig
       .join(replicatedSmall,
         saltedBig(bigKey) === replicatedSmall(smallKey) &&
-          saltedBig("__salt") === replicatedSmall("__salt"))
-      .drop("__salt")
+          saltedBig(saltCol) === replicatedSmall(saltCol))
+      .drop(saltCol)
   }
 }

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import graft.{Catalog, QueryDef}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import graft.QueryDef
 
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import java.util.concurrent.atomic.AtomicInteger
@@ -16,15 +16,37 @@ final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)
 final case class UserSession(
     user_id: Long, session_id: Int, n_events: Long, start_ms: Long, end_ms: Long)
 
-/** Structured Streaming surface: the `events` parquet drives a real
-  * `readStream` → windowed aggregation → memory-sink query, executed
-  * synchronously (`processAllAvailable`) so it is checkable against the
-  * batch DuckDB oracle. Complete output mode: the sink holds the full
-  * windowed result, equivalent to the batch `GROUP BY time_bucket`.
+/** Structured Streaming surface: the `events` parquet drives real
+  * `readStream` queries — windowed aggregation (complete mode),
+  * stateful sessionization (flatMapGroupsWithState), and watermarked
+  * append-mode windows — executed synchronously
+  * (`processAllAvailable`) so each is checkable against a batch DuckDB
+  * oracle.
   */
 object StreamingQueries {
 
   private val counter = new AtomicInteger(0)
+  private val GapMs = 1800000L
+
+  /** Shared scaffold: build a streaming DataFrame over the events table
+    * (raw nanos schema), run it into a uniquely-named memory sink, and
+    * return the materialized table.
+    */
+  private def runToMemorySink(
+      s: SparkSession, d: String, tag: String, outputMode: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema // ts = long nanos
+    val name = s"${tag}_mem_${counter.incrementAndGet()}"
+    // readStream requires a directory: stream the sf dir, globbed to the
+    // events table only
+    val raw = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val q = build(raw).writeStream
+      .outputMode(outputMode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // the memory table lives in the session after stop
+    s.table(name)
+  }
 
   def all: Seq[QueryDef] = Seq(
     QueryDef(
@@ -32,23 +54,11 @@ object StreamingQueries {
       Some("""SELECT time_bucket(INTERVAL '1 hour', cast(ts as timestamp)) AS window_start,
              |  event_type, count(*) AS n
              |FROM events GROUP BY 1, 2""".stripMargin),
-      (s, d) => {
-        val path = s"$d/events.parquet"
-        val rawSchema = s.read.parquet(path).schema // ts read as long (nanos)
-        val name = s"st01_mem_${counter.incrementAndGet()}"
-        // readStream requires a directory: stream the sf dir, globbed to
-        // the events table only
-        val stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      (s, d) => runToMemorySink(s, d, "st01", "complete") { raw =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-        val q = stream.writeStream
-          .outputMode("complete").format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
-        // materialize: the memory table lives in the session after stop
-        s.table(name)
       }),
 
     // Stateful streaming: custom per-key session logic through
@@ -67,68 +77,57 @@ object StreamingQueries {
               |SELECT user_id, cast(session_id as int) AS session_id,
               |  count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
               |FROM s GROUP BY user_id, session_id""".stripMargin),
-      (s, d) => {
+      (s, d) => runToMemorySink(s, d, "st02", "append") { raw =>
         import s.implicits._
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-        val name = s"st02_mem_${counter.incrementAndGet()}"
-        val ev = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val ev: Dataset[SessEvent] = raw
           .select(col("user_id"), col("event_id"),
             expr("ts div 1000000").as("ts_ms")) // ns -> ms floor, = epoch_ms
           .as[SessEvent]
-        val sessions = ev.groupByKey(_.user_id)
+        ev.groupByKey(_.user_id)
           .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
             StreamingQueries.sessionize)
-        val q = sessions.writeStream
-          .outputMode("append").format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name)
+          .toDF()
       }),
 
-    watermarkQuery
+    // st03: watermarked append-mode windows — only windows closed by the
+    // event-time watermark (max event time - 1h) are emitted; the oracle
+    // replicates the eviction predicate `window.end <= watermark` in
+    // batch SQL. Demonstrates late-data semantics (SURVEY §2.11).
+    QueryDef(
+      "st03_watermarked_windows",
+      Some("""WITH e AS (SELECT time_bucket(INTERVAL '1 hour', cast(ts as timestamp))
+             |    AS window_start, event_type FROM events),
+             |wm AS (SELECT epoch_ms(max(cast(ts as timestamp))) - 3600000 AS wmms
+             |  FROM events)
+             |SELECT window_start, event_type, count(*) AS n FROM e, wm
+             |WHERE epoch_ms(window_start) + 3600000 <= wmms
+             |GROUP BY window_start, event_type""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st03", "append") { raw =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      })
   )
 
-  /** st03: watermarked append-mode windows — only windows closed by the
-    * event-time watermark (max event time - 1h) are emitted; the oracle
-    * replicates the eviction predicate `window.end <= watermark` in
-    * batch SQL. Demonstrates late-data semantics (SURVEY §2.11).
-    */
-  private[streaming] val watermarkQuery: QueryDef = QueryDef(
-    "st03_watermarked_windows",
-    Some("""WITH e AS (SELECT time_bucket(INTERVAL '1 hour', cast(ts as timestamp))
-           |    AS window_start, event_type FROM events),
-           |wm AS (SELECT epoch_ms(max(cast(ts as timestamp))) - 3600000 AS wmms
-           |  FROM events)
-           |SELECT window_start, event_type, count(*) AS n FROM e, wm
-           |WHERE epoch_ms(window_start) + 3600000 <= wmms
-           |GROUP BY window_start, event_type""".stripMargin),
-    (s, d) => {
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val name = s"st03_mem_${counter.incrementAndGet()}"
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-      val q = stream.writeStream
-        .outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(name)
-    })
-
   /** Per-user sessionizer: sort the micro-batch's events, split on >30min
-    * gaps. State is unused in this single-batch demo but the signature is
-    * the real streaming one (carrying open sessions across batches is the
-    * GroupState's job in a continuous deployment).
+    * gaps. This demo formulation assumes ALL of a user's events arrive in
+    * ONE micro-batch (true here: one parquet file, default trigger, no
+    * maxFilesPerTrigger). A second batch for the same key would silently
+    * split sessions, so the state cell marks the key as processed and any
+    * re-invocation fails loudly instead. A continuous deployment would
+    * carry the open session in GroupState with an event-time timeout.
     */
-  private val GapMs = 1800000L
-
   private def sessionize(
       userId: Long,
       events: Iterator[SessEvent],
       state: GroupState[Int]): Iterator[UserSession] = {
+    if (state.exists)
+      throw new IllegalStateException(
+        s"st02 sessionizer saw key $userId in a second micro-batch; " +
+          "this demo requires single-batch execution (see scaladoc)")
+    state.update(1)
     val sorted = events.toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     val out = ListBuffer.empty[UserSession]
