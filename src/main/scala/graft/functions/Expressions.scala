@@ -144,6 +144,9 @@ object GraftFunctions {
       exprs => PolyHash32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmin",
+      exprs => KMinValues(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 

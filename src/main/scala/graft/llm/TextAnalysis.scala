@@ -194,6 +194,40 @@ object TextAnalysis {
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("word").asc)
-        .limit(50))
+        .limit(50)),
+
+    // KMV distinct-count sketch per language via the native
+    // TypedImperativeAggregate ([[graft.functions.KMinValues]]): k
+    // smallest distinct word hashes + the standard (k-1)*range/kthMin
+    // estimator, checked against exact SQL on the same hashes.
+    QueryDef(
+      "t09_kmv_sketch",
+      Some(s"""WITH d AS (SELECT lang, $duckWords AS w FROM documents),
+              |h AS (SELECT lang, ${duckWordHash("x.word")} AS h FROM
+              |  (SELECT lang, unnest(w) AS word FROM d) x),
+              |g AS (SELECT lang, list_sort(list_distinct(list(h))) AS hs,
+              |    count(DISTINCT h) AS n_distinct FROM h GROUP BY lang)
+              |SELECT lang, cast(n_distinct as bigint) AS n_distinct,
+              |  hs[1] AS min_hash,
+              |  hs[least(16, len(hs))] AS kth_min,
+              |  CASE WHEN len(hs) >= 16
+              |    THEN (15 * 4294967291) // hs[16]
+              |    ELSE cast(n_distinct as bigint) END AS ndv_est
+              |FROM g""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Catalog.t(s, d, "documents")
+          .withColumn("word", explode(split(col("text"), " ")))
+          .select(col("lang"), expr("graft_polyhash32(word)").as("h"))
+          .groupBy(col("lang"))
+          .agg(expr("graft_kmin(h, 16)").as("hs"),
+            countDistinct(col("h")).as("n_distinct"))
+          .select(col("lang"), col("n_distinct"),
+            expr("element_at(hs, 1)").as("min_hash"),
+            expr("element_at(hs, least(16, size(hs)))").as("kth_min"),
+            expr("CASE WHEN size(hs) >= 16 " +
+              "THEN (15 * 4294967291L) div element_at(hs, 16) " +
+              "ELSE n_distinct END").as("ndv_est"))
+      })
   )
 }

@@ -218,3 +218,25 @@ class CodecSafetySpec extends AnyFunSuite {
     intercept[java.io.EOFException] { r.skip(10) }
   }
 }
+
+class KMinValuesSpec extends AnyFunSuite {
+  import graft.functions.KMinValues
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def agg = KMinValues(Literal(0L), 4)
+
+  test("buffer keeps the k smallest distinct values through merge and serde") {
+    val a = agg.createAggregationBuffer()
+    Seq(50L, 10L, 30L, 10L, 90L).foreach { v =>
+      a.add(v); if (a.size > 4) a.pollLast()
+    }
+    val b = agg.deserialize(agg.serialize(a)) // serde roundtrip
+    assert(b.equals(a))
+    val other = agg.createAggregationBuffer()
+    Seq(5L, 70L, 30L).foreach { v => other.add(v); if (other.size > 4) other.pollLast() }
+    val merged = agg.merge(b, other)
+    val out = agg.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    assert(out.toLongArray().toSeq == Seq(5L, 10L, 30L, 50L))
+  }
+}
