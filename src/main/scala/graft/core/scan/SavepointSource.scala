@@ -72,7 +72,15 @@ final class SavepointScanBuilder(
     basePath: String,
     op: OperatorStateMeta,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  // column pruning (SURVEY §4): value-only projections (P2/P6) skip key
+  // bytes entirely during decode
+  private var requiredSchema: StructType = SavepointSource.Schema
+
+  override def pruneColumns(schema: StructType): Unit =
+    requiredSchema = schema
 
   // `states` option = reader-level state filter (reference F1,
   // OperatorStateReader.java:76-91); pushed filters narrow it further.
@@ -103,7 +111,7 @@ final class SavepointScanBuilder(
 
   override def build(): Scan = new SavepointScan(
     basePath, op, nameFilter,
-    options.getBoolean("splitPerKeyGroup", false))
+    options.getBoolean("splitPerKeyGroup", false), requiredSchema)
 }
 
 final case class StateSegmentPartition(
@@ -116,17 +124,19 @@ final case class StateSegmentPartition(
     groupTo: Int,   // inclusive
     compression: Boolean,
     stateNames: Array[String],   // id -> name
-    keepIds: Array[Int])         // empty = keep all
+    keepIds: Array[Int],         // empty = keep all
+    fields: Array[String])       // pruned output columns, in order
     extends InputPartition
 
 final class SavepointScan(
     basePath: String,
     op: OperatorStateMeta,
     nameFilter: Option[Set[String]],
-    splitPerKeyGroup: Boolean)
+    splitPerKeyGroup: Boolean,
+    requiredSchema: StructType)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = SavepointSource.Schema
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"flink-savepoint uid=${op.uid} states=${nameFilter.getOrElse(Set("*")).mkString("|")}"
@@ -147,7 +157,8 @@ final class SavepointScan(
       if (f.kind == KeyedFileHandle.RocksDbKind) {
         // S4: one partition per subtask checkpoint dir; pushdown = the
         // set of column families to open
-        Seq(RocksDbPartition(p.toString, nameFilter.map(_.toArray)))
+        Seq(RocksDbPartition(p.toString, nameFilter.map(_.toArray),
+          requiredSchema.fieldNames))
       } else streamPartitions(f, p, conf, stateNames, keepIds)
     }.toArray
   }
@@ -161,14 +172,15 @@ final class SavepointScan(
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     val nGroups = f.kgEnd - f.kgStart + 1
+    val fields = requiredSchema.fieldNames
     if (splitPerKeyGroup) {
       (0 until nGroups).map { g =>
         StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
-          f.kgEnd, g, g, op.compression, stateNames, keepIds)
+          f.kgEnd, g, g, op.compression, stateNames, keepIds, fields)
       }
     } else {
       Seq(StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
-        f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds))
+        f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds, fields))
     }
   }
 
@@ -184,7 +196,8 @@ final class SavepointScan(
 /** One subtask's incremental-checkpoint directory (S4). */
 final case class RocksDbPartition(
     dirPath: String,
-    keepStates: Option[Array[String]])
+    keepStates: Option[Array[String]],
+    fields: Array[String])
     extends InputPartition
 
 final class SavepointReaderFactory extends PartitionReaderFactory {
@@ -212,8 +225,11 @@ final class RocksDbPartitionReader(p: RocksDbPartition)
   }
 
   override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(current._1), current._2, current._3))
+    new GenericInternalRow(p.fields.map[Any] {
+      case "stateName" => UTF8String.fromString(current._1)
+      case "keyAndNamespaceBytes" => current._2
+      case "valueBytes" => current._3
+    })
 
   override def close(): Unit = {
     it.close()
@@ -234,6 +250,8 @@ final class StateSegmentReader(p: StateSegmentPartition)
   private val keep: Int => Boolean =
     if (p.keepIds.isEmpty) _ => true else p.keepIds.toSet
   private val names = p.stateNames.map(UTF8String.fromString)
+  private val needKey = p.fields.contains("keyAndNamespaceBytes")
+  private val needValue = p.fields.contains("valueBytes")
 
   private var group = p.groupFrom
   private var it: Iterator[StateStreamFormat.Record] = Iterator.empty
@@ -248,7 +266,8 @@ final class StateSegmentReader(p: StateSegmentPartition)
     val end = segmentEnd(group)
     in.seek(off)
     val bounded = new BoundedInputStream(in, end - off)
-    it = StateStreamFormat.decodeGroup(bounded, p.compression, keep)
+    it = StateStreamFormat.decodeGroup(bounded, p.compression, keep,
+      needKey, needValue)
     group += 1
     true
   }
@@ -260,7 +279,11 @@ final class StateSegmentReader(p: StateSegmentPartition)
   }
 
   override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](names(current.stateId), current.key, current.value))
+    new GenericInternalRow(p.fields.map[Any] {
+      case "stateName" => names(current.stateId)
+      case "keyAndNamespaceBytes" => current.key
+      case "valueBytes" => current.value
+    })
 
   override def close(): Unit = in.close()
 }

@@ -90,23 +90,33 @@ object StateStreamFormat {
   /** Decode one key-group segment from `in` (positioned at the segment
     * start). `keep` is the state-name pushdown (S6): records of filtered
     * states are length-skipped without copying key/value bytes
-    * (reference: RocksDBSavepointIterator.java:178-191).
+    * (reference: RocksDBSavepointIterator.java:178-191). `needKey` /
+    * `needValue` are the column-pruning pushdown (SURVEY §4: skip key
+    * decode when only value columns are requested, the P2/P6 shape) —
+    * un-needed parts are skipped, never materialized.
     */
   def decodeGroup(
       in: InputStream,
       compression: Boolean,
-      keep: Int => Boolean): Iterator[Record] = {
+      keep: Int => Boolean,
+      needKey: Boolean = true,
+      needValue: Boolean = true): Iterator[Record] = {
     val stream = if (compression) new org.xerial.snappy.SnappyInputStream(in) else in
     val r = new ByteReader(stream)
     new Iterator[Record] {
       private var nextRec: Record = _
       private var done = false
+      private def part(need: Boolean): Array[Byte] = {
+        val len = r.readVarInt()
+        if (need) r.readFully(len)
+        else { r.skip(len.toLong); null }
+      }
       private def advance(): Unit = {
         while (nextRec == null && !done) {
           val sid = ((r.readByte() & 0xff) << 8) | (r.readByte() & 0xff)
           if (sid == EndOfKeyGroup) { done = true }
           else if (keep(sid)) {
-            nextRec = Record(sid, r.readFully(r.readVarInt()), r.readFully(r.readVarInt()))
+            nextRec = Record(sid, part(needKey), part(needValue))
           } else {
             r.skip(r.readVarInt().toLong) // key
             r.skip(r.readVarInt().toLong) // value

@@ -70,14 +70,16 @@ final class OperatorStateReader(
     }
   }
 
-  /** P2: value state values only — key bytes never decoded (column
-    * pruning stance of ValueStateValueReader.java:41-48).
+  /** P2: value state values only — the projection prunes to the
+    * `valueBytes` column, so the source's column-pruning pushdown skips
+    * key bytes during decode entirely (ValueStateValueReader.java:41-48
+    * never decodes keys; we never even materialize them).
     */
   def readValueStateValues[V](name: String, valueCodec: Codec[V] = null)(
       implicit e: Encoder[V]): Dataset[V] = {
     val vc = resolveValue[V](name, valueCodec)
     markRead(name)
-    rowsFor(name).map(row => vc.fromBytes(row.valueBytes))
+    valueBytesFor(name).map(vc.fromBytes)
   }
 
   // ------------------------------------------------------------- P3 / P4
@@ -143,13 +145,15 @@ final class OperatorStateReader(
     }
   }
 
-  /** P6: map state values only (null-marker aware). */
+  /** P6: map state values only (null-marker aware; key bytes pruned at
+    * the source like P2).
+    */
   def readMapStateValues[V](name: String, valueCodec: Codec[V] = null)(
       implicit e: Encoder[V]): Dataset[V] = {
     val vc = resolveValue[V](name, valueCodec)
     markRead(name)
-    rowsFor(name).flatMap { row =>
-      val vr = new ByteReader(row.valueBytes)
+    valueBytesFor(name).flatMap { bytes =>
+      val vr = new ByteReader(bytes)
       if (vr.readBoolean()) Nil else List(vc.read(vr))
     }
   }
@@ -168,6 +172,11 @@ final class OperatorStateReader(
     readValueStates(OperatorStateReader.WindowContents, keyCodec, valueCodec)
 
   // ------------------------------------------------------------- helpers
+
+  private def valueBytesFor(name: String): Dataset[Array[Byte]] =
+    allKeyedStateRows.filter(col("stateName") === name)
+      .select("valueBytes")
+      .as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
 
   private def rowsFor(name: String): Dataset[KeyedStateRow] = {
     implicit val enc: Encoder[KeyedStateRow] =

@@ -357,6 +357,22 @@ class StateRoundtripSpec extends AnyFunSuite {
     (0 until 3).foreach(i => assert(r(i).broadcastStates("bc").head._2.head == 9))
   }
 
+  test("column pruning: value-only projection reaches the source (SURVEY §4)") {
+    val dir = tmp()
+    val meta = Savepoints.writer(spark, Savepoints.bootstrap("pr", 2, 128), "pr")
+      .withKeyCodec(IntCodec)
+      .createNewValueState("s", spark.createDataset(Seq((1, "a"), (2, "bb"))), StringCodec)
+      .writeAll(dir)
+    val r = Savepoints.reader(spark, meta, "pr")
+    // P2 values decode correctly through the pruned scan
+    assert(r.readValueStateValues[String]("s").collect().sorted.toSeq == Seq("a", "bb"))
+    // the physical scan's read schema is pruned to the single column
+    val pruned = r.allKeyedStateRows.select("valueBytes")
+    val scans = pruned.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.schema.fieldNames.sameElements(Array("valueBytes"))),
+      pruned.queryExecution.executedPlan.toString)
+  }
+
   test("high-parallelism savepoint: 8 subtasks x 1024 key-groups, 5k keys") {
     val dir = tmp()
     val data = (1 to 5000).map(i => (i, i.toLong))
