@@ -73,6 +73,27 @@ object RelationalQueries2 {
                 |FROM $cv""".stripMargin)
       }),
 
+    // Uncorrelated IN / NOT IN subqueries (complement to q13's
+    // DataFrame-API semi/anti joins).
+    QueryDef(
+      "q31_in_subquery",
+      Some("""SELECT p_partkey, p_brand FROM part
+             |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+             |                    WHERE l_quantity >= 48)
+             |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+             |                        WHERE l_returnflag = 'R')""".stripMargin),
+      (s, d) => {
+        val suffix = math.abs(d.hashCode)
+        val pv = s"part_q31_$suffix"; val lv = s"li_q31_$suffix"
+        t(s, d, "part").createOrReplaceTempView(pv)
+        t(s, d, "lineitem").createOrReplaceTempView(lv)
+        s.sql(s"""SELECT p_partkey, p_brand FROM $pv
+                |WHERE p_partkey IN (SELECT l_partkey FROM $lv
+                |                    WHERE l_quantity >= 48)
+                |  AND p_partkey NOT IN (SELECT l_partkey FROM $lv
+                |                        WHERE l_returnflag = 'R')""".stripMargin)
+      }),
+
     // Array/collection functions: collect -> sort -> join as string (a
     // string output keeps the cross-engine compare scalar-typed).
     QueryDef(
