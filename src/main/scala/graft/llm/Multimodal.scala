@@ -62,10 +62,24 @@ object Multimodal {
         expr("cast(octet_length(payload) as bigint)").as("n_bytes"))),
 
     // Batched decode/feature-extract through the typed Dataset pipeline.
-    // No SQL equivalent (binary kernel) → driver rows-only check.
+    // The decode kernel is a deterministic stub (polynomial mod-hash
+    // checksum over the payload bytes), so the oracle can reproduce it
+    // exactly in SQL — the corpus text is pure ASCII (m01 proves
+    // strlen == octet_length), so a char-fold over `text` equals the
+    // byte-fold over the utf-8 payload.
     QueryDef(
       "m02_multimodal_decode",
-      None,
+      Some(s"""WITH c AS (SELECT doc_id,
+              |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1] AS format,
+              |    cast(strlen(text) as bigint) AS n_bytes,
+              |    ${TextExprs.duckWordHash("text")} AS checksum
+              |  FROM documents)
+              |SELECT doc_id, format, n_bytes,
+              |  cast(64 + checksum % 64 as int) AS width,
+              |  cast(64 + (checksum // 64) % 64 as int) AS height,
+              |  cast(CASE WHEN format = 'mp4' THEN 1 + n_bytes // 100 ELSE 1 END as int) AS n_frames,
+              |  checksum
+              |FROM c""".stripMargin),
       (s, d) => {
         import s.implicits._
         mediaDF(s, d).as[MediaRow]

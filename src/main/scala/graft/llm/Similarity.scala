@@ -36,7 +36,7 @@ object Similarity {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_topk", Some(cosineOracle), cosineSpark),
-    QueryDef("s02_ann_lsh", None, annLshSpark),
+    QueryDef("s02_ann_lsh", Some(annLshOracle), annLshSpark),
     QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
@@ -215,5 +215,28 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  /** Oracle for the LSH ANN path: the hyperplanes are deterministic (LCG
+    * over the flat index), so the SAME [[planes]] array renders as DuckDB
+    * list literals and the bucket assignment + in-bucket top-k reproduce
+    * exactly (identical IEEE fold order for every dot product).
+    */
+  private def annLshOracle: String = {
+    val planeLits = planes.map(_.mkString("[", ", ", "]"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |b AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn,
+       |    cast($bucketExpr as int) AS bucket FROM v),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.va", "c.va")} / (q.nn * c.nn) AS cosine
+       |  FROM b q JOIN b c USING (bucket)
+       |  WHERE q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
+       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
   }
 }
