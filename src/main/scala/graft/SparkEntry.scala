@@ -13,6 +13,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     relational.RelationalQueries.all ++
       relational.RelationalQueries2.all ++
+      relational.RelationalQueries3.all ++
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
       llm.Similarity.all ++

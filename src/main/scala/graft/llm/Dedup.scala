@@ -59,7 +59,8 @@ object Dedup {
     QueryDef("d03_ngram_jaccard", Some(jaccardOracle), jaccardSpark),
     QueryDef("d04_simhash", Some(simhashOracle), simhashSpark),
     QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark),
-    QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle), fuzzySpark)
+    QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle), fuzzySpark),
+    QueryDef("d08_conn_components", Some(componentsOracle), componentsSpark)
   )
 
   // ------------------------------------------------- edit-distance dedup
@@ -260,15 +261,79 @@ object Dedup {
       .filter(col("hamming") <= MaxHamming)
   }
 
-  private def simhashPairsOracle: String = {
+  /** CTE chain ending in `cand` (chunk-matched candidate pairs) — shared
+    * by the d05 pairs oracle and the d08 connected-components oracle.
+    */
+  private def simhashCandCtes: String = {
     val chunkEq = (0 until 4)
       .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
       .mkString(" OR ")
-    s"""WITH ${simhashCte},
+    s"""${simhashCte},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sa, b.simhash AS sb
-       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq))
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq))""".stripMargin
+  }
+
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashCandCtes
        |SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) as int) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $MaxHamming""".stripMargin
+
+  // ------------------------------------------- connected components (d08)
+
+  /** Near-duplicate clusters: connected components over the d05 simhash
+    * edge set by iterative min-label propagation (each round every node
+    * takes the min label among itself and its neighbors; converges to
+    * the component-min doc_id in diameter rounds). Cluster id = min
+    * doc_id of the component, so results are canonical and
+    * order-independent — the distributed union-find shape used for
+    * near-dup canonicalization at corpus scale. Each round is one
+    * shuffle (join + groupBy); at 100 TB you would localCheckpoint every
+    * few rounds to truncate lineage, which this omits at test scale.
+    *
+    * The oracle walks the same edges with a recursive CTE and takes
+    * min(reachable label) per node.
+    */
+  private val MaxCcRounds = 25
+
+  private def componentsSpark(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = Catalog.t(s, d, "documents")
+      .select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < MaxCcRounds) {
+      val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
+        .groupBy(col("doc_b").as("nid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"d08 label propagation did not converge in $MaxCcRounds rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
+
+  private def componentsOracle: String =
+    s"""WITH RECURSIVE $simhashCandCtes,
+       |pe AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+       |  UNION ALL SELECT doc_b, doc_a FROM pe),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM fp
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src)
+       |SELECT node AS doc_id, min(label) AS cluster_id
+       |FROM walk GROUP BY node""".stripMargin
 }

@@ -228,6 +228,83 @@ object TextAnalysis {
             expr("CASE WHEN size(hs) >= 16 " +
               "THEN (15 * 4294967291L) div element_at(hs, 16) " +
               "ELSE n_distinct END").as("ndv_est"))
+      }),
+
+    // TF-IDF-style term salience: top-3 terms per doc by tf * (N/df).
+    // The idf proxy is the plain rarity ratio N/df — one IEEE division
+    // and one multiply in a fixed order, so scores are bit-identical
+    // across engines (ln() is libm-dependent and is deliberately
+    // avoided). Two shuffles at scale: (doc, word) count and word df;
+    // the per-doc top-k is a bounded window.
+    QueryDef(
+      "t10_tfidf",
+      Some(s"""WITH wx AS (SELECT doc_id, unnest($duckWords) AS word FROM documents),
+              |tf AS (SELECT doc_id, word, count(*) AS tf FROM wx GROUP BY 1, 2),
+              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(DISTINCT doc_id) AS nd FROM wx),
+              |sc AS (SELECT doc_id, word, cast(tf as bigint) AS tf,
+              |    cast(tf as double) * (cast(nd as double) / cast(df as double))
+              |      AS score
+              |  FROM tf JOIN df USING (word), n),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, word ASC) AS rn FROM sc)
+              |SELECT doc_id, word, tf, score, cast(rn as int) AS rn
+              |FROM r WHERE rn <= 3""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wx = Catalog.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = wx.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val n = wx.agg(countDistinct(col("doc_id")).as("nd"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word").asc)
+        tf.join(df, "word").crossJoin(broadcast(n))
+          .withColumn("score", expr(
+            "cast(tf as double) * (cast(nd as double) / cast(df as double))"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "word", "tf", "score", "rn")
+      }),
+
+    // Bigram language model: count word->next transitions corpus-wide,
+    // keep the argmax next word per head with its conditional
+    // probability. Narrow map (adjacent-pair explode) + one shuffle.
+    QueryDef(
+      "t11_bigram_lm",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+              |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true) FROM d),
+              |c AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+              |tot AS (SELECT w1, sum(cnt) AS tot FROM c GROUP BY 1),
+              |r AS (SELECT c.w1, c.w2, cast(cnt as bigint) AS cnt,
+              |    cast(cnt as double) / cast(tot as double) AS p,
+              |    row_number() OVER (PARTITION BY c.w1
+              |      ORDER BY cnt DESC, w2 ASC) AS rn
+              |  FROM c JOIN tot USING (w1))
+              |SELECT w1, w2, cnt, p FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bg = Catalog.t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          // sequence(1, 0) DESCENDS in Spark, so single-word docs need an
+          // explicit empty branch (DuckDB's range(1, 1) is just empty)
+          .select(explode(expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+              "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2)) " +
+              "ELSE cast(array() as array<struct<w1: string, w2: string>>) END"))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+        val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        val tot = c.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+        val w = Window.partitionBy(col("w1"))
+          .orderBy(col("cnt").desc, col("w2").asc)
+        c.join(tot, "w1")
+          .withColumn("p", expr("cast(cnt as double) / cast(tot as double)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("w1", "w2", "cnt", "p")
       })
   )
 }

@@ -1,0 +1,253 @@
+package graft.relational
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third batch of relational coverage: temporal joins (as-of, banded
+  * range), deterministic hash sampling, unpivot, ranking-window extras,
+  * time-series gap filling with forward fill, and exact medians.
+  *
+  * Scale notes (100 TB stance):
+  *  - j01 as-of join runs as the union-merge idiom: tag both inputs,
+  *    ONE shuffle on the join key, a running `last(ignoreNulls)` window
+  *    — never a per-row probe or a quadratic time join. This is the
+  *    standard distributed as-of shape (a sort-merge within key groups).
+  *  - j02 range join bands time into fixed buckets: each probe row
+  *    expands to the 2 buckets its window can span, the join shuffles on
+  *    (key, bucket), and the exact range predicate filters in-bucket —
+  *    bounds the blowup to bucket co-residents instead of all pairs per
+  *    key.
+  *  - q32 sampling is hash-mod, not `rand()`: reproducible across
+  *    retries/executors (a must for distributed lineage) and pushes as a
+  *    plain filter.
+  *  - q35 builds the day grid from a broadcast bounds row — the grid is
+  *    |users| x |days| rows but never materializes on the driver.
+  */
+object RelationalQueries3 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Catalog.t(s, d, n)
+
+  private val HourMs = 3600000L
+  private val DayMs = 86400000L
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------- as-of join
+    // Most recent order at-or-before each event (by customer). Orders are
+    // first reduced to one representative per (custkey, orderdate) so the
+    // as-of pick is unique in both engines. Spark side: union-merge —
+    // tag order/event rows, single window pass per customer.
+    QueryDef(
+      "j01_asof_join",
+      Some("""WITH reps AS (SELECT o_custkey, max(o_orderkey) AS order_key,
+             |    epoch_ms(o_orderdate) AS order_ms
+             |  FROM orders GROUP BY o_custkey, o_orderdate),
+             |e AS (SELECT event_id, user_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ts_ms FROM events)
+             |SELECT e.event_id, e.user_id, e.ts_ms, r.order_key, r.order_ms
+             |FROM e ASOF LEFT JOIN reps r
+             |  ON e.user_id = r.o_custkey AND e.ts_ms >= r.order_ms""".stripMargin),
+      (s, d) => {
+        val reps = t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("order_key"))
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+          // preserves the instant and unix_millis matches epoch_ms
+          .withColumn("oms", expr("unix_millis(cast(o_orderdate as timestamp))"))
+          .select(col("o_custkey").as("user_id"), col("oms").as("tm"),
+            lit(1).as("src"), col("order_key"), col("oms").as("order_ms"),
+            lit(null).cast("long").as("event_id"))
+        val ev = t(s, d, "events").select(col("user_id"),
+          unix_millis(col("ts")).as("tm"),
+          lit(0).as("src"), lit(null).cast("long").as("order_key"),
+          lit(null).cast("long").as("order_ms"), col("event_id"))
+        // at equal time an order applies to the event (<=): orders sort
+        // first via src desc; event_id breaks residual ties
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tm").asc, col("src").desc, col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        reps.unionByName(ev)
+          .withColumn("ok", last(col("order_key"), ignoreNulls = true).over(w))
+          .withColumn("om", last(col("order_ms"), ignoreNulls = true).over(w))
+          .filter(col("src") === 0)
+          .select(col("event_id"), col("user_id"), col("tm").as("ts_ms"),
+            col("ok").as("order_key"), col("om").as("order_ms"))
+      }),
+
+    // ------------------------------------------------- banded range join
+    // Click-to-purchase attribution: for each purchase, the same user's
+    // clicks in the preceding hour. Purchases probe the 2 hour-buckets
+    // the window can span; the exact range filters in-bucket. All time
+    // math on ms bigints so both engines compare identical integers.
+    QueryDef(
+      "j02_range_join",
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+              |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+              |c AS (SELECT * FROM ev WHERE event_type = 'click')
+              |SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks,
+              |  cast(coalesce(sum(cast(round(c.value * 100) as bigint)), 0)
+              |    as double) / 100 AS click_value
+              |FROM p LEFT JOIN c ON c.user_id = p.user_id
+              |  AND c.ms >= p.ms - $HourMs AND c.ms < p.ms
+              |GROUP BY p.event_id, p.user_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"), unix_millis(col("ts")).as("ms"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("puser"), col("ms").as("pms"))
+          .withColumn("bkt",
+            explode(expr(s"array(pms div $HourMs, pms div $HourMs - 1)")))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+            expr("cast(round(value * 100) as bigint)").as("v100"),
+            col("ms").as("cms"))
+          .withColumn("bkt", expr(s"cms div $HourMs"))
+        p.join(c, p("bkt") === c("bkt") && col("cuser") === col("puser") &&
+            col("cms") >= col("pms") - HourMs && col("cms") < col("pms"), "left")
+          .groupBy(col("event_id"), col("puser"))
+          .agg(count(col("click_id")).as("n_clicks"),
+            (coalesce(sum(col("v100")), lit(0L)).cast("double") / 100)
+              .as("click_value"))
+          .select(col("event_id"), col("puser").as("user_id"),
+            col("n_clicks"), col("click_value"))
+      }),
+
+    // ------------------------------------- deterministic stratified sample
+    // Hash-mod sampling with per-stratum rates (A 10%, N 5%, R 20%) —
+    // reproducible under retries and partitioning, unlike rand().
+    QueryDef(
+      "q32_hash_sample",
+      Some {
+        val key = "cast(l_orderkey as varchar) || '|' || cast(l_linenumber as varchar)"
+        s"""WITH x AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+           |    ${graft.llm.TextExprs.duckWordHash(s"($key)")} % 100 AS bucket
+           |  FROM lineitem)
+           |SELECT l_orderkey, l_linenumber, l_returnflag FROM x
+           |WHERE bucket < CASE l_returnflag WHEN 'A' THEN 10
+           |  WHEN 'N' THEN 5 ELSE 20 END""".stripMargin
+      },
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "lineitem")
+          .withColumn("bucket", expr(
+            "graft_polyhash32(concat(cast(l_orderkey as string), '|', " +
+              "cast(l_linenumber as string))) % 100"))
+          .filter(col("bucket") < expr(
+            "CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 5 ELSE 20 END"))
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+      }),
+
+    // ------------------------------------------------------------ unpivot
+    QueryDef(
+      "q33_unpivot",
+      Some("""SELECT 'quantity' AS metric,
+             |  cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100 AS total
+             |FROM lineitem
+             |UNION ALL SELECT 'extendedprice',
+             |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double) / 100
+             |FROM lineitem
+             |UNION ALL SELECT 'discount',
+             |  cast(sum(cast(round(l_discount * 100) as bigint)) as double) / 100
+             |FROM lineitem""".stripMargin),
+      (s, d) => t(s, d, "lineitem")
+        .select(
+          expr("cast(round(l_quantity * 100) as bigint)").as("quantity"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("extendedprice"),
+          expr("cast(round(l_discount * 100) as bigint)").as("discount"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column], "metric", "cents")
+        .groupBy(col("metric"))
+        .agg((sum(col("cents")).cast("double") / 100).as("total"))),
+
+    // ---------------------------------------------- ranking-window extras
+    // ntile / percent_rank / cume_dist per priority group; cents +
+    // orderkey tie-break make the ordering unique so rank ratios are
+    // identical integers in both engines.
+    QueryDef(
+      "q34_window_extras",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |    cast(round(o_totalprice * 100) as bigint) AS cents FROM orders)
+             |SELECT o_orderkey, o_orderpriority,
+             |  cast(ntile(4) OVER w as int) AS tile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM o WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY cents, o_orderkey)""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+      }),
+
+    // ------------------------------------- gap fill + forward fill (events)
+    // Dense per-user day grid over the observed range; missing days get
+    // n=0 and a forward-filled last observed count. The grid derives from
+    // a broadcast 1-row bounds aggregate — distributed, no driver loop.
+    QueryDef(
+      "q35_time_fill",
+      Some(s"""WITH ev AS (SELECT user_id,
+              |    epoch_ms(cast(ts as timestamp)) // $DayMs AS day
+              |  FROM events WHERE user_id < 20),
+              |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+              |u AS (SELECT DISTINCT user_id FROM ev),
+              |g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM u, b),
+              |daily AS (SELECT user_id, day, count(*) AS n FROM ev GROUP BY 1, 2)
+              |SELECT g.user_id, g.day, coalesce(daily.n, 0) AS n,
+              |  last_value(daily.n IGNORE NULLS) OVER (PARTITION BY g.user_id
+              |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS ffill
+              |FROM g LEFT JOIN daily USING (user_id, day)""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id") < 20)
+          .select(col("user_id"), expr(s"unix_millis(ts) div $DayMs").as("day"))
+        val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val daily = ev.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n"))
+        val grid = ev.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("n"), ignoreNulls = true).over(w).as("ffill"))
+      }),
+
+    // -------------------------------------------------------- exact median
+    // Lower median by integer row pick ((n+1) div 2 over a unique
+    // ordering) — exact and engine-independent, unlike interpolating
+    // percentile_cont variants.
+    QueryDef(
+      "q36_exact_median",
+      Some("""WITH x AS (SELECT l_returnflag,
+             |    cast(round(l_quantity * 100) as bigint) AS q100,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY cast(round(l_quantity * 100) as bigint),
+             |        l_orderkey, l_linenumber) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+             |  FROM lineitem)
+             |SELECT l_returnflag, cast(q100 as double) / 100 AS median
+             |FROM x WHERE rn = (cnt + 1) // 2""".stripMargin),
+      (s, d) => {
+        val wo = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("q100"), col("l_orderkey"), col("l_linenumber"))
+        val wc = Window.partitionBy(col("l_returnflag"))
+        t(s, d, "lineitem")
+          .withColumn("q100", expr("cast(round(l_quantity * 100) as bigint)"))
+          .select(col("l_returnflag"), col("q100"),
+            row_number().over(wo).as("rn"), count(lit(1)).over(wc).as("cnt"))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("l_returnflag"),
+            (col("q100").cast("double") / 100).as("median"))
+      })
+  )
+}

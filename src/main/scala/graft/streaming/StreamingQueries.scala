@@ -27,6 +27,7 @@ object StreamingQueries {
 
   private val counter = new AtomicInteger(0)
   private val GapMs = 1800000L
+  private val GapMs2 = 3600000L // st04 attribution window (1 hour in ms)
 
   /** Shared scaffold: build a streaming DataFrame over the events table
     * (raw nanos schema), run it into a uniquely-named memory sink, and
@@ -108,6 +109,53 @@ object StreamingQueries {
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      }),
+
+    // st04: stream-stream self-join — click-to-purchase pairs within the
+    // preceding hour, both sides watermarked so join state is bounded
+    // (SURVEY §2.11 → Structured Streaming joins). The coarse timestamp
+    // band gives Spark its state-retention bound; the exact predicate is
+    // on ms bigints so the emitted set matches the batch oracle
+    // bit-for-bit (a timestamp-only predicate could disagree with the
+    // oracle's ms-floored compare on sub-ms boundaries).
+    QueryDef(
+      "st04_stream_stream_join",
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events)
+              |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              |  p.user_id, p.ms AS pms, c.ms AS cms
+              |FROM ev p JOIN ev c ON p.event_type = 'purchase'
+              |  AND c.event_type = 'click' AND c.user_id = p.user_id
+              |  AND c.ms >= p.ms - $GapMs2 AND c.ms < p.ms""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st04", "append") { raw =>
+        val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          expr("ts div 1000000").as("ms"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("pts"), col("ms").as("pms"))
+          .withWatermark("pts", "1 hour")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+            col("ts").as("cts"), col("ms").as("cms"))
+          .withWatermark("cts", "1 hour")
+        p.join(c, col("cuser") === col("user_id")
+            && col("cts") >= col("pts") - expr("INTERVAL 61 MINUTES")
+            && col("cts") <= col("pts") + expr("INTERVAL 1 SECOND")
+            && col("cms") >= col("pms") - GapMs2 && col("cms") < col("pms"))
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("pms"), col("cms"))
+      }),
+
+    // st05: streaming dedup — dropDuplicates over the key projection
+    // emits exactly the distinct key set (keys only, so the emitted set
+    // is independent of arrival order and the oracle is plain DISTINCT).
+    QueryDef(
+      "st05_stream_dedup",
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      (s, d) => runToMemorySink(s, d, "st05", "append") { raw =>
+        raw.select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
       })
   )
 
