@@ -34,7 +34,12 @@ object Bench {
 
     // min of N runs per query: steadier numbers on a shared machine
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.registry.map { q =>
+    // optional comma-separated name filter for targeted measurement
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()

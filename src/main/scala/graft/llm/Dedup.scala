@@ -166,7 +166,10 @@ object Dedup {
   private val JaccardMin = 0.4
 
   private def jaccardSpark(s: SparkSession, d: String): DataFrame = {
-    val ds = shingleDF(s, d)
+    // cache: the distinct'd shingle set feeds both the df-cap aggregate
+    // and the inverted-index join — without it the split/explode/distinct
+    // (two jobs' worth of shuffle) runs twice
+    val ds = shingleDF(s, d).cache()
     val keep = ds.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
     val dk = ds.join(keep, "sh").cache()
@@ -282,19 +285,24 @@ object Dedup {
   // ------------------------------------------- connected components (d08)
 
   /** Near-duplicate clusters: connected components over the d05 simhash
-    * edge set by iterative min-label propagation (each round every node
-    * takes the min label among itself and its neighbors; converges to
-    * the component-min doc_id in diameter rounds). Cluster id = min
-    * doc_id of the component, so results are canonical and
-    * order-independent — the distributed union-find shape used for
-    * near-dup canonicalization at corpus scale. Each round is one
-    * shuffle (join + groupBy); at 100 TB you would localCheckpoint every
-    * few rounds to truncate lineage, which this omits at test scale.
+    * edge set. Cluster id = min doc_id of the component, so results are
+    * canonical and order-independent — the distributed union-find shape
+    * used for near-dup canonicalization at corpus scale.
+    *
+    * Each round does (1) neighbor-min propagation and (2) a pointer
+    * jump `l(v) ← l(l(v))` — the jump doubles the distance a label can
+    * travel per round, so convergence is O(log diameter) rounds instead
+    * of O(diameter) (plain propagation needed >25 rounds on a chain
+    * component at sf0.1 and took minutes; this converges in a handful).
+    * Labels only ever decrease, so `sum(label)` is a monotone potential
+    * and one cheap aggregate per round detects the fixpoint. At 100 TB
+    * you would localCheckpoint every few rounds to truncate lineage,
+    * which this omits at test scale.
     *
     * The oracle walks the same edges with a recursive CTE and takes
     * min(reachable label) per node.
     */
-  private val MaxCcRounds = 25
+  private val MaxCcRounds = 40
 
   private def componentsSpark(s: SparkSession, d: String): DataFrame = {
     val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
@@ -303,22 +311,42 @@ object Dedup {
     var labels = Catalog.t(s, d, "documents")
       .select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
-    var changed = 1L
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("label"))).first().getLong(0)
     var round = 0
-    while (changed > 0 && round < MaxCcRounds) {
+    if (sys.env.contains("GRAFT_DEBUG")) {
+      val t0 = System.nanoTime()
+      System.err.println(s"[d08] edges=${edges.count()} " +
+        f"materialize=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    while (curSum != prevSum && round < MaxCcRounds) {
+      val tr = System.nanoTime()
+      // (1) take the min label among self and neighbors. The eager
+      // localCheckpoint truncates both lineage AND the logical plan —
+      // with cache() alone the analyzed plan doubles every round
+      // (self-referencing iteration) and Catalyst analysis time grows
+      // exponentially.
       val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
         .groupBy(col("doc_b").as("nid")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+      val l1 = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      // (2) pointer jump: adopt the label of the current label (labels
+      // are always node ids, so the self-join is total)
+      val ptr = l1.select(col("doc_id").as("pid"), col("label").as("plabel"))
+      val next = l1.join(ptr, l1("label") === ptr("pid"))
+        .select(l1("doc_id"), least(l1("label"), col("plabel")).as("label"))
+        .localCheckpoint(true)
+      prevSum = curSum
+      curSum = next.agg(sum(col("label"))).first().getLong(0)
       labels = next
       round += 1
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[d08] round $round sum=$curSum " +
+          f"took=${(System.nanoTime() - tr) / 1e9}%.1fs")
     }
-    if (changed > 0)
+    if (curSum != prevSum)
       throw new IllegalStateException(
         s"d08 label propagation did not converge in $MaxCcRounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100× scale-up are checked in CI, not just eyeballed —
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * small dimensions, map-side partial aggregation, and shuffle counts
+  * for the one-shuffle formulations.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q04 filtered scan pushes predicates and prunes columns") {
+    val p = plan("q04_filtered_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("(?s)PushedFilters: \\[[^\\]]*", "")
+      .contains("IsNotNull(l_comment)"), "scan should not read l_comment")
+    // ReadSchema keeps only referenced columns, not the full 11-col table
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs.contains("l_comment") && !rs.contains("l_tax"), rs)
+  }
+
+  test("q18 star join broadcasts the small dimensions") {
+    val p = plan("q18_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01 aggregation is map-side partial (two HashAggregate phases)") {
+    val p = plan("q01_pricing_summary")
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
+  test("j01 as-of union-merge shuffles twice and never joins") {
+    val p = plan("j01_asof_join")
+    // one Exchange dedups order reps, one feeds the per-customer window
+    // over the unioned input; a naive as-of would plan a (possibly
+    // quadratic) join — this formulation has no join operator at all
+    assert(count(p, "Exchange") == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t01/t03 text kernels are shuffle-free narrow maps") {
+    assert(count(plan("t01_lang_id"), "Exchange") == 0)
+    assert(count(plan("t03_token_stats"), "Exchange") == 0)
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // AQE prints codegen spans only for the final (executed) plan
+    def executedPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalizes this queryExecution's adaptive plan
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen'd operators print with a `*(stageId)` prefix
+    assert(executedPlan("q01_pricing_summary").contains("*(1) "))
+    assert(executedPlan("q14_string_funcs").contains("*(1) "))
+  }
+}
