@@ -60,7 +60,35 @@ object Dedup {
     QueryDef("d04_simhash", Some(simhashOracle), simhashSpark),
     QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark),
     QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle), fuzzySpark),
-    QueryDef("d08_conn_components", Some(componentsOracle), componentsSpark)
+    QueryDef("d08_conn_components", Some(componentsOracle), componentsSpark),
+
+    // Canonical selection: within each exact-duplicate group keep the
+    // "best" copy (longest text, doc_id tie-break) — the keep-one step
+    // that follows duplicate detection in a cleaning pipeline. One
+    // window over the hash-partitioned groups.
+    QueryDef(
+      "d09_dedup_keep_best",
+      Some("""WITH g AS (SELECT md5(text) AS text_hash, doc_id, n_chars
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY text_hash
+             |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             |    count(*) OVER (PARTITION BY text_hash) AS n_copies FROM g)
+             |SELECT doc_id AS keep_id, cast(n_copies as bigint) AS n_copies,
+             |  text_hash
+             |FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Catalog.t(s, d, "documents")
+          .select(md5(col("text").cast("binary")).as("text_hash"),
+            col("doc_id"), col("n_chars"))
+        val w = Window.partitionBy(col("text_hash"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val wc = Window.partitionBy(col("text_hash"))
+        g.withColumn("rn", row_number().over(w))
+          .withColumn("n_copies", count(lit(1)).over(wc))
+          .filter(col("rn") === 1)
+          .select(col("doc_id").as("keep_id"), col("n_copies"), col("text_hash"))
+      })
   )
 
   // ------------------------------------------------- edit-distance dedup

@@ -38,8 +38,40 @@ object Similarity {
     QueryDef("s01_cosine_topk", Some(cosineOracle), cosineSpark),
     QueryDef("s02_ann_lsh", Some(annLshOracle), annLshSpark),
     QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark),
+    QueryDef("s04_ann_recall", Some(annRecallOracle), annRecallSpark),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // --------------------------------------------------- ANN recall metric
+
+  /** Recall@3 of the LSH ANN path against the exact brute-force top-3 —
+    * the evaluation loop you run before trusting an ANN index at scale.
+    * Both pipelines are the already-verified s01/s02 shapes; the metric
+    * join is per-query and tiny.
+    */
+  private def annRecallSpark(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopKSpark(s, d, 3).select(col("query_id"), col("neighbor_id"))
+    val lsh = annLshSpark(s, d).select(col("query_id"), col("neighbor_id"))
+    val m = exact.join(lsh, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
+    exact.select("query_id").distinct()
+      .join(m, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (coalesce(col("n_match"), lit(0L)).cast("double") / 3).as("recall_at_3"))
+  }
+
+  private def annRecallOracle: String =
+    s"""WITH exact AS (${cosineTopKOracle(3)}),
+       |lsh AS ($annLshOracle),
+       |m AS (SELECT e.query_id, count(*) AS n_match
+       |  FROM exact e JOIN lsh l ON e.query_id = l.query_id
+       |    AND e.neighbor_id = l.neighbor_id
+       |  GROUP BY e.query_id),
+       |q AS (SELECT DISTINCT query_id FROM exact)
+       |SELECT q.query_id, cast(coalesce(n_match, 0) as bigint) AS n_match,
+       |  cast(coalesce(n_match, 0) as double) / 3 AS recall_at_3
+       |FROM q LEFT JOIN m USING (query_id)""".stripMargin
 
   // ------------------------------------------- embedding-cosine near-dup
 
@@ -73,7 +105,10 @@ object Similarity {
 
   // ------------------------------------------------- brute-force top-k
 
-  private def cosineSpark(s: SparkSession, d: String): DataFrame = {
+  private def cosineSpark(s: SparkSession, d: String): DataFrame =
+    cosineTopKSpark(s, d, TopK)
+
+  private def cosineTopKSpark(s: SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = Catalog.t(s, d, "embeddings")
@@ -87,11 +122,13 @@ object Similarity {
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
 
-  private def cosineOracle: String =
+  private def cosineOracle: String = cosineTopKOracle(TopK)
+
+  private def cosineTopKOracle(k: Int): String =
     s"""WITH q AS (SELECT vec_id AS query_id,
        |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
        |  WHERE vec_id < $NumQueries),
@@ -105,7 +142,7 @@ object Similarity {
        |r AS (SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
-       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $TopK""".stripMargin
+       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $k""".stripMargin
 
   // ------------------------------------------------------------- IVF ANN
 

@@ -38,13 +38,24 @@ object StreamingQueries {
       build: DataFrame => DataFrame): DataFrame = {
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema // ts = long nanos
     val name = s"${tag}_mem_${counter.incrementAndGet()}"
-    // readStream requires a directory: stream the sf dir, globbed to the
-    // events table only
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    val q = build(raw).writeStream
-      .outputMode(outputMode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // Stateful streaming ops open one state store PER shuffle partition
+    // (stream-stream joins open four); at test scale the store setup
+    // dominates, so run streaming with few partitions. A real deployment
+    // sizes this to keyspace/executor count instead. The conf is
+    // restored after the query: batch queries keep the session default.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // readStream requires a directory: stream the sf dir, globbed to
+      // the events table only
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val q = build(raw).writeStream
+        .outputMode(outputMode).format("memory").queryName(name).start()
+      // restore only after the run: micro-batch planning reads the conf
+      // lazily during processAllAvailable, not at start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // the memory table lives in the session after stop
     s.table(name)
   }

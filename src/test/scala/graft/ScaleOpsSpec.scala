@@ -25,6 +25,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.getDouble(1) == plain.getDouble(1))
   }
 
+  test("bloom-pruned join result-equivalent to plain join") {
+    val li = Catalog.t(spark, sf, "lineitem")
+    val ord = Catalog.t(spark, sf, "orders").filter(col("o_totalprice") > 400000)
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val pruned = ScaleOps.bloomPrunedJoin(li, ord, "l_orderkey", "o_orderkey",
+      expectedItems = 1000)
+    assert(plain.count() > 0)
+    assert(pruned.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(pruned).count() === 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Catalog.t(spark, sf, "lineitem")
     val ord = Catalog.t(spark, sf, "orders")
