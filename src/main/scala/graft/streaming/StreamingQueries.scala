@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.QueryDef
+import graft.{Catalog, QueryDef}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -167,6 +167,29 @@ object StreamingQueries {
       (s, d) => runToMemorySink(s, d, "st05", "append") { raw =>
         raw.select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
+      }),
+
+    // st06: stream-static join — the streaming events enrich against the
+    // static customer dimension (broadcast per micro-batch, no state
+    // store), then aggregate purchase value by market segment in cents.
+    QueryDef(
+      "st06_stream_static_join",
+      Some("""SELECT c.c_mktsegment, count(*) AS n_purchases,
+             |  cast(sum(cast(round(e.value * 100) as bigint)) as double) / 100
+             |    AS total_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |WHERE e.event_type = 'purchase'
+             |GROUP BY c.c_mktsegment""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st06", "complete") { raw =>
+        val dim = Catalog.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        raw.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("cast(round(value * 100) as bigint)").as("v100"))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_purchases"),
+            (sum(col("v100")).cast("double") / 100).as("total_value"))
       })
   )
 

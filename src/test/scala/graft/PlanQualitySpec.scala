@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the properties that make these queries
@@ -50,6 +51,23 @@ class PlanQualitySpec extends AnyFunSuite {
   test("t01/t03 text kernels are shuffle-free narrow maps") {
     assert(count(plan("t01_lang_id"), "Exchange") == 0)
     assert(count(plan("t03_token_stats"), "Exchange") == 0)
+  }
+
+  test("partitioned writes enable partition pruning on re-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Catalog.t(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("lang") === "en")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    // pruned scan touches only the lang=en directory
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("lang=de"), scanned)
+    val total = Catalog.t(spark, sf, "documents")
+      .filter(col("lang") === "en").count()
+    assert(df.count() === total)
   }
 
   test("whole-stage codegen covers the relational hot paths") {
