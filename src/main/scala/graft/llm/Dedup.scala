@@ -336,11 +336,15 @@ object Dedup {
     val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    var labels = Catalog.t(s, d, "documents")
+    val labels0 = Catalog.t(s, d, "documents")
       .select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
+    var labels = labels0
+    // coalesce: sum over zero rows is null (empty corpus must not NPE)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("label"))).first().getLong(0)
+    var curSum = labelSum(labels)
     var round = 0
     if (sys.env.contains("GRAFT_DEBUG")) {
       val t0 = System.nanoTime()
@@ -367,13 +371,18 @@ object Dedup {
         .select(l1("doc_id"), least(l1("label"), col("plabel")).as("label"))
         .localCheckpoint(true)
       prevSum = curSum
-      curSum = next.agg(sum(col("label"))).first().getLong(0)
+      curSum = labelSum(next)
       labels = next
       round += 1
       if (sys.env.contains("GRAFT_DEBUG"))
         System.err.println(s"[d08] round $round sum=$curSum " +
           f"took=${(System.nanoTime() - tr) / 1e9}%.1fs")
     }
+    // release this query's own caches (checkpoint blocks are reclaimed
+    // by the ContextCleaner; the fp cache inside simhashPairsSpark is
+    // shared with d05 and freed by the harness's clearCache)
+    edges.unpersist()
+    labels0.unpersist()
     if (curSum != prevSum)
       throw new IllegalStateException(
         s"d08 label propagation did not converge in $MaxCcRounds rounds")

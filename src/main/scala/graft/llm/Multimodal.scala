@@ -64,9 +64,10 @@ object Multimodal {
     // Batched decode/feature-extract through the typed Dataset pipeline.
     // The decode kernel is a deterministic stub (polynomial mod-hash
     // checksum over the payload bytes), so the oracle can reproduce it
-    // exactly in SQL — the corpus text is pure ASCII (m01 proves
-    // strlen == octet_length), so a char-fold over `text` equals the
-    // byte-fold over the utf-8 payload.
+    // exactly in SQL. The char-fold over `text` equals the byte-fold
+    // over the utf-8 payload ONLY for pure-ASCII text — true for this
+    // corpus and CI-checked by RoundTwoOpsSpec ("corpus is pure ASCII");
+    // a multi-byte corpus would need a byte-level oracle fold instead.
     QueryDef(
       "m02_multimodal_decode",
       Some(s"""WITH c AS (SELECT doc_id,

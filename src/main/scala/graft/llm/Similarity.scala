@@ -54,7 +54,10 @@ object Similarity {
     val lsh = annLshSpark(s, d).select(col("query_id"), col("neighbor_id"))
     val m = exact.join(lsh, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_match"))
-    exact.select("query_id").distinct()
+    // query-id universe from a narrow scan — re-running the brute-force
+    // pipeline just to enumerate 16 ids would double the heavy job
+    Catalog.t(s, d, "embeddings").filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"))
       .join(m, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_match"), lit(0L)).as("n_match"),

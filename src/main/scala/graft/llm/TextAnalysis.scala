@@ -257,7 +257,10 @@ object TextAnalysis {
         val tf = wx.groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val n = wx.agg(countDistinct(col("doc_id")).as("nd"))
+        // N from the un-exploded table (split() never yields 0 tokens, so
+        // this equals countDistinct over wx — without a second explode)
+        val n = Catalog.t(s, d, "documents")
+          .agg(countDistinct(col("doc_id")).as("nd"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("word").asc)
         tf.join(df, "word").crossJoin(broadcast(n))

@@ -54,20 +54,39 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("partitioned writes enable partition pruning on re-read") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    Catalog.t(spark, sf, "documents")
-      .write.mode("overwrite").partitionBy("lang").parquet(dir)
-    val df = spark.read.parquet(dir).filter(col("lang") === "en")
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
-    // pruned scan touches only the lang=en directory
-    val scanned = df.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
-    assert(!scanned.contains("lang=de"), scanned)
-    val total = Catalog.t(spark, sf, "documents")
-      .filter(col("lang") === "en").count()
-    assert(df.count() === total)
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+    try {
+      Catalog.t(spark, sf, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(dir.toString)
+      val df = spark.read.parquet(dir.toString).filter(col("lang") === "en")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+      // prove pruning on the EXECUTED scan: the file-scan node read
+      // files only from the lang=en directory (the adaptive wrapper's
+      // toString never lists partition dirs, so dig out the real scan)
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val scans = finalPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, finalPlan.toString)
+      val readFiles = scans.flatMap(_.selectedPartitions.toPartitionArray)
+        .map(_.urlEncodedPath)
+      assert(readFiles.nonEmpty && readFiles.forall(_.contains("lang=en")),
+        readFiles.mkString("\n"))
+      val total = Catalog.t(spark, sf, "documents")
+        .filter(col("lang") === "en").count()
+      assert(df.count() === total)
+    } finally {
+      // recursive temp cleanup — repeated runs must not leak copies
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("whole-stage codegen covers the relational hot paths") {

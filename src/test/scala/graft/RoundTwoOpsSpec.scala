@@ -104,6 +104,16 @@ class RoundTwoOpsSpec extends AnyFunSuite {
     } finally f.unpersist()
   }
 
+  test("corpus is pure ASCII (m02/d02/d04 char-fold == byte-fold precondition)") {
+    // the hash oracles fold over CHARACTERS while the Spark kernels fold
+    // over utf-8 BYTES; these agree only on ASCII text — assert it here
+    // so a corpus regen with multi-byte text fails loudly in CI instead
+    // of as an opaque oracle hash mismatch
+    val nonAscii = Catalog.t(spark, sf, "documents")
+      .filter(expr("length(text) != octet_length(text)")).count()
+    assert(nonAscii === 0)
+  }
+
   test("st05 streaming dedup emits exactly the batch-distinct key set") {
     val got = run("st05_stream_dedup")
     val ref = Catalog.t(spark, sf, "events").select("user_id", "event_type").distinct()
