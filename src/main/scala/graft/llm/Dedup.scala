@@ -61,6 +61,7 @@ object Dedup {
     QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark),
     QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle), fuzzySpark),
     QueryDef("d08_conn_components", Some(componentsOracle), componentsSpark),
+    QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
 
     // Canonical selection: within each exact-duplicate group keep the
     // "best" copy (longest text, doc_id tie-break) — the keep-one step
@@ -388,6 +389,94 @@ object Dedup {
         s"d08 label propagation did not converge in $MaxCcRounds rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
+
+  // --------------------------------------------- graph centrality (g01)
+
+  /** Integer-exact PageRank over the undirected near-dup graph — a
+    * corpus-curation centrality score (which documents anchor big
+    * near-duplicate neighborhoods). All arithmetic is 64-bit integer
+    * (value scale 10^12, damping 85/100, floor division), so a fixed
+    * iteration count yields bit-identical ranks in any engine and under
+    * any partitioning/summation order. Dangling mass is not
+    * redistributed (isolated docs keep the base rank) — fine for
+    * scoring, documented here for anyone expecting stochastic-matrix
+    * semantics.
+    *
+    * Per iteration: one join (ranks x edges) + one groupBy(dst) — the
+    * standard distributed PageRank shape; eager localCheckpoint per
+    * round keeps the plan flat (see d08).
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 5
+
+  private def pagerankSpark(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy(col("doc_a").as("dnode"))
+      .agg(count(lit(1)).as("deg"))
+    // degree is loop-invariant: bake it onto the edge list ONCE so each
+    // iteration is a single broadcast join + partial-agg shuffle
+    val edgesWithDeg = edges.join(deg, col("doc_a") === col("dnode"))
+      .select(col("doc_a"), col("doc_b"), col("deg")).cache()
+    val nodes = Catalog.t(s, d, "documents").select(col("doc_id")).distinct().cache()
+    val n = nodes.count()
+    val init = PrScale / n
+    val base = (15L * init) / 100L
+    if (sys.env.contains("GRAFT_DEBUG")) {
+      val t0 = System.nanoTime()
+      System.err.println(s"[g01] edges=${edgesWithDeg.count()} " +
+        f"materialize=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    var pr = nodes.withColumn("val", lit(init))
+    for (it <- 1 to PrIters) {
+      val tr = System.nanoTime()
+      // broadcast the rank table: checkpointed RDDs carry no stats, so
+      // without the hint Spark shuffles the multi-million-row edge list
+      // every iteration. (At a scale where ranks outgrow broadcast, the
+      // alternative is co-partitioning edges and ranks on the key once.)
+      val contrib = broadcast(pr)
+        .join(edgesWithDeg, pr("doc_id") === edgesWithDeg("doc_a"))
+        .groupBy(col("doc_b"))
+        .agg(sum(expr("val div deg")).as("msum"))
+      pr = nodes.join(broadcast(contrib),
+          nodes("doc_id") === contrib("doc_b"), "left")
+        .select(nodes("doc_id"),
+          (lit(base) + expr("(85 * coalesce(msum, 0L)) div 100")).as("val"))
+        .localCheckpoint(true)
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(f"[g01] iter $it took=${(System.nanoTime() - tr) / 1e9}%.1fs")
+    }
+    edgesWithDeg.unpersist()
+    nodes.unpersist()
+    pr.select(col("doc_id"), col("val").as("pr"))
+  }
+
+  private def pagerankOracle: String =
+    s"""WITH RECURSIVE $simhashCandCtes,
+       |pe AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+       |  UNION ALL SELECT doc_b, doc_a FROM pe),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |e2 AS (SELECT src, dst FROM e
+       |  UNION ALL SELECT doc_id, doc_id FROM fp),
+       |c(nv) AS (SELECT count(*) FROM fp),
+       |pr(iter, node, val) AS (
+       |  SELECT 0, doc_id, $PrScale // nv FROM fp, c
+       |  UNION ALL
+       |  SELECT p.iter + 1, e2.dst,
+       |    (15 * ($PrScale // c.nv)) // 100
+       |      + (85 * sum(CASE WHEN e2.src = e2.dst THEN 0
+       |                       ELSE p.val // d.deg END)) // 100
+       |  FROM pr p
+       |  JOIN e2 ON p.node = e2.src
+       |  LEFT JOIN deg d ON d.node = p.node
+       |  CROSS JOIN c
+       |  WHERE p.iter < $PrIters
+       |  GROUP BY p.iter, e2.dst, c.nv)
+       |SELECT node AS doc_id, cast(val as bigint) AS pr
+       |FROM pr WHERE iter = $PrIters""".stripMargin
 
   private def componentsOracle: String =
     s"""WITH RECURSIVE $simhashCandCtes,

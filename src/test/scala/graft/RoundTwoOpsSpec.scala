@@ -75,6 +75,23 @@ class RoundTwoOpsSpec extends AnyFunSuite {
     } finally labels.unpersist()
   }
 
+  test("g01 pagerank: full coverage, positive ranks, isolated docs at base") {
+    val pr = run("g01_pagerank").cache()
+    try {
+      val docs = Catalog.t(spark, sf, "documents").select("doc_id")
+      assert(pr.count() === docs.count())
+      assert(pr.filter(col("pr") <= 0).count() === 0)
+      // docs with no near-dup edges keep exactly the base rank
+      val pairs = run("d05_simhash_pairs").select("doc_a", "doc_b")
+      val inGraph = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val isolated = pr.join(inGraph, Seq("doc_id"), "left_anti")
+      val n = docs.count()
+      val base = (15L * (1000000000000L / n)) / 100L
+      assert(isolated.filter(col("pr") =!= base).count() === 0)
+    } finally pr.unpersist()
+  }
+
   test("q32 hash sampling is deterministic and stratified") {
     val a = run("q32_hash_sample")
     val b = run("q32_hash_sample")
