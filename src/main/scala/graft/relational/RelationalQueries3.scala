@@ -222,6 +222,32 @@ object RelationalQueries3 {
             last(col("n"), ignoreNulls = true).over(w).as("ffill"))
       }),
 
+    // ------------------------------------------- RANGE window frame
+    // Per-user sliding-hour event-value sum: a RANGE frame over the ms
+    // timestamp (value-based bounds, unlike the ROWS frames of q07) —
+    // every row sums all events of the same user within the trailing
+    // hour. Cents arithmetic keeps the sums engine-exact.
+    QueryDef(
+      "q37_range_frame",
+      Some(s"""WITH ev AS (SELECT event_id, user_id,
+              |    epoch_ms(cast(ts as timestamp)) AS ms,
+              |    cast(round(value * 100) as bigint) AS v100 FROM events)
+              |SELECT event_id, user_id, ms,
+              |  cast(sum(v100) OVER (PARTITION BY user_id ORDER BY ms
+              |    RANGE BETWEEN $HourMs PRECEDING AND CURRENT ROW) as double)
+              |    / 100 AS hour_value
+              |FROM ev""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          .rangeBetween(-HourMs, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ms"),
+            expr("cast(round(value * 100) as bigint)").as("v100"))
+          .select(col("event_id"), col("user_id"), col("ms"),
+            (sum(col("v100")).over(w).cast("double") / 100).as("hour_value"))
+      }),
+
     // -------------------------------------------------------- exact median
     // Lower median by integer row pick ((n+1) div 2 over a unique
     // ordering) — exact and engine-independent, unlike interpolating
