@@ -25,6 +25,11 @@ object Multimodal {
       doc_id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, checksum: Long)
 
+  /** Output of the modality-routed resize/resample stub (m04). */
+  final case class MediaResized(
+      doc_id: Long, format: String, out_w: Int, out_h: Int,
+      n_samples: Long, n_thumbs: Int)
+
   /** STUB decode: a real implementation would hand `payload` to an image
     * or av codec here; this derives deterministic fake dimensions and a
     * rolling checksum so tests are stable. Batched by the caller.
@@ -107,6 +112,50 @@ object Multimodal {
           .mapPartitions(_.grouped(64).flatMap(batch => batch.map(decodeStub)))
           .flatMap(f => (0 until f.n_frames by 4).map(i => (f.doc_id, i)))
           .toDF("doc_id", "frame_idx")
+      }),
+
+    // m04: modality router — one typed pipeline dispatches per-format
+    // kernels (image resize to a 32-wide box, audio resample, video
+    // thumbnail count). Kernels are integer-arithmetic stubs derived
+    // from the m02 decode (a real pipeline swaps in codec calls; the
+    // dispatch, schema, and batching are the production shape). Oracle
+    // replays the same integer math per format branch.
+    QueryDef(
+      "m04_modality_resize",
+      Some(s"""WITH c AS (SELECT doc_id,
+              |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1] AS format,
+              |    cast(strlen(text) as bigint) AS n_bytes,
+              |    ${TextExprs.duckWordHash("text")} AS checksum
+              |  FROM documents),
+              |f AS (SELECT doc_id, format, n_bytes,
+              |    cast(64 + checksum % 64 as int) AS width,
+              |    cast(64 + (checksum // 64) % 64 as int) AS height,
+              |    cast(CASE WHEN format = 'mp4' THEN 1 + n_bytes // 100
+              |      ELSE 1 END as int) AS n_frames
+              |  FROM c)
+              |SELECT doc_id, format,
+              |  cast(CASE WHEN format IN ('png', 'jpeg') THEN 32 ELSE 0 END as int) AS out_w,
+              |  cast(CASE WHEN format IN ('png', 'jpeg')
+              |    THEN greatest((height * 32) // width, 1) ELSE 0 END as int) AS out_h,
+              |  cast(CASE WHEN format = 'wav' THEN n_bytes // 4 ELSE 0 END as bigint)
+              |    AS n_samples,
+              |  cast(CASE WHEN format = 'mp4' THEN 1 + (n_frames - 1) // 4
+              |    ELSE 0 END as int) AS n_thumbs
+              |FROM f""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        mediaDF(s, d).as[MediaRow]
+          .mapPartitions(_.grouped(64).flatMap(_.map { r =>
+            val f = decodeStub(r) // modality dispatch on the decoded meta
+            f.format match {
+              case "png" | "jpeg" => MediaResized(f.doc_id, f.format,
+                32, math.max(f.height * 32 / f.width, 1), 0L, 0)
+              case "wav" => MediaResized(f.doc_id, f.format, 0, 0, f.n_bytes / 4, 0)
+              case _ => MediaResized(f.doc_id, f.format, 0, 0, 0L,
+                1 + (f.n_frames - 1) / 4)
+            }
+          }))
+          .toDF()
       })
   )
 }

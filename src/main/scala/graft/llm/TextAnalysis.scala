@@ -308,6 +308,36 @@ object TextAnalysis {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("w1", "w2", "cnt", "p")
+      }),
+
+    // Character-trigram profile: the top 5 trigrams per language — the
+    // character-level signal a language-ID model trains on. Narrow
+    // explode + one shuffle; the per-lang top-k is a bounded window.
+    QueryDef(
+      "t12_char_ngrams",
+      Some("""WITH tg AS (SELECT lang,
+             |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+             |      i -> substring(text, cast(i as int), 3))) AS tri
+             |  FROM documents),
+             |c AS (SELECT lang, tri, count(*) AS cnt FROM tg GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY cnt DESC, tri ASC) AS rn FROM c)
+             |SELECT lang, tri, cnt, cast(rn as int) AS rn
+             |FROM r WHERE rn <= 5""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("tri").asc)
+        Catalog.t(s, d, "documents")
+          // sequence(1, 0) DESCENDS in Spark — guard texts under 3 chars
+          .select(col("lang"), explode(expr(
+            "CASE WHEN length(text) >= 3 THEN transform(" +
+              "sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+              "ELSE cast(array() as array<string>) END")).as("tri"))
+          .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("lang", "tri", "cnt", "rn")
       })
   )
 }

@@ -190,6 +190,26 @@ object StreamingQueries {
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_purchases"),
             (sum(col("v100")).cast("double") / 100).as("total_value"))
+      }),
+
+    // st07: keyless global streaming aggregate (complete mode, one
+    // running row) — the simplest stateful streaming shape, kept exact
+    // with cents arithmetic.
+    QueryDef(
+      "st07_stream_global_agg",
+      Some("""SELECT count(*) AS n_events,
+             |  cast(sum(cast(round(value * 100) as bigint)) as double) / 100
+             |    AS total_value,
+             |  cast(max(cast(round(value * 100) as bigint)) as double) / 100
+             |    AS max_value
+             |FROM events""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st07", "complete") { raw =>
+        // no DISTINCT aggregates here: streaming rejects them
+        raw.agg(count(lit(1)).as("n_events"),
+          (sum(expr("cast(round(value * 100) as bigint)")).cast("double") / 100)
+            .as("total_value"),
+          (max(expr("cast(round(value * 100) as bigint)")).cast("double") / 100)
+            .as("max_value"))
       })
   )
 
