@@ -3,7 +3,9 @@ package graft.state
 import graft.{Catalog, QueryDef}
 import graft.core.codec.{ByteWriter, Codecs, KeyGroups}
 import graft.core.codec.Codecs.{DoubleCodec, ListCodec, LongCodec, StringCodec}
-import graft.core.meta.{StateKind, StateMeta}
+import graft.core.meta.{Identifiers, KeyedFileHandle, MetadataIO,
+  OperatorStateMeta, SavepointMeta, StateKind, StateMeta}
+import graft.core.scan.RocksDbCheckpoints
 
 import org.apache.spark.sql.functions._
 
@@ -128,6 +130,39 @@ object StateQueries {
         Savepoints.reader(s, meta, "maps")
           .readMapStates[Long, String, Long]("StatusCounts")
           .toDF("key", "status", "cnt")
+      }),
+
+    // S4 through the hash gate: state lives in a real RocksDB
+    // checkpoint (one column family per state, native SST files) and is
+    // read back through the DSv2 source + typed reader. Checkpoint
+    // creation is single-instance by nature (it emulates what one Flink
+    // task manager wrote); the distributed READ path is what's under
+    // test. Oracle = the SQL the state content was derived from.
+    QueryDef(
+      "sp05_rocksdb_scan",
+      Some("SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey"),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)].collect()
+        val dir = tmp("graft-sp05")
+        val rows = counts.map { case (k, v) =>
+          StateRowEncoder.valueRow("Count", k, v, LongCodec, LongCodec, maxPar)
+        }
+        RocksDbCheckpoints.createCheckpoint(s"$dir/rocks-0",
+          rows.toSeq.map(r => (r.stateName, r.keyAndNamespaceBytes, r.valueBytes)))
+        val op = OperatorStateMeta("rocky", Identifiers.operatorId("rocky"),
+          parallelism = 1, maxParallelism = maxPar, keyCodecId = Some("long"),
+          states = Seq(StateMeta("Count", StateKind.Value, "long")),
+          compression = false,
+          keyedFiles = Seq(KeyedFileHandle(0, "rocks-0", 0, maxPar - 1,
+            Seq.empty, KeyedFileHandle.RocksDbKind)))
+        MetadataIO.write(dir, SavepointMeta(1L, dir, Seq(op)))
+        Savepoints.reader(s, Savepoints.load(dir), "rocky")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
       })
   )
 
