@@ -333,10 +333,17 @@ object Dedup {
     */
   private val MaxCcRounds = 40
 
-  private def componentsSpark(s: SparkSession, d: String): DataFrame = {
+  /** Undirected (symmetrized) d05 near-dup edge set, cached — the one
+    * graph both d08 and g01 iterate over. Callers own the unpersist.
+    */
+  private def undirectedEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
-    val edges = pairs.union(
+    pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+  }
+
+  private def componentsSpark(s: SparkSession, d: String): DataFrame = {
+    val edges = undirectedEdges(s, d)
     val labels0 = Catalog.t(s, d, "documents")
       .select(col("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
@@ -410,9 +417,9 @@ object Dedup {
   private val PrIters = 5
 
   private def pagerankSpark(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // cached: the edge set appears on BOTH sides of the deg bake-in join
+    // below — uncached it would run the chunk self-join + distinct twice
+    val edges = undirectedEdges(s, d)
     val deg = edges.groupBy(col("doc_a").as("dnode"))
       .agg(count(lit(1)).as("deg"))
     // degree is loop-invariant: bake it onto the edge list ONCE so each
@@ -421,6 +428,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("deg")).cache()
     val nodes = Catalog.t(s, d, "documents").select(col("doc_id")).distinct().cache()
     val n = nodes.count()
+    if (n == 0) { // empty corpus: no ranks (and no division by zero)
+      edges.unpersist(); edgesWithDeg.unpersist(); nodes.unpersist()
+      return nodes.select(col("doc_id"), col("doc_id").as("pr"))
+    }
     val init = PrScale / n
     val base = (15L * init) / 100L
     if (sys.env.contains("GRAFT_DEBUG")) {
@@ -447,6 +458,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_DEBUG"))
         System.err.println(f"[g01] iter $it took=${(System.nanoTime() - tr) / 1e9}%.1fs")
     }
+    edges.unpersist()
     edgesWithDeg.unpersist()
     nodes.unpersist()
     pr.select(col("doc_id"), col("val").as("pr"))

@@ -257,9 +257,12 @@ object TextAnalysis {
         val tf = wx.groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        // N from the un-exploded table (split() never yields 0 tokens, so
-        // this equals countDistinct over wx — without a second explode)
+        // N from the un-exploded table (split() never yields 0 tokens on
+        // non-null text, so this equals countDistinct over wx — without a
+        // second explode). The isNotNull filter keeps the equivalence
+        // even for a corpus with NULL text, which explode() would drop.
         val n = Catalog.t(s, d, "documents")
+          .filter(col("text").isNotNull)
           .agg(countDistinct(col("doc_id")).as("nd"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("word").asc)

@@ -123,12 +123,16 @@ class RoundTwoOpsSpec extends AnyFunSuite {
 
   test("corpus is pure ASCII (m02/d02/d04 char-fold == byte-fold precondition)") {
     // the hash oracles fold over CHARACTERS while the Spark kernels fold
-    // over utf-8 BYTES; these agree only on ASCII text — assert it here
-    // so a corpus regen with multi-byte text fails loudly in CI instead
-    // of as an opaque oracle hash mismatch
-    val nonAscii = Catalog.t(spark, sf, "documents")
-      .filter(expr("length(text) != octet_length(text)")).count()
-    assert(nonAscii === 0)
+    // over utf-8 BYTES; these agree only on ASCII text — assert it at
+    // EVERY scale factor the gates/bench touch, so a corpus regen with
+    // multi-byte text fails loudly in CI instead of as an opaque oracle
+    // hash mismatch
+    for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = Catalog.t(spark, s"/root/testdata/$dir", "documents")
+      assert(docs.filter(expr(
+        "text IS NULL OR length(text) != octet_length(text)")).count() === 0,
+        s"non-ASCII or NULL text in $dir")
+    }
   }
 
   test("st05 streaming dedup emits exactly the batch-distinct key set") {
