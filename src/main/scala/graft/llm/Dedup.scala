@@ -331,137 +331,36 @@ object Dedup {
     * The oracle walks the same edges with a recursive CTE and takes
     * min(reachable label) per node.
     */
-  private val MaxCcRounds = 40
-
-  /** Undirected (symmetrized) d05 near-dup edge set, cached — the one
-    * graph both d08 and g01 iterate over. Callers own the unpersist.
+  /** d05 near-dup pairs as a (src, dst) edge list + all docs as nodes —
+    * the graph inputs both d08 and g01 hand to [[GraphAlgs]].
     */
-  private def undirectedEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = simhashPairsSpark(s, d).select("doc_a", "doc_b")
-    pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-  }
+  private def nearDupGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = (
+    Catalog.t(s, d, "documents").select(col("doc_id").as("id")).distinct(),
+    simhashPairsSpark(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
   private def componentsSpark(s: SparkSession, d: String): DataFrame = {
-    val edges = undirectedEdges(s, d)
-    val labels0 = Catalog.t(s, d, "documents")
-      .select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    var labels = labels0
-    // coalesce: sum over zero rows is null (empty corpus must not NPE)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-    var prevSum = Long.MaxValue
-    var curSum = labelSum(labels)
-    var round = 0
-    if (sys.env.contains("GRAFT_DEBUG")) {
-      val t0 = System.nanoTime()
-      System.err.println(s"[d08] edges=${edges.count()} " +
-        f"materialize=${(System.nanoTime() - t0) / 1e9}%.1fs")
-    }
-    while (curSum != prevSum && round < MaxCcRounds) {
-      val tr = System.nanoTime()
-      // (1) take the min label among self and neighbors. The eager
-      // localCheckpoint truncates both lineage AND the logical plan —
-      // with cache() alone the analyzed plan doubles every round
-      // (self-referencing iteration) and Catalyst analysis time grows
-      // exponentially.
-      val nbrMin = edges.join(labels, edges("doc_a") === labels("doc_id"))
-        .groupBy(col("doc_b").as("nid")).agg(min(col("label")).as("nlabel"))
-      val l1 = labels.join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // (2) pointer jump: adopt the label of the current label (labels
-      // are always node ids, so the self-join is total)
-      val ptr = l1.select(col("doc_id").as("pid"), col("label").as("plabel"))
-      val next = l1.join(ptr, l1("label") === ptr("pid"))
-        .select(l1("doc_id"), least(l1("label"), col("plabel")).as("label"))
-        .localCheckpoint(true)
-      prevSum = curSum
-      curSum = labelSum(next)
-      labels = next
-      round += 1
-      if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(s"[d08] round $round sum=$curSum " +
-          f"took=${(System.nanoTime() - tr) / 1e9}%.1fs")
-    }
-    // release this query's own caches (checkpoint blocks are reclaimed
-    // by the ContextCleaner; the fp cache inside simhashPairsSpark is
-    // shared with d05 and freed by the harness's clearCache)
-    edges.unpersist()
-    labels0.unpersist()
-    if (curSum != prevSum)
-      throw new IllegalStateException(
-        s"d08 label propagation did not converge in $MaxCcRounds rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val (nodes, edges) = nearDupGraph(s, d)
+    GraphAlgs.connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
   // --------------------------------------------- graph centrality (g01)
 
   /** Integer-exact PageRank over the undirected near-dup graph — a
     * corpus-curation centrality score (which documents anchor big
-    * near-duplicate neighborhoods). All arithmetic is 64-bit integer
-    * (value scale 10^12, damping 85/100, floor division), so a fixed
-    * iteration count yields bit-identical ranks in any engine and under
-    * any partitioning/summation order. Dangling mass is not
-    * redistributed (isolated docs keep the base rank) — fine for
-    * scoring, documented here for anyone expecting stochastic-matrix
-    * semantics.
-    *
-    * Per iteration: one join (ranks x edges) + one groupBy(dst) — the
-    * standard distributed PageRank shape; eager localCheckpoint per
-    * round keeps the plan flat (see d08).
+    * near-duplicate neighborhoods). The algorithm lives in
+    * [[GraphAlgs.pageRank]]; dangling mass is not redistributed
+    * (isolated docs keep the base rank) — fine for scoring, noted for
+    * anyone expecting stochastic-matrix semantics.
     */
   private val PrScale = 1000000000000L
   private val PrIters = 5
 
   private def pagerankSpark(s: SparkSession, d: String): DataFrame = {
-    // cached: the edge set appears on BOTH sides of the deg bake-in join
-    // below — uncached it would run the chunk self-join + distinct twice
-    val edges = undirectedEdges(s, d)
-    val deg = edges.groupBy(col("doc_a").as("dnode"))
-      .agg(count(lit(1)).as("deg"))
-    // degree is loop-invariant: bake it onto the edge list ONCE so each
-    // iteration is a single broadcast join + partial-agg shuffle
-    val edgesWithDeg = edges.join(deg, col("doc_a") === col("dnode"))
-      .select(col("doc_a"), col("doc_b"), col("deg")).cache()
-    val nodes = Catalog.t(s, d, "documents").select(col("doc_id")).distinct().cache()
-    val n = nodes.count()
-    if (n == 0) { // empty corpus: no ranks (and no division by zero)
-      edges.unpersist(); edgesWithDeg.unpersist(); nodes.unpersist()
-      return nodes.select(col("doc_id"), col("doc_id").as("pr"))
-    }
-    val init = PrScale / n
-    val base = (15L * init) / 100L
-    if (sys.env.contains("GRAFT_DEBUG")) {
-      val t0 = System.nanoTime()
-      System.err.println(s"[g01] edges=${edgesWithDeg.count()} " +
-        f"materialize=${(System.nanoTime() - t0) / 1e9}%.1fs")
-    }
-    var pr = nodes.withColumn("val", lit(init))
-    for (it <- 1 to PrIters) {
-      val tr = System.nanoTime()
-      // broadcast the rank table: checkpointed RDDs carry no stats, so
-      // without the hint Spark shuffles the multi-million-row edge list
-      // every iteration. (At a scale where ranks outgrow broadcast, the
-      // alternative is co-partitioning edges and ranks on the key once.)
-      val contrib = broadcast(pr)
-        .join(edgesWithDeg, pr("doc_id") === edgesWithDeg("doc_a"))
-        .groupBy(col("doc_b"))
-        .agg(sum(expr("val div deg")).as("msum"))
-      pr = nodes.join(broadcast(contrib),
-          nodes("doc_id") === contrib("doc_b"), "left")
-        .select(nodes("doc_id"),
-          (lit(base) + expr("(85 * coalesce(msum, 0L)) div 100")).as("val"))
-        .localCheckpoint(true)
-      if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(f"[g01] iter $it took=${(System.nanoTime() - tr) / 1e9}%.1fs")
-    }
-    edges.unpersist()
-    edgesWithDeg.unpersist()
-    nodes.unpersist()
-    pr.select(col("doc_id"), col("val").as("pr"))
+    val (nodes, edges) = nearDupGraph(s, d)
+    GraphAlgs.pageRank(nodes, edges, PrIters, PrScale)
+      .select(col("id").as("doc_id"), col("rank").as("pr"))
   }
 
   private def pagerankOracle: String =
