@@ -51,15 +51,21 @@ object Dedup {
       Some("""SELECT md5(text) AS text_hash, count(*) AS n_copies,
              |  min(doc_id) AS canonical_id
              |FROM documents GROUP BY md5(text)""".stripMargin),
-      (s, d) => Catalog.t(s, d, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))),
+      (s, d) => exactDuplicates(Catalog.t(s, d, "documents"))),
 
-    QueryDef("d02_minhash_lsh", Some(minhashOracle), minhashSpark),
-    QueryDef("d03_ngram_jaccard", Some(jaccardOracle), jaccardSpark),
-    QueryDef("d04_simhash", Some(simhashOracle), simhashSpark),
-    QueryDef("d05_simhash_pairs", Some(simhashPairsOracle), simhashPairsSpark),
-    QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle), fuzzySpark),
+    QueryDef("d02_minhash_lsh", Some(minhashOracle),
+      (s, d) => minhashLshPairs(Catalog.t(s, d, "documents"))),
+    QueryDef("d03_ngram_jaccard", Some(jaccardOracle),
+      (s, d) => ngramJaccardPairs(Catalog.t(s, d, "documents"))),
+    QueryDef("d04_simhash", Some(simhashOracle),
+      (s, d) => simhashFingerprints(Catalog.t(s, d, "documents"))),
+    QueryDef("d05_simhash_pairs", Some(simhashPairsOracle),
+      (s, d) => simhashNearDupPairs(Catalog.t(s, d, "documents"))),
+    QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle),
+      (s, d) => fuzzyPairs(Catalog.t(s, d, "part"),
+        idCol = "p_partkey", nameCol = "p_name",
+        blockCols = Seq("p_brand", "p_type"),
+        outA = "part_a", outB = "part_b")),
     QueryDef("d08_conn_components", Some(componentsOracle), componentsSpark),
     QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
 
@@ -77,20 +83,36 @@ object Dedup {
              |SELECT doc_id AS keep_id, cast(n_copies as bigint) AS n_copies,
              |  text_hash
              |FROM r WHERE rn = 1""".stripMargin),
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val g = Catalog.t(s, d, "documents")
-          .select(md5(col("text").cast("binary")).as("text_hash"),
-            col("doc_id"), col("n_chars"))
-        val w = Window.partitionBy(col("text_hash"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        val wc = Window.partitionBy(col("text_hash"))
-        g.withColumn("rn", row_number().over(w))
-          .withColumn("n_copies", count(lit(1)).over(wc))
-          .filter(col("rn") === 1)
-          .select(col("doc_id").as("keep_id"), col("n_copies"), col("text_hash"))
-      })
+      (s, d) => keepBest(Catalog.t(s, d, "documents")))
   )
+
+  // ------------------------------------------- public pipeline surface
+  //
+  // Each operator below is a plain DataFrame-in / DataFrame-out function
+  // over a `docs` table with (doc_id: bigint, text: string) — the
+  // library API the gate queries above exercise against the driver
+  // corpus. Custom kernels register themselves on the input's session.
+
+  /** Exact duplicate groups: md5(text) → copy count + canonical id. */
+  def exactDuplicates(docs: DataFrame): DataFrame = docs
+    .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+    .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
+  /** Keep-best canonical selection within exact-dup groups: the longest
+    * copy wins (doc_id tie-break); expects an `n_chars` length column.
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(md5(col("text").cast("binary")).as("text_hash"),
+      col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("text_hash"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("text_hash"))
+    g.withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("keep_id"), col("n_copies"), col("text_hash"))
+  }
 
   // ------------------------------------------------- edit-distance dedup
 
@@ -99,18 +121,28 @@ object Dedup {
   // the classic blocking+verify shape for fuzzy dedup at scale.
   private val MaxEdit = 2
 
-  private def fuzzySpark(s: SparkSession, d: String): DataFrame = {
-    val p = Catalog.t(s, d, "part")
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
-    val a = p.select(col("p_partkey").as("part_a"), col("p_brand"),
-      col("p_type"), col("p_name").as("name_a"))
-    val b = p.select(col("p_partkey").as("part_b"), col("p_brand"),
-      col("p_type"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand", "p_type"))
-      .filter(col("part_a") < col("part_b"))
-      .select(col("part_a"), col("part_b"),
+  /** Blocked fuzzy (edit-distance) near-dup pairs: quadratic verify runs
+    * only inside `blockCols` blocks — the classic blocking+verify shape.
+    */
+  def fuzzyPairs(
+      items: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      outA: String = "id_a",
+      outB: String = "id_b",
+      maxEdit: Int = MaxEdit): DataFrame = {
+    val keep = (Seq(idCol, nameCol) ++ blockCols).map(col)
+    val p = items.select(keep: _*)
+    val a = p.select(Seq(col(idCol).as(outA), col(nameCol).as("name_a")) ++
+      blockCols.map(col): _*)
+    val b = p.select(Seq(col(idCol).as(outB), col(nameCol).as("name_b")) ++
+      blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col(outA) < col(outB))
+      .select(col(outA), col(outB),
         levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
-      .filter(col("edit_dist") <= MaxEdit)
+      .filter(col("edit_dist") <= maxEdit)
   }
 
   private def fuzzyOracle: String =
@@ -124,15 +156,18 @@ object Dedup {
   // ------------------------------------------------------------ MinHash+LSH
 
   /** Distinct (doc_id, shingle) pairs. */
-  private def shingleDF(s: SparkSession, d: String): DataFrame =
-    Catalog.t(s, d, "documents")
-      .withColumn("w", split(col("text"), " "))
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
       .distinct()
 
-  private def minhashSpark(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val withH = shingleDF(s, d)
+  /** MinHash signature + banded-LSH candidate pairs with estimated
+    * Jaccard ≥ 0.5. One shuffle for signatures, one keyed self-join on
+    * exploded band keys for candidates — never all-pairs.
+    */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withH = shingles(docs)
       .select(col("doc_id"), expr("graft_polyhash32(sh)").as("h"))
     val aggs = (0 until Perms).map { j =>
       min(expr(s"(${permA(j)} * h + ${permB(j)}) % $P")).as(s"h$j")
@@ -194,11 +229,15 @@ object Dedup {
   private val DfCap = 50 // frequency cap: drop stop-shingles (scale guard)
   private val JaccardMin = 0.4
 
-  private def jaccardSpark(s: SparkSession, d: String): DataFrame = {
+  /** Exact n-gram Jaccard near-dup pairs over an inverted shingle
+    * index, with a document-frequency cap dropping stop-shingles (the
+    * standard hot-key guard for the quadratic worst case).
+    */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     // cache: the distinct'd shingle set feeds both the df-cap aggregate
     // and the inverted-index join — without it the split/explode/distinct
     // (two jobs' worth of shuffle) runs twice
-    val ds = shingleDF(s, d).cache()
+    val ds = shingles(docs).cache()
     val keep = ds.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
     val dk = ds.join(keep, "sh").cache()
@@ -234,8 +273,8 @@ object Dedup {
     * as the codegen'd [[graft.functions.PolyHash32]] kernel — identical
     * arithmetic to the `duckWordHash` fold in the oracle.
     */
-  private def simhashSpark(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val bitSums = (0 until 32).map { i =>
       sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"b$i")
@@ -243,8 +282,7 @@ object Dedup {
     val fp = (0 until 32)
       .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
-    Catalog.t(s, d, "documents")
-      .withColumn("w", split(col("text"), " "))
+    docs.withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(expr("transform(w, x -> graft_polyhash32(x))")).as("h"))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(s"cast($fp as bigint)").as("simhash"))
@@ -273,11 +311,14 @@ object Dedup {
   /** Near-dup pairs by hamming distance over 8-bit fingerprint chunks. */
   private val MaxHamming = 3
 
-  private def simhashPairsSpark(s: SparkSession, d: String): DataFrame = {
+  /** SimHash near-dup pairs by hamming distance over 8-bit fingerprint
+    * chunks (pigeonhole: hamming ≤ 3 over 4 chunks guarantees a match).
+    */
+  def simhashNearDupPairs(docs: DataFrame): DataFrame = {
     // single self-join on exploded (chunkIdx, chunkVal) keys — one
     // shuffle instead of four band-wise joins; cache the fingerprints so
     // the simhash pipeline isn't planned once per join side
-    val fp = simhashSpark(s, d).cache()
+    val fp = simhashFingerprints(docs).cache()
     val chunked = fp.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), k -> " +
         "struct(k as ci, shiftright(simhash, k * 8) & 255 as cv))")).as("c"))
@@ -334,10 +375,12 @@ object Dedup {
   /** d05 near-dup pairs as a (src, dst) edge list + all docs as nodes —
     * the graph inputs both d08 and g01 hand to [[GraphAlgs]].
     */
-  private def nearDupGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = (
-    Catalog.t(s, d, "documents").select(col("doc_id").as("id")).distinct(),
-    simhashPairsSpark(s, d)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  private def nearDupGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Catalog.t(s, d, "documents")
+    (docs.select(col("doc_id").as("id")).distinct(),
+      simhashNearDupPairs(docs)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+  }
 
   private def componentsSpark(s: SparkSession, d: String): DataFrame = {
     val (nodes, edges) = nearDupGraph(s, d)
