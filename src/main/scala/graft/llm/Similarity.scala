@@ -112,13 +112,25 @@ object Similarity {
     cosineTopKSpark(s, d, TopK)
 
   private def cosineTopKSpark(s: SparkSession, d: String, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
     val e = Catalog.t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qa"))
+    cosineTopK(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")), k)
+  }
+
+  /** Public API: exact brute-force cosine top-k. `queries` is the small
+    * broadcast side `(query_id, embedding)`; `candidates`
+    * `(neighbor_id, embedding)` streams — embarrassingly parallel over
+    * candidate splits. Dot products run as the codegen'd sequential-fold
+    * kernel, so scores are bit-deterministic.
+    */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query_id"), col("embedding").as("qa"))
       .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
+    val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
       .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -232,28 +244,43 @@ object Similarity {
     }
 
   private def annLshSpark(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.t(s, d, "embeddings")
+    lshAnn(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")), 3)
+  }
+
+  /** Sign-bucket under the deterministic hyperplane family + L2 norm. */
+  private def bucketed(df: DataFrame): DataFrame = {
     // literal arrays parse as decimals; graft_dot wants float/double
     val planeLits = planes.map(_.mkString("cast(array(", ", ", ") as array<double>)"))
     val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
-    val e = Catalog.t(s, d, "embeddings")
-      .withColumn("bucket", expr(s"cast($bucketExpr as int)"))
+    df.withColumn("bucket", expr(s"cast($bucketExpr as int)"))
       .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qa"),
-        col("nrm").as("qn"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"),
-      col("nrm").as("cn"), col("bucket"))
+  }
+
+  /** Public API: LSH-bucketed approximate nearest neighbors — the scale
+    * path. 16 deterministic hyperplanes hash each vector to a 16-bit
+    * bucket; candidates only join within a bucket (shuffle keyed by
+    * bucket, never all-pairs). Same column contract as [[cosineTopK]].
+    */
+  def lshAnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q = bucketed(queries).select(col("query_id"),
+      col("embedding").as("qa"), col("nrm").as("qn"), col("bucket"))
+    val c = bucketed(candidates).select(col("neighbor_id"),
+      col("embedding").as("ca"), col("nrm").as("cn"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(q).join(c, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
 
