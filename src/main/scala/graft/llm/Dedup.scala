@@ -92,6 +92,12 @@ object Dedup {
   // over a `docs` table with (doc_id: bigint, text: string) — the
   // library API the gate queries above exercise against the driver
   // corpus. Custom kernels register themselves on the input's session.
+  //
+  // The hash-based operators cache() intermediates (signatures, shingle
+  // sets) that the RESULT's lineage still references, so they stay
+  // cached until the session's storage evicts them or the caller runs
+  // spark.catalog.clearCache(); long-lived applications calling these
+  // per batch should clearCache between batches (the gate harness does).
 
   /** Exact duplicate groups: md5(text) → copy count + canonical id. */
   def exactDuplicates(docs: DataFrame): DataFrame = docs
@@ -132,6 +138,9 @@ object Dedup {
       outA: String = "id_a",
       outB: String = "id_b",
       maxEdit: Int = MaxEdit): DataFrame = {
+    require(blockCols.nonEmpty,
+      "fuzzyPairs needs at least one blocking column — an unblocked " +
+        "edit-distance verify is an all-pairs cartesian join")
     val keep = (Seq(idCol, nameCol) ++ blockCols).map(col)
     val p = items.select(keep: _*)
     val a = p.select(Seq(col(idCol).as(outA), col(nameCol).as("name_a")) ++

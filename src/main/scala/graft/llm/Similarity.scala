@@ -124,8 +124,14 @@ object Similarity {
     * `(neighbor_id, embedding)` streams — embarrassingly parallel over
     * candidate splits. Dot products run as the codegen'd sequential-fold
     * kernel, so scores are bit-deterministic.
+    *
+    * `excludeSelf` (default true) drops candidates whose id equals the
+    * query id — correct when queries are drawn from the candidate set
+    * (one id space). Pass false when the two inputs have independent id
+    * sequences, or id collisions would silently drop real neighbors.
     */
-  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("query_id"), col("embedding").as("qa"))
@@ -134,7 +140,10 @@ object Similarity {
       .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+    val joined =
+      if (excludeSelf) broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      else broadcast(q).crossJoin(c)
+    joined
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -265,9 +274,11 @@ object Similarity {
   /** Public API: LSH-bucketed approximate nearest neighbors — the scale
     * path. 16 deterministic hyperplanes hash each vector to a 16-bit
     * bucket; candidates only join within a bucket (shuffle keyed by
-    * bucket, never all-pairs). Same column contract as [[cosineTopK]].
+    * bucket, never all-pairs). Same column and `excludeSelf` contract
+    * as [[cosineTopK]].
     */
-  def lshAnn(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def lshAnn(queries: DataFrame, candidates: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val q = bucketed(queries).select(col("query_id"),
@@ -277,7 +288,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(q).join(c, "bucket")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
