@@ -67,6 +67,8 @@ object Dedup {
         blockCols = Seq("p_brand", "p_type"),
         outA = "part_a", outB = "part_b")),
     QueryDef("d08_conn_components", Some(componentsOracle), componentsSpark),
+    QueryDef("d10_cluster_keep_best", Some(clusterKeepBestOracle),
+      clusterKeepBestSpark),
     QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
 
     // Canonical selection: within each exact-duplicate group keep the
@@ -441,8 +443,11 @@ object Dedup {
        |SELECT node AS doc_id, cast(val as bigint) AS pr
        |FROM pr WHERE iter = $PrIters""".stripMargin
 
-  private def componentsOracle: String =
-    s"""WITH RECURSIVE $simhashCandCtes,
+  /** CTE chain through `walk` — shared by the d08 components oracle and
+    * the d10 cluster-keep-best oracle (both prefix `WITH RECURSIVE`).
+    */
+  private def componentsCtes: String =
+    s"""$simhashCandCtes,
        |pe AS (SELECT doc_a, doc_b FROM cand
        |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
@@ -450,7 +455,44 @@ object Dedup {
        |walk(node, label) AS (
        |  SELECT doc_id, doc_id FROM fp
        |  UNION
-       |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src)
+       |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src)""".stripMargin
+
+  private def componentsOracle: String =
+    s"""WITH RECURSIVE $componentsCtes
        |SELECT node AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY node""".stripMargin
+
+  // ------------------------------------- near-dup cluster keep-best (d10)
+
+  /** The canonical corpus-cleaning composition: cluster near-duplicates
+    * (d08's connected components) and keep ONE representative per
+    * cluster — the longest member, doc_id tie-break. One extra join +
+    * bounded window on top of the verified clustering; the oracle
+    * extends the same recursive CTE chain.
+    */
+  private def clusterKeepBestSpark(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = componentsSpark(s, d)
+    val docs = Catalog.t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("cluster_id"))
+    labels.join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_members"))
+  }
+
+  private def clusterKeepBestOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY node),
+       |j AS (SELECT c.cluster_id, d.doc_id, d.n_chars
+       |  FROM comp c JOIN documents d USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+       |SELECT cluster_id, doc_id AS keep_id, cast(n_members as bigint) AS n_members
+       |FROM r WHERE rn = 1""".stripMargin
 }
