@@ -135,6 +135,27 @@ class RoundTwoOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("public API guards: fuzzyPairs requires blocking; excludeSelf=false keeps collisions") {
+    import graft.llm.{Dedup, Similarity}
+    // unblocked edit-distance verify must fail fast, not cross-join
+    val parts = Catalog.t(spark, sf, "part")
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyPairs(parts, "p_partkey", "p_name", Seq.empty)
+    }
+    // independent id spaces: id collisions are real neighbors
+    val e = Catalog.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val withSelf = Similarity.cosineTopK(q, c, k = 1, excludeSelf = false)
+      .collect()(0)
+    // the identical vector is its own nearest neighbor at cosine ~1
+    // (dot/(n*n) rounds to 1 ± 1 ulp)
+    assert(withSelf.getLong(1) === 3L && math.abs(withSelf.getDouble(2) - 1.0) < 1e-12)
+    val without = Similarity.cosineTopK(q, c, k = 1).collect()(0)
+    assert(without.getLong(1) !== 3L)
+  }
+
   test("st05 streaming dedup emits exactly the batch-distinct key set") {
     val got = run("st05_stream_dedup")
     val ref = Catalog.t(spark, sf, "events").select("user_id", "event_type").distinct()
