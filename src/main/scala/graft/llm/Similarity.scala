@@ -180,30 +180,53 @@ object Similarity {
   private val IvfTopK = 3
 
   private def ivfSpark(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
     val e = Catalog.t(s, d, "embeddings")
-      .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
-    val cent = e.filter(col("vec_id") % CentroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("nrm").as("cnrm"))
+    ivfAnn(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      NProbe, IvfTopK)
+  }
+
+  /** Public API: IVF approximate nearest neighbors. Vectors partition
+    * into Voronoi cells around the broadcast `centroids` `(cid,
+    * embedding)`; queries probe the `nProbe` nearest cells only, so
+    * candidate search shuffles on cell id — never all-pairs. Cell
+    * assignment and ties are deterministic (cosine desc, cid asc).
+    * Same `(query_id | neighbor_id, embedding)` contract as
+    * [[cosineTopK]]; self-matches (equal ids) are excluded.
+    */
+  def ivfAnn(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroids: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
     // cell assignment: nearest centroid by cosine (tie -> lowest cid)
-    val wAsg = Window.partitionBy(col("vec_id"))
+    val wAsg = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(s"${sparkDot("embedding", "cemb")} / (nrm * cnrm)"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${sparkDot("ca", "cemb")} / (cn * cnrm)"))
       .withColumn("arn", row_number().over(wAsg))
       .filter(col("arn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"),
-        col("nrm").as("cn"), col("cid"))
-    // queries probe the NProbe nearest cells
+      .select(col("neighbor_id"), col("ca"), col("cn"), col("cid"))
+    // queries probe the nProbe nearest cells
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val probes = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qa"), col("nrm").as("qn"))
+    val probes = queries.select(col("query_id"), col("embedding").as("qa"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", expr(s"${sparkDot("qa", "cemb")} / (qn * cnrm)"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= NProbe)
+      .filter(col("prn") <= nProbe)
       .select(col("query_id"), col("qa"), col("qn"), col("cid"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -211,7 +234,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= IvfTopK)
+      .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
 
