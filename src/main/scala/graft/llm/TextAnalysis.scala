@@ -31,13 +31,9 @@ object TextAnalysis {
            |FROM sc""".stripMargin
       },
       (s, d) => {
-        val scores = stopwords.map { case (l, ws) =>
-          expr(sparkStopHits(ws)).as(s"s_$l")
-        }
-        Catalog.t(s, d, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .select(Seq(col("doc_id"), col("lang")) ++ scores: _*)
-          .withColumn("pred_lang", expr(predLangCase))
+        val docs = Catalog.t(s, d, "documents")
+        langId(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
           .select(col("doc_id"), col("lang"), col("pred_lang"),
             (col("lang") === col("pred_lang")).as("is_correct"))
       }),
@@ -59,22 +55,7 @@ object TextAnalysis {
            |  (len(w) >= 5 AND len(w) <= 2000) AS len_ok
            |FROM d""".stripMargin
       },
-      (s, d) => {
-        val en = stopwords.toMap.apply("en")
-        Catalog.t(s, d, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .select(
-            col("doc_id"),
-            expr("cast(size(w) as bigint)").as("n_words"),
-            expr("cast(length(text) as bigint)").as("n_chars"),
-            expr("cast(length(replace(text, ' ', '')) as double) / greatest(size(w), 1)")
-              .as("avg_word_len"),
-            expr(s"cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)")
-              .as("stop_ratio"),
-            expr(s"(cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)) * 0.5" +
-              " + least(cast(size(w) as double) / 100, 1.0) * 0.5").as("quality_score"),
-            expr("size(w) >= 5 AND size(w) <= 2000").as("len_ok"))
-      }),
+      (s, d) => qualityScore(Catalog.t(s, d, "documents"))),
 
     // Token counting: whitespace, BPE-ish regex, and bytes/4 estimate.
     QueryDef(
@@ -84,12 +65,7 @@ object TextAnalysis {
              |  cast(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) as bigint) AS re_tokens,
              |  cast(ceil(strlen(text) / 4.0) as bigint) AS est_bpe_tokens
              |FROM documents""".stripMargin),
-      (s, d) => Catalog.t(s, d, "documents").select(
-        col("doc_id"),
-        expr("cast(size(split(text, ' ')) as bigint)").as("ws_tokens"),
-        expr("cast(size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)) as bigint)")
-          .as("re_tokens"),
-        expr("cast(ceil(octet_length(text) / 4.0) as bigint)").as("est_bpe_tokens"))),
+      (s, d) => tokenStats(Catalog.t(s, d, "documents"))),
 
     // Fingerprint: min-sampled md5 over 3-word shingles (minhash-style
     // signature + 1/16 mod-sample size); drops docs with <3 words, both
@@ -343,4 +319,47 @@ object TextAnalysis {
           .select("lang", "tri", "cnt", "rn")
       })
   )
+
+  // ------------------------------------------- public pipeline surface
+  //
+  // DataFrame-in / DataFrame-out text-curation operators over a `docs`
+  // table with (doc_id: bigint, text: string) — thin, shuffle-free
+  // narrow maps the gate queries above bind to the driver corpus.
+
+  /** Stopword-profile language ID: (doc_id, pred_lang). */
+  def langId(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scores = stopwords.map { case (l, ws) =>
+      expr(sparkStopHits(ws)).as(s"s_$l")
+    }
+    docs.withColumn("w", split(col("text"), " "))
+      .select(Seq(col("doc_id")) ++ scores: _*)
+      .withColumn("pred_lang", expr(predLangCase))
+      .select(col("doc_id"), col("pred_lang"))
+  }
+
+  /** Length/stopword/alpha ratios + composite quality score. */
+  def qualityScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val en = stopwords.toMap.apply("en")
+    docs.withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr("cast(size(w) as bigint)").as("n_words"),
+        expr("cast(length(text) as bigint)").as("n_chars"),
+        expr("cast(length(replace(text, ' ', '')) as double) / greatest(size(w), 1)")
+          .as("avg_word_len"),
+        expr(s"cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)")
+          .as("stop_ratio"),
+        expr(s"(cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)) * 0.5" +
+          " + least(cast(size(w) as double) / 100, 1.0) * 0.5").as("quality_score"),
+        expr("size(w) >= 5 AND size(w) <= 2000").as("len_ok"))
+  }
+
+  /** Token counts: whitespace, BPE-ish regex, and bytes/4 estimate. */
+  def tokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("cast(size(split(text, ' ')) as bigint)").as("ws_tokens"),
+      expr("cast(size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)) as bigint)")
+        .as("re_tokens"),
+      expr("cast(ceil(octet_length(text) / 4.0) as bigint)").as("est_bpe_tokens"))
 }
