@@ -30,13 +30,9 @@ object TextAnalysis {
            |  (lang = $predLangCase) AS is_correct
            |FROM sc""".stripMargin
       },
-      (s, d) => {
-        val docs = Catalog.t(s, d, "documents")
-        langId(docs)
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .select(col("doc_id"), col("lang"), col("pred_lang"),
-            (col("lang") === col("pred_lang")).as("is_correct"))
-      }),
+      (s, d) => langId(Catalog.t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          (col("lang") === col("pred_lang")).as("is_correct"))),
 
     // Quality scoring: length/stopword/alpha ratios + composite score.
     QueryDef(
@@ -326,15 +322,18 @@ object TextAnalysis {
   // table with (doc_id: bigint, text: string) — thin, shuffle-free
   // narrow maps the gate queries above bind to the driver corpus.
 
-  /** Stopword-profile language ID: (doc_id, pred_lang). */
+  /** Stopword-profile language ID: appends `pred_lang` to the input —
+    * a pure narrow map (no join, no shuffle), so it composes into scans
+    * for free.
+    */
   def langId(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val scores = stopwords.map { case (l, ws) =>
       expr(sparkStopHits(ws)).as(s"s_$l")
     }
     docs.withColumn("w", split(col("text"), " "))
-      .select(Seq(col("doc_id")) ++ scores: _*)
+      .select(Seq(col("*")) ++ scores: _*)
       .withColumn("pred_lang", expr(predLangCase))
-      .select(col("doc_id"), col("pred_lang"))
+      .drop(Seq("w") ++ stopwords.map("s_" + _._1): _*)
   }
 
   /** Length/stopword/alpha ratios + composite quality score. */
