@@ -248,6 +248,56 @@ object RelationalQueries3 {
             (sum(col("v100")).over(w).cast("double") / 100).as("hour_value"))
       }),
 
+    // --------------------------------------- uncorrelated scalar subquery
+    // Orders above the global average price. The average is one exact
+    // integer sum + one IEEE division in both engines, so the filter
+    // boundary is bit-identical.
+    QueryDef(
+      "q38_scalar_subquery",
+      Some("""SELECT o_orderkey,
+             |  cast(cast(round(o_totalprice * 100) as bigint) as double) / 100
+             |    AS totalprice
+             |FROM orders
+             |WHERE cast(cast(round(o_totalprice * 100) as bigint) as double) >
+             |  (SELECT cast(sum(cast(round(o_totalprice * 100) as bigint)) as double)
+             |     / count(*) FROM orders)""".stripMargin),
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderkey,
+            cast(cast(round(o_totalprice * 100) as bigint) as double) / 100
+              AS totalprice
+          FROM orders
+          WHERE cast(cast(round(o_totalprice * 100) as bigint) as double) >
+            (SELECT cast(sum(cast(round(o_totalprice * 100) as bigint)) as double)
+               / count(*) FROM orders)""")
+      }),
+
+    // ------------------------------------------------------- LATERAL join
+    // Top-2 orders per customer via a correlated LATERAL subquery — the
+    // SQL-surface form of the per-group top-k (q06 does the same with a
+    // window). Catalyst rewrites it to a ranked join, so it scales like
+    // the window formulation.
+    QueryDef(
+      "q39_lateral_topk",
+      Some("""SELECT c.c_custkey, o.o_orderkey,
+             |  cast(o.cents as double) / 100 AS totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, cast(round(o_totalprice * 100) as bigint) AS cents
+             |  FROM orders WHERE o_custkey = c.c_custkey
+             |  ORDER BY cents DESC, o_orderkey LIMIT 2) o""".stripMargin),
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey,
+            cast(o.cents as double) / 100 AS totalprice
+          FROM customer c, LATERAL (
+            SELECT o_orderkey, cast(round(o_totalprice * 100) as bigint) AS cents
+            FROM orders WHERE o_custkey = c.c_custkey
+            ORDER BY cents DESC, o_orderkey LIMIT 2) o""")
+      }),
+
     // -------------------------------------------------------- exact median
     // Lower median by integer row pick ((n+1) div 2 over a unique
     // ordering) — exact and engine-independent, unlike interpolating
