@@ -106,21 +106,29 @@ object Dedup {
     .groupBy(md5(col("text").cast("binary")).as("text_hash"))
     .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
 
+  /** One row per `groupCol` group: the member with max n_chars (doc_id
+    * tie-break), plus the group size as `countName`. Shared by the
+    * exact-dup (d09) and near-dup-cluster (d10) keep-best selections.
+    */
+  private def bestPerGroup(
+      df: DataFrame, groupCol: String, countName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn(countName, count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("rn") === 1)
+  }
+
   /** Keep-best canonical selection within exact-dup groups: the longest
     * copy wins (doc_id tie-break); expects an `n_chars` length column.
     */
-  def keepBest(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = docs.select(md5(col("text").cast("binary")).as("text_hash"),
-      col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy(col("text_hash"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val wc = Window.partitionBy(col("text_hash"))
-    g.withColumn("rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(wc))
-      .filter(col("rn") === 1)
+  def keepBest(docs: DataFrame): DataFrame =
+    bestPerGroup(
+      docs.select(md5(col("text").cast("binary")).as("text_hash"),
+        col("doc_id"), col("n_chars")),
+      "text_hash", "n_copies")
       .select(col("doc_id").as("keep_id"), col("n_copies"), col("text_hash"))
-  }
 
   // ------------------------------------------------- edit-distance dedup
 
@@ -471,16 +479,9 @@ object Dedup {
     * extends the same recursive CTE chain.
     */
   private def clusterKeepBestSpark(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val labels = componentsSpark(s, d)
     val docs = Catalog.t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val wc = Window.partitionBy(col("cluster_id"))
-    labels.join(docs, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(wc))
-      .filter(col("rn") === 1)
+    bestPerGroup(labels.join(docs, "doc_id"), "cluster_id", "n_members")
       .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_members"))
   }
 

@@ -195,15 +195,16 @@ object Similarity {
     * embedding)`; queries probe the `nProbe` nearest cells only, so
     * candidate search shuffles on cell id — never all-pairs. Cell
     * assignment and ties are deterministic (cosine desc, cid asc).
-    * Same `(query_id | neighbor_id, embedding)` contract as
-    * [[cosineTopK]]; self-matches (equal ids) are excluded.
+    * Same `(query_id | neighbor_id, embedding)` and `excludeSelf`
+    * contract as [[cosineTopK]].
     */
   def ivfAnn(
       queries: DataFrame,
       candidates: DataFrame,
       centroids: DataFrame,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
@@ -231,7 +232,7 @@ object Similarity {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     probes.join(assigned, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)

@@ -327,6 +327,13 @@ object TextAnalysis {
     * for free.
     */
   def langId(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // internal score-column names are shared with the oracle SQL builder
+    // and cannot be prefixed away — fail fast on collisions instead of
+    // silently clobbering (or ambiguous-reference crashing on) them
+    val internal = "w" +: stopwords.map("s_" + _._1) :+ "pred_lang"
+    val clash = docs.columns.toSeq.intersect(internal)
+    require(clash.isEmpty,
+      s"langId uses internal columns ${clash.mkString(", ")} — rename them in the input")
     val scores = stopwords.map { case (l, ws) =>
       expr(sparkStopHits(ws)).as(s"s_$l")
     }
