@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Reusable distributed graph algorithms over plain DataFrames — the
@@ -10,22 +10,64 @@ import org.apache.spark.sql.functions._
   *  - `edges`: `src`/`dst` pairs of node ids (treated as UNDIRECTED —
   *    symmetrized internally, so pass each pair once).
   *
-  * Both iterate with eager `localCheckpoint` per round: with `cache()`
-  * alone a self-referencing iteration doubles the analyzed logical plan
-  * every round and Catalyst analysis time grows exponentially. At a
-  * real 100 TB deployment the same calls run unchanged — checkpoints
-  * land on executor storage and every step is an equi-join keyed by
-  * node id.
+  * Scale design (the 100 TB story):
+  *
+  *  - **The edge list never re-shuffles.** Edges are symmetrized,
+  *    hash-partitioned by `src` ONCE and cached; per-iteration state
+  *    (ranks / labels) is explicitly repartitioned to the same layout,
+  *    so every iteration's edge join satisfies its distribution
+  *    requirement with NO Exchange on the (dominant) edge side. The
+  *    only per-round shuffles are node-sized.
+  *  - **Broadcast is an optimization, never a requirement.** When the
+  *    node count is at most `broadcastMaxNodes`, the node-sized side is
+  *    broadcast (fastest at small N). Above it — where a rank table
+  *    outgrows any broadcast threshold — the co-partitioned path runs
+  *    unchanged. Pass `broadcastMaxNodes = 0` to force the scale path.
+  *  - **Iteration persistence is pluggable.** Each round truncates
+  *    lineage eagerly (with `cache()` alone a self-referencing
+  *    iteration doubles the analyzed logical plan every round and
+  *    Catalyst analysis time grows exponentially). The default
+  *    `localCheckpoint` stores on executors — fast, but one lost
+  *    executor mid-iteration fails the job. Passing `checkpointDir`
+  *    switches to reliable `checkpoint()` against that (HDFS/object
+  *    store) directory: the fault-tolerant large-scale mode.
   */
 object GraphAlgs {
 
   private def debug(msg: => String): Unit =
     if (sys.env.contains("GRAFT_DEBUG")) System.err.println(msg)
 
-  /** Symmetrized, cached edge list. Callers own the unpersist. */
-  private def undirected(edges: DataFrame): DataFrame = {
+  /** Nodes at or below which the node-sized side is broadcast. ~4M rows
+    * of (long, long) ≈ 64 MB serialized — a conservative ceiling for
+    * executor broadcast memory; far below it at test scale, far above
+    * it at corpus scale.
+    */
+  val DefaultBroadcastMaxNodes: Long = 4L * 1000 * 1000
+
+  /** Per-round lineage truncation: reliable `checkpoint()` when a
+    * directory is given, executor-local `localCheckpoint` otherwise.
+    */
+  private final class Rounds(spark: SparkSession, dir: Option[String]) {
+    dir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (dir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+  }
+
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Symmetrized edge list, hash-partitioned by `src` once and cached.
+    * Callers own the unpersist. The explicit fixed-width repartition is
+    * load-bearing: AQE never coalesces a user repartition, so the
+    * cached layout is exactly `hash(src) % p` and iteration joins that
+    * bring the other side in the same layout need no edge Exchange.
+    */
+  private def undirected(edges: DataFrame, p: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p, col("src"))
+      .cache()
   }
 
   /** Connected components by min-label propagation with a pointer-jump
@@ -39,35 +81,49 @@ object GraphAlgs {
   def connectedComponents(
       nodes: DataFrame,
       edges: DataFrame,
-      maxRounds: Int = 40): DataFrame = {
-    val e = undirected(edges)
+      maxRounds: Int = 40,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    val rounds = new Rounds(spark, checkpointDir)
+    val p = shufflePartitions(nodes)
+    val e = undirected(edges, p)
     val labels0 = nodes.select(col("id"))
       .withColumn("label", col("id")).cache()
     var labels = labels0
-    // coalesce: sum over zero rows is null (empty graph must not NPE)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+    // one pass gets both the fixpoint potential and the broadcast gate
+    def sumAndCount(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum(col("label")), lit(0L)), count(lit(1))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (curSum, n) = sumAndCount(labels)
+    val small = n <= broadcastMaxNodes
     var prevSum = Long.MaxValue
-    var curSum = labelSum(labels)
     var round = 0
     while (curSum != prevSum && round < maxRounds) {
       val tr = System.nanoTime()
-      // (1) min label among self and neighbors
-      val nbrMin = e.join(labels, e("src") === labels("id"))
+      // (1) min label among self and neighbors. Small N: broadcast the
+      // label table (no edge shuffle, no sort). Large N: co-partitioned
+      // merge — labels arrive hash(id)%p, edges are cached hash(src)%p.
+      val labelsIn =
+        if (small) broadcast(labels) else labels.repartition(p, col("id"))
+      val nbrMin = e.join(labelsIn, e("src") === labelsIn("id"))
         .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
-      val l1 = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val nbrIn = if (small) broadcast(nbrMin) else nbrMin
+      val l1 = labels.join(nbrIn, labels("id") === nbrIn("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val l1t = rounds.truncate(l1)
       // (2) pointer jump: adopt the label of the current label (labels
       // are always node ids, so the self-join is total)
-      val ptr = l1.select(col("id").as("pid"), col("label").as("plabel"))
-      val next = l1.join(ptr, l1("label") === ptr("pid"))
-        .select(l1("id"), least(l1("label"), col("plabel")).as("label"))
-        .localCheckpoint(true)
+      val ptr = l1t.select(col("id").as("pid"), col("label").as("plabel"))
+      val ptrIn = if (small) broadcast(ptr) else ptr
+      val next = l1t.join(ptrIn, l1t("label") === ptrIn("pid"))
+        .select(l1t("id"), least(l1t("label"), col("plabel")).as("label"))
+      val nextT = rounds.truncate(next)
       prevSum = curSum
-      curSum = labelSum(next)
-      labels = next
+      curSum = sumAndCount(nextT)._1
+      labels = nextT
       round += 1
       debug(s"[cc] round $round sum=$curSum " +
         f"took=${(System.nanoTime() - tr) / 1e9}%.1fs")
@@ -90,39 +146,51 @@ object GraphAlgs {
       nodes: DataFrame,
       edges: DataFrame,
       iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    val rounds = new Rounds(spark, checkpointDir)
+    val p = shufflePartitions(nodes)
     // cached: the edge set appears on BOTH sides of the deg bake-in join
     // below — uncached it would evaluate its lineage twice
-    val e = undirected(edges)
+    val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("dnode")).agg(count(lit(1)).as("deg"))
-    // degree is loop-invariant: bake it onto the edge list ONCE so each
-    // iteration is a single broadcast join + partial-agg shuffle
+    // degree is loop-invariant: bake it onto the edge list ONCE (and
+    // keep the hash(src)%p layout) so each iteration is one edge join
+    // with no edge-side Exchange + a partial-agg shuffle
     val edgesWithDeg = e.join(deg, col("src") === col("dnode"))
-      .select(col("src"), col("dst"), col("deg")).cache()
-    val n0 = nodes.select(col("id")).cache()
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(p, col("src")).cache()
+    val n0 = nodes.select(col("id")).repartition(p, col("id")).cache()
     val n = n0.count()
     if (n == 0) { // empty graph: no ranks (and no division by zero)
       e.unpersist(); edgesWithDeg.unpersist(); n0.unpersist()
       return n0.select(col("id"), col("id").as("rank"))
     }
+    val small = n <= broadcastMaxNodes
     val init = scale / n
     val base = (15L * init) / 100L
-    debug(s"[pagerank] n=$n edges cached")
+    debug(s"[pagerank] n=$n small=$small edges cached")
     var pr = n0.withColumn("val", lit(init))
     for (it <- 1 to iters) {
       val tr = System.nanoTime()
-      // broadcast the rank table: checkpointed RDDs carry no stats, so
-      // without the hint Spark shuffles the full edge list every
-      // iteration. (At a scale where ranks outgrow broadcast, the
-      // alternative is co-partitioning edges and ranks on the key once.)
-      val contrib = broadcast(pr)
-        .join(edgesWithDeg, pr("id") === edgesWithDeg("src"))
+      // Small N: broadcast the rank table (checkpointed RDDs carry no
+      // stats, so without the hint Spark would shuffle the edge list).
+      // Large N: ranks repartition to the edge layout — node-sized
+      // Exchange, edge side untouched. Never a mandatory broadcast.
+      val prIn =
+        if (small) broadcast(pr) else pr.repartition(p, col("id"))
+      val contrib = prIn
+        .join(edgesWithDeg, prIn("id") === edgesWithDeg("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("val div deg")).as("msum"))
-      pr = n0.join(broadcast(contrib), n0("id") === contrib("dst"), "left")
+      val contribIn =
+        if (small) broadcast(contrib) else contrib.repartition(p, col("dst"))
+      val next = n0.join(contribIn, n0("id") === contribIn("dst"), "left")
         .select(n0("id"),
           (lit(base) + expr("(85 * coalesce(msum, 0L)) div 100")).as("val"))
-        .localCheckpoint(true)
+      pr = rounds.truncate(next)
       debug(f"[pagerank] iter $it took=${(System.nanoTime() - tr) / 1e9}%.1fs")
     }
     e.unpersist()

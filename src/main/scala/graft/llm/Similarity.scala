@@ -78,11 +78,15 @@ object Similarity {
 
   // ------------------------------------------- embedding-cosine near-dup
 
-  // Exact near-duplicate pairs above a high cosine threshold. This is
-  // the verification baseline (all-pairs on the broadcast side); at
-  // 100 TB candidate generation moves to the LSH buckets of s02 and only
-  // candidate pairs get the exact cosine.
-  private val NearDupMin = 0.92
+  // Exact near-duplicate pairs above a cosine threshold. This is the
+  // verification baseline (all-pairs on the broadcast side); at 100 TB
+  // candidate generation moves to the LSH buckets of s02 and only
+  // candidate pairs get the exact cosine. The threshold sits below the
+  // test tables' observed cosine maxima (0.48/0.51/0.60 at
+  // sf0.001/0.01/0.1) so the gate check is non-vacuous: the oracle
+  // match proves the dot-product fold, the norm, and the threshold
+  // logic on real rows, not on an empty set.
+  private val NearDupMin = 0.4
 
   private def nearDupSpark(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -211,14 +215,16 @@ object Similarity {
       .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
     val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
       .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
-    // cell assignment: nearest centroid by cosine (tie -> lowest cid)
-    val wAsg = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(s"${sparkDot("ca", "cemb")} / (cn * cnrm)"))
-      .withColumn("arn", row_number().over(wAsg))
-      .filter(col("arn") === 1)
-      .select(col("neighbor_id"), col("ca"), col("cn"), col("cid"))
+    // Cell assignment: nearest centroid by cosine (tie -> lowest cid),
+    // as a SHUFFLE-FREE narrow map: the centroid set is collected once
+    // (small by contract — it was broadcast before) and inlined as an
+    // array literal, so the argmax runs as a higher-order fold inside
+    // the candidate scan stage. The previous shape (crossJoin +
+    // row_number window) exchanged the exploded N x C rows. Driver-side
+    // norms use the identical sequential left fold, so every double is
+    // bit-equal to the oracle's. Above MaxInlineCentroids the argmax
+    // falls back to a min_by aggregation (one pre-window-width shuffle).
+    val assigned = assignCells(c, cent)
     // queries probe the nProbe nearest cells
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
@@ -237,6 +243,53 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  /** Largest centroid set inlined as an expression literal; beyond it
+    * the assignment uses `min_by` over a broadcast join instead (still
+    * far narrower than the old N x C window exchange).
+    */
+  private val MaxInlineCentroids = 1024
+
+  /** Assign each candidate `(neighbor_id, ca, cn)` to its nearest
+    * centroid (cosine desc, cid asc ties). Shuffle-free inline fold for
+    * small centroid sets; `min_by`-style aggregation fallback above
+    * [[MaxInlineCentroids]].
+    */
+  private def assignCells(c: DataFrame, cent: DataFrame): DataFrame = {
+    val centRows = cent.select(col("cid").cast("long"),
+      col("cemb").cast("array<double>"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    if (centRows.length <= MaxInlineCentroids) {
+      // exact-roundtrip literals: Double.toString <-> cast(string as
+      // double) is bit-exact, so inlining loses nothing
+      def dlit(d: Double): String = s"cast('${d.toString}' as double)"
+      val centArr = centRows.map { case (cid, emb, nrm) =>
+        s"named_struct('cid', cast($cid as bigint), " +
+          s"'cemb', array(${emb.map(dlit).mkString(",")}), 'cnrm', ${dlit(nrm)})"
+      }.mkString("array(", ", ", ")")
+      // fold in cid order, replace on strictly-greater cosine: ties
+      // keep the lowest cid — same pick as row_number(ccos desc, cid asc)
+      c.withColumn("best", expr(
+        s"""aggregate(
+           |  transform($centArr, cc -> named_struct('cid', cc.cid,
+           |    'ccos', ${sparkDot("ca", "cc.cemb")} / (cn * cc.cnrm))),
+           |  named_struct('cid', cast(-1 as bigint), 'ccos', cast('-2.0' as double)),
+           |  (acc, x) -> IF(x.ccos > acc.ccos, x, acc))""".stripMargin))
+        .select(col("neighbor_id"), col("ca"), col("cn"),
+          col("best.cid").as("cid"))
+    } else {
+      // same pick via aggregation: max struct of (ccos, -cid) — one
+      // shuffle at pre-window width, no row_number materialization
+      c.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(s"${sparkDot("ca", "cemb")} / (cn * cnrm)"))
+        .groupBy(col("neighbor_id"))
+        .agg(
+          first(col("ca")).as("ca"), first(col("cn")).as("cn"),
+          (-max(struct(col("ccos"), (-col("cid")).as("negCid")))
+            .getField("negCid")).as("cid"))
+    }
   }
 
   private def ivfOracle: String =

@@ -176,18 +176,36 @@ object RelationalQueries2 {
           (col("F").cast("double") / 100).as("F"),
           (col("O").cast("double") / 100).as("O"))),
 
-    // Approximate distinct sketches (HLL++): algorithm differs from
-    // DuckDB's estimator, so no value oracle — driver rows-only check.
-    // Scalar output columns only: the driver's compare sorts the result
-    // with pandas, which cannot sort an array column (round-1 failure).
+    // Approximate distinct / percentile sketches (HLL++, GK): the
+    // estimators differ from DuckDB's, so the estimates themselves can't
+    // be hash-compared. Instead the EXACT companion values are the
+    // hash-checked columns, and each estimate is asserted within
+    // relative-error bounds ON THE SPARK SIDE, exported as a boolean the
+    // oracle pins to TRUE — an out-of-bounds estimate flips the flag and
+    // fails the hash match. Bounds: HLL++ default rsd is 5%, we allow
+    // 3 sigma (15%); approx_percentile(acc=1000) is rank-bounded, we
+    // allow the exact [p-0.05, p+0.05] quantile band.
     QueryDef(
       "q25_approx_distinct",
-      None,
+      Some("""SELECT l_returnflag,
+             |  cast(count(DISTINCT l_partkey) as bigint) AS exact_parts,
+             |  TRUE AS approx_parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
-          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95")))
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"),
+          expr("percentile(l_extendedprice, 0.90)").as("p90"),
+          expr("percentile(l_extendedprice, 1.0)").as("p100"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.15).as("approx_parts_ok"),
+          col("price_p50").between(col("p45"), col("p55")).as("p50_ok"),
+          col("price_p95").between(col("p90"), col("p100")).as("p95_ok")))
   )
 }

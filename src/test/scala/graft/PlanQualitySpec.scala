@@ -53,6 +53,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(plan("t03_token_stats"), "Exchange") == 0)
   }
 
+  test("s03 IVF cell assignment is a shuffle-free narrow map") {
+    // the candidate->cell argmax must run inside the scan stage: no
+    // window (and no Exchange feeding one) between the embedding scan
+    // and the cell id (VERDICT r02 item 6). Remaining windows are the
+    // tiny query-side probe ranking and the final per-query top-k.
+    val p = plan("s03_ann_ivf")
+    assert(count(p, "Window") <= 2, p)
+    assert(!p.contains("arn"), p) // the old N x C assignment window
+  }
+
   test("partitioned writes enable partition pruning on re-read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part")
     try {
