@@ -60,13 +60,30 @@ class GraphAlgsSpec extends AnyFunSuite {
           e: Exception): Unit = ()
     }
     spark.listenerManager.register(l)
-    try { body; spark.sparkContext.listenerBus.waitUntilEmpty() }
-    finally spark.listenerManager.unregister(l)
+    try {
+      body
+      // QueryExecutionListener delivery is async; give the bus a moment
+      val deadline = System.nanoTime() + 5000000000L
+      while (plans.synchronized(plans.isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // drain stragglers
+    } finally spark.listenerManager.unregister(l)
     plans.toSeq
   }
 
   test("scale path (broadcastMaxNodes=0) never broadcasts the rank/label " +
     "table and stays bit-identical") {
+    // disable engine-chosen broadcasts: AQE happily broadcasts the tiny
+    // test-scale tables, which is fine (and would not happen at 100 TB).
+    // What must NOT exist is a broadcast the plan cannot run without —
+    // an explicit broadcast() hint survives these thresholds, so with
+    // them off, any BroadcastExchange left is a mandatory one.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
     val prPlans = capturePlans {
       val got = GraphAlgs.pageRank(nodes, edges, iters = 5, broadcastMaxNodes = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -88,6 +105,10 @@ class GraphAlgsSpec extends AnyFunSuite {
     assert(ccPlans.nonEmpty)
     assert(!ccPlans.exists(_.contains("BroadcastExchange")),
       ccPlans.find(_.contains("BroadcastExchange")).getOrElse(""))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   test("reliable checkpoint mode: results identical, checkpoint dir used") {
