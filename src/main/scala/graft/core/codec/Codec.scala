@@ -86,6 +86,73 @@ object Codecs {
     def write(w: ByteWriter, v: Array[Byte]): Unit = w.writeBytes(v)
   }
 
+  /** Flink `StringSerializer` wire layout (`StringValue.writeString`,
+    * stable across every public Flink release): var-length-encoded
+    * `length+1` (0 = null), then each CHAR as little-endian 7-bit
+    * var-width chunks — not UTF-8. Needed for bit-compatibility with
+    * real Flink string state (graft's own `string` codec is
+    * varint+utf8 and lives in the graft dialect only).
+    */
+  object FlinkStringCodec extends Codec[String] {
+    val id = "flink-string"
+    private val HighBit = 0x80
+    def read(r: ByteReader): String = {
+      var len = r.readByte() & 0xff
+      if (len == 0) return null
+      if (len >= HighBit) {
+        var shift = 7
+        len = len & 0x7f
+        var curr = r.readByte() & 0xff
+        while (curr >= HighBit) {
+          len |= (curr & 0x7f) << shift; shift += 7
+          curr = r.readByte() & 0xff
+        }
+        len |= curr << shift
+      }
+      len -= 1
+      val data = new Array[Char](len)
+      var i = 0
+      while (i < len) {
+        var c = r.readByte() & 0xff
+        if (c >= HighBit) {
+          var shift = 7
+          c = c & 0x7f
+          var curr = r.readByte() & 0xff
+          while (curr >= HighBit) {
+            c |= (curr & 0x7f) << shift; shift += 7
+            curr = r.readByte() & 0xff
+          }
+          c |= curr << shift
+        }
+        data(i) = c.toChar
+        i += 1
+      }
+      new String(data, 0, len)
+    }
+    def write(w: ByteWriter, v: String): Unit = {
+      if (v == null) { w.writeByte(0); return }
+      var lenToWrite = v.length + 1
+      while (lenToWrite >= HighBit) {
+        w.writeByte(lenToWrite | HighBit); lenToWrite >>>= 7
+      }
+      w.writeByte(lenToWrite)
+      var i = 0
+      while (i < v.length) {
+        var c: Int = v.charAt(i)
+        while (c >= HighBit) { w.writeByte(c | HighBit); c >>>= 7 }
+        w.writeByte(c)
+        i += 1
+      }
+    }
+  }
+
+  /** Flink `BytePrimitiveArraySerializer` layout: i32 length + bytes. */
+  object FlinkBytesCodec extends Codec[Array[Byte]] {
+    val id = "flink-bytes"
+    def read(r: ByteReader): Array[Byte] = r.readFully(r.readInt())
+    def write(w: ByteWriter, v: Array[Byte]): Unit = { w.writeInt(v.length); w.writeRaw(v) }
+  }
+
   /** Single placeholder byte, like Flink's VoidNamespaceSerializer. */
   object VoidNamespaceCodec extends Codec[Unit] {
     val id = "void"
@@ -189,7 +256,8 @@ object CodecRegistry {
 
   private val primitives: Map[String, Codec[_]] = Seq(
     IntCodec, LongCodec, ShortCodec, ByteCodec, BooleanCodec,
-    FloatCodec, DoubleCodec, StringCodec, BytesCodec, VoidNamespaceCodec)
+    FloatCodec, DoubleCodec, StringCodec, BytesCodec, VoidNamespaceCodec,
+    FlinkStringCodec, FlinkBytesCodec)
     .map(c => c.id -> (c: Codec[_])).toMap
 
   def resolve(id: String): Codec[_] = {

@@ -42,8 +42,19 @@ object MetadataIO {
     if (Files.isDirectory(p)) p.resolve(MetadataFile) else p
   }
 
+  /** Loads either dialect, sniffed from the magic: `GRFTSP01` (graft)
+    * or Flink's checkpoint header 0x4960672d (S1 — real `_metadata`,
+    * reference StateMetadataUtils.java:59-74, parsed by
+    * [[graft.core.flink.FlinkMetadataIO]]).
+    */
   def load(pathStr: String): SavepointMeta = {
     val mp = resolveMetadataPath(pathStr)
+    val head = {
+      val in = Files.newInputStream(mp)
+      try in.readNBytes(4) finally in.close()
+    }
+    if (graft.core.flink.FlinkMetadataIO.isFlinkMetadata(head))
+      return graft.core.flink.FlinkMetadataIO.load(mp.toString)
     val in = new BufferedInputStream(Files.newInputStream(mp))
     try {
       val r = new ByteReader(in)

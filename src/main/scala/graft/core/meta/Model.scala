@@ -40,12 +40,30 @@ final case class KeyedFileHandle(
     kind: Byte = KeyedFileHandle.StreamKind)
 
 object KeyedFileHandle {
-  /** Full-savepoint stream file (reference S3 layout). */
+  /** Full-savepoint stream file (graft dialect layout). */
   val StreamKind: Byte = 0
   /** Incremental checkpoint: a RocksDB directory, one column family per
     * state (reference S4; offsets unused).
     */
   val RocksDbKind: Byte = 1
+  /** Full-savepoint stream file in the REAL Flink layout: proxy
+    * metaBytes head, absolute offsets (0 = empty group), flag-bit
+    * state-id runs ([[graft.core.scan.FlinkStreamFormat]]).
+    */
+  val FlinkStreamKind: Byte = 2
+  /** Parsed from metadata but not scannable (e.g. a Flink incremental
+    * RocksDB handle whose file set was not materialized); relativePath
+    * holds the reason. Scanning raises it as the error.
+    */
+  val UnsupportedKind: Byte = 3
+}
+
+/** Savepoint wire dialect: graft's own compact layout vs the
+  * reconstructed Flink 1.7 layout (`_metadata` + proxy + stream).
+  */
+object Dialect {
+  val Graft: Byte = 0
+  val Flink: Byte = 1
 }
 
 /** Non-keyed (operator) state of one subtask: named list states with a
@@ -90,11 +108,20 @@ final case class OperatorStateMeta(
 final case class SavepointMeta(
     checkpointId: Long,
     basePath: String,
-    operators: Seq[OperatorStateMeta]) {
+    operators: Seq[OperatorStateMeta],
+    dialect: Byte = Dialect.Graft) {
 
-  def operator(uid: String): OperatorStateMeta =
-    operators.find(o => o.uid == uid || o.operatorId == uid).getOrElse(
+  /** Match by uid, by operator-id hex, or by murmur3_128(uid) — the
+    * last covers real Flink metadata, which stores only hashed ids
+    * (the reference does the same lookup, StateMetadataUtils.java:78-81
+    * via Identifiers.operatorId).
+    */
+  def operator(uid: String): OperatorStateMeta = {
+    lazy val hashed = Identifiers.operatorId(uid)
+    operators.find(o => o.uid == uid || o.operatorId == uid ||
+        o.operatorId == hashed).getOrElse(
       throw new NoSuchElementException(s"no operator with uid '$uid' in savepoint"))
+  }
 
   /** Metadata-level replace of operator states (reference
     * StateMetadataUtils.createNewSavepoint, :103-125).

@@ -125,7 +125,8 @@ final case class StateSegmentPartition(
     compression: Boolean,
     stateNames: Array[String],   // id -> name
     keepIds: Array[Int],         // empty = keep all
-    fields: Array[String])       // pruned output columns, in order
+    fields: Array[String],       // pruned output columns, in order
+    flinkLayout: Boolean = false) // real Flink stream layout vs graft
     extends InputPartition
 
 final class SavepointScan(
@@ -159,6 +160,10 @@ final class SavepointScan(
         // set of column families to open
         Seq(RocksDbPartition(p.toString, nameFilter.map(_.toArray),
           requiredSchema.fieldNames))
+      } else if (f.kind == KeyedFileHandle.UnsupportedKind) {
+        throw new UnsupportedOperationException(
+          s"subtask ${f.subtaskIndex} of operator ${op.uid} is not " +
+            s"scannable: ${f.relativePath}")
       } else streamPartitions(f, p, conf, stateNames, keepIds)
     }.toArray
   }
@@ -173,14 +178,16 @@ final class SavepointScan(
     val len = fs.getFileStatus(p).getLen
     val nGroups = f.kgEnd - f.kgStart + 1
     val fields = requiredSchema.fieldNames
+    val flink = f.kind == KeyedFileHandle.FlinkStreamKind
     if (splitPerKeyGroup) {
       (0 until nGroups).map { g =>
         StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
-          f.kgEnd, g, g, op.compression, stateNames, keepIds, fields)
+          f.kgEnd, g, g, op.compression, stateNames, keepIds, fields, flink)
       }
     } else {
       Seq(StateSegmentPartition(p.toString, len, f.offsets.toArray, f.kgStart,
-        f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds, fields))
+        f.kgEnd, 0, nGroups - 1, op.compression, stateNames, keepIds, fields,
+        flink))
     }
   }
 
@@ -257,17 +264,32 @@ final class StateSegmentReader(p: StateSegmentPartition)
   private var it: Iterator[StateStreamFormat.Record] = Iterator.empty
   private var current: StateStreamFormat.Record = _
 
-  private def segmentEnd(g: Int): Long =
-    if (g + 1 < p.offsets.length) p.offsets(g + 1) else p.fileLen
+  /** Flink layout: offset 0 marks an empty key-group (the proxy bytes
+    * occupy position 0, reference ValidOffsetsIterator.java:31-34), so
+    * the end of a segment is the next NON-ZERO offset (or file end).
+    * Graft layout: every group has a real (possibly empty) segment.
+    */
+  private def segmentEnd(g: Int): Long = {
+    var i = g + 1
+    while (i < p.offsets.length && p.flinkLayout && p.offsets(i) == 0L) i += 1
+    if (i < p.offsets.length) p.offsets(i) else p.fileLen
+  }
 
   private def nextGroupIterator(): Boolean = {
+    while (group <= p.groupTo && p.flinkLayout && p.offsets(group) == 0L)
+      group += 1 // empty key-group in the Flink layout
     if (group > p.groupTo) return false
     val off = p.offsets(group)
     val end = segmentEnd(group)
     in.seek(off)
     val bounded = new BoundedInputStream(in, end - off)
-    it = StateStreamFormat.decodeGroup(bounded, p.compression, keep,
-      needKey, needValue)
+    it =
+      if (p.flinkLayout)
+        FlinkStreamFormat.decodeGroup(bounded, p.compression, keep,
+          needKey, needValue)
+      else
+        StateStreamFormat.decodeGroup(bounded, p.compression, keep,
+          needKey, needValue)
     group += 1
     true
   }

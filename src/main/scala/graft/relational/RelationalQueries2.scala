@@ -198,14 +198,14 @@ object RelationalQueries2 {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
           expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95"),
-          expr("percentile(l_extendedprice, 0.45)").as("p45"),
-          expr("percentile(l_extendedprice, 0.55)").as("p55"),
-          expr("percentile(l_extendedprice, 0.90)").as("p90"),
-          expr("percentile(l_extendedprice, 1.0)").as("p100"))
+          // one buffer for all four exact bound quantiles
+          expr("percentile(l_extendedprice, array(0.45D, 0.55D, 0.90D, 1.0D))").as("pb"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts"))
             <= col("exact_parts") * 0.15).as("approx_parts_ok"),
-          col("price_p50").between(col("p45"), col("p55")).as("p50_ok"),
-          col("price_p95").between(col("p90"), col("p100")).as("p95_ok")))
+          col("price_p50").between(element_at(col("pb"), 1),
+            element_at(col("pb"), 2)).as("p50_ok"),
+          col("price_p95").between(element_at(col("pb"), 3),
+            element_at(col("pb"), 4)).as("p95_ok")))
   )
 }

@@ -29,6 +29,15 @@ final class OperatorStateWriter(
   private var maxParallelism: Int = base.maxParallelism
   private var rowsAcc: Option[Dataset[KeyedStateRow]] = None
   private var nonKeyedTransform: Option[(Int, OperatorBackendState) => OperatorBackendState] = None
+  private var dialect: Byte = savepoint.dialect
+
+  /** Output dialect: `Dialect.Flink` emits the real Flink layout
+    * (`_metadata` + proxy-headed stream files, S9/S10 bit-compat);
+    * `Dialect.Graft` the compact graft layout. Defaults to the loaded
+    * savepoint's own dialect, so a Flink savepoint transforms back into
+    * a Flink savepoint (reference behavior).
+    */
+  def withDialect(d: Byte): this.type = { dialect = d; this }
 
   private implicit val rowEnc: org.apache.spark.sql.Encoder[KeyedStateRow] =
     Encoders.product[KeyedStateRow]
@@ -135,6 +144,19 @@ final class OperatorStateWriter(
     val maxPar = maxParallelism
     val compression = base.compression
     val opId = base.operatorId
+    val outDialect = dialect
+    // Flink layout: every state file opens with the serialized
+    // KeyedBackendSerializationProxy, built driver-side once and
+    // shipped to the encode tasks — exactly the reference's metaBytes
+    // plumbing (RocksDBSavepointWriter.java:66-72,113)
+    val metaBytes: Array[Byte] =
+      if (outDialect == Dialect.Flink && rowsAcc.isDefined)
+        graft.core.flink.FlinkProxyIO.toBytes(graft.core.flink.FlinkProxyIO.Proxy(
+          compression,
+          keyCodecId.getOrElse(throw new IllegalStateException(
+            "Flink dialect requires a key codec")),
+          finalStates))
+      else Array.emptyByteArray
 
     val newFiles: Seq[KeyedFileHandle] = rowsAcc match {
       case None =>
@@ -178,11 +200,15 @@ final class OperatorStateWriter(
           .flatMapSortedGroups(col("keyGroup"), col("stateId")) {
             (opIndex: Int, it: Iterator[EncRow]) =>
               Iterator.single(OperatorStateWriter.encodeSubtask(
-                outAbs, opId, opIndex, par, maxPar, compression, it))
+                outAbs, opId, opIndex, par, maxPar, compression, it,
+                outDialect, metaBytes))
           }(Encoders.product[HandleRow])
           .collect() // handles only — never rows (SURVEY §7.4 #7)
+        val kind =
+          if (outDialect == Dialect.Flink) KeyedFileHandle.FlinkStreamKind
+          else KeyedFileHandle.StreamKind
         handles.map(h => KeyedFileHandle(h.subtaskIndex, h.relativePath,
-          h.kgStart, h.kgEnd, h.offsets)).toSeq.sortBy(_.subtaskIndex)
+          h.kgStart, h.kgEnd, h.offsets, kind)).toSeq.sortBy(_.subtaskIndex)
     }
 
     // S11: non-keyed transform, driver-side; a parallelism change first
@@ -204,8 +230,11 @@ final class OperatorStateWriter(
       .filterNot(_.operatorId == opId)
       .map(o => o.copy(keyedFiles = o.keyedFiles.map(absolutize)))
     val newMeta = SavepointMeta(savepoint.checkpointId + 1, outAbs,
-      others :+ newOp)
-    MetadataIO.write(outAbs, newMeta)
+      others :+ newOp, outDialect)
+    if (outDialect == Dialect.Flink)
+      graft.core.flink.FlinkMetadataIO.write(outAbs, newMeta)
+    else
+      MetadataIO.write(outAbs, newMeta)
     newMeta
   }
 
@@ -286,21 +315,29 @@ object OperatorStateWriter {
 
   /** Executor-side sequential encode of one subtask's sorted rows into
     * one state file (reference S9, RocksDBSavepointWriter.java:49-183).
+    * Flink dialect: proxy metaBytes head + the real stream layout with
+    * absolute offsets (RocksDBSavepointWriter.java:110-121).
     */
   private[state] def encodeSubtask(
       outDir: String, opId: String, opIndex: Int, par: Int, maxPar: Int,
-      compression: Boolean, it: Iterator[EncRow]): HandleRow = {
+      compression: Boolean, it: Iterator[EncRow],
+      dialect: Byte = Dialect.Graft,
+      metaBytes: Array[Byte] = Array.emptyByteArray): HandleRow = {
     val (kgStart, kgEnd) = KeyGroups.keyGroupRange(maxPar, par, opIndex)
     val rel = s"op-$opId/part-$opIndex-${java.util.UUID.randomUUID().toString.take(8)}"
     val path = new org.apache.hadoop.fs.Path(outDir, rel)
     val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val out = fs.create(path, false)
+    val records =
+      it.map(e => (e.keyGroup, StateStreamFormat.Record(e.stateId, e.key, e.value)))
     val offsets =
-      try StateStreamFormat.encode(
-        out,
-        it.map(e => (e.keyGroup, StateStreamFormat.Record(e.stateId, e.key, e.value))),
-        kgStart, kgEnd, compression)
-      finally out.close()
+      try {
+        if (dialect == Dialect.Flink) {
+          out.write(metaBytes)
+          graft.core.scan.FlinkStreamFormat.encode(
+            out, records, kgStart, kgEnd, compression, metaBytes.length.toLong)
+        } else StateStreamFormat.encode(out, records, kgStart, kgEnd, compression)
+      } finally out.close()
     HandleRow(opIndex, rel, kgStart, kgEnd, offsets)
   }
 }

@@ -77,6 +77,39 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // REAL-Flink-layout roundtrip (S1/S3/S9/S10 bit-compat surface):
+    // same shape as sp01 but the savepoint on disk is the Flink 1.7
+    // dialect — Checkpoints-header `_metadata` (SavepointV2 body),
+    // KeyedBackendSerializationProxy head on the state file, flag-bit
+    // state-id runs, END_OF_KEY_GROUP marks, snappy-FRAMED compression,
+    // and Flink `StringValue` string keys. The loader sniffs the magic,
+    // so the read side runs the Flink decode path end-to-end.
+    QueryDef(
+      "sp06_flink_roundtrip",
+      Some("""SELECT c_name AS key,
+             |  cast(round(c_acctbal * 100) as bigint) AS cents
+             |FROM customer""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val bal = Catalog.t(s, d, "customer")
+          .select(col("c_name"),
+            expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+          .as[(String, Long)]
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("flink-bal", parallelism = 4,
+            maxParallelism = 128), "flink-bal")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(Codecs.FlinkStringCodec)
+          .createNewValueState("Balance", bal, LongCodec)
+          .writeAll(tmp("graft-sp06"))
+        // load back through the magic-sniffing loader (drops the
+        // in-memory meta: proves `_metadata` + proxy carry everything)
+        val loaded = Savepoints.load(meta.basePath)
+        Savepoints.reader(s, loaded, "flink-bal")
+          .readValueStates[String, Long]("Balance")
+          .toDF("key", "cents")
+      }),
+
     // List-state roundtrip (P3/P4 + the ',' separated list layout):
     // quantities per order packed into list state, read back FLATTENED —
     // which must equal the plain projection of lineitem.
