@@ -153,6 +153,30 @@ object Codecs {
     def write(w: ByteWriter, v: Array[Byte]): Unit = { w.writeInt(v.length); w.writeRaw(v) }
   }
 
+  /** Flink `JavaSerializer` layout: one fresh Java object-serialization
+    * stream per element (header + object) — the
+    * DefaultOperatorStateBackend default for `getSerializableListState`
+    * payloads (reference OperatorStateReader.java:172-185). Read-side
+    * `ObjectInputStream` buffers ahead, so like [[ListCodec]] this is
+    * only decodable from a slice that contains exactly one element
+    * (non-keyed list entries are offset-sliced, so that holds).
+    */
+  object FlinkJavaCodec extends Codec[AnyRef] {
+    val id = "flink-java"
+    def read(r: ByteReader): AnyRef = {
+      val in = new java.io.InputStream {
+        def read(): Int = r.tryReadUnsignedByte()
+      }
+      new java.io.ObjectInputStream(in).readObject().asInstanceOf[AnyRef]
+    }
+    def write(w: ByteWriter, v: AnyRef): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(v); oos.flush()
+      w.writeRaw(bos.toByteArray)
+    }
+  }
+
   /** Single placeholder byte, like Flink's VoidNamespaceSerializer. */
   object VoidNamespaceCodec extends Codec[Unit] {
     val id = "void"
@@ -257,7 +281,7 @@ object CodecRegistry {
   private val primitives: Map[String, Codec[_]] = Seq(
     IntCodec, LongCodec, ShortCodec, ByteCodec, BooleanCodec,
     FloatCodec, DoubleCodec, StringCodec, BytesCodec, VoidNamespaceCodec,
-    FlinkStringCodec, FlinkBytesCodec)
+    FlinkStringCodec, FlinkBytesCodec, FlinkJavaCodec)
     .map(c => c.id -> (c: Codec[_])).toMap
 
   def resolve(id: String): Codec[_] = {

@@ -85,40 +85,64 @@ object FlinkMetadataIO {
       d.writeInt(0) // master states
       d.writeInt(meta.operators.size)
       meta.operators.foreach { op =>
-        require(op.nonKeyed.values.forall(b =>
-          b.listStates.isEmpty && b.broadcastStates.isEmpty),
-          s"operator ${op.uid}: the Flink dialect writer does not emit " +
-            "non-keyed operator state; use the graft dialect")
         val idBytes = hexToBytes(op.operatorId)
         d.writeLong(longAt(idBytes, 0))
         d.writeLong(longAt(idBytes, 8))
         d.writeInt(op.parallelism)
         d.writeInt(op.maxParallelism)
         d.writeInt(1) // legacy chain length
-        d.writeInt(op.keyedFiles.size)
-        op.keyedFiles.sortBy(_.subtaskIndex).foreach { f =>
-          require(f.kind == KeyedFileHandle.FlinkStreamKind,
-            s"operator ${op.uid} subtask ${f.subtaskIndex}: file is not " +
-              "in the Flink stream layout; rewrite its rows with the " +
-              "Flink dialect first")
-          d.writeInt(f.subtaskIndex)
+        val keyedBySubtask = op.keyedFiles.map(f => f.subtaskIndex -> f).toMap
+        val nonKeyedSubtasks = op.nonKeyed.filter { case (_, b) =>
+          b.listStates.nonEmpty || b.broadcastStates.nonEmpty
+        }
+        val subtasks = (keyedBySubtask.keySet ++ nonKeyedSubtasks.keySet).toSeq.sorted
+        d.writeInt(subtasks.size)
+        subtasks.foreach { subtask =>
+          d.writeInt(subtask)
           d.writeLong(-1L) // legacy duration
           d.writeInt(0)    // legacy state count
-          d.writeInt(0)    // managed operator state: none
-          d.writeInt(0)    // raw operator state: none
-          // managed keyed: KEY_GROUPS_HANDLE
-          d.writeByte(KeyGroupsHandle)
-          d.writeInt(f.kgStart)
-          d.writeInt(f.kgEnd - f.kgStart + 1)
-          f.offsets.foreach(d.writeLong)
-          val p = resolvePath(meta.basePath, f.relativePath)
-          val size =
-            try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-              .getFileStatus(p).getLen
-            catch { case _: java.io.IOException => 0L }
-          d.writeByte(FileStreamHandle)
-          d.writeLong(size)
-          d.writeUTF(p.toString)
+          // managed operator (non-keyed) state: PARTITIONABLE handle
+          // with an inline byte-stream delegate
+          nonKeyedSubtasks.get(subtask) match {
+            case None => d.writeInt(0)
+            case Some(b) =>
+              d.writeInt(1)
+              val (bytes, stateOffsets) = FlinkOperatorStateIO.write(b)
+              d.writeByte(PartitionableOpHandle)
+              d.writeInt(stateOffsets.size)
+              stateOffsets.foreach { so =>
+                d.writeUTF(so.name)
+                d.writeByte(so.mode)
+                d.writeInt(so.offsets.size)
+                so.offsets.foreach(d.writeLong)
+              }
+              d.writeByte(ByteStreamHandle)
+              d.writeUTF(s"op-${op.operatorId}-sub-$subtask")
+              d.writeInt(bytes.length)
+              d.write(bytes)
+          }
+          d.writeInt(0) // raw operator state: none
+          // managed keyed: KEY_GROUPS_HANDLE (or null)
+          keyedBySubtask.get(subtask) match {
+            case None => d.writeByte(NullHandle)
+            case Some(f) =>
+              require(f.kind == KeyedFileHandle.FlinkStreamKind,
+                s"operator ${op.uid} subtask ${f.subtaskIndex}: file is not " +
+                  "in the Flink stream layout; rewrite its rows with the " +
+                  "Flink dialect first")
+              d.writeByte(KeyGroupsHandle)
+              d.writeInt(f.kgStart)
+              d.writeInt(f.kgEnd - f.kgStart + 1)
+              f.offsets.foreach(d.writeLong)
+              val p = resolvePath(meta.basePath, f.relativePath)
+              val size =
+                try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+                  .getFileStatus(p).getLen
+                catch { case _: java.io.IOException => 0L }
+              d.writeByte(FileStreamHandle)
+              d.writeLong(size)
+              d.writeUTF(p.toString)
+          }
           // raw keyed: none
           d.writeByte(NullHandle)
         }
@@ -163,18 +187,20 @@ object FlinkMetadataIO {
         d.readInt() // legacy chain length (always 1)
         val nSub = d.readInt()
         val files = scala.collection.mutable.ArrayBuffer.empty[KeyedFileHandle]
+        val nonKeyed = scala.collection.mutable.Map.empty[Int, OperatorBackendState]
         (0 until nSub).foreach { _ =>
           val subtask = d.readInt()
           d.readLong() // legacy duration
           val nLegacy = d.readInt()
           (0 until nLegacy).foreach(_ => readStreamHandle(d)) // absorb
-          if (d.readInt() == 1) readOperatorHandle(d) // managed op (phase-2 payload)
-          if (d.readInt() == 1) readOperatorHandle(d) // raw op
+          if (d.readInt() == 1)
+            readOperatorHandle(d, basePath).foreach(nonKeyed(subtask) = _)
+          if (d.readInt() == 1) readOperatorHandle(d, basePath) // raw op: absorb
           readKeyedHandle(d, basePath, subtask).foreach(files += _)
           readKeyedHandle(d, basePath, subtask) // raw keyed: absorb
         }
         OperatorStateMeta(opId, opId, par, maxPar, None, Seq.empty,
-          compression = false, files.toSeq)
+          compression = false, files.toSeq, nonKeyed.toMap)
       }
       // resolve codecs/compression per operator from the proxy at the
       // head of its first keyed file (reference:
@@ -240,21 +266,41 @@ object FlinkMetadataIO {
         throw new IllegalArgumentException(s"unknown keyed state handle tag $other")
     }
 
-  /** PARTITIONABLE_OPERATOR_STATE_HANDLE: structure parsed (position
-    * must advance); payload decode is the non-keyed phase-2 surface.
+  /** PARTITIONABLE_OPERATOR_STATE_HANDLE -> restored in-memory backend
+    * (S8: driver-side, like the reference's
+    * `createOperatorStateBackendFromSnapshot`).
     */
-  private def readOperatorHandle(d: DataInputStream): Unit = {
+  private def readOperatorHandle(
+      d: DataInputStream,
+      basePath: String): Option[OperatorBackendState] = {
     val tag = d.readByte().toInt
     require(tag == PartitionableOpHandle,
       s"expected partitionable operator state handle, got tag $tag")
     val n = d.readInt()
-    (0 until n).foreach { _ =>
-      d.readUTF()  // state name
-      d.readByte() // distribution mode ordinal
+    val offsets = (0 until n).map { _ =>
+      val name = d.readUTF()
+      val mode = d.readByte()
       val nOff = d.readInt()
-      (0 until nOff).foreach(_ => d.readLong())
+      FlinkOperatorStateIO.StateOffsets(name, mode, (0 until nOff).map(_ => d.readLong()))
     }
-    readStreamHandle(d)
+    readStreamHandle(d) match {
+      case NullStream => None
+      case ByteHandle(_, bytes) =>
+        Some(FlinkOperatorStateIO.read(bytes, offsets))
+      case FileHandle(path, _) =>
+        val p = resolvePath(basePath, path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64 * 1024)
+            var r = in.read(buf)
+            while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+            bos.toByteArray
+          } finally in.close()
+        Some(FlinkOperatorStateIO.read(bytes, offsets))
+    }
   }
 
   private sealed trait StreamHandle

@@ -51,6 +51,8 @@ object FlinkSnapshots {
     "flink-bytes" -> (Base + "array.BytePrimitiveArraySerializer$BytePrimitiveArraySerializerSnapshot",
       SimpleSnapshotVersion),
     "void" -> ("org.apache.flink.runtime.state.VoidNamespaceSerializer$VoidNamespaceSerializerSnapshot",
+      SimpleSnapshotVersion),
+    "flink-java" -> ("org.apache.flink.runtime.state.JavaSerializer$JavaSerializerSnapshot",
       SimpleSnapshotVersion))
 
   private val codecByLeaf: Map[String, String] =

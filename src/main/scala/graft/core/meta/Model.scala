@@ -78,7 +78,14 @@ object ListStateMode {
 
 final case class OperatorBackendState(
     listStates: Map[String, (Byte, Seq[Array[Byte]])] = Map.empty,
-    broadcastStates: Map[String, Seq[(Array[Byte], Array[Byte])]] = Map.empty)
+    broadcastStates: Map[String, Seq[(Array[Byte], Array[Byte])]] = Map.empty,
+    // element / (key, value) codec ids, used by the FLINK dialect to
+    // declare serializer snapshots in the operator-backend proxy; when
+    // absent, `flink-java` (Flink's JavaSerializer — the
+    // DefaultOperatorStateBackend default) is declared. Populated on
+    // Flink-dialect reads; the graft dialect stores raw bytes only.
+    listCodecs: Map[String, String] = Map.empty,
+    broadcastCodecs: Map[String, (String, String)] = Map.empty)
 
 /** Per-operator state (reference OperatorState: uid-hashed id,
   * parallelism, maxParallelism, per-subtask handles).

@@ -19,7 +19,8 @@ object BackendStates {
   def withListState[T](b: OperatorBackendState, name: String, values: Seq[T],
       mode: Byte = ListStateMode.SplitDistribute)(
       implicit c: Codec[T]): OperatorBackendState =
-    b.copy(listStates = b.listStates.updated(name, (mode, values.map(c.toBytes))))
+    b.copy(listStates = b.listStates.updated(name, (mode, values.map(c.toBytes))),
+      listCodecs = b.listCodecs.updated(name, c.id))
 
   /** Union-list states are re-distributed to every subtask on restore. */
   def unionListState[T](b: OperatorBackendState, name: String)(
@@ -35,5 +36,26 @@ object BackendStates {
       entries: Map[K, V])(
       implicit kc: Codec[K], vc: Codec[V]): OperatorBackendState =
     b.copy(broadcastStates = b.broadcastStates.updated(name,
-      entries.toSeq.map { case (k, v) => (kc.toBytes(k), vc.toBytes(v)) }))
+      entries.toSeq.map { case (k, v) => (kc.toBytes(k), vc.toBytes(v)) }),
+      broadcastCodecs = b.broadcastCodecs.updated(name, (kc.id, vc.id)))
+
+  /** Reference `getSerializableListState` parity
+    * (OperatorStateReader.java:172-185): the DefaultOperatorStateBackend
+    * default `_default_` list state, with each element a standalone
+    * Java-serialization stream (Flink JavaSerializer layout).
+    */
+  def serializableListState(b: OperatorBackendState): Seq[AnyRef] =
+    b.listStates.get(graft.core.flink.FlinkOperatorStateIO.DefaultStateName)
+      .map(_._2.map(graft.core.codec.Codecs.FlinkJavaCodec.fromBytes))
+      .getOrElse(Seq.empty)
+
+  def withSerializableListState(b: OperatorBackendState,
+      values: Seq[AnyRef]): OperatorBackendState = {
+    val name = graft.core.flink.FlinkOperatorStateIO.DefaultStateName
+    b.copy(
+      listStates = b.listStates.updated(name, (ListStateMode.SplitDistribute,
+        values.map(graft.core.codec.Codecs.FlinkJavaCodec.toBytes))),
+      listCodecs = b.listCodecs.updated(name,
+        graft.core.flink.FlinkOperatorStateIO.JavaCodecId))
+  }
 }

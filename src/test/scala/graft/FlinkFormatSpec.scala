@@ -149,6 +149,44 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(got === values.toMap)
   }
 
+  test("non-keyed operator state roundtrips through the Flink dialect, " +
+    "including java-serialized default list state") {
+    import graft.core.meta.{ListStateMode, OperatorBackendState}
+    import graft.state.BackendStates
+    val backend0 = {
+      var b = OperatorBackendState()
+      b = BackendStates.withSerializableListState(b,
+        Seq("offset-12", java.lang.Long.valueOf(99L)))
+      b = BackendStates.withListState(b, "buffered", Seq(5L, 6L, 7L),
+        ListStateMode.Union)(Codecs.LongCodec)
+      b = BackendStates.withBroadcastState(b, "rules",
+        Map(1 -> "keep", 2 -> "drop"))(Codecs.IntCodec, Codecs.FlinkStringCodec)
+      b
+    }
+    val base = SavepointMeta(3L, "", Seq(
+      OperatorStateMeta("nk-op", Identifiers.operatorId("nk-op"), 2, 128,
+        None, Seq.empty, compression = false, Seq.empty,
+        Map(0 -> backend0))))
+    val outDir = Files.createTempDirectory("flink-nonkeyed")
+    Files.delete(outDir)
+    // metadata-only write in the Flink dialect (no keyed rows)
+    val meta = Savepoints.writer(spark, base, "nk-op")
+      .withDialect(Dialect.Flink)
+      .writeAll(outDir.toString)
+    val loaded = Savepoints.load(meta.basePath)
+    val b = loaded.operator("nk-op").nonKeyed(0)
+    assert(BackendStates.serializableListState(b) ===
+      Seq("offset-12", java.lang.Long.valueOf(99L)))
+    assert(BackendStates.listState[Long](b, "buffered")(Codecs.LongCodec) ===
+      Seq(5L, 6L, 7L))
+    assert(b.listStates("buffered")._1 === ListStateMode.Union)
+    assert(BackendStates.broadcastState[Int, String](b, "rules")(
+      Codecs.IntCodec, Codecs.FlinkStringCodec) === Map(1 -> "keep", 2 -> "drop"))
+    // codec declarations survived the proxy roundtrip
+    assert(b.listCodecs("buffered") === "long")
+    assert(b.broadcastCodecs("rules") === ("int", "flink-string"))
+  }
+
   test("proxy rejects graft-only codec layouts in the Flink dialect") {
     val e = intercept[IllegalArgumentException] {
       FlinkProxyIO.toBytes(FlinkProxyIO.Proxy(compression = false,
