@@ -188,6 +188,7 @@ object FlinkMetadataIO {
         val nSub = d.readInt()
         val files = scala.collection.mutable.ArrayBuffer.empty[KeyedFileHandle]
         val nonKeyed = scala.collection.mutable.Map.empty[Int, OperatorBackendState]
+        val proxySources = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         (0 until nSub).foreach { _ =>
           val subtask = d.readInt()
           d.readLong() // legacy duration
@@ -196,18 +197,19 @@ object FlinkMetadataIO {
           if (d.readInt() == 1)
             readOperatorHandle(d, basePath).foreach(nonKeyed(subtask) = _)
           if (d.readInt() == 1) readOperatorHandle(d, basePath) // raw op: absorb
-          readKeyedHandle(d, basePath, subtask).foreach(files += _)
-          readKeyedHandle(d, basePath, subtask) // raw keyed: absorb
+          readKeyedHandle(d, basePath, subtask, proxySources).foreach(files += _)
+          readKeyedHandle(d, basePath, subtask, proxySources) // raw keyed: absorb
         }
-        OperatorStateMeta(opId, opId, par, maxPar, None, Seq.empty,
-          compression = false, files.toSeq, nonKeyed.toMap)
+        (OperatorStateMeta(opId, opId, par, maxPar, None, Seq.empty,
+          compression = false, files.toSeq, nonKeyed.toMap),
+          proxySources.headOption)
       }
-      // resolve codecs/compression per operator from the proxy at the
-      // head of its first keyed file (reference:
+      // resolve codecs/compression per operator from the proxy: full
+      // savepoints carry it at the head of each keyed file, incremental
+      // checkpoints in their dedicated meta state handle (reference:
       // StateMetadataUtils.getKeyedBackendSerializationProxy, :127-140)
-      val resolved = ops.map { op =>
+      val resolved = ops.map { case (op, incProxyBytes) =>
         op.keyedFiles.find(_.kind == KeyedFileHandle.FlinkStreamKind) match {
-          case None => op
           case Some(f) =>
             val p = resolvePath(basePath, f.relativePath)
             val sin = p.getFileSystem(conf).open(p)
@@ -216,21 +218,34 @@ object FlinkMetadataIO {
               op.copy(keyCodecId = Some(proxy.keyCodecId),
                 states = proxy.states, compression = proxy.compression)
             } finally sin.close()
+          case None =>
+            incProxyBytes match {
+              case Some(bytes) =>
+                val proxy = FlinkProxyIO.read(new java.io.ByteArrayInputStream(bytes))
+                op.copy(keyCodecId = Some(proxy.keyCodecId),
+                  states = proxy.states, compression = proxy.compression)
+              case None => op
+            }
         }
       }
       SavepointMeta(checkpointId, basePath, resolved, Dialect.Flink)
     } finally d.close()
   }
 
-  /** Parse one keyed-state handle; returns a scannable file handle for
-    * KEY_GROUPS (incremental handles parse fully but surface as
-    * [[KeyedFileHandle.UnsupportedKind]] until their RocksDB file set
-    * is materialized).
+  /** Parse one keyed-state handle. KEY_GROUPS -> a seekable stream-file
+    * handle. INCREMENTAL -> a RocksDB "stub dir" handle: the handle's
+    * small inline files are materialized, remote file references are
+    * listed in a manifest, and the executor-side localize step
+    * assembles the actual checkpoint dir before opening RocksDB — the
+    * reference's S4 transfer shape (RocksDBCheckpointIterator.java:
+    * 92-148). The proxy bytes from the meta state handle are collected
+    * into `proxyOut` for codec resolution.
     */
   private def readKeyedHandle(
       d: DataInputStream,
       basePath: String,
-      subtask: Int): Option[KeyedFileHandle] =
+      subtask: Int,
+      proxyOut: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Option[KeyedFileHandle] =
     d.readByte().toInt match {
       case NullHandle => None
       case KeyGroupsHandle =>
@@ -255,13 +270,40 @@ object FlinkMetadataIO {
         d.readUTF()  // backend identifier
         val kgStart = d.readInt()
         val numKgs = d.readInt()
-        readHandleMap(d) // shared state
-        readHandleMap(d) // private state
-        readStreamHandle(d) // meta state
-        Some(KeyedFileHandle(subtask,
-          "flink incremental RocksDB handle: materialize its shared/private " +
-            "files into a checkpoint directory to scan (S4 path)",
-          kgStart, kgStart + numKgs - 1, Seq.empty, KeyedFileHandle.UnsupportedKind))
+        val shared = readHandleMap(d)
+        val priv = readHandleMap(d)
+        readStreamHandle(d) match { // meta state: the serialization proxy
+          case ByteHandle(_, bytes) => proxyOut += bytes
+          case FileHandle(path, _) =>
+            val p = resolvePath(basePath, path)
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val in = fs.open(p)
+            try proxyOut += in.readAllBytes() finally in.close()
+          case NullStream =>
+        }
+        // stub dir: inline files written out, remote files manifested.
+        // Location is driver-local by default; on a multi-node cluster
+        // point graft.flink.incremental.stage-dir at shared storage.
+        val stage = sys.props.get("graft.flink.incremental.stage-dir")
+          .map(java.nio.file.Paths.get(_))
+          .getOrElse(java.nio.file.Paths.get(
+            System.getProperty("java.io.tmpdir")))
+        java.nio.file.Files.createDirectories(stage)
+        val stub = java.nio.file.Files.createTempDirectory(stage, "graft-flink-inc")
+        val manifest = new StringBuilder
+        (shared ++ priv).foreach {
+          case (name, ByteHandle(_, bytes)) =>
+            java.nio.file.Files.write(stub.resolve(name), bytes)
+          case (name, FileHandle(path, _)) =>
+            manifest.append(name).append('\t')
+              .append(resolvePath(basePath, path).toString).append('\n')
+          case (_, NullStream) =>
+        }
+        java.nio.file.Files.write(
+          stub.resolve(graft.core.scan.RocksDbCheckpoints.ManifestName),
+          manifest.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Some(KeyedFileHandle(subtask, stub.toAbsolutePath.toString, kgStart,
+          kgStart + numKgs - 1, Seq.empty, KeyedFileHandle.RocksDbKind))
       case other =>
         throw new IllegalArgumentException(s"unknown keyed state handle tag $other")
     }
@@ -324,9 +366,9 @@ object FlinkMetadataIO {
         throw new IllegalArgumentException(s"unknown stream state handle tag $other")
     }
 
-  private def readHandleMap(d: DataInputStream): Unit = {
+  private def readHandleMap(d: DataInputStream): Seq[(String, StreamHandle)] = {
     val n = d.readInt()
-    (0 until n).foreach { _ => d.readUTF(); readStreamHandle(d) }
+    (0 until n).map { _ => d.readUTF() -> readStreamHandle(d) }
   }
 
   // ---------------------------------------------------------- helpers

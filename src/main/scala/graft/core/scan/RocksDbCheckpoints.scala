@@ -121,14 +121,28 @@ object RocksDbCheckpoints {
       if (downloaded) deleteRecursively(Paths.get(path))
   }
 
+  /** A stub dir produced from a Flink incremental handle: small
+    * (byte-stream) files materialized directly, plus this manifest
+    * naming the remote sst/misc files still to be fetched — the
+    * executor-side transfer step assembles the real checkpoint dir
+    * (reference RocksDBCheckpointIterator.java:92-148 does the same
+    * per-handle transfer).
+    */
+  val ManifestName = "_graft_manifest"
+
   /** Ensure the checkpoint directory is on local disk; if the handle
     * points at a distributed FS, download it first (the reference's
-    * transfer step, RocksDBCheckpointIterator.java:92-148).
+    * transfer step, RocksDBCheckpointIterator.java:92-148). A stub dir
+    * containing [[ManifestName]] is always assembled into a fresh local
+    * dir: local stub files are copied, manifest-listed files fetched
+    * under their checkpoint-local names.
     */
   def localize(dir: String): LocalizedDir = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = p.getFileSystem(conf)
+    val manifest = new org.apache.hadoop.fs.Path(p, ManifestName)
+    if (fs.exists(manifest)) return assembleFromManifest(p, fs, conf)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (scheme == "file" || fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
@@ -141,6 +155,31 @@ object RocksDbCheckpoints {
       }
       LocalizedDir(local.toString, downloaded = true)
     }
+  }
+
+  private def assembleFromManifest(
+      stub: org.apache.hadoop.fs.Path,
+      stubFs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration): LocalizedDir = {
+    val local: Path = Files.createTempDirectory("graft-rocks-asm")
+    // 1. copy the stub's materialized small files
+    stubFs.listStatus(stub).foreach { st =>
+      if (st.getPath.getName != ManifestName)
+        stubFs.copyToLocalFile(st.getPath,
+          new org.apache.hadoop.fs.Path(local.resolve(st.getPath.getName).toString))
+    }
+    // 2. fetch every manifest-listed file under its checkpoint-local name
+    val in = stubFs.open(new org.apache.hadoop.fs.Path(stub, ManifestName))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      finally in.close()
+    lines.filter(_.nonEmpty).foreach { line =>
+      val Array(name, uri) = line.split("\t", 2)
+      val src = new org.apache.hadoop.fs.Path(uri)
+      src.getFileSystem(conf).copyToLocalFile(src,
+        new org.apache.hadoop.fs.Path(local.resolve(name).toString))
+    }
+    LocalizedDir(local.toString, downloaded = true)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -187,6 +187,67 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(b.broadcastCodecs("rules") === ("int", "flink-string"))
   }
 
+  test("incremental RocksDB handle: manifest assembly + meta-handle proxy") {
+    import graft.core.codec.KeyGroups
+    import graft.core.codec.Codecs.LongCodec
+    import graft.core.scan.RocksDbCheckpoints
+    // a real RocksDB checkpoint dir holding value-state rows
+    val rows = (1L to 50L).map { k =>
+      val w = new graft.core.codec.ByteWriter()
+      KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(k, 128), 128)
+      LongCodec.write(w, k)
+      w.writeByte(0)
+      ("v", w.toBytes, LongCodec.toBytes(k * 11))
+    }
+    val ckpt = Files.createTempDirectory("flink-inc-src").resolve("chk")
+    RocksDbCheckpoints.createCheckpoint(ckpt.toString, rows)
+    val proxy = FlinkProxyIO.toBytes(FlinkProxyIO.Proxy(compression = false,
+      keyCodecId = "long", states = Seq(StateMeta("v", StateKind.Value, "long"))))
+    // hand-assemble _metadata with an INCREMENTAL_KEY_GROUPS_HANDLE
+    val dir = Files.createTempDirectory("flink-inc-meta")
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d); d.writeInt(2)
+    d.writeLong(5L); d.writeInt(0); d.writeInt(1)
+    val id = Identifiers.operatorId("inc-op")
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(1); d.writeInt(128); d.writeInt(1) // par, maxPar, chain
+    d.writeInt(1)      // one subtask
+    d.writeInt(0)      // index
+    d.writeLong(-1L); d.writeInt(0); d.writeInt(0); d.writeInt(0)
+    d.writeByte(5)     // INCREMENTAL_KEY_GROUPS_HANDLE
+    d.writeLong(5L)    // checkpoint id
+    d.writeUTF("backend-1")
+    d.writeInt(0); d.writeInt(128)
+    // shared state: every checkpoint file as a remote file reference
+    val files = java.nio.file.Files.list(ckpt).iterator()
+    val fileSeq = new scala.collection.mutable.ArrayBuffer[Path]()
+    while (files.hasNext) fileSeq += files.next()
+    d.writeInt(fileSeq.size)
+    fileSeq.foreach { f =>
+      d.writeUTF(f.getFileName.toString)
+      d.writeByte(2) // FILE_STREAM_STATE_HANDLE
+      d.writeLong(Files.size(f))
+      d.writeUTF(f.toAbsolutePath.toString)
+    }
+    d.writeInt(0)      // private state: empty
+    d.writeByte(1)     // meta state: BYTE_STREAM with the proxy
+    d.writeUTF("meta"); d.writeInt(proxy.length); d.write(proxy)
+    d.writeByte(0)     // raw keyed: null
+    d.flush()
+    Files.write(dir.resolve("_metadata"), bos.toByteArray)
+
+    import spark.implicits._
+    val meta = Savepoints.load(dir.toString)
+    val op = meta.operator("inc-op")
+    assert(op.keyCodecId === Some("long"))
+    assert(op.states.map(_.name) === Seq("v"))
+    val got = Savepoints.reader(spark, meta, "inc-op")
+      .readValueStates[Long, Long]("v").collect().toMap
+    assert(got === (1L to 50L).map(k => k -> k * 11).toMap)
+  }
+
   test("proxy rejects graft-only codec layouts in the Flink dialect") {
     val e = intercept[IllegalArgumentException] {
       FlinkProxyIO.toBytes(FlinkProxyIO.Proxy(compression = false,
