@@ -58,6 +58,26 @@ object FlinkMetadataIO {
 
   val MetadataFile = "_metadata"
 
+  /** Temp artifacts materialized during loads (inline-state files,
+    * incremental stub dirs) — deleted on JVM exit so repeated loads in
+    * a long-lived driver do not fill local disk.
+    */
+  private val tempArtifacts =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempArtifacts.forEach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => }
+    }))
+
+  private def trackTemp(p: java.nio.file.Path): java.nio.file.Path = {
+    tempArtifacts.add(p); p
+  }
+
   /** Sniff: does this file start with Flink's checkpoint magic? */
   def isFlinkMetadata(head: Array[Byte]): Boolean =
     head.length >= 4 &&
@@ -67,11 +87,28 @@ object FlinkMetadataIO {
   // ------------------------------------------------------------ write
 
   /** NO_OVERWRITE `_metadata` write (reference parity with
-    * StateMetadataUtils.java:189-194). Only keyed state appears; the
-    * non-keyed operator-state file layout is not emitted (callers with
-    * non-keyed state keep the graft dialect).
+    * StateMetadataUtils.java:189-194). Emits keyed KEY_GROUPS handles
+    * and non-keyed PARTITIONABLE operator handles (inline byte-stream
+    * delegates). All validation runs BEFORE the file is created, so a
+    * rejected write never leaves a half-written `_metadata` behind.
     */
   def write(dirStr: String, meta: SavepointMeta): org.apache.hadoop.fs.Path = {
+    // pre-validate: every keyed file of every operator must be in the
+    // Flink stream layout (a loaded incremental checkpoint's RocksDB
+    // stub handles cannot be re-emitted — rewrite those operators'
+    // rows, or keep the graft dialect)
+    meta.operators.foreach { op =>
+      op.keyedFiles.foreach { f =>
+        require(f.kind == KeyedFileHandle.FlinkStreamKind,
+          s"operator ${op.uid} subtask ${f.subtaskIndex}: keyed file is " +
+            s"not in the Flink stream layout (kind ${f.kind}); rewrite " +
+            "its rows with the Flink dialect (e.g. add " +
+            "reader.getAllUnreadKeyedStateRows) or use the graft dialect")
+      }
+      op.operatorId.foreach { c =>
+        require("0123456789abcdef".contains(c), s"bad operator id ${op.operatorId}")
+      }
+    }
     val dir = new org.apache.hadoop.fs.Path(dirStr)
     val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.mkdirs(dir)
@@ -126,19 +163,15 @@ object FlinkMetadataIO {
           keyedBySubtask.get(subtask) match {
             case None => d.writeByte(NullHandle)
             case Some(f) =>
-              require(f.kind == KeyedFileHandle.FlinkStreamKind,
-                s"operator ${op.uid} subtask ${f.subtaskIndex}: file is not " +
-                  "in the Flink stream layout; rewrite its rows with the " +
-                  "Flink dialect first")
               d.writeByte(KeyGroupsHandle)
               d.writeInt(f.kgStart)
               d.writeInt(f.kgEnd - f.kgStart + 1)
               f.offsets.foreach(d.writeLong)
               val p = resolvePath(meta.basePath, f.relativePath)
-              val size =
-                try p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-                  .getFileStatus(p).getLen
-                catch { case _: java.io.IOException => 0L }
+              // fail fast on a missing/unreadable state file: a
+              // savepoint referencing absent state must not be written
+              val size = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+                .getFileStatus(p).getLen
               d.writeByte(FileStreamHandle)
               d.writeLong(size)
               d.writeUTF(p.toString)
@@ -258,7 +291,8 @@ object FlinkMetadataIO {
               offsets, KeyedFileHandle.FlinkStreamKind))
           case ByteHandle(_, bytes) =>
             // inline state: materialize so the scan can seek it
-            val tmp = java.nio.file.Files.createTempFile("graft-flink-state", ".bin")
+            val tmp = trackTemp(
+              java.nio.file.Files.createTempFile("graft-flink-state", ".bin"))
             java.nio.file.Files.write(tmp, bytes)
             Some(KeyedFileHandle(subtask, tmp.toAbsolutePath.toString, kgStart,
               kgStart + numKgs - 1, offsets, KeyedFileHandle.FlinkStreamKind))
@@ -289,7 +323,8 @@ object FlinkMetadataIO {
           .getOrElse(java.nio.file.Paths.get(
             System.getProperty("java.io.tmpdir")))
         java.nio.file.Files.createDirectories(stage)
-        val stub = java.nio.file.Files.createTempDirectory(stage, "graft-flink-inc")
+        val stub = trackTemp(
+          java.nio.file.Files.createTempDirectory(stage, "graft-flink-inc"))
         val manifest = new StringBuilder
         (shared ++ priv).foreach {
           case (name, ByteHandle(_, bytes)) =>
@@ -333,14 +368,7 @@ object FlinkMetadataIO {
         val p = resolvePath(basePath, path)
         val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val in = fs.open(p)
-        val bytes =
-          try {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](64 * 1024)
-            var r = in.read(buf)
-            while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
-            bos.toByteArray
-          } finally in.close()
+        val bytes = try in.readAllBytes() finally in.close()
         Some(FlinkOperatorStateIO.read(bytes, offsets))
     }
   }

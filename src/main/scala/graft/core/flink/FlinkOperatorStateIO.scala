@@ -98,6 +98,14 @@ object FlinkOperatorStateIO {
     val offsets = Seq.newBuilder[StateOffsets]
     lists.foreach { case (name, (mode, entries)) =>
       val offs = entries.map { e =>
+        // boundaries are recovered by offset-slicing on read: a
+        // zero-length element would alias the next element's offset
+        // and read back as its bytes. No real serializer produces
+        // zero-byte elements (java streams are >= 7 bytes, framed
+        // codecs >= 1), so reject rather than corrupt.
+        require(e.nonEmpty,
+          s"list state '$name': zero-length element not representable " +
+            "in the offset-sliced Flink layout")
         val off = bos.size().toLong
         bos.write(e)
         off

@@ -131,7 +131,8 @@ object FlinkSnapshots {
     }
   }
 
-  private def splitTopLevel(s: String): Int = {
+  /** Index of the top-level ',' in a composite codec id body. */
+  private[flink] def splitTopLevel(s: String): Int = {
     var depth = 0
     s.indices.foreach { i =>
       s(i) match {
@@ -256,25 +257,12 @@ object FlinkProxyIO {
           require(valueId.startsWith("map<") && valueId.endsWith(">"),
             s"MAP state '$name' with non-map serializer $valueId")
           val inner = valueId.substring(4, valueId.length - 1)
-          val comma = splitTop(inner)
+          val comma = FlinkSnapshots.splitTopLevel(inner)
           StateMeta(name, kind, inner.substring(comma + 1),
             Some(inner.substring(0, comma)))
         case _ => StateMeta(name, kind, valueId, None)
       }
     }
     Proxy(compression, keyCodecId, states)
-  }
-
-  private def splitTop(s: String): Int = {
-    var depth = 0
-    s.indices.foreach { i =>
-      s(i) match {
-        case '<' => depth += 1
-        case '>' => depth -= 1
-        case ',' if depth == 0 => return i
-        case _ =>
-      }
-    }
-    throw new IllegalArgumentException(s"malformed map codec id: $s")
   }
 }

@@ -14,7 +14,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * self-consistency is the testable contract (FIXTURES.md §A). Layout:
   *
   * {{{
-  * magic "GRFTSP01"
+  * magic "GRFTSP02"
   * varlong checkpointId
   * varint numOperators, each:
   *   string uid | string operatorId | varint parallelism | varint maxPar
@@ -27,14 +27,16 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *       | byte kind (0 = stream file, 1 = RocksDB checkpoint dir)
   *   varint numNonKeyedSubtasks, each: varint subtask
   *     varint numListStates, each: string name | byte mode
+  *         | string elemCodecId ("" = undeclared)
   *         | varint n | (varint len + bytes)...
   *     varint numBroadcastStates, each: string name
+  *         | string keyCodecId | string valueCodecId ("" = undeclared)
   *         | varint n | (bytes key, bytes value)...
   * }}}
   */
 object MetadataIO {
 
-  val Magic = "GRFTSP01"
+  val Magic = "GRFTSP02"
   val MetadataFile = "_metadata"
 
   def resolveMetadataPath(pathStr: String): Path = {
@@ -42,7 +44,7 @@ object MetadataIO {
     if (Files.isDirectory(p)) p.resolve(MetadataFile) else p
   }
 
-  /** Loads either dialect, sniffed from the magic: `GRFTSP01` (graft)
+  /** Loads either dialect, sniffed from the magic: `GRFTSP02` (graft)
     * or Flink's checkpoint header 0x4960672d (S1 — real `_metadata`,
     * reference StateMetadataUtils.java:59-74, parsed by
     * [[graft.core.flink.FlinkMetadataIO]]).
@@ -88,19 +90,27 @@ object MetadataIO {
         val nonKeyed = (0 until nNk).map { _ =>
           val sub = r.readVarInt()
           val nls = r.readVarInt()
-          val ls = (0 until nls).map { _ =>
+          val lsWithCodec = (0 until nls).map { _ =>
             val name = r.readString()
             val mode = r.readByte()
+            val codec = r.readString() // "" = undeclared
             val entries = (0 until r.readVarInt()).map(_ => r.readBytes())
-            name -> (mode, entries: Seq[Array[Byte]])
-          }.toMap
+            (name, mode, codec, entries: Seq[Array[Byte]])
+          }
           val nbs = r.readVarInt()
-          val bs = (0 until nbs).map { _ =>
+          val bsWithCodec = (0 until nbs).map { _ =>
             val name = r.readString()
+            val kCodec = r.readString()
+            val vCodec = r.readString()
             val entries = (0 until r.readVarInt()).map(_ => (r.readBytes(), r.readBytes()))
-            name -> (entries: Seq[(Array[Byte], Array[Byte])])
-          }.toMap
-          sub -> OperatorBackendState(ls, bs)
+            (name, kCodec, vCodec, entries: Seq[(Array[Byte], Array[Byte])])
+          }
+          sub -> OperatorBackendState(
+            lsWithCodec.map { case (n, m, _, e) => n -> (m, e) }.toMap,
+            bsWithCodec.map { case (n, _, _, e) => n -> e }.toMap,
+            lsWithCodec.collect { case (n, _, c, _) if c.nonEmpty => n -> c }.toMap,
+            bsWithCodec.collect { case (n, k, v, _) if k.nonEmpty && v.nonEmpty =>
+              n -> (k, v) }.toMap)
         }.toMap
         OperatorStateMeta(uid, opId, par, maxPar, keyCodec, states,
           compression, files, nonKeyed)
@@ -152,12 +162,16 @@ object MetadataIO {
         b.listStates.toSeq.sortBy(_._1).foreach { case (name, (mode, entries)) =>
           w.writeString(name)
           w.writeByte(mode)
+          w.writeString(b.listCodecs.getOrElse(name, ""))
           w.writeVarInt(entries.size)
           entries.foreach(w.writeBytes)
         }
         w.writeVarInt(b.broadcastStates.size)
         b.broadcastStates.toSeq.sortBy(_._1).foreach { case (name, entries) =>
           w.writeString(name)
+          val (kc, vc) = b.broadcastCodecs.getOrElse(name, ("", ""))
+          w.writeString(kc)
+          w.writeString(vc)
           w.writeVarInt(entries.size)
           entries.foreach { case (k, v) => w.writeBytes(k); w.writeBytes(v) }
         }

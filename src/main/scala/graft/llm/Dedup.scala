@@ -404,27 +404,41 @@ object Dedup {
     * `clearCache()` does not evict it, while a fresh SparkSession (the
     * driver may use one per query) simply recomputes.
     */
+  // Keyed by data dir and validated against the CURRENT session: a
+  // fresh session (the driver may use one per query) replaces the
+  // entry, dropping the strong reference to the old session's
+  // checkpointed DataFrames so its storage can be collected — the maps
+  // hold at most one session's graph per dir, never an unbounded
+  // history.
   private val graphMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame)]()
   private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
-  private def nearDupGraph(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    graphMemo.computeIfAbsent((s, d), { _ =>
-      val docs = Catalog.t(s, d, "documents")
-      (docs.select(col("doc_id").as("id")).distinct().localCheckpoint(true),
-        simhashNearDupPairs(docs)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .localCheckpoint(true))
+  private def nearDupGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val entry = graphMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val docs = Catalog.t(s, d, "documents")
+        (s, docs.select(col("doc_id").as("id")).distinct().localCheckpoint(true),
+          simhashNearDupPairs(docs)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .localCheckpoint(true))
+      }
     })
+    (entry._2, entry._3)
+  }
 
   private def componentsSpark(s: SparkSession, d: String): DataFrame =
-    labelsMemo.computeIfAbsent((s, d), { _ =>
-      val (nodes, edges) = nearDupGraph(s, d)
-      GraphAlgs.connectedComponents(nodes, edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-        .localCheckpoint(true)
-    })
+    labelsMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val (nodes, edges) = nearDupGraph(s, d)
+        (s, GraphAlgs.connectedComponents(nodes, edges)
+          .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .localCheckpoint(true))
+      }
+    })._2
 
   // --------------------------------------------- graph centrality (g01)
 

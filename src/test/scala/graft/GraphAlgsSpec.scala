@@ -62,11 +62,19 @@ class GraphAlgsSpec extends AnyFunSuite {
     spark.listenerManager.register(l)
     try {
       body
-      // QueryExecutionListener delivery is async; give the bus a moment
-      val deadline = System.nanoTime() + 5000000000L
-      while (plans.synchronized(plans.isEmpty) && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      Thread.sleep(200) // drain stragglers
+      // QueryExecutionListener delivery is async; wait until the plan
+      // count is stable (no new arrivals for 500ms) so EVERY
+      // iteration's plan is inspected, not just the first
+      val deadline = System.nanoTime() + 15000000000L
+      var last = -1
+      var stableSince = System.nanoTime()
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        val n = plans.synchronized(plans.size)
+        if (n != last) { last = n; stableSince = System.nanoTime() }
+        done = n > 0 && (System.nanoTime() - stableSince) >= 500000000L
+        if (!done) Thread.sleep(50)
+      }
     } finally spark.listenerManager.unregister(l)
     plans.toSeq
   }
