@@ -16,6 +16,7 @@ object SparkEntry {
       relational.RelationalQueries3.all ++
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
+      llm.Pipeline.all ++
       llm.Similarity.all ++
       llm.Multimodal.all ++
       streaming.StreamingQueries.all ++
