@@ -185,6 +185,18 @@ object Codecs {
     def write(w: ByteWriter, v: Unit): Unit = w.writeByte(0)
   }
 
+  /** Flink `TimeWindow.Serializer` layout: start long + end long — the
+    * namespace of window-operator state ("window-contents", P7).
+    */
+  object FlinkTimeWindowCodec extends Codec[(Long, Long)] {
+    val id = "flink-window"
+    override def fixedWidth: Option[Int] = Some(16)
+    def read(r: ByteReader): (Long, Long) = (r.readLong(), r.readLong())
+    def write(w: ByteWriter, v: (Long, Long)): Unit = {
+      w.writeLong(v._1); w.writeLong(v._2)
+    }
+  }
+
   /** List value layout: elements separated by a ',' byte (reference:
     * RocksDBUtils.java:160-192 — note we do NOT port the stray debug
     * println at :188).
@@ -281,7 +293,7 @@ object CodecRegistry {
   private val primitives: Map[String, Codec[_]] = Seq(
     IntCodec, LongCodec, ShortCodec, ByteCodec, BooleanCodec,
     FloatCodec, DoubleCodec, StringCodec, BytesCodec, VoidNamespaceCodec,
-    FlinkStringCodec, FlinkBytesCodec, FlinkJavaCodec)
+    FlinkStringCodec, FlinkBytesCodec, FlinkJavaCodec, FlinkTimeWindowCodec)
     .map(c => c.id -> (c: Codec[_])).toMap
 
   def resolve(id: String): Codec[_] = {

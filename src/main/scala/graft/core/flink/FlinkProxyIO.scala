@@ -53,6 +53,8 @@ object FlinkSnapshots {
     "void" -> ("org.apache.flink.runtime.state.VoidNamespaceSerializer$VoidNamespaceSerializerSnapshot",
       SimpleSnapshotVersion),
     "flink-java" -> ("org.apache.flink.runtime.state.JavaSerializer$JavaSerializerSnapshot",
+      SimpleSnapshotVersion),
+    "flink-window" -> ("org.apache.flink.streaming.api.windowing.windows.TimeWindow$Serializer$TimeWindowSerializerSnapshot",
       SimpleSnapshotVersion))
 
   private val codecByLeaf: Map[String, String] =
@@ -211,7 +213,8 @@ object FlinkProxyIO {
       d.writeInt(1)
       d.writeUTF(KeyedStateTypeKey); d.writeUTF(stateTypeName(s.kind))
       d.writeInt(2)
-      d.writeUTF(NamespaceSerializerKey); FlinkSnapshots.write(d, "void")
+      d.writeUTF(NamespaceSerializerKey)
+      FlinkSnapshots.write(d, s.namespaceCodecId)
       d.writeUTF(ValueSerializerKey)
       s.kind match {
         case StateKind.Map =>
@@ -247,6 +250,7 @@ object FlinkProxyIO {
       val nSer = d.readInt()
       val sers = (0 until nSer).map(_ => d.readUTF() -> FlinkSnapshots.read(d)).toMap
       val kind = kindOf(opts.getOrElse(KeyedStateTypeKey, "VALUE"))
+      val nsId = sers.getOrElse(NamespaceSerializerKey, "void")
       val valueId = sers.getOrElse(ValueSerializerKey,
         throw new IllegalArgumentException(s"state '$name' has no value serializer"))
       kind match {
@@ -259,8 +263,8 @@ object FlinkProxyIO {
           val inner = valueId.substring(4, valueId.length - 1)
           val comma = FlinkSnapshots.splitTopLevel(inner)
           StateMeta(name, kind, inner.substring(comma + 1),
-            Some(inner.substring(0, comma)))
-        case _ => StateMeta(name, kind, valueId, None)
+            Some(inner.substring(0, comma)), nsId)
+        case _ => StateMeta(name, kind, valueId, None, nsId)
       }
     }
     Proxy(compression, keyCodecId, states)

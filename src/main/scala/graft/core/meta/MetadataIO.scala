@@ -21,6 +21,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *   bool hasKeyCodec [string keyCodecId]
   *   varint numStates, each: string name | byte kind | string valueCodecId
   *                           | bool hasMapKeyCodec [string mapKeyCodecId]
+  *                           | string namespaceCodecId
   *   bool compression
   *   varint numKeyedFiles, each: varint subtask | string relPath
   *       | varint kgStart | varint kgEnd | varint n | varlong offsets...
@@ -77,7 +78,8 @@ object MetadataIO {
           val kind = r.readByte()
           val vc = r.readString()
           val mkc = if (r.readBoolean()) Some(r.readString()) else None
-          StateMeta(name, kind, vc, mkc)
+          val ns = r.readString()
+          StateMeta(name, kind, vc, mkc, ns)
         }
         val compression = r.readBoolean()
         val nFiles = r.readVarInt()
@@ -143,6 +145,7 @@ object MetadataIO {
         w.writeString(s.valueCodecId)
         w.writeBoolean(s.mapKeyCodecId.isDefined)
         s.mapKeyCodecId.foreach(w.writeString)
+        w.writeString(s.namespaceCodecId)
       }
       w.writeBoolean(o.compression)
       w.writeVarInt(o.keyedFiles.size)

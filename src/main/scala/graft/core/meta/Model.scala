@@ -22,7 +22,12 @@ final case class StateMeta(
     name: String,
     kind: Byte,
     valueCodecId: String,
-    mapKeyCodecId: Option[String] = None) {
+    mapKeyCodecId: Option[String] = None,
+    // namespace serializer: "void" (VoidNamespace, 1 byte) for plain
+    // keyed state; "flink-window" (TimeWindow: start/end longs) for
+    // window-operator state (P7). Carried through both dialects so the
+    // Flink proxy declares the true namespace serializer.
+    namespaceCodecId: String = "void") {
   def ttl: Boolean = graft.core.codec.CodecRegistry.isTtl(valueCodecId)
 }
 

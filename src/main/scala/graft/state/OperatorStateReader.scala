@@ -133,11 +133,12 @@ final class OperatorStateReader(
     val vc = resolveValue[V](name, valueCodec)
     val prefix = KeyGroups.prefixBytes(operator.maxParallelism)
     markRead(name)
+    val nsc = CodecRegistry.resolve(operator.stateMeta(name).namespaceCodecId)
     rowsFor(name).flatMap { row =>
       val kr = new ByteReader(row.keyAndNamespaceBytes)
       kr.skip(prefix.toLong)
       val key = kc.read(kr)
-      Codecs.VoidNamespaceCodec.read(kr)
+      nsc.read(kr) // declared namespace codec (void unless overridden)
       val mapKey = mkc.read(kr)
       val vr = new ByteReader(row.valueBytes)
       val isNull = vr.readBoolean()
@@ -170,6 +171,30 @@ final class OperatorStateReader(
   def readWindowStates[K, V](keyCodec: Codec[K] = null, valueCodec: Codec[V] = null)(
       implicit e: Encoder[(K, V)]): Dataset[(K, V)] =
     readValueStates(OperatorStateReader.WindowContents, keyCodec, valueCodec)
+
+  /** P7 with the window bounds: (key, windowStart, windowEnd, value).
+    * The TimeWindow namespace (16 fixed bytes after the key) is decoded
+    * with the state's declared namespace codec.
+    */
+  def readWindowStatesWithBounds[K, V](
+      keyCodec: Codec[K] = null, valueCodec: Codec[V] = null)(
+      implicit e: Encoder[(K, Long, Long, V)]): Dataset[(K, Long, Long, V)] = {
+    val name = OperatorStateReader.WindowContents
+    val kc = resolveKey(keyCodec)
+    val vc = resolveValue[V](name, valueCodec)
+    require(operator.stateMeta(name).namespaceCodecId == Codecs.FlinkTimeWindowCodec.id,
+      s"state '$name' does not declare a TimeWindow namespace " +
+        s"(has '${operator.stateMeta(name).namespaceCodecId}')")
+    val prefix = KeyGroups.prefixBytes(operator.maxParallelism)
+    markRead(name)
+    rowsFor(name).map { row =>
+      val kr = new ByteReader(row.keyAndNamespaceBytes)
+      kr.skip(prefix.toLong)
+      val key = kc.read(kr)
+      val (start, end) = Codecs.FlinkTimeWindowCodec.read(kr)
+      (key, start, end, vc.fromBytes(row.valueBytes))
+    }
+  }
 
   // ------------------------------------------------------------- helpers
 

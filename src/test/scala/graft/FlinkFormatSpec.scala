@@ -187,6 +187,43 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(b.broadcastCodecs("rules") === ("int", "flink-string"))
   }
 
+  test("window state (P7): TimeWindow namespaces declared in the proxy " +
+    "and decoded with bounds") {
+    import graft.core.codec.KeyGroups
+    import graft.core.codec.Codecs.{FlinkTimeWindowCodec, LongCodec}
+    import graft.state.KeyedStateRow
+    import spark.implicits._
+    val name = graft.state.OperatorStateReader.WindowContents
+    // (key, windowStart, windowEnd) -> count, hour-aligned windows
+    val content = Seq((1L, 0L, 3600L, 5L), (1L, 3600L, 7200L, 2L), (2L, 0L, 3600L, 9L))
+    val rows = content.map { case (k, s0, e0, v) =>
+      val w = new graft.core.codec.ByteWriter()
+      KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(k, 128), 128)
+      LongCodec.write(w, k)
+      FlinkTimeWindowCodec.write(w, (s0, e0))
+      KeyedStateRow(name, w.toBytes, LongCodec.toBytes(v))
+    }
+    val base = SavepointMeta(11L, "", Seq(
+      OperatorStateMeta("win-op", Identifiers.operatorId("win-op"), 2, 128,
+        None, Seq.empty, compression = true, Seq.empty)))
+    val outDir = Files.createTempDirectory("flink-window")
+    Files.delete(outDir)
+    val meta = Savepoints.writer(spark, base, "win-op")
+      .withDialect(Dialect.Flink)
+      .withKeyCodec(LongCodec)
+      .defineState(StateMeta(name, StateKind.Value, "long", None,
+        FlinkTimeWindowCodec.id))
+      .addKeyedStateRows(rows.toDS())
+      .writeAll(outDir.toString)
+    val loaded = Savepoints.load(meta.basePath)
+    assert(loaded.operator("win-op").stateMeta(name).namespaceCodecId ===
+      "flink-window")
+    val got = Savepoints.reader(spark, loaded, "win-op")
+      .readWindowStatesWithBounds[Long, Long]()
+      .collect().toSet
+    assert(got === content.toSet)
+  }
+
   test("incremental RocksDB handle: manifest assembly + meta-handle proxy") {
     import graft.core.codec.KeyGroups
     import graft.core.codec.Codecs.LongCodec
