@@ -210,6 +210,58 @@ object StreamingQueries {
             .as("total_value"),
           (max(expr("cast(round(value * 100) as bigint)")).cast("double") / 100)
             .as("max_value"))
+      }),
+
+    // st08: THE reference's raison d'être closed end-to-end in Spark —
+    // bootstrap a streaming job's state from a savepoint (README.md:
+    // 41-44 use-case 2). Per-user counts of the "historical" half of
+    // events are written into a REAL-Flink-layout savepoint, read back
+    // through the typed state reader, and fed as the INITIAL STATE of
+    // a Structured Streaming mapGroupsWithState over the "live" half.
+    // The streamed totals must continue exactly from the snapshot, so
+    // the oracle is the plain batch count over BOTH halves (restricted
+    // to users that appear in the live stream, which is every user
+    // with an odd event — initial-state-only keys emit on first data).
+    QueryDef(
+      "st08_bootstrap_from_savepoint",
+      Some("""SELECT user_id, count(*) AS n_total FROM events
+             |WHERE user_id IN (SELECT DISTINCT user_id FROM events
+             |                  WHERE event_id % 2 = 1)
+             |GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        import graft.core.codec.Codecs.LongCodec
+        import graft.state.Savepoints
+        // 1. "historical" state: per-user count of even events, frozen
+        //    into a Flink-dialect savepoint
+        val seed = s.read.parquet(s"$d/events.parquet")
+          .filter(col("event_id") % 2 === 0)
+          .groupBy(col("user_id")).count()
+          .as[(Long, Long)]
+        val spDir = java.nio.file.Files.createTempDirectory("graft-st08").toString + "/sp"
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("live-counts", 4, 128), "live-counts")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", seed, LongCodec)
+          .writeAll(spDir)
+        // 2. savepoint -> typed state -> streaming initial state
+        val initial = Savepoints.reader(s, Savepoints.load(meta.basePath), "live-counts")
+          .readValueStates[Long, Long]("Count")
+          .groupByKey(_._1).mapValues(_._2)
+        // 3. live stream = odd events, counts continue from the snapshot
+        runToMemorySink(s, d, "st08", "update") { raw =>
+          raw.filter(col("event_id") % 2 === 1)
+            .select(col("user_id")).as[Long]
+            .groupByKey(identity)
+            .mapGroupsWithState(GroupStateTimeout.NoTimeout, initial) {
+              (user: Long, events: Iterator[Long], state: GroupState[Long]) =>
+                val total = state.getOption.getOrElse(0L) + events.size
+                state.update(total)
+                (user, total)
+            }
+            .toDF("user_id", "n_total")
+        }
       })
   )
 
