@@ -285,6 +285,48 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(got === (1L to 50L).map(k => k -> k * 11).toMap)
   }
 
+  test("per-key-group splits (S5) work on the Flink layout, skipping " +
+    "empty groups") {
+    val meta = Savepoints.load(resourceDir.toString)
+    val rows = spark.read.format("flink-savepoint")
+      .option("uid", meta.operator(Uid).uid)
+      .option("splitPerKeyGroup", "true")
+      .load(meta.basePath)
+      .collect()
+    // 3 keys x 2 states, regardless of split granularity
+    assert(rows.length === 6)
+  }
+
+  test("TTL value serializer detected by snapshot class name (C9 parity)") {
+    // hand-write a TTL composite envelope: TtlSerializer snapshot
+    // wrapping (long timestamp, long value)
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(2); d.writeBoolean(true)
+    d.writeUTF("org.apache.flink.runtime.state.ttl.TtlStateFactory$TtlSerializer$TtlSerializerSnapshot")
+    d.writeInt(1)
+    d.writeInt(2) // two nested: timestamp serializer + user serializer
+    Seq("LongSerializer$LongSerializerSnapshot", "LongSerializer$LongSerializerSnapshot")
+      .foreach { cls =>
+        d.writeInt(2); d.writeBoolean(true)
+        d.writeUTF("org.apache.flink.api.common.typeutils.base." + cls)
+        d.writeInt(2)
+      }
+    d.flush()
+    val id = graft.core.flink.FlinkSnapshots.read(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(id === "ttl<long>")
+    // the resolved codec skips the 8-byte timestamp like the reference
+    // (KeyedStateReader.java:279-283) and refuses writes
+    val c = graft.core.codec.CodecRegistry.resolve(id)
+      .asInstanceOf[graft.core.codec.Codec[Any]]
+    val w = new graft.core.codec.ByteWriter()
+    w.writeLong(1234567890L) // ttl timestamp
+    w.writeLong(42L)         // value
+    assert(c.fromBytes(w.toBytes) === 42L)
+    intercept[UnsupportedOperationException] { c.toBytes(42L) }
+  }
+
   test("proxy rejects graft-only codec layouts in the Flink dialect") {
     val e = intercept[IllegalArgumentException] {
       FlinkProxyIO.toBytes(FlinkProxyIO.Proxy(compression = false,
