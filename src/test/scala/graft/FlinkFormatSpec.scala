@@ -327,6 +327,38 @@ class FlinkFormatSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] { c.toBytes(42L) }
   }
 
+  test("2-byte key-group prefixes (maxPar > 128) keep the flag bit " +
+    "unambiguous through a Flink-dialect reshard (W9)") {
+    import graft.core.codec.Codecs.LongCodec
+    import spark.implicits._
+    val base = SavepointMeta(1L, "", Seq(
+      OperatorStateMeta("wide-op", Identifiers.operatorId("wide-op"), 2, 128,
+        None, Seq.empty, compression = true, Seq.empty)))
+    val values = (1L to 300L).map(k => (k, k * 7))
+    val out1 = Files.createTempDirectory("flink-wide-a")
+    Files.delete(out1)
+    val meta1 = Savepoints.writer(spark, base, "wide-op")
+      .withDialect(Dialect.Flink)
+      .withKeyCodec(LongCodec)
+      .createNewValueState("v", values.toDS(), LongCodec)
+      .writeAll(out1.toString)
+    // reshard 128 -> 4096 key groups: keys re-assign, prefixes widen
+    // to 2 bytes; the metadata-follows flag lives in the prefix's high
+    // byte, which stays < 0x80 for any maxPar <= 32768
+    val rows = Savepoints.reader(spark, Savepoints.load(meta1.basePath), "wide-op")
+      .getAllUnreadKeyedStateRows
+    val out2 = Files.createTempDirectory("flink-wide-b")
+    Files.delete(out2)
+    val meta2 = Savepoints.writer(spark, Savepoints.load(meta1.basePath), "wide-op")
+      .addKeyedStateRows(rows)
+      .withParallelism(8, 4096)
+      .writeAll(out2.toString)
+    val got = Savepoints.reader(spark, Savepoints.load(meta2.basePath), "wide-op")
+      .readValueStates[Long, Long]("v").collect().toMap
+    assert(got === values.toMap)
+    assert(Savepoints.load(meta2.basePath).operator("wide-op").maxParallelism === 4096)
+  }
+
   test("proxy rejects graft-only codec layouts in the Flink dialect") {
     val e = intercept[IllegalArgumentException] {
       FlinkProxyIO.toBytes(FlinkProxyIO.Proxy(compression = false,

@@ -64,6 +64,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("arn"), p) // the old N x C assignment window
   }
 
+  test("d11 contamination broadcasts the benchmark shingle set") {
+    // the eval side must be the broadcast build side: at 100 TB the
+    // training corpus never shuffles to find overlaps
+    val p = plan("d11_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p02 balanced sample plans a partial top-k before the exchange") {
+    // WindowGroupLimit(Partial) keeps only ~k rows per language on the
+    // map side, so the window exchange is k-bounded, not corpus-sized
+    val p = plan("p02_lang_balanced")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("partitioned writes enable partition pruning on re-read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part")
     try {
