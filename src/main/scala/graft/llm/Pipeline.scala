@@ -29,6 +29,7 @@ object Pipeline {
   private val PackBudget = 512  // tokens per packed training sequence
   private val BalancedK = 50    // docs per language
   private val EvalMod = 97      // doc_id % EvalMod == 0 -> benchmark set
+  private val CurationK = 40    // docs per language after curation
 
   def all: Seq[QueryDef] = Seq(
 
@@ -71,6 +72,53 @@ object Pipeline {
         val docs = Catalog.t(s, d, "documents")
         contamination(docs.filter(col("doc_id") % EvalMod =!= 0),
           docs.filter(col("doc_id") % EvalMod === 0))
+      }),
+
+    // The composed curation pipeline — quality gate, contamination
+    // removal, balanced sampling, sequence packing — in ONE dataflow:
+    // the "clean corpus to training batches" path, every stage an
+    // already-verified operator, the composition itself hash-checked.
+    QueryDef(
+      "p03_curation_pipeline",
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+              |s AS (SELECT DISTINCT doc_id, unnest($duckShingles) AS sh FROM d),
+              |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % $EvalMod = 0),
+              |bad AS (SELECT DISTINCT s.doc_id FROM s JOIN ev USING (sh)
+              |  WHERE s.doc_id % $EvalMod <> 0),
+              |clean AS (SELECT doc_id, lang, w FROM d
+              |  WHERE len(w) BETWEEN 5 AND 2000 AND doc_id % $EvalMod <> 0
+              |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+              |samp AS (SELECT doc_id, lang, w,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY md5(cast(doc_id as varchar)), doc_id) AS pick
+              |  FROM clean),
+              |keep AS (SELECT doc_id, lang, cast(pick as bigint) AS pick,
+              |    cast(len(w) as bigint) AS n_tokens
+              |  FROM samp WHERE pick <= $CurationK),
+              |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY lang
+              |    ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              |  FROM keep)
+              |SELECT doc_id, lang, pick, n_tokens,
+              |  cum // $PackBudget AS bin_id
+              |FROM c""".stripMargin),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+        val eval0 = docs.filter(col("doc_id") % EvalMod === 0)
+        val quality = train.withColumn("w", expr(sparkWords))
+          .filter(expr("size(w) BETWEEN 5 AND 2000"))
+        val bad = contamination(train, eval0).select("doc_id")
+        val clean = quality.join(bad, Seq("doc_id"), "left_anti")
+        val samp = balancedSample(clean, col("lang"), CurationK)
+        val withTokens = samp.join(
+          clean.select(col("doc_id"),
+            expr("cast(size(w) as bigint)").as("toks")), "doc_id")
+        packSequences(withTokens, PackBudget, col("lang"), col("doc_id"),
+          col("toks"))
+          .join(samp.select("doc_id", "pick"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("pick"), col("n_tokens"),
+            col("bin_id"))
       }),
 
     // Language-balanced sample: exactly k docs per language in a

@@ -165,6 +165,39 @@ object StateQueries {
           .toDF("key", "status", "cnt")
       }),
 
+    // Snapshot diff (the "validate / repair corrupted state" analytics
+    // of README.md:41-44): per-customer counts at two points in time —
+    // odd-key orders only, then all orders — written into two
+    // savepoints and diffed per key. The oracle is the equivalent
+    // full-outer join of the two aggregates.
+    QueryDef(
+      "sp07_savepoint_diff",
+      Some("""WITH a AS (SELECT o_custkey AS key, count(*) AS v FROM orders
+             |  WHERE o_orderkey % 2 = 1 GROUP BY o_custkey),
+             |b AS (SELECT o_custkey AS key, count(*) AS v FROM orders
+             |  GROUP BY o_custkey)
+             |SELECT coalesce(a.key, b.key) AS key,
+             |  a.v AS old_value, b.v AS new_value,
+             |  CASE WHEN a.v IS NULL THEN 'added'
+             |       WHEN b.v IS NULL THEN 'removed'
+             |       WHEN a.v = b.v THEN 'same' ELSE 'changed' END AS status
+             |FROM a FULL OUTER JOIN b ON a.key = b.key""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        def snapshot(df: org.apache.spark.sql.Dataset[(Long, Long)],
+            tag: String): SavepointMeta = Savepoints
+          .writer(s, Savepoints.bootstrap("diff-op", 4, 128), "diff-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", df, LongCodec)
+          .writeAll(tmp(s"graft-sp07-$tag"))
+        val orders = Catalog.t(s, d, "orders")
+        val before = snapshot(orders.filter(col("o_orderkey") % 2 === 1)
+          .groupBy(col("o_custkey")).count().as[(Long, Long)], "a")
+        val after = snapshot(orders
+          .groupBy(col("o_custkey")).count().as[(Long, Long)], "b")
+        StateDiff.valueStates[Long, Long](s, before, after, "diff-op", "Count")
+      }),
+
     // S4 through the hash gate: state lives in a real RocksDB
     // checkpoint (one column family per state, native SST files) and is
     // read back through the DSv2 source + typed reader. Checkpoint
