@@ -14,7 +14,8 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * self-consistency is the testable contract (FIXTURES.md §A). Layout:
   *
   * {{{
-  * magic "GRFTSP02"
+  * magic "GRFTSP03" (02 added non-keyed codec ids; 03 the per-state
+  *                    namespace codec — any layout change bumps it)
   * varlong checkpointId
   * varint numOperators, each:
   *   string uid | string operatorId | varint parallelism | varint maxPar
@@ -37,7 +38,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 object MetadataIO {
 
-  val Magic = "GRFTSP02"
+  val Magic = "GRFTSP03"
   val MetadataFile = "_metadata"
 
   def resolveMetadataPath(pathStr: String): Path = {
@@ -45,7 +46,7 @@ object MetadataIO {
     if (Files.isDirectory(p)) p.resolve(MetadataFile) else p
   }
 
-  /** Loads either dialect, sniffed from the magic: `GRFTSP02` (graft)
+  /** Loads either dialect, sniffed from the magic: `GRFTSP03` (graft)
     * or Flink's checkpoint header 0x4960672d (S1 — real `_metadata`,
     * reference StateMetadataUtils.java:59-74, parsed by
     * [[graft.core.flink.FlinkMetadataIO]]).

@@ -234,7 +234,7 @@ object StreamingQueries {
         import graft.state.Savepoints
         // 1. "historical" state: per-user count of even events, frozen
         //    into a Flink-dialect savepoint
-        val seed = s.read.parquet(s"$d/events.parquet")
+        val seed = Catalog.t(s, d, "events")
           .filter(col("event_id") % 2 === 0)
           .groupBy(col("user_id")).count()
           .as[(Long, Long)]
@@ -245,19 +245,29 @@ object StreamingQueries {
           .withKeyCodec(LongCodec)
           .createNewValueState("Count", seed, LongCodec)
           .writeAll(spDir)
-        // 2. savepoint -> typed state -> streaming initial state
+        // 2. savepoint -> typed state -> streaming initial state. The
+        //    boolean marks "emitted in a prior micro-batch": like st02,
+        //    this single-batch demo fails LOUDLY if the source ever
+        //    splits the live events across batches (update-mode memory
+        //    sink would append a second row per user and silently
+        //    corrupt the totals).
         val initial = Savepoints.reader(s, Savepoints.load(meta.basePath), "live-counts")
           .readValueStates[Long, Long]("Count")
-          .groupByKey(_._1).mapValues(_._2)
+          .groupByKey(_._1).mapValues(v => (v._2, false))
         // 3. live stream = odd events, counts continue from the snapshot
         runToMemorySink(s, d, "st08", "update") { raw =>
           raw.filter(col("event_id") % 2 === 1)
             .select(col("user_id")).as[Long]
             .groupByKey(identity)
             .mapGroupsWithState(GroupStateTimeout.NoTimeout, initial) {
-              (user: Long, events: Iterator[Long], state: GroupState[Long]) =>
-                val total = state.getOption.getOrElse(0L) + events.size
-                state.update(total)
+              (user: Long, events: Iterator[Long], state: GroupState[(Long, Boolean)]) =>
+                val (seed, emitted) = state.getOption.getOrElse((0L, false))
+                if (emitted)
+                  throw new IllegalStateException(
+                    s"st08 saw key $user in a second micro-batch; totals " +
+                      "would double-emit — deploy with a real sink/output mode")
+                val total = seed + events.size
+                state.update((total, true))
                 (user, total)
             }
             .toDF("user_id", "n_total")
