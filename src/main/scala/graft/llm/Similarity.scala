@@ -39,8 +39,59 @@ object Similarity {
     QueryDef("s02_ann_lsh", Some(annLshOracle), annLshSpark),
     QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark),
     QueryDef("s04_ann_recall", Some(annRecallOracle), annRecallSpark),
+    QueryDef("s05_quantize_int8", Some(quantizeOracle), quantizeSpark),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // ------------------------------------------- int8 embedding quantization
+
+  // Symmetric per-vector int8 quantization — the 4x storage shrink every
+  // embedding store applies before ANN at scale. scale = maxabs/127;
+  // q_i = floor(x/scale + 0.5) (half-up, identical IEEE ops in both
+  // engines); the output reports the exact reconstruction error per
+  // vector. A pure narrow map: no shuffle at any size. Zero vectors
+  // keep scale 0 and error 0.
+  private def quantizeSpark(s: SparkSession, d: String): DataFrame =
+    quantizeInt8(Catalog.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Public API: per-vector int8 quantization stats over an
+    * `(vec_id, embedding)` frame: `scale`, `max_abs_err`, `sum_sq_err`
+    * (exact, index-ordered folds — bit-deterministic).
+    */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val err = "(x - floor(x / scale + 0.5d) * scale)"
+    vecs
+      .withColumn("va", expr("cast(embedding as array<double>)"))
+      .withColumn("scale", expr(
+        "aggregate(va, cast(0 as double), (a, x) -> greatest(a, abs(x))) / 127"))
+      .withColumn("max_abs_err", expr(
+        s"CASE WHEN scale = 0 THEN cast(0 as double) ELSE " +
+          s"aggregate(va, cast(0 as double), (a, x) -> greatest(a, abs($err))) END"))
+      .withColumn("sum_sq_err", expr(
+        s"CASE WHEN scale = 0 THEN cast(0 as double) ELSE " +
+          s"aggregate(va, cast(0 as double), (a, x) -> a + $err * $err) END"))
+      .select("vec_id", "scale", "max_abs_err", "sum_sq_err")
+  }
+
+  private def quantizeOracle: String = {
+    val err = "(x - floor(x / scale + 0.5) * scale)"
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |m AS (SELECT vec_id, va,
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(va, x -> abs(x))), (a, b) -> greatest(a, b)) / 127
+       |    AS scale FROM v)
+       |SELECT vec_id, scale,
+       |  CASE WHEN scale = 0 THEN cast(0 as double) ELSE
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(va, x -> abs($err))), (a, b) -> greatest(a, b)) END
+       |    AS max_abs_err,
+       |  CASE WHEN scale = 0 THEN cast(0 as double) ELSE
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(va, x -> $err * $err)), (a, b) -> a + b) END
+       |    AS sum_sq_err
+       |FROM m""".stripMargin
+  }
 
   // --------------------------------------------------- ANN recall metric
 

@@ -368,6 +368,43 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flink-string"))
   }
 
+  test("corrupt inputs fail with clear errors, not garbage results") {
+    // wrong savepoint version
+    val badVersion = {
+      val bos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.writeInt(0x4960672d); d.writeInt(99); d.flush()
+      bos.toByteArray
+    }
+    val dir1 = Files.createTempDirectory("flink-bad-v")
+    Files.write(dir1.resolve("_metadata"), badVersion)
+    val e1 = intercept[IllegalArgumentException] {
+      Savepoints.load(dir1.toString)
+    }
+    assert(e1.getMessage.contains("version"))
+    // truncated key-group segment: the decoder must raise EOF, not
+    // return a partial row set
+    val goldenState = Files.readAllBytes(resourceDir.resolve(golden.StateFileName))
+    val truncated = java.util.Arrays.copyOf(goldenState, goldenState.length - 5)
+    val off = golden.offsets().filter(_ > 0).last // truncation hits this group
+    intercept[java.io.EOFException] {
+      val in = new java.io.ByteArrayInputStream(
+        java.util.Arrays.copyOfRange(truncated, off.toInt, truncated.length))
+      graft.core.scan.FlinkStreamFormat
+        .decodeGroup(in, compression = false, _ => true).toList
+    }
+    // unknown proxy version
+    val badProxy = {
+      val bos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.writeInt(42); d.flush(); bos.toByteArray
+    }
+    val e3 = intercept[IllegalArgumentException] {
+      FlinkProxyIO.read(new java.io.ByteArrayInputStream(badProxy))
+    }
+    assert(e3.getMessage.contains("version 42"))
+  }
+
   test("proxy roundtrips list and map state metadata") {
     val p = FlinkProxyIO.Proxy(compression = true, keyCodecId = "long",
       states = Seq(
