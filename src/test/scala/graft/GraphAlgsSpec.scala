@@ -119,6 +119,56 @@ class GraphAlgsSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded random graph: components match an independent union-find, " +
+    "ranks match an independent exact fixed-point loop") {
+    val rnd = new scala.util.Random(20260812L)
+    val n = 400
+    val nodeIds = (0L until n.toLong).toSeq
+    val edgeSeq = Seq.fill(500)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val nodesDf = nodeIds.toDF("id")
+    val edgesDf = edgeSeq.toDF("src", "dst")
+
+    // independent union-find ground truth (path compression), component
+    // id canonicalized to min member
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edgeSeq.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedCc = nodeIds.map(i => i -> find(i.toInt).toLong).toMap
+    val gotCc = GraphAlgs.connectedComponents(nodesDf, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCc === expectedCc)
+
+    // independent exact integer PageRank: same fixed-point arithmetic,
+    // straight Scala loop over the symmetrized adjacency
+    val scale = 1000000000000L
+    val iters = 5
+    val sym = edgeSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val init = scale / n
+    val base = (15L * init) / 100L
+    var pr = nodeIds.map(_ -> init).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      sym.foreach { case (s0, d0) =>
+        contrib(d0) += Math.floorDiv(pr(s0), deg(s0))
+      }
+      pr = nodeIds.map(i => i -> (base + Math.floorDiv(85L * contrib(i), 100L))).toMap
+    }
+    val gotPr = GraphAlgs.pageRank(nodesDf, edgesDf, iters, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPr === pr)
+  }
+
   test("reliable checkpoint mode: results identical, checkpoint dir used") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     try {
