@@ -197,10 +197,15 @@ object RelationalQueries2 {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (s, d) => {
         val li = t(s, d, "lineitem")
+        // exact NDV as dedup + count (two plain two-phase aggs) instead
+        // of count(DISTINCT) inside the mixed aggregate: the latter
+        // plans an Expand that doubles the scan's rows
+        val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
         val est = li.groupBy(col("l_returnflag")).agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)").as("pe"))
+          .join(exact, "l_returnflag") // grouping-cardinality-sized join
           .select(col("l_returnflag"), col("exact_parts"), col("approx_parts"),
             element_at(col("pe"), 1).as("p50"), element_at(col("pe"), 2).as("p95"))
         li.join(broadcast(est), "l_returnflag")
