@@ -40,8 +40,103 @@ object Similarity {
     QueryDef("s03_ann_ivf", Some(ivfOracle), ivfSpark),
     QueryDef("s04_ann_recall", Some(annRecallOracle), annRecallSpark),
     QueryDef("s05_quantize_int8", Some(quantizeOracle), quantizeSpark),
+    QueryDef("s06_pq_encode", Some(pqOracle), pqSpark),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // ---------------------------------------------- product quantization
+
+  // PQ: split each vector into M subvectors; encode each against a
+  // per-subspace codebook (deterministic: the every-100th vectors, as
+  // with IVF centroids). IVF+PQ is the standard billion-scale ANN
+  // memory layout: 64 floats become M=4 code bytes. The encode is a
+  // shuffle-free narrow map (codebooks inline as literals, same trick
+  // as the IVF cell assignment); exact squared reconstruction error is
+  // oracle-checked.
+  private val PqM = 4            // subspaces
+  // def, not val: `Dim` is declared further down the object and a val
+  // here would read it during initialization as 0
+  private def PqSubDim = Dim / PqM
+
+  private def pqSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    pqEncode(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      PqM)
+  }
+
+  /** Public API: product-quantization encode. `codebook` rows supply
+    * the codewords for every subspace (small by contract — collected
+    * and inlined, so encoding is a narrow map). Returns one code per
+    * subspace plus the exact total squared reconstruction error.
+    */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val cents = codebook.select(col("cid").cast("long"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "pqEncode needs a non-empty codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    def dlit(d: Double): String = s"cast('${d.toString}' as double)"
+    // per-subspace argmin fold over the inlined codeword slices:
+    // iterate in cid order, replace on strictly-smaller distance ->
+    // ties keep the lowest cid (same pick as row_number(d asc, cid asc))
+    val bestCols = (0 until m).map { mi =>
+      val arr = cents.map { case (cid, emb) =>
+        val slice = emb.slice(mi * sub, (mi + 1) * sub)
+        s"named_struct('cid', cast($cid as bigint), " +
+          s"'ce', array(${slice.map(dlit).mkString(",")}))"
+      }.mkString("array(", ", ", ")")
+      val dist = s"aggregate(zip_with(slice(va, ${mi * sub + 1}, $sub), cc.ce, " +
+        "(x, y) -> (x - y) * (x - y)), cast(0 as double), (a, x) -> a + x)"
+      expr(
+        s"""aggregate(
+           |  transform($arr, cc -> named_struct('cid', cc.cid, 'd', $dist)),
+           |  named_struct('cid', cast(-1 as bigint), 'd', cast('Infinity' as double)),
+           |  (acc, x) -> IF(x.d < acc.d, x, acc))""".stripMargin).as(s"best_$mi")
+    }
+    vecs
+      .withColumn("va", expr("cast(embedding as array<double>)"))
+      .select(col("vec_id") +: bestCols: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(mi => col(s"best_$mi").getField("cid").as(s"code_$mi")) :+
+        (0 until m).map(mi => col(s"best_$mi").getField("d"))
+          .reduce(_ + _).as("sq_err"): _*)
+  }
+
+  private def pqOracle: String = {
+    val sub = PqSubDim
+    val codeCols = (0 until PqM).map(mi =>
+      s"max(CASE WHEN m = $mi THEN cid END) AS code_$mi").mkString(",\n  ")
+    // sq_err adds the per-subspace minima in FIXED m order (Spark folds
+    // left over m ascending; an unordered SQL sum() could differ in the
+    // last bit)
+    val errSum = (0 until PqM).map(mi =>
+      s"max(CASE WHEN m = $mi THEN d END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca FROM v WHERE vec_id % $CentroidEvery = 0),
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |pairs AS (SELECT v.vec_id, ms.m, c.cid,
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(range(1, $sub + 1),
+       |        i -> (va[m * $sub + i] - ca[m * $sub + i])
+       |           * (va[m * $sub + i] - ca[m * $sub + i]))),
+       |      (a, b) -> a + b) AS d
+       |  FROM v, ms, c),
+       |best AS (SELECT vec_id, m, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d ASC, cid ASC) AS rn
+       |  FROM pairs)
+       |SELECT vec_id,
+       |  $codeCols,
+       |  $errSum AS sq_err
+       |FROM best WHERE rn = 1
+       |GROUP BY vec_id""".stripMargin
+  }
 
   // ------------------------------------------- int8 embedding quantization
 
