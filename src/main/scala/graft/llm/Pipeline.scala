@@ -137,8 +137,49 @@ object Pipeline {
               |  FROM documents) x
               |WHERE pick <= $BalancedK""".stripMargin),
       (s, d) => balancedSample(Catalog.t(s, d, "documents"),
-        col("lang"), BalancedK))
+        col("lang"), BalancedK)),
+
+    shardManifestDef
   )
+
+  // Deterministic shard manifest: docs assign to N training shards by
+  // md5 hash (stable under any partitioning / re-run); the manifest
+  // reports per-shard doc and token totals — the export step after
+  // curation. One map + one N-row aggregation; at 100 TB the
+  // assignment column feeds partitionBy(shard_id) writes directly.
+  private val NumShards = 8
+
+  private def shardManifestDef = QueryDef(
+    "p04_shard_manifest",
+    Some(s"""WITH a AS (SELECT doc_id,
+            |    cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))
+            |         as bigint) % $NumShards AS shard_id,
+            |    cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+            |  FROM documents)
+            |SELECT shard_id, count(*) AS n_docs,
+            |  cast(sum(n_tokens) as bigint) AS total_tokens,
+            |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            |FROM a GROUP BY shard_id""".stripMargin),
+    (s, d) => shardManifest(Catalog.t(s, d, "documents"), NumShards,
+      expr(s"cast(size($sparkWords) as bigint)")))
+
+  /** Deterministic hash shard assignment + per-shard manifest. The
+    * shard id is the first 8 hex chars of md5(doc_id) mod `n` — both
+    * engines parse the same hex substring, so assignment is stable
+    * across engines and re-runs (engine-native hash() functions are
+    * not cross-engine reproducible).
+    */
+  def shardManifest(docs: DataFrame, n: Int, tokensCol: Column): DataFrame =
+    docs
+      .withColumn("shard_id",
+        expr(s"conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") % n)
+      .withColumn("n_tokens", tokensCol)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
 
   // ------------------------------------------------------- public API
 

@@ -78,10 +78,13 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "pqEncode needs a non-empty codebook")
+    require(cents.length <= MaxInlineCentroids,
+      s"pqEncode inlines the codebook as literals; ${cents.length} codewords " +
+        s"exceed MaxInlineCentroids=$MaxInlineCentroids — train a smaller " +
+        "codebook (PQ codebooks are 256-ish entries per subspace by design)")
     val dim = cents.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
-    def dlit(d: Double): String = s"cast('${d.toString}' as double)"
     // per-subspace argmin fold over the inlined codeword slices:
     // iterate in cid order, replace on strictly-smaller distance ->
     // ties keep the lowest cid (same pick as row_number(d asc, cid asc))
@@ -397,6 +400,11 @@ object Similarity {
     */
   private val MaxInlineCentroids = 1024
 
+  /** Exact-roundtrip double literal: `Double.toString` <->
+    * `cast(string as double)` is bit-exact, so inlining loses nothing.
+    */
+  private def dlit(d: Double): String = s"cast('${d.toString}' as double)"
+
   /** Assign each candidate `(neighbor_id, ca, cn)` to its nearest
     * centroid (cosine desc, cid asc ties). Shuffle-free inline fold for
     * small centroid sets; `min_by`-style aggregation fallback above
@@ -408,9 +416,6 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     if (centRows.length <= MaxInlineCentroids) {
-      // exact-roundtrip literals: Double.toString <-> cast(string as
-      // double) is bit-exact, so inlining loses nothing
-      def dlit(d: Double): String = s"cast('${d.toString}' as double)"
       val centArr = centRows.map { case (cid, emb, nrm) =>
         s"named_struct('cid', cast($cid as bigint), " +
           s"'cemb', array(${emb.map(dlit).mkString(",")}), 'cnrm', ${dlit(nrm)})"

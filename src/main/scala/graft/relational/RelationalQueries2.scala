@@ -200,7 +200,10 @@ object RelationalQueries2 {
         // exact NDV as dedup + count (two plain two-phase aggs) instead
         // of count(DISTINCT) inside the mixed aggregate: the latter
         // plans an Expand that doubles the scan's rows
-        val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        // isNotNull keeps count(DISTINCT) semantics: a NULL partkey
+        // must not count as a distinct value
+        val exact = li.select(col("l_returnflag"), col("l_partkey"))
+          .filter(col("l_partkey").isNotNull).distinct()
           .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
         val est = li.groupBy(col("l_returnflag")).agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),

@@ -124,8 +124,12 @@ class GraphAlgsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260812L)
     val n = 400
     val nodeIds = (0L until n.toLong).toSeq
+    // dedup on the UNORDERED pair: the GraphAlgs contract is "pass each
+    // pair once" — ordered-only dedup can leave both orientations in,
+    // silently double-weighting that edge
     val edgeSeq = Seq.fill(500)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      .filter { case (a, b) => a != b }.distinct
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
     val nodesDf = nodeIds.toDF("id")
     val edgesDf = edgeSeq.toDF("src", "dst")
 
