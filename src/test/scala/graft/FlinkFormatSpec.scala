@@ -285,6 +285,17 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(got === (1L to 50L).map(k => k -> k * 11).toMap)
   }
 
+  test("P2 value-only projection prunes key decode on the Flink layout") {
+    import spark.implicits._
+    val meta = Savepoints.load(resourceDir.toString)
+    // readValueStateValues prunes to valueBytes: the source decodes
+    // with needKey=false, which still must honor the flag bit living
+    // in the first (skipped) key byte
+    val got = Savepoints.reader(spark, meta, Uid)
+      .readValueStateValues[Long]("count").collect().toSet
+    assert(got === golden.Counts.values.toSet)
+  }
+
   test("per-key-group splits (S5) work on the Flink layout, skipping " +
     "empty groups") {
     val meta = Savepoints.load(resourceDir.toString)
