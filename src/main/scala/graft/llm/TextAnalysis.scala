@@ -79,12 +79,17 @@ object TextAnalysis {
       (s, d) => Catalog.t(s, d, "documents")
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+        // dedup once, then PLAIN aggregation: the previous two
+        // countDistincts with different filters planned an Expand that
+        // tripled the exploded shingle rows (min/count over the
+        // distinct set are value-identical)
+        .distinct()
         .groupBy(col("doc_id"))
         .agg(
           min(md5(col("sh").cast("binary"))).as("fp_min"),
-          countDistinct(col("sh")).as("n_shingles"),
-          countDistinct(when(expr("substring(md5(cast(sh as binary)), 1, 1) = '0'"),
-            col("sh"))).as("n_sampled"))),
+          count(lit(1)).as("n_shingles"),
+          sum(when(expr("substring(md5(cast(sh as binary)), 1, 1) = '0'"), 1L)
+            .otherwise(0L)).as("n_sampled"))),
 
     // Rolling-hash fingerprint: polynomial hash over each 3-word shingle
     // (the codegen'd PolyHash32 kernel), mod-16 sampled — winnowing-style
