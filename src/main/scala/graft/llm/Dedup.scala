@@ -71,6 +71,9 @@ object Dedup {
       clusterKeepBestSpark),
     QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
 
+    QueryDef("d12_dup_spans", Some(dupSpansOracle),
+      (s, d) => dupSpans(Catalog.t(s, d, "documents"))),
+
     // Canonical selection: within each exact-duplicate group keep the
     // "best" copy (longest text, doc_id tie-break) — the keep-one step
     // that follows duplicate detection in a cleaning pipeline. One
@@ -391,6 +394,67 @@ object Dedup {
     * The oracle walks the same edges with a recursive CTE and takes
     * min(reachable label) per node.
     */
+  // ------------------------------- exact-substring duplication (d12)
+
+  // Long-span exact duplication ("Deduplicating Training Data Makes
+  // Language Models Better" shape, word-window approximation): every
+  // W-word window of every document, windows whose exact text appears
+  // in >= 2 DISTINCT documents are duplicated spans; each doc reports
+  // its window count, duplicated-window count, and ratio. Candidate
+  // generation is the inverted window index (one shuffle keyed by
+  // window text) — never all-pairs; at 100 TB the window column is a
+  // rolling hash instead of the text (same dataflow, narrower key).
+  private val SpanWords = 8
+
+  private def windowConcatSpark(w: Int): String = {
+    val parts = (0 until w).map(k => s"element_at(w, i + $k)").mkString(", ")
+    s"CASE WHEN size(w) >= $w THEN transform(sequence(1, size(w) - ${w - 1}), " +
+      s"i -> concat_ws(' ', $parts)) ELSE cast(array() as array<string>) END"
+  }
+
+  private def windowConcatDuck(w: Int): String = {
+    val parts = (0 until w).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len(w) - ${w - 2}, 1)), i -> $parts)"
+  }
+
+  /** Public API: per-document duplicated-span stats over `(doc_id,
+    * text)` — `n_windows`, `n_dup_windows` (window occurrences whose
+    * exact `windowWords`-word text appears in at least 2 distinct
+    * docs), `dup_ratio`.
+    */
+  def dupSpans(docs: DataFrame, windowWords: Int = SpanWords): DataFrame = {
+    val s = docs.withColumn("w", expr(TextExprs.sparkWords))
+      .select(col("doc_id"),
+        explode(expr(windowConcatSpark(windowWords))).as("sh"))
+    // cached: the window explode feeds the dup-set build AND both
+    // per-doc aggregations
+    val sc = s.cache()
+    val dup = sc.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("sh"))
+    val total = sc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dups = sc.join(dup, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    total.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)).cast("double")
+          / col("n_windows")).as("dup_ratio"))
+  }
+
+  private def dupSpansOracle: String =
+    s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |s AS (SELECT doc_id, unnest(${windowConcatDuck(SpanWords)}) AS sh FROM d),
+       |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM s)
+       |  GROUP BY sh HAVING count(*) >= 2),
+       |total AS (SELECT doc_id, count(*) AS n_windows FROM s GROUP BY doc_id),
+       |dups AS (SELECT doc_id, count(*) AS n_dup_windows
+       |  FROM s JOIN dup USING (sh) GROUP BY doc_id)
+       |SELECT doc_id, cast(n_windows as bigint) AS n_windows,
+       |  cast(coalesce(n_dup_windows, 0) as bigint) AS n_dup_windows,
+       |  cast(coalesce(n_dup_windows, 0) as double) / n_windows AS dup_ratio
+       |FROM total LEFT JOIN dups USING (doc_id)""".stripMargin
+
   /** d05 near-dup pairs as a (src, dst) edge list + all docs as nodes —
     * the graph inputs d08, g01 and d10 hand to [[GraphAlgs]].
     *
