@@ -48,6 +48,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L))
   }
 
+  test("dupSpans: only cross-doc duplicated windows count, ratio exact") {
+    // W=3 windows; docs 1 and 2 share exactly "a b c" (doc 1 windows:
+    // [a b c, b c d]; doc 2: [x y z, y z a, z a b, a b c]); doc 3 has
+    // no 3-word window at all (2 words) and must not appear
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "x y z a b c"),
+      (3L, "q r")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.dupSpans(docs, windowWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(
+      1L -> (2L, 1L, 0.5),
+      2L -> (4L, 1L, 0.25)))
+  }
+
   test("balancedSample: exactly k per group, deterministic across runs") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
