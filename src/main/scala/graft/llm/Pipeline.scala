@@ -47,8 +47,8 @@ object Pipeline {
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
               |  FROM d)
               |SELECT doc_id, lang, n_tokens,
-              |  cum // $PackBudget AS bin_id,
-              |  cum % $PackBudget AS bin_offset,
+              |  cast(cum // $PackBudget as bigint) AS bin_id,
+              |  cast(cum % $PackBudget as bigint) AS bin_offset,
               |  ((cum + n_tokens - 1) // $PackBudget) > (cum // $PackBudget)
               |    AS spans_boundary
               |FROM c""".stripMargin),
@@ -100,7 +100,7 @@ object Pipeline {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
               |  FROM keep)
               |SELECT doc_id, lang, pick, n_tokens,
-              |  cum // $PackBudget AS bin_id
+              |  cast(cum // $PackBudget as bigint) AS bin_id
               |FROM c""".stripMargin),
       (s, d) => {
         val docs = Catalog.t(s, d, "documents")

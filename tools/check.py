@@ -49,12 +49,18 @@ def main(sf_dir, out_dir, only=None):
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_bad += 1; continue
         bad_cols = []
+        # the driver hashes STRINGIFIED values, so an int64 engine column
+        # vs a float64 oracle column (e.g. DuckDB HUGEINT -> float) is a
+        # hash mismatch even when numerically equal — flag kind drift.
+        kind_bad = [(c, g[c].dtype.kind, e[c].dtype.kind) for c in g.columns
+                    if g[c].dtype.kind != e[c].dtype.kind
+                    and {g[c].dtype.kind, e[c].dtype.kind} != {"O"}]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind drift (engine vs oracle) {kind_bad}")
+            n_bad += 1; continue
         for c in g.columns:
             gv, ev = g[c].values, e[c].values
-            if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(e[c].dtype, np.floating):
-                eq = (pd.isna(gv) & pd.isna(ev)) | (gv == ev)
-            else:
-                eq = (pd.isna(gv) & pd.isna(ev)) | (gv == ev)
+            eq = (pd.isna(gv) & pd.isna(ev)) | (gv == ev)
             if not eq.all():
                 i = int(np.argmin(eq))
                 bad_cols.append((c, gv[i], ev[i]))
