@@ -54,10 +54,29 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full per-query detail -> a file (the driver keeps only the last
+    // ~2000 chars of stdout, which a 95-entry map can never fit; the
+    // committed detail file is the per-query record of a local run).
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(detailJson)
+
+    // Compact summary LAST so the complete line survives the stdout
+    // tail: per-family subtotals (q/t/d/g/j/s/m/p/st/sp) + total.
+    val fams = results
+      .groupBy { case (k, _) => k.takeWhile(_.isLetter) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fams,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
