@@ -229,7 +229,10 @@ object FlinkMetadataIO {
           (0 until nLegacy).foreach(_ => readStreamHandle(d)) // absorb
           if (d.readInt() == 1)
             readOperatorHandle(d, basePath).foreach(nonKeyed(subtask) = _)
-          if (d.readInt() == 1) readOperatorHandle(d, basePath) // raw op: absorb
+          // raw operator state: arbitrary user bytes — skip past the
+          // handle structure WITHOUT fetching or parsing the delegate
+          // (it is not an OperatorBackendSerializationProxy)
+          if (d.readInt() == 1) skipOperatorHandle(d)
           readKeyedHandle(d, basePath, subtask, proxySources).foreach(files += _)
           readKeyedHandle(d, basePath, subtask, proxySources) // raw keyed: absorb
         }
@@ -318,7 +321,20 @@ object FlinkMetadataIO {
         // stub dir: inline files written out, remote files manifested.
         // Location is driver-local by default; on a multi-node cluster
         // point graft.flink.incremental.stage-dir at shared storage.
-        val stage = sys.props.get("graft.flink.incremental.stage-dir")
+        val stageOverride = sys.props.get("graft.flink.incremental.stage-dir")
+        // driver-local temp is invisible to executors: fail fast on a
+        // non-local master instead of an opaque task-time FS error
+        if (stageOverride.isEmpty) {
+          val master = org.apache.spark.sql.SparkSession.getActiveSession
+            .map(_.sparkContext.master)
+          if (master.exists(m => !m.startsWith("local")))
+            throw new IllegalStateException(
+              "incremental checkpoint staging defaults to driver-local " +
+                s"temp, which executors on master '${master.get}' cannot " +
+                "read; set -Dgraft.flink.incremental.stage-dir to a " +
+                "shared filesystem path")
+        }
+        val stage = stageOverride
           .map(java.nio.file.Paths.get(_))
           .getOrElse(java.nio.file.Paths.get(
             System.getProperty("java.io.tmpdir")))
@@ -371,6 +387,24 @@ object FlinkMetadataIO {
         val bytes = try in.readAllBytes() finally in.close()
         Some(FlinkOperatorStateIO.read(bytes, offsets))
     }
+  }
+
+  /** Consume a PARTITIONABLE handle's structure (offsets map + stream
+    * handle) without interpreting the delegate bytes — used for raw
+    * operator state, whose payload is opaque to the backend.
+    */
+  private def skipOperatorHandle(d: DataInputStream): Unit = {
+    val tag = d.readByte().toInt
+    require(tag == PartitionableOpHandle,
+      s"expected partitionable operator state handle, got tag $tag")
+    val n = d.readInt()
+    (0 until n).foreach { _ =>
+      d.readUTF(); d.readByte()
+      val nOff = d.readInt()
+      (0 until nOff).foreach(_ => d.readLong())
+    }
+    readStreamHandle(d) // inline bytes are consumed; file refs not fetched
+    ()
   }
 
   private sealed trait StreamHandle

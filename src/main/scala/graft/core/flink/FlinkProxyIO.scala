@@ -20,8 +20,13 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, InputS
   *    snapshotVersion | body`. Legacy (`newStyle=false`) snapshots
   *    carry a Java-serialized serializer and are rejected with a clear
   *    error — our writer never emits them.
-  *  - simple snapshots (SimpleTypeSerializerSnapshot): version 2,
-  *    empty body.
+  *  - simple snapshots (SimpleTypeSerializerSnapshot): version 2 with
+  *    the SERIALIZER class name as a UTF body — the Flink 1.7.x layout
+  *    (1.7's writeSnapshot emits the class name; 1.8 moved to version 3
+  *    with an empty body and reads-and-discards the UTF for v2). The
+  *    writer targets 1.7.1 (the reference's pinned version,
+  *    build.gradle:8); the reader accepts both v2-with-body and
+  *    v3-empty, so 1.8+-written savepoints also load.
   *  - composite snapshots (List/MapSerializerSnapshot, version 1):
   *    body = `i32 nestedCount | nested envelopes`
   *    (CompositeSerializerSnapshot.writeCompositeSnapshot).
@@ -32,30 +37,36 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, InputS
 object FlinkSnapshots {
 
   val EnvelopeVersion = 2
+  /** Flink 1.7.x SimpleTypeSerializerSnapshot: UTF serializer-class body. */
   val SimpleSnapshotVersion = 2
+  /** Flink 1.8+ layout: empty body (read-side compatibility only). */
+  val SimpleSnapshotVersionV3 = 3
   val CompositeSnapshotVersion = 1
 
   private val Base = "org.apache.flink.api.common.typeutils.base."
   val TtlPrefix = "org.apache.flink.runtime.state.ttl.TtlStateFactory$TtlSerializer"
 
-  /** codec id -> (snapshot class, version) for leaf serializers. */
-  private val leafByCodec: Map[String, (String, Int)] = Map(
-    "long" -> (Base + "LongSerializer$LongSerializerSnapshot", SimpleSnapshotVersion),
-    "int" -> (Base + "IntSerializer$IntSerializerSnapshot", SimpleSnapshotVersion),
-    "short" -> (Base + "ShortSerializer$ShortSerializerSnapshot", SimpleSnapshotVersion),
-    "byte" -> (Base + "ByteSerializer$ByteSerializerSnapshot", SimpleSnapshotVersion),
-    "boolean" -> (Base + "BooleanSerializer$BooleanSerializerSnapshot", SimpleSnapshotVersion),
-    "float" -> (Base + "FloatSerializer$FloatSerializerSnapshot", SimpleSnapshotVersion),
-    "double" -> (Base + "DoubleSerializer$DoubleSerializerSnapshot", SimpleSnapshotVersion),
-    "flink-string" -> (Base + "StringSerializer$StringSerializerSnapshot", SimpleSnapshotVersion),
+  /** codec id -> (snapshot class, serializer class) for leaf
+    * serializers. The snapshot is the serializer's nested class; the
+    * serializer class name is the v2 snapshot body.
+    */
+  private val leafByCodec: Map[String, (String, String)] = Map(
+    "long" -> (Base + "LongSerializer$LongSerializerSnapshot", Base + "LongSerializer"),
+    "int" -> (Base + "IntSerializer$IntSerializerSnapshot", Base + "IntSerializer"),
+    "short" -> (Base + "ShortSerializer$ShortSerializerSnapshot", Base + "ShortSerializer"),
+    "byte" -> (Base + "ByteSerializer$ByteSerializerSnapshot", Base + "ByteSerializer"),
+    "boolean" -> (Base + "BooleanSerializer$BooleanSerializerSnapshot", Base + "BooleanSerializer"),
+    "float" -> (Base + "FloatSerializer$FloatSerializerSnapshot", Base + "FloatSerializer"),
+    "double" -> (Base + "DoubleSerializer$DoubleSerializerSnapshot", Base + "DoubleSerializer"),
+    "flink-string" -> (Base + "StringSerializer$StringSerializerSnapshot", Base + "StringSerializer"),
     "flink-bytes" -> (Base + "array.BytePrimitiveArraySerializer$BytePrimitiveArraySerializerSnapshot",
-      SimpleSnapshotVersion),
+      Base + "array.BytePrimitiveArraySerializer"),
     "void" -> ("org.apache.flink.runtime.state.VoidNamespaceSerializer$VoidNamespaceSerializerSnapshot",
-      SimpleSnapshotVersion),
+      "org.apache.flink.runtime.state.VoidNamespaceSerializer"),
     "flink-java" -> ("org.apache.flink.runtime.state.JavaSerializer$JavaSerializerSnapshot",
-      SimpleSnapshotVersion),
+      "org.apache.flink.runtime.state.JavaSerializer"),
     "flink-window" -> ("org.apache.flink.streaming.api.windowing.windows.TimeWindow$Serializer$TimeWindowSerializerSnapshot",
-      SimpleSnapshotVersion))
+      "org.apache.flink.streaming.api.windowing.windows.TimeWindow$Serializer"))
 
   private val codecByLeaf: Map[String, String] =
     leafByCodec.map { case (id, (cls, _)) => cls -> id }
@@ -72,8 +83,9 @@ object FlinkSnapshots {
     d.writeBoolean(true) // new-style TypeSerializerSnapshot
     codecId match {
       case id if leafByCodec.contains(id) =>
-        val (cls, v) = leafByCodec(id)
-        d.writeUTF(cls); d.writeInt(v)
+        val (snapshotCls, serializerCls) = leafByCodec(id)
+        d.writeUTF(snapshotCls); d.writeInt(SimpleSnapshotVersion)
+        d.writeUTF(serializerCls) // 1.7.x v2 body
       case l if l.startsWith("list<") && l.endsWith(">") =>
         d.writeUTF(ListSnapshotClass); d.writeInt(CompositeSnapshotVersion)
         d.writeInt(1)
@@ -109,7 +121,14 @@ object FlinkSnapshots {
     val cls = d.readUTF()
     val snapVersion = d.readInt()
     cls match {
-      case c if codecByLeaf.contains(c) => codecByLeaf(c)
+      case c if codecByLeaf.contains(c) =>
+        snapVersion match {
+          case SimpleSnapshotVersion   => d.readUTF() // 1.7.x serializer-class body
+          case SimpleSnapshotVersionV3 => // 1.8+: empty body
+          case other => throw new IllegalArgumentException(
+            s"unsupported simple serializer snapshot version $other for '$c'")
+        }
+        codecByLeaf(c)
       case ListSnapshotClass =>
         val n = d.readInt()
         require(n == 1, s"list snapshot with $n nested serializers")

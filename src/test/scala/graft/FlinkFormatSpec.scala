@@ -317,12 +317,12 @@ class FlinkFormatSpec extends AnyFunSuite {
     d.writeUTF("org.apache.flink.runtime.state.ttl.TtlStateFactory$TtlSerializer$TtlSerializerSnapshot")
     d.writeInt(1)
     d.writeInt(2) // two nested: timestamp serializer + user serializer
-    Seq("LongSerializer$LongSerializerSnapshot", "LongSerializer$LongSerializerSnapshot")
-      .foreach { cls =>
-        d.writeInt(2); d.writeBoolean(true)
-        d.writeUTF("org.apache.flink.api.common.typeutils.base." + cls)
-        d.writeInt(2)
-      }
+    (0 until 2).foreach { _ =>
+      d.writeInt(2); d.writeBoolean(true)
+      d.writeUTF("org.apache.flink.api.common.typeutils.base.LongSerializer$LongSerializerSnapshot")
+      d.writeInt(2)
+      d.writeUTF("org.apache.flink.api.common.typeutils.base.LongSerializer")
+    }
     d.flush()
     val id = graft.core.flink.FlinkSnapshots.read(
       new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray)))
@@ -368,6 +368,51 @@ class FlinkFormatSpec extends AnyFunSuite {
       .readValueStates[Long, Long]("v").collect().toMap
     assert(got === values.toMap)
     assert(Savepoints.load(meta2.basePath).operator("wide-op").maxParallelism === 4096)
+  }
+
+  test("v3 (Flink 1.8+) empty-body simple snapshots also read") {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(2); d.writeBoolean(true)
+    d.writeUTF("org.apache.flink.api.common.typeutils.base.LongSerializer$LongSerializerSnapshot")
+    d.writeInt(3) // 1.8+ version: no body
+    d.flush()
+    assert(graft.core.flink.FlinkSnapshots.read(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray)))
+      === "long")
+  }
+
+  test("raw operator state is skipped structurally, not parsed as a proxy") {
+    // metadata with ONE subtask carrying raw operator state whose
+    // delegate is arbitrary user bytes (would fail a proxy parse)
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d); d.writeInt(2)
+    d.writeLong(9L); d.writeInt(0); d.writeInt(1)
+    val id = Identifiers.operatorId("raw-op")
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(1); d.writeInt(128); d.writeInt(1)
+    d.writeInt(1)   // one subtask
+    d.writeInt(0)   // index
+    d.writeLong(-1L); d.writeInt(0)
+    d.writeInt(0)   // managed operator state: none
+    d.writeInt(1)   // raw operator state present
+    d.writeByte(4)  // PARTITIONABLE_OPERATOR_STATE_HANDLE
+    d.writeInt(1)   // one named state
+    d.writeUTF("user-raw"); d.writeByte(0)
+    d.writeInt(1); d.writeLong(0L)
+    d.writeByte(1)  // inline byte-stream delegate
+    d.writeUTF("raw")
+    val junk = Array.tabulate[Byte](37)(i => (i * 31 + 5).toByte) // NOT a proxy
+    d.writeInt(junk.length); d.write(junk)
+    d.writeByte(0)  // managed keyed: null
+    d.writeByte(0)  // raw keyed: null
+    d.flush()
+    val dir = Files.createTempDirectory("flink-raw-op")
+    Files.write(dir.resolve("_metadata"), bos.toByteArray)
+    val meta = Savepoints.load(dir.toString) // must not throw
+    assert(meta.operator("raw-op").nonKeyed.isEmpty)
   }
 
   test("proxy rejects graft-only codec layouts in the Flink dialect") {
@@ -486,21 +531,28 @@ object FlinkGoldenAssembler {
     d.writeInt(5)            // KeyedBackendSerializationProxy.VERSION
     d.writeBoolean(false)    // no key-group compression
     writeSimpleSnapshot(d,
-      "org.apache.flink.api.common.typeutils.base.StringSerializer$StringSerializerSnapshot")
+      "org.apache.flink.api.common.typeutils.base.StringSerializer")
     d.writeShort(2)          // two states
     writeValueStateMeta(d, "count",
-      "org.apache.flink.api.common.typeutils.base.LongSerializer$LongSerializerSnapshot")
+      "org.apache.flink.api.common.typeutils.base.LongSerializer")
     writeValueStateMeta(d, "tag",
-      "org.apache.flink.api.common.typeutils.base.StringSerializer$StringSerializerSnapshot")
+      "org.apache.flink.api.common.typeutils.base.StringSerializer")
     d.flush(); bos.toByteArray
   }
 
-  private def writeSimpleSnapshot(d: DataOutputStream, cls: String): Unit = {
+  /** Flink 1.7.1 simple snapshot: nested `$...SerializerSnapshot` class
+    * in the envelope, version 2, serializer class name as the UTF body
+    * (1.7's SimpleTypeSerializerSnapshot.writeSnapshot).
+    */
+  private def writeSimpleSnapshot(d: DataOutputStream, serializerCls: String): Unit = {
+    val simpleName = serializerCls.substring(serializerCls.lastIndexOf('.') + 1)
+      .replace("$", "")
     d.writeInt(2)        // snapshot envelope version
     d.writeBoolean(true) // new-style snapshot
-    d.writeUTF(cls)
-    d.writeInt(2)        // SimpleTypeSerializerSnapshot version
-  }                      // empty body
+    d.writeUTF(serializerCls + "$" + simpleName + "Snapshot")
+    d.writeInt(2)        // SimpleTypeSerializerSnapshot version (1.7.x)
+    d.writeUTF(serializerCls) // v2 body: the serializer class name
+  }
 
   private def writeValueStateMeta(d: DataOutputStream, name: String, valueCls: String): Unit = {
     d.writeUTF(name)
@@ -510,7 +562,7 @@ object FlinkGoldenAssembler {
     d.writeInt(2) // two serializer snapshots
     d.writeUTF("NAMESPACE_SERIALIZER")
     writeSimpleSnapshot(d,
-      "org.apache.flink.runtime.state.VoidNamespaceSerializer$VoidNamespaceSerializerSnapshot")
+      "org.apache.flink.runtime.state.VoidNamespaceSerializer")
     d.writeUTF("VALUE_SERIALIZER")
     writeSimpleSnapshot(d, valueCls)
   }
