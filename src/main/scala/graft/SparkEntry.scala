@@ -18,6 +18,7 @@ object SparkEntry {
       llm.Dedup.all ++
       llm.Pipeline.all ++
       llm.Similarity.all ++
+      llm.Clustering.all ++
       llm.Multimodal.all ++
       streaming.StreamingQueries.all ++
       state.StateQueries.all

@@ -1,0 +1,197 @@
+package graft.llm
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering + compressed-domain search: the index-TRAINING
+  * side of the ANN stack (s02/s03/s06 are the index-USE side).
+  *
+  * - c01: one Lloyd iteration of spherical k-means — the step that
+  *   trains IVF cells and PQ codebooks. Assignment reuses the
+  *   shuffle-free inlined-centroid argmax of s03; the re-estimation is
+  *   a fixed-point (cid, dim) aggregation so the means are
+  *   cross-engine exact integers (a double sum's partial-agg order is
+  *   not reproducible; scaled-long sums are).
+  * - s07: PQ asymmetric-distance (ADC) scoring — queries stay
+  *   full-precision while candidates are scanned via their 4-byte PQ
+  *   codes, the memory layout billion-scale ANN actually serves.
+  *   Codeword lookups inline as literal maps (shuffle-free narrow
+  *   map); only the per-query top-k window shuffles.
+  *
+  * Scale notes (100 TB stance): c01's shuffle is partial-aggregated
+  * (cid x dim) sums — volume is partitions x C x dim regardless of N.
+  * s07 scans candidates embarrassingly parallel; at scale you compose
+  * it with s03's cell probing so only probed cells are scanned. Both
+  * reuse `graft_dot`-style sequential folds, so every double matches
+  * the DuckDB oracle bit-for-bit.
+  */
+object Clustering {
+  import Similarity.{CentroidEvery, NumQueries, PqM, assignCells, dlit, duckDot, sparkDot}
+
+  /** Fixed-point scale for centroid means: embeddings are O(1) floats,
+    * so scaled-long sums stay far below 2^62 at any realistic cluster
+    * size (1e7 scale x 1e12 rows x O(1) values ~ 1e19 needs care; at
+    * that N, shard the mean by (cid, dim, salt) and re-sum — noted, not
+    * needed at gate scale).
+    */
+  private val MeanFx = 10000000L // 1e7
+
+  private val AdcTopK = 3
+
+  def all: Seq[QueryDef] = Seq(
+    QueryDef("c01_kmeans_step", Some(kmeansOracle), kmeansSpark),
+    QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark)
+  )
+
+  // ------------------------------------------------------ k-means step
+
+  private def kmeansSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    kmeansStep(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  /** Public API: one spherical k-means Lloyd iteration. Assigns every
+    * `(vec_id, embedding)` row to its nearest `(cid, embedding)`
+    * centroid by cosine (ties -> lowest cid), then re-estimates each
+    * centroid as the member mean, returned per dimension in fixed
+    * point: `(cid, dim, n_members, mean_fx)` with
+    * `mean_fx = sum(round(x * 1e7)) div n_members`.
+    */
+  def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    assignCells(c, cent)
+      .select(col("cid"), posexplode(col("ca")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr(s"cast(round(x * $MeanFx) as bigint)")).as("sum_fx"))
+      .select(col("cid"), col("dim"), col("n_members"),
+        expr("sum_fx div n_members").as("mean_fx"))
+  }
+
+  private def kmeansOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |px AS (SELECT cid, cast(i - 1 as bigint) AS dim,
+       |    cast(round(va[i] * $MeanFx) as bigint) AS fx
+       |  FROM asg, dims)
+       |SELECT cid, dim, count(*) AS n_members,
+       |  cast(sum(fx) as bigint) // count(*) AS mean_fx
+       |FROM px GROUP BY cid, dim""".stripMargin
+
+  // ----------------------------------------------------- PQ ADC search
+
+  private def adcSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    pqAdcTopK(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      PqM, AdcTopK)
+  }
+
+  /** Public API: asymmetric-distance top-k over PQ codes. Candidates
+    * are encoded with [[Similarity.pqEncode]] against `codebook`; each
+    * query's distance to a candidate is the sum of per-subspace squared
+    * L2 distances between the query slice and the candidate's CODEWORD
+    * (the query never quantizes — that is the "asymmetric" in ADC).
+    * Returns `(query_id, neighbor_id, adc_dist, rn)`, rn over
+    * (adc_dist asc, neighbor_id asc).
+    */
+  def pqAdcTopK(queries: DataFrame, candidates: DataFrame,
+      codebook: DataFrame, m: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cents = codebook.select(col("cid").cast("long"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "pqAdcTopK needs a non-empty codebook")
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val codes = Similarity.pqEncode(candidates
+      .select(col("neighbor_id").as("vec_id"), col("embedding")), codebook, m)
+      .select(col("vec_id").as("neighbor_id") +:
+        (0 until m).map(mi => col(s"code_$mi")): _*)
+    // per-subspace codeword lookup as a literal map cid -> slice:
+    // ADC distances run inside the candidate scan stage, shuffle-free
+    val distCols = (0 until m).map { mi =>
+      val entries = cents.map { case (cid, emb) =>
+        val slice = emb.slice(mi * sub, (mi + 1) * sub)
+        s"cast($cid as bigint), array(${slice.map(dlit).mkString(",")})"
+      }.mkString(", ")
+      expr(s"aggregate(zip_with(slice(qa, ${mi * sub + 1}, $sub), " +
+        s"element_at(map($entries), code_$mi), (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as double), (a, x) -> a + x)").as(s"d_$mi")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes
+      .crossJoin(broadcast(queries.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qa"))))
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id") +: col("neighbor_id") +: distCols: _*)
+      // fixed fold order over subspaces (matches the oracle's CASE sum)
+      .withColumn("adc_dist",
+        (0 until m).map(mi => col(s"d_$mi")).reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rn")
+  }
+
+  private def adcOracle: String = {
+    val sub = 64 / PqM
+    // fixed-order per-subspace sum, same shape as the s06 oracle
+    val adcSum = (0 until PqM).map(mi =>
+      s"max(CASE WHEN m = $mi THEN qd END)").reduce((a, b) => s"($a + $b)")
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca FROM v WHERE vec_id % $CentroidEvery = 0),
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |pairs AS (SELECT v.vec_id, ms.m, c.cid, c.ca,
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(range(1, $sub + 1),
+       |        i -> (va[m * $sub + i] - ca[m * $sub + i])
+       |           * (va[m * $sub + i] - ca[m * $sub + i]))),
+       |      (a, b) -> a + b) AS d
+       |  FROM v, ms, c),
+       |best AS (SELECT vec_id, m, cid, ca FROM (
+       |  SELECT vec_id, m, cid, ca,
+       |    row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d ASC, cid ASC) AS rn FROM pairs) x WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, va AS qa FROM v WHERE vec_id < $NumQueries),
+       |qd AS (SELECT q.query_id, b.vec_id AS neighbor_id, b.m,
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(range(1, $sub + 1),
+       |        i -> (qa[b.m * $sub + i] - b.ca[b.m * $sub + i])
+       |           * (qa[b.m * $sub + i] - b.ca[b.m * $sub + i]))),
+       |      (a, b2) -> a + b2) AS qd
+       |  FROM q, best b WHERE q.query_id <> b.vec_id),
+       |adc AS (SELECT query_id, neighbor_id, $adcSum AS adc_dist
+       |  FROM qd GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rn FROM adc)
+       |SELECT query_id, neighbor_id, adc_dist, rn FROM r WHERE rn <= $AdcTopK""".stripMargin
+  }
+}

@@ -139,8 +139,81 @@ object Pipeline {
       (s, d) => balancedSample(Catalog.t(s, d, "documents"),
         col("lang"), BalancedK)),
 
-    shardManifestDef
+    shardManifestDef,
+
+    // Corpus-novelty score: the fraction of a doc's distinct shingles
+    // whose FIRST corpus occurrence (min doc_id) is that doc — the
+    // "does this doc add anything new" curation signal. Inverted-index
+    // shape: one shuffle keyed by shingle, one keyed by doc.
+    QueryDef(
+      "t13_shingle_novelty",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |s AS (SELECT DISTINCT doc_id, unnest($duckShingles) AS sh FROM d),
+              |f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+              |SELECT doc_id,
+              |  count(*) AS n_shingles,
+              |  cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) as bigint)
+              |    AS n_novel,
+              |  cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) as double)
+              |    / cast(count(*) as double) AS novelty
+              |FROM s JOIN f USING (sh)
+              |GROUP BY doc_id""".stripMargin),
+      (s, d) => shingleNovelty(Catalog.t(s, d, "documents"))),
+
+    // Stratified hash sampling: per-stratum keep rates applied by a
+    // deterministic md5 threshold — the mix-weighting step that scales
+    // to any N as a pure narrow map (no shuffle, no count pass).
+    QueryDef(
+      "p05_stratified_sample",
+      Some {
+        val cases = StratRates.zipWithIndex.map { case (r, i) =>
+          s"WHEN $i THEN ${threshold(r)}"
+        }.mkString(" ")
+        s"""SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |    cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))
+           |         as bigint) AS h,
+           |    CASE cast(substring(source, 4) as int) % ${StratRates.length}
+           |      $cases END AS thr
+           |  FROM documents) x
+           |WHERE h < thr""".stripMargin
+      },
+      (s, d) => stratifiedSample(Catalog.t(s, d, "documents"),
+        col("source"), expr(s"cast(substring(source, 4) as int) % ${StratRates.length}"),
+        StratRates)),
+
+    // Token-mix allocation: apportion a fixed training-token budget
+    // across sources proportionally to their token counts, by the
+    // integer largest-remainder (Hamilton) method — deterministic,
+    // sums exactly to the budget, no floats anywhere.
+    QueryDef(
+      "p06_mix_allocation",
+      Some(s"""WITH tok AS (SELECT source,
+              |    cast(sum(len(string_split(text, ' '))) as bigint) AS toks
+              |  FROM documents GROUP BY source),
+              |tot AS (SELECT cast(sum(toks) as bigint) AS total FROM tok),
+              |base AS (SELECT source, toks,
+              |    ($MixBudget * toks) // total AS base_alloc,
+              |    ($MixBudget * toks) % total AS rem
+              |  FROM tok, tot),
+              |ranked AS (SELECT *,
+              |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+              |    $MixBudget - cast(sum(base_alloc) OVER () as bigint) AS leftover
+              |  FROM base)
+              |SELECT source, toks, cast(base_alloc as bigint) +
+              |  CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+              |FROM ranked""".stripMargin),
+      (s, d) => mixAllocation(Catalog.t(s, d, "documents"), col("source"),
+        expr(s"cast(size($sparkWords) as bigint)"), MixBudget))
   )
+
+  private val StratRates = Seq(0.05, 0.15, 0.4, 0.8)
+  private val MixBudget = 100000L
+
+  /** md5-hash threshold for a keep-rate in [0,1] over the first 8 hex
+    * chars (32-bit space) — identical integer in both engines.
+    */
+  private def threshold(rate: Double): Long = (rate * 4294967296.0).toLong
 
   // Deterministic shard manifest: docs assign to N training shards by
   // md5 hash (stable under any partitioning / re-run); the manifest
@@ -218,6 +291,68 @@ object Pipeline {
       .join(broadcast(evalShingles), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Corpus-novelty per doc: distinct 3-word shingles, how many first
+    * occur (min doc_id) in that doc, and their ratio. Docs with <3
+    * words have no shingles and are absent (same as the oracle).
+    */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("w", expr(sparkWords))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+      .distinct()
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
+  /** Stratified deterministic sample: row kept iff the 32-bit md5 hash
+    * of its doc_id is under the keep-rate threshold of its stratum
+    * (`stratumIdx` must evaluate to 0..rates.length-1). A pure narrow
+    * map — assignment is stable under any partitioning or re-run.
+    */
+  def stratifiedSample(docs: DataFrame, byCol: Column, stratumIdx: Column,
+      rates: Seq[Double]): DataFrame = {
+    val thr = element_at(
+      array(rates.map(r => lit(threshold(r))): _*), stratumIdx + 1)
+    docs
+      .withColumn("h",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long"))
+      .filter(col("h") < thr)
+      .select(col("doc_id"), byCol)
+  }
+
+  /** Largest-remainder apportionment of `budget` tokens across groups
+    * proportional to their token totals: every group gets
+    * `budget * toks // total`, and the leftover units go to the
+    * largest remainders (ties -> group asc). Integer-exact, sums to
+    * `budget`. The agg is two-phase; the window runs over one row per
+    * group (the grouping cardinality, tiny by construction).
+    */
+  def mixAllocation(docs: DataFrame, byCol: Column, tokensCol: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.withColumn("n_tokens", tokensCol)
+      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks"))
+    val wAll = Window.partitionBy()
+    val ranked = tok
+      .withColumn("total", sum(col("toks")).over(wAll))
+      .withColumn("base_alloc", expr(s"($budget * toks) div total"))
+      .withColumn("rem", expr(s"($budget * toks) % total"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, byCol.asc)))
+      .withColumn("leftover", lit(budget) - sum(col("base_alloc")).over(wAll))
+    ranked.select(byCol, col("toks"),
+      (col("base_alloc") +
+        when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
   }
 
   /** Exactly `k` rows per `byCol` group, picked in deterministic

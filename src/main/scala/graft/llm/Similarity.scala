@@ -20,17 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val NumQueries = 16 // vec_id < 16 are the "query" vectors
+  private[llm] val NumQueries = 16 // vec_id < 16 are the "query" vectors
   private val TopK = 5
 
   /** Sequential-left-fold dot product — the codegen'd
     * [[graft.functions.ArrayDotProduct]] kernel (identical IEEE fold
     * order to the oracle's `list_reduce`).
     */
-  private def sparkDot(a: String, b: String): String = s"graft_dot($a, $b)"
+  private[llm] def sparkDot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** The same fold in DuckDB: prepend 0.0 and list_reduce in index order. */
-  private def duckDot(a: String, b: String): String =
+  private[llm] def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(cast(0 as double), " +
       s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
 
@@ -53,7 +53,7 @@ object Similarity {
   // shuffle-free narrow map (codebooks inline as literals, same trick
   // as the IVF cell assignment); exact squared reconstruction error is
   // oracle-checked.
-  private val PqM = 4            // subspaces
+  private[llm] val PqM = 4            // subspaces
   // def, not val: `Dim` is declared further down the object and a val
   // here would read it during initialization as 0
   private def PqSubDim = Dim / PqM
@@ -328,7 +328,7 @@ object Similarity {
   // cells only. At scale the cell assignment is one narrow map over a
   // broadcast centroid set and candidate search shuffles on cell id —
   // never all-pairs. Fully oracle-checked (exact fold arithmetic).
-  private val CentroidEvery = 100
+  private[llm] val CentroidEvery = 100
   private val NProbe = 2
   private val IvfTopK = 3
 
@@ -403,14 +403,14 @@ object Similarity {
   /** Exact-roundtrip double literal: `Double.toString` <->
     * `cast(string as double)` is bit-exact, so inlining loses nothing.
     */
-  private def dlit(d: Double): String = s"cast('${d.toString}' as double)"
+  private[llm] def dlit(d: Double): String = s"cast('${d.toString}' as double)"
 
   /** Assign each candidate `(neighbor_id, ca, cn)` to its nearest
     * centroid (cosine desc, cid asc ties). Shuffle-free inline fold for
     * small centroid sets; `min_by`-style aggregation fallback above
     * [[MaxInlineCentroids]].
     */
-  private def assignCells(c: DataFrame, cent: DataFrame): DataFrame = {
+  private[llm] def assignCells(c: DataFrame, cent: DataFrame): DataFrame = {
     val centRows = cent.select(col("cid").cast("long"),
       col("cemb").cast("array<double>"), col("cnrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))

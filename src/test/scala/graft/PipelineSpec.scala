@@ -65,6 +65,52 @@ class PipelineSpec extends AnyFunSuite {
       2L -> (4L, 1L, 0.25)))
   }
 
+  test("shingleNovelty: first-occurrence attribution and exact ratio") {
+    // doc 1 introduces "a b c" and "b c d"; doc 2 repeats "a b c" and
+    // introduces "c d e" ("b c d" shared via its window too); doc 3 has
+    // <3 words -> absent
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.shingleNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: shingles {a b c, b c d}, both first here -> 2/2
+    // doc 2: shingles {a b c, b c d, c d e}, only "c d e" new -> 1/3
+    assert(got === Map(
+      1L -> (2L, 2L, 1.0),
+      2L -> (3L, 1L, 1.0 / 3.0)))
+  }
+
+  test("mixAllocation: largest-remainder apportionment sums to budget") {
+    // toks: a=5, b=3, c=2 (total 10), budget 7:
+    // base = 3, 2, 1 (quotas 3.5/2.1/1.4); leftover 1 goes to the
+    // largest remainder: a (rem 5), not b (rem 1) or c (rem 4)
+    val docs = Seq(
+      ("a", 5L), ("b", 3L), ("c", 2L)
+    ).toDF("source", "n").withColumn("doc_id", monotonically_increasing_id())
+    val got = Pipeline.mixAllocation(docs, col("source"), col("n"), 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(got.values.sum === 7L)
+  }
+
+  test("stratifiedSample: deterministic, and rate-0 stratum drops all") {
+    val docs = (1L to 200L).map(i => (i, s"src${i % 2}"))
+      .toDF("doc_id", "source")
+    val idx = expr("cast(substring(source, 4) as int) % 2")
+    val got = Pipeline.stratifiedSample(docs, col("source"), idx,
+      Seq(0.0, 1.0)).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // stratum 0 (even src0) rate 0 -> none; stratum 1 rate 1.0 -> all 100
+    assert(got.size === 100)
+    assert(got.forall(_._2 == "src1"))
+    val again = Pipeline.stratifiedSample(docs, col("source"), idx,
+      Seq(0.0, 1.0)).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === again)
+  }
+
   test("balancedSample: exactly k per group, deterministic across runs") {
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
