@@ -54,7 +54,10 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> times.min
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+    // "1,234" and corrupt the JSON output
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
 
     // Full per-query detail -> a file (the driver keeps only the last

@@ -234,7 +234,7 @@ object FlinkMetadataIO {
           // (it is not an OperatorBackendSerializationProxy)
           if (d.readInt() == 1) skipOperatorHandle(d)
           readKeyedHandle(d, basePath, subtask, proxySources).foreach(files += _)
-          readKeyedHandle(d, basePath, subtask, proxySources) // raw keyed: absorb
+          skipKeyedHandle(d) // raw keyed: consume structure, no staging
         }
         (OperatorStateMeta(opId, opId, par, maxPar, None, Seq.empty,
           compression = false, files.toSeq, nonKeyed.toMap),
@@ -325,7 +325,10 @@ object FlinkMetadataIO {
         // driver-local temp is invisible to executors: fail fast on a
         // non-local master instead of an opaque task-time FS error
         if (stageOverride.isEmpty) {
+          // getActiveSession is thread-local; fall back to the default
+          // session so the guard also fires from non-session threads
           val master = org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
             .map(_.sparkContext.master)
           if (master.exists(m => !m.startsWith("local")))
             throw new IllegalStateException(
@@ -355,6 +358,32 @@ object FlinkMetadataIO {
           manifest.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         Some(KeyedFileHandle(subtask, stub.toAbsolutePath.toString, kgStart,
           kgStart + numKgs - 1, Seq.empty, KeyedFileHandle.RocksDbKind))
+      case other =>
+        throw new IllegalArgumentException(s"unknown keyed state handle tag $other")
+    }
+
+  /** Consume a keyed-state handle's structure WITHOUT side effects —
+    * no temp files, no stub-dir staging, no proxy fetch. Used for raw
+    * keyed state, whose payload is discarded (mirror of
+    * [[skipOperatorHandle]]).
+    */
+  private def skipKeyedHandle(d: DataInputStream): Unit =
+    d.readByte().toInt match {
+      case NullHandle =>
+      case KeyGroupsHandle =>
+        d.readInt() // key-group start
+        val numKgs = d.readInt()
+        (0 until numKgs).foreach(_ => d.readLong())
+        readStreamHandle(d) // inline bytes consumed; file refs not fetched
+        ()
+      case IncrementalKeyGroupsHandle =>
+        d.readLong() // checkpoint id
+        d.readUTF()  // backend identifier
+        d.readInt(); d.readInt() // key-group range
+        readHandleMap(d) // shared
+        readHandleMap(d) // private
+        readStreamHandle(d) // meta state
+        ()
       case other =>
         throw new IllegalArgumentException(s"unknown keyed state handle tag $other")
     }

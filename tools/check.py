@@ -52,9 +52,15 @@ def main(sf_dir, out_dir, only=None):
         # the driver hashes STRINGIFIED values, so an int64 engine column
         # vs a float64 oracle column (e.g. DuckDB HUGEINT -> float) is a
         # hash mismatch even when numerically equal — flag kind drift.
+        # int64-vs-uint64 (and bool-vs-object-bool) stringify identically,
+        # so the driver's hash would match — treat those kinds as compatible
+        def kinds_compatible(a, b):
+            if a == b:
+                return True
+            pair = {a, b}
+            return pair <= {"i", "u"} or pair <= {"b", "O"}
         kind_bad = [(c, g[c].dtype.kind, e[c].dtype.kind) for c in g.columns
-                    if g[c].dtype.kind != e[c].dtype.kind
-                    and {g[c].dtype.kind, e[c].dtype.kind} != {"O"}]
+                    if not kinds_compatible(g[c].dtype.kind, e[c].dtype.kind)]
         if kind_bad:
             print(f"FAIL {name}: dtype-kind drift (engine vs oracle) {kind_bad}")
             n_bad += 1; continue
