@@ -41,7 +41,8 @@ object Clustering {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("c01_kmeans_step", Some(kmeansOracle), kmeansSpark),
-    QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark)
+    QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
+    QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark)
   )
 
   // ------------------------------------------------------ k-means step
@@ -159,6 +160,79 @@ object Clustering {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "adc_dist", "rn")
   }
+
+  // -------------------------------------------------- semantic dedup
+
+  /** Cosine threshold for "semantically duplicate" — same working point
+    * as d06's `NearDupMin` (28/500 vectors dropped at sf0.01: the gate
+    * exercises real drops, not a vacuous empty set).
+    */
+  private val SemDedupTau = 0.4
+
+  private def semDedupSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    semDedup(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      SemDedupTau)
+  }
+
+  /** Public API: SemDeDup-style semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540). Every vector is assigned to its nearest
+    * centroid (the k-means cells [[kmeansStep]] trains); WITHIN each
+    * cluster, a vector is dropped when some lower-id member is within
+    * cosine `tau` of it. Returns `(vec_id, cid, dropped)`.
+    *
+    * Scale: the pairwise comparison is confined to one cluster — the
+    * join is keyed by `cid`, never all-pairs, and cluster sizes are
+    * bounded by choosing C proportional to N (SemDeDup's own recipe:
+    * C ~ sqrt(N) keeps per-cluster work ~N total). Assignment is the
+    * shuffle-free inlined-centroid fold shared with s03/c01.
+    */
+  def semDedup(vecs: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    // cached: the assigned set feeds both sides of the in-cluster join
+    val asg = assignCells(c, cent)
+      .select(col("neighbor_id").as("vec_id"), col("cid"),
+        col("ca"), col("cn")).cache()
+    val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+      col("ca").as("aa"), col("cn").as("an"))
+    val b = asg.select(col("cid"), col("vec_id").as("b_id"),
+      col("ca").as("ba"), col("cn").as("bn"))
+    val dropped = a.join(b, "cid")
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr(s"${sparkDot("aa", "ba")} / (an * bn)") >=
+        expr(dlit(tau)))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    asg.select(col("vec_id"), col("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  private def semDedupOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, vn, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |drp AS (SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.va", "b.va")} / (a.vn * b.vn) >= ${dlit(SemDedupTau)})
+       |SELECT asg.vec_id, cid, (d.vec_id IS NOT NULL) AS dropped
+       |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id""".stripMargin
 
   private def adcOracle: String = {
     val sub = 64 / PqM

@@ -272,6 +272,40 @@ object StreamingQueries {
             }
             .toDF("user_id", "n_total")
         }
+      }),
+
+    // st09: BUILT-IN session windows — `session_window(ts, gap)` merges
+    // per-key events whose windows overlap (break when the gap between
+    // consecutive events is >= 30 min), the native complement to st02's
+    // hand-rolled flatMapGroupsWithState sessionizer. Append mode emits
+    // a session once the watermark passes its end. Precision notes the
+    // oracle mirrors: Spark floors event time to MICROS (ts div 1000),
+    // but tracks the WATERMARK in ms (EventTimeWatermarkExec divides by
+    // 1000), so eviction compares end_us <= (max_ms - delay_ms) * 1000.
+    QueryDef(
+      "st09_session_window",
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(cast(ts as timestamp)) AS ts_us
+              |  FROM events),
+              |x AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+              |      OR ts_us - lag(ts_us) OVER w >= ${GapMs}000 THEN 1 ELSE 0 END AS new_s
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+              |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+              |    ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+              |g AS (SELECT user_id, sid, count(*) AS n, min(ts_us) AS start_us,
+              |    max(ts_us) + ${GapMs}000 AS end_us FROM s GROUP BY 1, 2),
+              |wm AS (SELECT (epoch_ms(max(cast(ts as timestamp))) - 3600000) * 1000
+              |    AS wmus FROM events)
+              |SELECT user_id, start_us, end_us, n FROM g, wm
+              |WHERE end_us <= wmus""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st09", "append") { raw =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n"))
       })
   )
 
