@@ -204,7 +204,39 @@ object Pipeline {
               |  CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
               |FROM ranked""".stripMargin),
       (s, d) => mixAllocation(Catalog.t(s, d, "documents"), col("source"),
-        expr(s"cast(size($sparkWords) as bigint)"), MixBudget))
+        expr(s"cast(size($sparkWords) as bigint)"), MixBudget)),
+
+    // Z-order file layout: quantize two filter dimensions to 16 bits,
+    // interleave into a Morton key, and carve the key order into files;
+    // the per-file min/max envelope is the data-skipping index a lake
+    // writer (Delta OPTIMIZE ZORDER, Iceberg sort orders) would persist.
+    // Narrow maps + one bounded window; the oracle shares the generated
+    // quantize/interleave arithmetic so the two engines cannot drift.
+    QueryDef(
+      "p07_zorder_layout",
+      Some {
+        val qx = quantExpr("x", "minx", "maxx")
+        val qy = quantExpr("y", "miny", "maxy")
+        s"""WITH st AS (SELECT cast(min(value) as double) AS minx,
+           |    cast(max(value) as double) AS maxx,
+           |    cast(min(user_id) as double) AS miny,
+           |    cast(max(user_id) as double) AS maxy FROM events),
+           |q AS (SELECT event_id AS id, cast(value as double) AS x,
+           |    cast(user_id as double) AS y, st.* FROM events, st),
+           |z AS (SELECT id, x, y, $qx AS zx, $qy AS zy FROM q),
+           |k AS (SELECT id, x, y,
+           |    ${interleaveExpr("zx", "zy", duck = true)} AS zkey FROM z),
+           |f AS (SELECT *, cast(ntile($ZFiles) OVER (ORDER BY zkey, id) as int)
+           |    AS file_id FROM k)
+           |SELECT file_id, count(*) AS n_rows,
+           |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+           |  min(zkey) AS min_z, max(zkey) AS max_z
+           |FROM f GROUP BY file_id""".stripMargin
+      },
+      (s, d) => {
+        val e = Catalog.t(s, d, "events")
+        zorderLayout(e, col("value"), col("user_id"), col("event_id"), ZFiles)
+      })
   )
 
   private val StratRates = Seq(0.05, 0.15, 0.4, 0.8)
@@ -253,6 +285,69 @@ object Pipeline {
         sum(col("n_tokens")).as("total_tokens"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
+
+  // ----------------------------------------------------- z-order layout
+
+  private val ZBits = 16
+  private val ZFiles = 64
+
+  /** Quantize a double in [min, max] to `ZBits` bits. Pure SQL text that
+    * parses identically in Spark and DuckDB (floor/CASE/cast/arithmetic
+    * only), so quantization cannot drift between engine and oracle.
+    */
+  private def quantExpr(v: String, mn: String, mx: String): String = {
+    val top = (1L << ZBits) - 1
+    s"cast(floor(CASE WHEN $mx > $mn THEN (($v - $mn) / ($mx - $mn)) " +
+      s"* cast($top as double) ELSE cast(0 as double) END) as bigint)"
+  }
+
+  /** Morton bit-interleave of two `ZBits`-bit codes: x takes even bits,
+    * y odd bits. Generated per dialect (Spark spells shifts as
+    * functions, DuckDB as operators) from the SAME bit positions.
+    */
+  private def interleaveExpr(zx: String, zy: String, duck: Boolean): String =
+    (0 until ZBits).map { i =>
+      if (duck)
+        s"((($zx >> $i) & 1) << ${2 * i}) + ((($zy >> $i) & 1) << ${2 * i + 1})"
+      else
+        s"shiftleft(shiftright($zx, $i) & 1, ${2 * i}) + " +
+          s"shiftleft(shiftright($zy, $i) & 1, ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order (Morton) file layout over two filter dimensions: quantize
+    * each dim to 16 bits against its global min/max, interleave into a
+    * 32-bit z-key, carve z-key order into `nFiles` files, and report
+    * each file's min/max envelope in both dims — the skipping index a
+    * lake writer persists. A z-ordered layout bounds BOTH dims per
+    * file, so a predicate on either dim prunes ~sqrt-fraction of files
+    * instead of scanning everything (the win over sorting by one dim).
+    *
+    * Scale: the stats pass is one tiny aggregate (or free from catalog
+    * column stats); quantize + interleave are narrow codegen'd maps.
+    * The gate uses `ntile` over the total z-key order for bit-exact
+    * file assignment; a 100 TB writer swaps that single global window
+    * for `repartitionByRange(nFiles, zkey)` + `sortWithinPartitions`
+    * (sampled range boundaries — same envelopes, no total order).
+    */
+  def zorderLayout(df: DataFrame, xCol: Column, yCol: Column,
+      idCol: Column, nFiles: Int): DataFrame = {
+    val stats = df.agg(
+      min(xCol).cast("double").as("minx"), max(xCol).cast("double").as("maxx"),
+      min(yCol).cast("double").as("miny"), max(yCol).cast("double").as("maxy"))
+    df.select(xCol.cast("double").as("x"), yCol.cast("double").as("y"),
+        idCol.as("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("zx", expr(quantExpr("x", "minx", "maxx")))
+      .withColumn("zy", expr(quantExpr("y", "miny", "maxy")))
+      .withColumn("zkey", expr(interleaveExpr("zx", "zy", duck = false)))
+      .withColumn("file_id",
+        ntile(nFiles).over(Window.orderBy(col("zkey"), col("id"))))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+  }
 
   // ------------------------------------------------------- public API
 

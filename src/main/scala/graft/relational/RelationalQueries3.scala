@@ -324,6 +324,64 @@ object RelationalQueries3 {
           .filter(col("rn") === expr("(cnt + 1) div 2"))
           .select(col("l_returnflag"),
             (col("q100").cast("double") / 100).as("median"))
+      }),
+
+    // -------------------------------------------- statistical aggregates
+    // corr / covar_samp / stddev_samp per group — computed from EXACT
+    // decimal moments (n, Sx, Sy, Sxx, Sxy, Syy), cast to double only
+    // for the final closed-form arithmetic. Engine-native corr()/
+    // stddev() stream doubles in partition order and are NOT
+    // cross-engine reproducible; moments are plain decimal sums, so
+    // they partial-aggregate (one map-side-combinable shuffle) and the
+    // identical final formula yields identical IEEE doubles.
+    QueryDef(
+      "q40_stats_moments",
+      Some(s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+              |    sum(cast(l_quantity as decimal(12,2))) AS sx,
+              |    sum(cast(l_extendedprice as decimal(14,2))) AS sy,
+              |    sum(cast(l_quantity as decimal(12,2))
+              |      * cast(l_quantity as decimal(12,2))) AS sxx,
+              |    sum(cast(l_quantity as decimal(12,2))
+              |      * cast(l_extendedprice as decimal(14,2))) AS sxy,
+              |    sum(cast(l_extendedprice as decimal(14,2))
+              |      * cast(l_extendedprice as decimal(14,2))) AS syy
+              |  FROM lineitem GROUP BY l_returnflag),
+              |d AS (SELECT l_returnflag, cast(n as double) AS n,
+              |    cast(sx as double) AS sx, cast(sy as double) AS sy,
+              |    cast(sxx as double) AS sxx, cast(sxy as double) AS sxy,
+              |    cast(syy as double) AS syy FROM m)
+              |SELECT l_returnflag, cast(n as bigint) AS n,
+              |  $corrSql AS corr_qp, $covarSql AS covar_qp, $stddevSql AS stddev_q
+              |FROM d""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val m = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n0"),
+          sum(expr("cast(l_quantity as decimal(12,2))")).as("sx0"),
+          sum(expr("cast(l_extendedprice as decimal(14,2))")).as("sy0"),
+          sum(expr("cast(l_quantity as decimal(12,2)) " +
+            "* cast(l_quantity as decimal(12,2))")).as("sxx0"),
+          sum(expr("cast(l_quantity as decimal(12,2)) " +
+            "* cast(l_extendedprice as decimal(14,2))")).as("sxy0"),
+          sum(expr("cast(l_extendedprice as decimal(14,2)) " +
+            "* cast(l_extendedprice as decimal(14,2))")).as("syy0"))
+        m.select(col("l_returnflag"), col("n0").cast("double").as("n"),
+            col("sx0").cast("double").as("sx"), col("sy0").cast("double").as("sy"),
+            col("sxx0").cast("double").as("sxx"), col("sxy0").cast("double").as("sxy"),
+            col("syy0").cast("double").as("syy"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n"),
+            expr(corrSql).as("corr_qp"), expr(covarSql).as("covar_qp"),
+            expr(stddevSql).as("stddev_q"))
       })
   )
+
+  // Closed forms over the double-cast moments — ONE definition rendered
+  // into both the Spark plan and the DuckDB oracle, so the IEEE
+  // operation sequence is identical by construction.
+  private def corrSql: String =
+    "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+  private def covarSql: String =
+    "(sxy - (sx * sy) / n) / (n - cast(1 as double))"
+  private def stddevSql: String =
+    "sqrt((n * sxx - sx * sx) / (n * (n - cast(1 as double))))"
 }
