@@ -41,6 +41,7 @@ object Clustering {
 
   def all: Seq[QueryDef] = Seq(
     QueryDef("c01_kmeans_step", Some(kmeansOracle), kmeansSpark),
+    QueryDef("c02_kmeans_train", Some(kmeansTrainOracle), kmeansTrainSpark),
     QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark)
   )
@@ -159,6 +160,83 @@ object Clustering {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "adc_dist", "rn")
+  }
+
+  // --------------------------------------------------- k-means training
+
+  private val TrainIters = 3
+
+  private def kmeansTrainSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    kmeansTrain(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      TrainIters)
+  }
+
+  /** Public API: full Lloyd training — `iters` spherical k-means rounds.
+    * Each round is one [[kmeansStep]]; the re-estimated fixed-point
+    * means (exact integers, so cross-engine and re-run reproducible)
+    * become the next round's centroids as `mean_fx / 1e7` doubles.
+    * Returns the FINAL round's `(cid, dim, n_members, mean_fx)`; empty
+    * clusters drop out of later rounds.
+    *
+    * Scale: each round's shuffle is the partial-aggregated (cid x dim)
+    * sum — volume `partitions x C x dim` regardless of N. Centroids are
+    * small by contract (they inline into the assignment fold), so the
+    * per-round collect is C x dim doubles on the driver — the same
+    * cost any distributed k-means (e.g. MLlib) pays per iteration.
+    */
+  def kmeansTrain(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansTrain needs at least one iteration")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cent = init.select(col("cid").cast("long").as("cid"),
+      col("embedding").cast("array<double>").as("embedding"))
+    var step = kmeansStep(vecs, cent)
+    for (_ <- 2 to iters) {
+      val next = step.select(col("cid"), col("dim"), col("mean_fx")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, ds) =>
+          (cid, ds.sortBy(_._2).map(_._3.toDouble / MeanFx).toSeq)
+        }
+      cent = next.toDF("cid", "embedding")
+      step = kmeansStep(vecs, cent)
+    }
+    step
+  }
+
+  private def kmeansTrainOracle: String = {
+    val va = "cast(embedding AS DOUBLE[])"
+    val rounds = (1 to TrainIters).map { i =>
+      val cPrev = if (i == 1) "c0" else s"c${i - 1}n"
+      val step =
+        s"""asg$i AS (SELECT vec_id, va, cid FROM (
+           |  SELECT v.vec_id, v.va, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+           |  FROM v, $cPrev c) x WHERE arn = 1),
+           |m$i AS (SELECT cid, cast(i - 1 as bigint) AS dim, count(*) AS n_members,
+           |    cast(sum(cast(round(va[i] * $MeanFx) as bigint)) as bigint)
+           |      // count(*) AS mean_fx
+           |  FROM asg$i, dims GROUP BY cid, dim)""".stripMargin
+      val assemble = if (i < TrainIters)
+        s""",
+           |c$i AS (SELECT cid, list(cast(mean_fx as double)
+           |    / cast($MeanFx as double) ORDER BY dim) AS ca FROM m$i GROUP BY cid),
+           |c${i}n AS (SELECT cid, ca, sqrt(${duckDot("ca", "ca")}) AS cn FROM c$i)""".stripMargin
+      else ""
+      step + assemble
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, $va AS va,
+       |    sqrt(${duckDot(va, va)}) AS vn FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |$rounds
+       |SELECT cid, dim, n_members, mean_fx FROM m$TrainIters""".stripMargin
   }
 
   // -------------------------------------------------- semantic dedup

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM data pipelines over the `documents`
@@ -318,8 +319,60 @@ object TextAnalysis {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select("lang", "tri", "cnt", "rn")
+      }),
+
+    // Hashing-trick linear scorer (fastText-style quality classifier):
+    // each word hashes into one of HashDim buckets, each bucket carries
+    // a fixed integer weight, and a document's score is the mean bucket
+    // weight of its words. The model here is a stand-in (deterministic
+    // weights from the bucket id) — the OPERATOR is the point: feature
+    // hashing + linear scoring is how classifier filters run at corpus
+    // scale without a vocabulary. Spark side is a pure narrow map (the
+    // fold runs inside the scan via higher-order aggregate — no explode,
+    // no shuffle); integer score_fx keeps the sum exact cross-engine.
+    QueryDef(
+      "t14_hash_classifier",
+      Some {
+        val wt = s"((((${duckWordHash("x")}) % $HashDim) * $WeightMul) " +
+          s"% $WeightMod) - $WeightOff"
+        s"""WITH w AS (SELECT doc_id, unnest($duckWords) AS x FROM documents),
+           |g AS (SELECT doc_id, cast(sum($wt) as bigint) AS score_fx,
+           |    count(*) AS n_words FROM w GROUP BY doc_id)
+           |SELECT doc_id, n_words, score_fx,
+           |  (cast(score_fx as double)
+           |    / (cast($WeightOff as double) * cast(n_words as double)))
+           |    >= cast(0 as double) AS keep
+           |FROM g""".stripMargin
+      },
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        hashClassifier(Catalog.t(s, d, "documents"))
       })
   )
+
+  // Hashed-classifier model constants: bucket count and the
+  // multiplicative stand-in weights (Knuth constant spreads bucket ->
+  // weight; integer range [-WeightOff, WeightMod - 1 - WeightOff]).
+  private val HashDim = 64
+  private val WeightMul = 2654435761L
+  private val WeightMod = 1001L
+  private val WeightOff = 500L
+
+  /** Appends `(n_words, score_fx, keep)` — the hashed linear-model
+    * score — to a docs table, entirely inside the scan stage.
+    */
+  def hashClassifier(docs: DataFrame): DataFrame = {
+    val wt = s"((((graft_polyhash32(x)) % $HashDim) * $WeightMul) " +
+      s"% $WeightMod) - $WeightOff"
+    docs
+      .withColumn("w", expr(sparkWords))
+      .withColumn("n_words", expr("cast(size(w) as bigint)"))
+      .withColumn("score_fx", expr(
+        s"aggregate(w, cast(0 as bigint), (a, x) -> a + ($wt))"))
+      .select(col("doc_id"), col("n_words"), col("score_fx"),
+        expr(s"(cast(score_fx as double) / (cast($WeightOff as double) " +
+          "* cast(n_words as double))) >= cast(0 as double)").as("keep"))
+  }
 
   // ------------------------------------------- public pipeline surface
   //
