@@ -198,6 +198,44 @@ object StateQueries {
         StateDiff.valueStates[Long, Long](s, before, after, "diff-op", "Count")
       }),
 
+    // TTL expiry rewrite (state GC): per-customer counts written as
+    // TTL-wrapped values stamped with the customer's last order time;
+    // StateMaintenance.expireTtl drops entries last touched before the
+    // cutoff (885 of 1500 keys survive at sf0.01 - a real deletion) (byte-identical passthrough for survivors) and the TTL
+    // auto-unwrap read (P9/C9) of the REWRITTEN savepoint must equal
+    // the HAVING-filtered SQL aggregate.
+    QueryDef(
+      "sp08_ttl_expiry",
+      Some("""SELECT o_custkey AS key, count(*) AS cnt FROM orders
+             |GROUP BY o_custkey
+             |HAVING max(o_orderdate) >= timestamp '2001-01-01'""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val cutoffMs = java.time.Instant.parse("2001-01-01T00:00:00Z").toEpochMilli
+        val rows = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            // o_orderdate is TIMESTAMP_NTZ; the session tz is UTC, so
+            // the cast reads the stored ms verbatim (DuckDB parity)
+            expr("unix_millis(cast(max(o_orderdate) as timestamp))").as("ts"))
+          .as[(Long, Long, Long)]
+          .map { case (k, cnt, ts) =>
+            StateQueries.ttlValueRow("Count", k, ts, cnt, maxPar)
+          }
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("ttl-op", 4, maxPar), "ttl-op")
+          .withKeyCodec(LongCodec)
+          .defineState(StateMeta("Count", StateKind.Value, "ttl<long>"))
+          .addKeyedStateRows(rows)
+          .writeAll(tmp("graft-sp08a"))
+        val meta2 = StateMaintenance.expireTtl(
+          s, meta1, "ttl-op", "Count", cutoffMs, tmp("graft-sp08b"))
+        Savepoints.reader(s, meta2, "ttl-op")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // S4 through the hash gate: state lives in a real RocksDB
     // checkpoint (one column family per state, native SST files) and is
     // read back through the DSv2 source + typed reader. Checkpoint
@@ -231,6 +269,22 @@ object StateQueries {
           .toDF("key", "cnt")
       })
   )
+
+  /** Value row whose payload carries Flink's TtlValue wrapper: an
+    * 8-byte big-endian last-access timestamp before the value
+    * (reference KeyedStateReader.java:279-283).
+    */
+  private[state] def ttlValueRow(name: String, key: Long, ts: Long,
+      value: Long, maxPar: Int): KeyedStateRow = {
+    val w = new ByteWriter()
+    KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, maxPar), maxPar)
+    LongCodec.write(w, key)
+    Codecs.VoidNamespaceCodec.write(w, ())
+    val vw = new ByteWriter()
+    LongCodec.write(vw, ts)
+    LongCodec.write(vw, value)
+    KeyedStateRow(name, w.toBytes, vw.toBytes)
+  }
 
   /** [prefix][key][namespace] row carrying a packed list value. */
   private[state] def listRow(name: String, key: Long, value: Array[Byte],
