@@ -328,24 +328,25 @@ object RelationalQueries3 {
 
     // -------------------------------------------- statistical aggregates
     // corr / covar_samp / stddev_samp per group — computed from EXACT
-    // decimal moments (n, Sx, Sy, Sxx, Sxy, Syy), cast to double only
-    // for the final closed-form arithmetic. Engine-native corr()/
-    // stddev() stream doubles in partition order and are NOT
-    // cross-engine reproducible; moments are plain decimal sums, so
-    // they partial-aggregate (one map-side-combinable shuffle) and the
-    // identical final formula yields identical IEEE doubles.
+    // BIGINT fixed-point moments (n, Sx, Sy, Sxx, Sxy, Syy), cast to
+    // double only for the final closed-form arithmetic. Engine-native
+    // corr()/stddev() stream doubles in partition order and are NOT
+    // cross-engine reproducible; decimal moments are exact but the
+    // decimal->double cast rounds differently across engines (observed:
+    // 1-ulp corr drift at sf0.001) — int64->double is a single IEEE
+    // round-to-nearest in both. Fixed point: quantity in cents, price
+    // in whole dollars, keeping Syy < 2^63 through sf ~ 10.
     QueryDef(
       "q40_stats_moments",
-      Some(s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
-              |    sum(cast(l_quantity as decimal(12,2))) AS sx,
-              |    sum(cast(l_extendedprice as decimal(14,2))) AS sy,
-              |    sum(cast(l_quantity as decimal(12,2))
-              |      * cast(l_quantity as decimal(12,2))) AS sxx,
-              |    sum(cast(l_quantity as decimal(12,2))
-              |      * cast(l_extendedprice as decimal(14,2))) AS sxy,
-              |    sum(cast(l_extendedprice as decimal(14,2))
-              |      * cast(l_extendedprice as decimal(14,2))) AS syy
-              |  FROM lineitem GROUP BY l_returnflag),
+      Some(s"""WITH f AS (SELECT l_returnflag,
+              |    cast(round(l_quantity * 100) as bigint) AS x,
+              |    cast(round(l_extendedprice) as bigint) AS y FROM lineitem),
+              |m AS (SELECT l_returnflag, count(*) AS n,
+              |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+              |    cast(sum(x * x) as bigint) AS sxx,
+              |    cast(sum(x * y) as bigint) AS sxy,
+              |    cast(sum(y * y) as bigint) AS syy
+              |  FROM f GROUP BY l_returnflag),
               |d AS (SELECT l_returnflag, cast(n as double) AS n,
               |    cast(sx as double) AS sx, cast(sy as double) AS sy,
               |    cast(sxx as double) AS sxx, cast(sxy as double) AS sxy,
@@ -355,16 +356,16 @@ object RelationalQueries3 {
               |FROM d""".stripMargin),
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val m = li.groupBy(col("l_returnflag")).agg(
-          count(lit(1)).as("n0"),
-          sum(expr("cast(l_quantity as decimal(12,2))")).as("sx0"),
-          sum(expr("cast(l_extendedprice as decimal(14,2))")).as("sy0"),
-          sum(expr("cast(l_quantity as decimal(12,2)) " +
-            "* cast(l_quantity as decimal(12,2))")).as("sxx0"),
-          sum(expr("cast(l_quantity as decimal(12,2)) " +
-            "* cast(l_extendedprice as decimal(14,2))")).as("sxy0"),
-          sum(expr("cast(l_extendedprice as decimal(14,2)) " +
-            "* cast(l_extendedprice as decimal(14,2))")).as("syy0"))
+        val m = li
+          .select(col("l_returnflag"),
+            expr("cast(round(l_quantity * 100) as bigint)").as("x"),
+            expr("cast(round(l_extendedprice) as bigint)").as("y"))
+          .groupBy(col("l_returnflag")).agg(
+            count(lit(1)).as("n0"),
+            sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+            sum(col("x") * col("x")).as("sxx0"),
+            sum(col("x") * col("y")).as("sxy0"),
+            sum(col("y") * col("y")).as("syy0"))
         m.select(col("l_returnflag"), col("n0").cast("double").as("n"),
             col("sx0").cast("double").as("sx"), col("sy0").cast("double").as("sy"),
             col("sxx0").cast("double").as("sxx"), col("sxy0").cast("double").as("sxy"),
