@@ -1,0 +1,119 @@
+package graft
+
+import graft.core.codec.{ByteWriter, Codecs, KeyGroups}
+import graft.core.codec.Codecs.LongCodec
+import graft.core.meta.{StateKind, StateMeta}
+import graft.llm.{Clustering, Pipeline, TextAnalysis}
+import graft.state.{KeyedStateRow, Savepoints, StateMaintenance}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed cases for the round-5 operators: semantic dedup,
+  * k-means training, z-order layout, the hashed linear classifier, and
+  * TTL state expiry.
+  */
+class RoundFiveOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("semDedup: drops the higher-id near-duplicate within a cluster only") {
+    val cent = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f))
+    ).toDF("cid", "embedding")
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),    // cluster 0, kept (lowest id)
+      (11L, Array(0.99f, 0.01f)),  // cluster 0, cos ~ 1 vs 10 -> dropped
+      (12L, Array(0.0f, 1.0f)),    // cluster 1, kept
+      (13L, Array(0.6f, -0.8f))    // cluster 0, far from 10/11 -> kept
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semDedup(vecs, cent, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(10L) === ((0L, false)))
+    assert(got(11L) === ((0L, true)))
+    assert(got(12L) === ((1L, false)))
+    assert(got(13L) === ((0L, false)))
+  }
+
+  test("kmeansTrain: one round equals kmeansStep; separable data is a fixed point") {
+    val cent = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f))
+    ).toDF("cid", "embedding")
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)),
+      (11L, Array(0.8f, -0.2f)),
+      (12L, Array(0.1f, 0.7f)),
+      (13L, Array(-0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(Clustering.kmeansTrain(vecs, cent, 1)) ===
+      rows(Clustering.kmeansStep(vecs,
+        cent.select(col("cid"), col("embedding")))))
+    // well-separated direction clusters: round-1 means re-assign the
+    // same members, so further rounds return identical means
+    assert(rows(Clustering.kmeansTrain(vecs, cent, 2)) ===
+      rows(Clustering.kmeansTrain(vecs, cent, 3)))
+  }
+
+  test("zorderLayout: corner points get the hand-computed Morton keys") {
+    // unit-square corners; 16-bit quantization puts them at 0 / 65535,
+    // so the interleaved keys are 0, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF
+    val df = Seq(
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, 1.0, 1.0)
+    ).toDF("id", "x", "y")
+    val got = Pipeline.zorderLayout(df, col("x"), col("y"), col("id"), 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(6), r.getLong(7)))
+      .toMap
+    // ntile over zkey order: file 1 = z 0 (0,0), file 2 = 0x55555555
+    // (x=max), file 3 = 0xAAAAAAAA (y=max), file 4 = 0xFFFFFFFF
+    assert(got(1) === ((1L, 0L, 0L)))
+    assert(got(2) === ((1L, 0x55555555L, 0x55555555L)))
+    assert(got(3) === ((1L, 0xAAAAAAAAL, 0xAAAAAAAAL)))
+    assert(got(4) === ((1L, 0xFFFFFFFFL, 0xFFFFFFFFL)))
+  }
+
+  test("hashClassifier: score is the sum of per-word bucket weights") {
+    graft.functions.GraftFunctions.register(spark)
+    def poly(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 4294967291L)
+    def wt(w: String): Long = (((poly(w) % 64) * 2654435761L) % 1001L) - 500L
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashClassifier(docs).collect().head
+    val expected = Seq("alpha", "beta", "gamma").map(wt).sum
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === expected)
+    assert(r.getBoolean(3) === (expected >= 0))
+  }
+
+  test("expireTtl: keeps only entries stamped at/after the cutoff") {
+    val maxPar = 128
+    def row(key: Long, ts: Long, v: Long): KeyedStateRow = {
+      val w = new ByteWriter()
+      KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, maxPar), maxPar)
+      LongCodec.write(w, key)
+      Codecs.VoidNamespaceCodec.write(w, ())
+      val vw = new ByteWriter()
+      LongCodec.write(vw, ts)
+      LongCodec.write(vw, v)
+      KeyedStateRow("Count", w.toBytes, vw.toBytes)
+    }
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val rows = Seq(row(1L, 100L, 11L), row(2L, 200L, 22L), row(3L, 150L, 33L))
+    val meta1 = Savepoints
+      .writer(spark, Savepoints.bootstrap("ttl-spec", 2, maxPar), "ttl-spec")
+      .withKeyCodec(LongCodec)
+      .defineState(StateMeta("Count", StateKind.Value, "ttl<long>"))
+      .addKeyedStateRows(rows.toDS())
+      .writeAll(tmp("graft-ttl-spec-a"))
+    val meta2 = StateMaintenance.expireTtl(
+      spark, meta1, "ttl-spec", "Count", cutoffMs = 150L, tmp("graft-ttl-spec-b"))
+    val got = Savepoints.reader(spark, meta2, "ttl-spec")
+      .readValueStates[Long, Long]("Count")
+      .collect().toMap
+    assert(got === Map(2L -> 22L, 3L -> 33L)) // key 1 (ts 100) expired
+  }
+}
