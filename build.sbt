@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g heap + 512m code cache: the 100+-query bench suite compiles
+  // thousands of whole-stage-codegen classes in one JVM; the JDK default
+  // 240m ReservedCodeCacheSize fills late in the run and the JIT stops
+  // compiling, which reads as a mysterious tail-of-suite slowdown.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )
