@@ -347,7 +347,62 @@ object TextAnalysis {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         hashClassifier(Catalog.t(s, d, "documents"))
-      })
+      }),
+
+    // Held-out bigram-LM scoring ("perplexity filter"): train a
+    // Laplace-smoothed bigram model on half the corpus, score EVERY doc
+    // by its bigram probabilities under that model — the classic
+    // LM-based quality filter (docs scoring far from the corpus LM are
+    // boilerplate or noise). Fixed-point prob sums keep the result
+    // cross-engine exact; n_unseen counts out-of-model bigrams.
+    QueryDef(
+      "t15_perplexity",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+              |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true) FROM d),
+              |c AS (SELECT w1, w2, count(*) AS cnt FROM bg
+              |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+              |tot AS (SELECT w1, cast(sum(cnt) as bigint) AS tot FROM c GROUP BY 1),
+              |v AS (SELECT count(*) AS v FROM
+              |  (SELECT DISTINCT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)),
+              |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+              |    cast(sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unseen,
+              |    cast(sum(cast(round((cast(coalesce(c.cnt, 0) + 1 as double)
+              |      / cast(coalesce(tot.tot, 0) + v.v as double)) * $PplFx) as bigint))
+              |      as bigint) AS score_fx
+              |  FROM bg LEFT JOIN c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+              |  LEFT JOIN tot ON bg.w1 = tot.w1 CROSS JOIN v
+              |  GROUP BY bg.doc_id)
+              |SELECT d2.doc_id,
+              |  cast(coalesce(n_bigrams, 0) as bigint) AS n_bigrams,
+              |  cast(coalesce(n_unseen, 0) as bigint) AS n_unseen,
+              |  cast(coalesce(score_fx, 0) as bigint) AS score_fx
+              |FROM documents d2 LEFT JOIN sc ON d2.doc_id = sc.doc_id""".stripMargin),
+      (s, d) => heldOutBigramScore(Catalog.t(s, d, "documents"))),
+
+    // Heaps'-law vocabulary growth: split the corpus into 10 doc-id
+    // deciles and report per-decile token counts, NEW distinct words
+    // (first appearance), and the cumulative vocabulary curve. The
+    // whole computation is integer-exact; the only windows run over the
+    // 10 bucket rows.
+    QueryDef(
+      "t16_heaps_law",
+      Some(s"""WITH n AS (SELECT count(*) AS nd FROM documents),
+              |d AS (SELECT doc_id, cast(doc_id * 10 // nd as int) AS bucket,
+              |    $duckWords AS w FROM documents, n),
+              |words AS (SELECT bucket, unnest(w) AS x FROM d),
+              |toks AS (SELECT bucket, count(*) AS n_tokens FROM words GROUP BY 1),
+              |fw AS (SELECT x, min(bucket) AS bucket FROM words GROUP BY 1),
+              |nw AS (SELECT bucket, count(*) AS new_words FROM fw GROUP BY 1),
+              |db AS (SELECT bucket, count(*) AS n_docs FROM d GROUP BY 1)
+              |SELECT db.bucket, n_docs, n_tokens,
+              |  cast(coalesce(new_words, 0) as bigint) AS new_words,
+              |  cast(sum(coalesce(new_words, 0)) OVER (ORDER BY db.bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS vocab_cum,
+              |  cast(sum(n_tokens) OVER (ORDER BY db.bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS tokens_cum
+              |FROM db JOIN toks USING (bucket) LEFT JOIN nw USING (bucket)""".stripMargin),
+      (s, d) => vocabGrowth(Catalog.t(s, d, "documents")))
   )
 
   // Hashed-classifier model constants: bucket count and the
@@ -426,4 +481,89 @@ object TextAnalysis {
       expr("cast(size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)) as bigint)")
         .as("re_tokens"),
       expr("cast(ceil(octet_length(text) / 4.0) as bigint)").as("est_bpe_tokens"))
+
+  /** Fixed-point scale for bigram probabilities: p in (0, 1], so
+    * round(p * 1e9) sums stay far below 2^63 at any corpus size.
+    */
+  private val PplFx = 1000000000L
+
+  /** Adjacent-word bigrams of the space-split `text` column, guarded for
+    * single-word docs (Spark's `sequence(1, 0)` DESCENDS — t11 note).
+    */
+  private val sparkBigrams: String =
+    "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+      "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2)) " +
+      "ELSE cast(array() as array<struct<w1: string, w2: string>>) END"
+
+  /** Held-out bigram-LM scoring: trains a Laplace-smoothed bigram model
+    * on docs with `doc_id % 2 = 0` and scores every doc as
+    * `score_fx = sum(round(p(w2|w1) * 1e9))` with
+    * `p = (cnt + 1) / (tot + V)` (V = training vocabulary size). Returns
+    * `(doc_id, n_bigrams, n_unseen, score_fx)`; docs with fewer than two
+    * words score 0.
+    *
+    * Scale: bigram explode is a narrow map; the model join is keyed by
+    * (w1, w2) against a vocabulary-sized count table (AQE broadcasts it
+    * when small); V rides along as a broadcast 1-row cross join. Exact
+    * integer/IEEE primitives keep partial-agg order irrelevant.
+    */
+  def heldOutBigramScore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkBigrams)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val train = bg.filter(col("doc_id") % 2 === 0)
+    val c = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    // distinct-then-count instead of count(DISTINCT): no Expand (q25 note)
+    val v = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("x"))
+      .distinct().agg(count(lit(1)).as("v"))
+    val scored = bg
+      .join(c, Seq("w1", "w2"), "left")
+      .join(tot, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(expr(s"cast(round((cast(coalesce(cnt, 0) + 1 as double) " +
+          s"/ cast(coalesce(tot, 0) + v as double)) * $PplFx) as bigint)"))
+          .as("score_fx"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("score_fx"), lit(0L)).as("score_fx"))
+  }
+
+  /** Heaps'-law vocabulary growth over `buckets` doc-id slices: per
+    * bucket, doc/token counts, words first seen there, and cumulative
+    * vocabulary/token curves. Buckets come from `doc_id * buckets div N`
+    * (doc ids are dense in the driver corpus; with sparse ids the curve
+    * is still a valid id-ordered growth profile). The only window runs
+    * over the `buckets` result rows — every corpus-sized stage is a
+    * narrow map or a keyed aggregation.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val d = docs.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"cast(doc_id * $buckets div nd as int)"))
+    val words = d.select(col("bucket"),
+      explode(split(col("text"), " ")).as("x"))
+    val toks = words.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val nw = words.groupBy(col("x")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+    val db = d.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    db.join(toks, Seq("bucket"))
+      .join(nw, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("vocab_cum", sum(col("new_words")).over(w))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
+  }
 }

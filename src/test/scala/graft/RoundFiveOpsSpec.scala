@@ -89,6 +89,34 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(3) === (expected >= 0))
   }
 
+  test("heldOutBigramScore: Laplace-smoothed probs over the even-id model") {
+    // train docs (even ids): "a b a b", "b a" -> counts (a,b)=2, (b,a)=2,
+    // tot(a)=2, tot(b)=2, V={a,b}=2. p(seen)=(2+1)/(2+2)=0.75,
+    // p(unseen after b)=(0+1)/(2+2)=0.25
+    val docs = Seq(
+      (0L, "a b a b"), (1L, "a b c"), (2L, "b a"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heldOutBigramScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) === ((3L, 0L, 2250000000L))) // 3 x 0.75
+    assert(got(1L) === ((2L, 1L, 1000000000L))) // 0.75 + 0.25
+    assert(got(2L) === ((1L, 0L, 750000000L)))
+    assert(got(3L) === ((0L, 0L, 0L))) // single-word doc: no bigrams
+  }
+
+  test("vocabGrowth: per-bucket new words and cumulative curves") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"), (2L, "c d"), (3L, "a e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, buckets = 2).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(0) === ((2L, 4L, 3L, 3L, 4L))) // a, b, c first seen here
+    assert(got(1) === ((2L, 4L, 2L, 5L, 8L))) // d, e new; vocab 5 of 8 tokens
+  }
+
   test("expireTtl: keeps only entries stamped at/after the cutoff") {
     val maxPar = 128
     def row(key: Long, ts: Long, v: Long): KeyedStateRow = {
