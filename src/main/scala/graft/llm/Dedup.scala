@@ -70,6 +70,8 @@ object Dedup {
     QueryDef("d10_cluster_keep_best", Some(clusterKeepBestOracle),
       clusterKeepBestSpark),
     QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
+    QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
+    QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
 
     QueryDef("d12_dup_spans", Some(dupSpansOracle),
       (s, d) => dupSpans(Catalog.t(s, d, "documents"))),
@@ -547,6 +549,87 @@ object Dedup {
        |  GROUP BY p.iter, e2.dst, c.nv)
        |SELECT node AS doc_id, cast(val as bigint) AS pr
        |FROM pr WHERE iter = $PrIters""".stripMargin
+
+  // --------------------------------------- label propagation (g02)
+
+  /** Symmetrized near-dup edge CTE (`e`) — the prefix the graph oracles
+    * share on top of [[simhashCandCtes]].
+    */
+  private def edgeCtes: String =
+    s"""$simhashCandCtes,
+       |pe AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+       |  UNION ALL SELECT doc_b, doc_a FROM pe)""".stripMargin
+
+  /** Fixed LPA round count: reproducible results and an exactly
+    * unrollable SQL oracle (communities stabilize in 2 rounds on the
+    * shallow near-dup graph; more rounds would only migrate labels
+    * across bridge nodes).
+    */
+  private val LpaRounds = 2
+
+  /** Community detection over the near-dup graph: which documents form
+    * tightly-linked template families (vs d08's reachability clusters —
+    * LPA splits chains that happen to touch). Algorithm in
+    * [[GraphAlgs.labelPropagation]]; fixed rounds, deterministic
+    * tie-breaks, exact integer labels.
+    */
+  private def lpaSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    GraphAlgs.labelPropagation(nodes, edges, LpaRounds)
+      .select(col("id").as("doc_id"), col("label").as("community"))
+  }
+
+  private def lpaOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""n$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |a$i AS (SELECT node, label FROM (SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, label ASC) AS rn FROM n$i) x WHERE rn = 1),
+         |l$i AS (SELECT l${i - 1}.node, coalesce(a$i.label, l${i - 1}.label) AS label
+         |  FROM l${i - 1} LEFT JOIN a$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |l0 AS (SELECT doc_id AS node, doc_id AS label FROM fp),
+       |$rounds
+       |SELECT node AS doc_id, label AS community FROM l$LpaRounds""".stripMargin
+  }
+
+  // ----------------------------------------- triangle counting (g03)
+
+  /** Per-document triangle membership in the near-dup graph + local
+    * clustering coefficient — distinguishes tight template cliques
+    * (high lcc) from hub-and-spoke near-dup stars (lcc ~ 0). Algorithm
+    * in [[GraphAlgs.triangleCounts]] (degree-ordered orientation).
+    */
+  private def trianglesSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    GraphAlgs.triangleCounts(nodes, edges)
+      .select(col("id").as("doc_id"), col("degree"),
+        col("n_triangles"), col("lcc"))
+  }
+
+  private def trianglesOracle: String =
+    s"""WITH $edgeCtes,
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |o AS (SELECT e.src, e.dst FROM e
+       |  JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node
+       |  WHERE a.deg < b.deg OR (a.deg = b.deg AND e.src < e.dst)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+       |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |pn AS (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+       |  UNION ALL SELECT w FROM tri),
+       |tc AS (SELECT id, count(*) AS n_triangles FROM pn GROUP BY 1)
+       |SELECT fp.doc_id, cast(coalesce(deg.deg, 0) as bigint) AS degree,
+       |  cast(coalesce(tc.n_triangles, 0) as bigint) AS n_triangles,
+       |  CASE WHEN coalesce(deg.deg, 0) < 2 THEN cast(0 as double)
+       |       ELSE cast(2 * coalesce(tc.n_triangles, 0) as double)
+       |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
+       |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
+       |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
 
   /** CTE chain through `walk` — shared by the d08 components oracle and
     * the d10 cluster-keep-best oracle (both prefix `WITH RECURSIVE`).

@@ -198,4 +198,103 @@ object GraphAlgs {
     n0.unpersist()
     pr.select(col("id"), col("val").as("rank"))
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors (count desc, label asc — fully
+    * deterministic), keeping its current label when isolated. A FIXED
+    * round count (not convergence) keeps results reproducible and lets
+    * an exact SQL oracle unroll the rounds. Returns `(id, label)`.
+    *
+    * Scale: same contract as the other iterative algorithms — edges are
+    * cached `hash(src) % p` once; per round the label table (node-sized)
+    * repartitions to that layout, and the per-neighbor argmax is a
+    * two-level keyed aggregation (`(dst, label)` counts, then a
+    * `max(struct(cnt, -label))` per dst) — no window, no broadcast
+    * requirement, edge side never re-shuffles.
+    */
+  def labelPropagation(
+      nodes: DataFrame,
+      edges: DataFrame,
+      rounds: Int = 2,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    val rt = new Rounds(spark, checkpointDir)
+    val p = shufflePartitions(nodes)
+    val e = undirected(edges, p)
+    val n0 = nodes.select(col("id")).repartition(p, col("id")).cache()
+    val small = n0.count() <= broadcastMaxNodes
+    var labels = n0.withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val labelsIn =
+        if (small) broadcast(labels) else labels.repartition(p, col("id"))
+      // most frequent neighbor label; max(struct) keeps the argmax
+      // inside a partial-aggregable shuffle (ids are non-negative, so
+      // -label orders ties toward the SMALLEST label)
+      val best = e.join(labelsIn, e("src") === labelsIn("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("nlabel"))
+      val bestIn = if (small) broadcast(best) else best
+      labels = rt.truncate(
+        labels.join(bestIn, labels("id") === bestIn("dst"), "left")
+          .select(col("id"), coalesce(col("nlabel"), col("label")).as("label")))
+    }
+    e.unpersist()
+    n0.unpersist()
+    labels
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * undirected graph. Edges are oriented low→high by `(degree, id)`
+    * (the classic O(m^1.5) bound: every oriented out-degree is
+    * O(sqrt(m)), so the wedge join never explodes on skewed hubs);
+    * each triangle is found exactly once at its lowest-order corner and
+    * credited to all three nodes. Returns `(id, degree, n_triangles,
+    * lcc)` with `lcc = 2T / (d(d-1))` (0 when degree < 2).
+    *
+    * Scale: two keyed self-joins on the oriented edge list — never
+    * all-pairs; counts are exact integers, lcc a single IEEE division.
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val p = shufflePartitions(nodes)
+    val e = undirected(edges, p)
+    // deg and o are each consumed by MULTIPLE downstream joins that the
+    // caller materializes after this method returns — eager
+    // localCheckpoint (not lazy cache) so the upstream caches can be
+    // released here without the final plan recomputing them per use
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient each undirected pair from lower (deg, id) to higher: keep
+    // one direction of the symmetrized list, comparing endpoint ranks
+    val da = deg.select(col("node").as("src"), col("deg").as("dsrc"))
+    val db = deg.select(col("node").as("dst"), col("deg").as("ddst"))
+    val o = e.join(da, "src").join(db, "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .repartition(p, col("src")).localCheckpoint(true)
+    // wedges at u: (u→v, u→w); triangle iff v→w is also oriented
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = o.select(col("src").as("u"), col("dst").as("w"))
+    val e3 = o.select(col("src").as("v"), col("dst").as("w"))
+    val tri = e1.join(e2, "u").filter(col("v") =!= col("w"))
+      .join(e3, Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    val out = nodes.select(col("id"))
+      .join(deg.select(col("node").as("id"), col("deg")), Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc", expr(
+        "CASE WHEN degree < 2 THEN cast(0 as double) " +
+          "ELSE cast(2 * n_triangles as double) / cast(degree * (degree - 1) as double) END"))
+    e.unpersist() // deg and o are checkpointed; e's cache is no longer needed
+    out
+  }
 }

@@ -173,6 +173,33 @@ class GraphAlgsSpec extends AnyFunSuite {
     assert(gotPr === pr)
   }
 
+  test("labelPropagation: frequency beats min label, isolated keep their own") {
+    // Round 1 (all labels = ids, every count 1 -> min neighbor label):
+    //   2->3, 3->2, 4->5, 5->4, 6->4, 9->2
+    // Round 2 at node 9: neighbor labels {4, 4, 3} -> the twice-seen 4
+    // wins over the smaller 3 (the most-frequent rule, not min).
+    val n = Seq(2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
+    val e = Seq((9L, 5L), (9L, 6L), (9L, 2L), (5L, 4L), (6L, 4L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = GraphAlgs.labelPropagation(n, e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 2L, 6L -> 2L, 9L -> 4L))
+  }
+
+  test("triangleCounts: one triangle credited to all corners, lcc exact") {
+    // triangle {1,2,3} + pendant (3,4) + isolated 5
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphAlgs.triangleCounts(n, e)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(got(4L) === ((1L, 0L, 0.0))) // degree < 2: lcc defined as 0
+    assert(got(5L) === ((0L, 0L, 0.0)))
+  }
+
   test("reliable checkpoint mode: results identical, checkpoint dir used") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     try {
