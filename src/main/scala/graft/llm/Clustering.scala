@@ -43,6 +43,7 @@ object Clustering {
     QueryDef("c01_kmeans_step", Some(kmeansOracle), kmeansSpark),
     QueryDef("c02_kmeans_train", Some(kmeansTrainOracle), kmeansTrainSpark),
     QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
+    QueryDef("s08_adc_rerank", Some(rerankOracle), rerankSpark),
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark)
   )
 
@@ -161,6 +162,75 @@ object Clustering {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "adc_dist", "rn")
   }
+
+  // ------------------------------------------------ ADC shortlist re-rank
+
+  /** Shortlist size for the exact re-rank stage: 3x the final k — the
+    * usual compressed-first / exact-second serving ratio.
+    */
+  private val RerankShortlist = 3 * AdcTopK
+
+  private def rerankSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    adcRerank(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      PqM, RerankShortlist, AdcTopK)
+  }
+
+  /** Public API: two-stage ANN serving — a PQ/ADC shortlist of
+    * `shortlist` candidates per query ([[pqAdcTopK]]), re-ranked by
+    * EXACT cosine against the full-precision embeddings, returning the
+    * final top `k`. This is the standard billion-scale pattern: the
+    * compressed scan touches every candidate cheaply; only
+    * `queries x shortlist` rows ever load full vectors.
+    *
+    * Returns `(query_id, neighbor_id, adc_dist, cosine, rn)` with `rn`
+    * over (cosine desc, neighbor_id asc).
+    *
+    * Scale: stage 1 is s07's shuffle shape; stage 2 joins the tiny
+    * shortlist (broadcast by AQE) against candidates keyed by id —
+    * full-precision vectors stream once, never all-pairs. The final
+    * window partitions by query over `shortlist` rows each.
+    */
+  def adcRerank(queries: DataFrame, candidates: DataFrame,
+      codebook: DataFrame, m: Int, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqAdcTopK(queries, candidates, codebook, m, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qa"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+    val c = candidates.select(col("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "cosine", "rn")
+  }
+
+  private def rerankOracle: String =
+    s"""WITH $adcCtes,
+       |sl AS (SELECT query_id, neighbor_id, adc_dist FROM r
+       |  WHERE rn <= $RerankShortlist),
+       |vn AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v),
+       |x AS (SELECT sl.query_id, sl.neighbor_id, sl.adc_dist,
+       |    ${duckDot("q.va", "c.va")} / (q.nn * c.nn) AS cosine
+       |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
+       |  JOIN vn c ON sl.neighbor_id = c.vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM x)
+       |SELECT query_id, neighbor_id, adc_dist, cosine, rn
+       |FROM rr WHERE rn <= $AdcTopK""".stripMargin
 
   // --------------------------------------------------- k-means training
 
@@ -312,12 +382,19 @@ object Clustering {
        |SELECT asg.vec_id, cid, (d.vec_id IS NOT NULL) AS dropped
        |FROM asg LEFT JOIN drp d ON asg.vec_id = d.vec_id""".stripMargin
 
-  private def adcOracle: String = {
+  private def adcOracle: String =
+    s"""WITH $adcCtes
+       |SELECT query_id, neighbor_id, adc_dist, rn FROM r WHERE rn <= $AdcTopK""".stripMargin
+
+  /** ADC CTE chain through `r` (ranked ADC candidates) — shared by the
+    * s07 oracle and the s08 re-rank oracle.
+    */
+  private def adcCtes: String = {
     val sub = 64 / PqM
     // fixed-order per-subspace sum, same shape as the s06 oracle
     val adcSum = (0 until PqM).map(mi =>
       s"max(CASE WHEN m = $mi THEN qd END)").reduce((a, b) => s"($a + $b)")
-    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+    s"""v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca FROM v WHERE vec_id % $CentroidEvery = 0),
        |ms AS (SELECT unnest(range(0, $PqM)) AS m),
        |pairs AS (SELECT v.vec_id, ms.m, c.cid, c.ca,
@@ -343,7 +420,6 @@ object Clustering {
        |  FROM qd GROUP BY query_id, neighbor_id),
        |r AS (SELECT query_id, neighbor_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rn FROM adc)
-       |SELECT query_id, neighbor_id, adc_dist, rn FROM r WHERE rn <= $AdcTopK""".stripMargin
+       |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rn FROM adc)""".stripMargin
   }
 }

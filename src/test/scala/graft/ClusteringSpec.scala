@@ -54,4 +54,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got(1)._1 === 6L)
     assert(got(1)._2 === 4.0)             // (1-0)^2 x4 across both subspaces
   }
+
+  test("adcRerank: exact cosine reorders an ADC-distance tie") {
+    graft.functions.GraftFunctions.register(spark)
+    // codebook = axis vectors, so every candidate encodes losslessly and
+    // adc_dist is the exact squared L2. Candidates 10 and 12 tie at
+    // 0.25; the exact-cosine re-rank puts 12 first.
+    val cb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))
+    ).toDF("cid", "embedding")
+    val cands = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f)),
+      (12L, Array(1.0f, 1.0f))
+    ).toDF("neighbor_id", "embedding")
+    val q = Seq((99L, Array(1.0f, 0.5f))).toDF("query_id", "embedding")
+    val got = Clustering.adcRerank(q, cands, cb, m = 2, shortlist = 2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+      .sortBy(_._4)
+    val qn = math.sqrt(1.25)
+    assert(got(0) === ((12L, 0.25, 1.5 / (qn * math.sqrt(2.0)), 1)))
+    assert(got(1) === ((10L, 0.25, 1.0 / (qn * 1.0), 2)))
+  }
 }
