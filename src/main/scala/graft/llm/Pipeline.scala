@@ -236,11 +236,62 @@ object Pipeline {
       (s, d) => {
         val e = Catalog.t(s, d, "events")
         zorderLayout(e, col("value"), col("user_id"), col("event_id"), ZFiles)
-      })
+      }),
+
+    // Curriculum ordering: rank docs easy->hard within each source
+    // (n_chars as the difficulty proxy), slice every source's ranking
+    // into the same number of stages, and emit the (stage, source,
+    // rank) curriculum key — training reads stages in order, sources
+    // stay interleaved within a stage. All windows partition by source.
+    QueryDef(
+      "p08_curriculum",
+      Some(s"""WITH r AS (SELECT doc_id, source, n_chars,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY n_chars ASC, doc_id ASC) AS drank,
+              |    count(*) OVER (PARTITION BY source) AS n_src
+              |  FROM documents)
+              |SELECT doc_id, source, cast(drank as bigint) AS drank,
+              |  cast(((drank - 1) * $CurrStages) // n_src as int) AS stage
+              |FROM r""".stripMargin),
+      (s, d) => curriculumOrder(Catalog.t(s, d, "documents"),
+        col("source"), col("n_chars"), CurrStages)),
+
+    // Repeat-factor upsampling: every source carries a (possibly
+    // fractional) epoch weight; docs emit floor(w) copies plus one more
+    // when their md5 hash lands under the fractional threshold —
+    // deterministic expected-value-correct upsampling with no RNG
+    // state. The explode is a narrow map.
+    QueryDef(
+      "p09_repeat_upsample",
+      Some {
+        val baseCases = RepeatWeights.zipWithIndex.map { case (w, i) =>
+          s"WHEN $i THEN ${w.toLong}"
+        }.mkString(" ")
+        val thrCases = RepeatWeights.zipWithIndex.map { case (w, i) =>
+          s"WHEN $i THEN ${threshold(w - w.toLong)}"
+        }.mkString(" ")
+        s"""WITH x AS (SELECT doc_id, source,
+           |    cast(substring(source, 4) as int) % ${RepeatWeights.length} AS si,
+           |    cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))
+           |         as bigint) AS h
+           |  FROM documents),
+           |n AS (SELECT doc_id, source,
+           |    (CASE si $baseCases END)
+           |      + (CASE WHEN h < (CASE si $thrCases END) THEN 1 ELSE 0 END)
+           |      AS n_copies
+           |  FROM x)
+           |SELECT doc_id, source, cast(unnest(range(1, n_copies + 1)) as bigint)
+           |  AS copy FROM n""".stripMargin
+      },
+      (s, d) => repeatUpsample(Catalog.t(s, d, "documents"), col("source"),
+        expr(s"cast(substring(source, 4) as int) % ${RepeatWeights.length}"),
+        RepeatWeights))
   )
 
   private val StratRates = Seq(0.05, 0.15, 0.4, 0.8)
   private val MixBudget = 100000L
+  private val CurrStages = 4
+  private val RepeatWeights = Seq(0.5, 1.0, 1.5, 2.25, 3.0)
 
   /** md5-hash threshold for a keep-rate in [0,1] over the first 8 hex
     * chars (32-bit space) — identical integer in both engines.
@@ -448,6 +499,50 @@ object Pipeline {
     ranked.select(byCol, col("toks"),
       (col("base_alloc") +
         when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** Curriculum ordering: per-`byCol` difficulty rank (easy->hard by
+    * `difficulty` asc, doc_id tie-break) and the stage slice
+    * `(rank - 1) * stages div groupCount`. Training consumes stages in
+    * ascending order; because every group is cut into the SAME number
+    * of stages, groups stay proportionally interleaved inside each
+    * stage. Windows partition by group — parallel at any corpus size
+    * (at 100 TB the group key is (source, shard) so no single window
+    * exceeds a shard).
+    */
+  def curriculumOrder(docs: DataFrame, byCol: Column, difficulty: Column,
+      stages: Int): DataFrame = {
+    val w = Window.partitionBy(byCol).orderBy(difficulty.asc, col("doc_id").asc)
+    docs
+      .withColumn("drank", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(byCol)))
+      .select(col("doc_id"), byCol, col("drank"),
+        expr(s"cast((drank - 1) * $stages div n_src as int)").as("stage"))
+  }
+
+  /** Repeat-factor upsampling: `weightIdx` (0-based into `weights`)
+    * picks each row's epoch weight w; the row emits `floor(w)` copies
+    * plus one extra when its 32-bit md5 hash falls under the
+    * fractional-part threshold. Deterministic (no RNG state), exact in
+    * expectation, and a pure narrow map — rows never shuffle, the
+    * explode multiplies in place.
+    */
+  def repeatUpsample(docs: DataFrame, byCol: Column, weightIdx: Column,
+      weights: Seq[Double]): DataFrame = {
+    val base = array(weights.map(w => lit(w.toLong)): _*)
+    val thr = array(weights.map(w => lit(threshold(w - w.toLong))): _*)
+    docs
+      .withColumn("h",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long"))
+      .withColumn("n_copies",
+        element_at(base, weightIdx + 1) +
+          when(col("h") < element_at(thr, weightIdx + 1), 1L).otherwise(0L))
+      // sequence(1, 0) DESCENDS in Spark — zero-copy rows need the guard
+      .withColumn("copy", explode(expr(
+        "CASE WHEN n_copies >= 1 THEN sequence(cast(1 as bigint), n_copies) " +
+          "ELSE cast(array() as array<bigint>) END")))
+      .select(col("doc_id"), byCol, col("copy"))
   }
 
   /** Exactly `k` rows per `byCol` group, picked in deterministic

@@ -124,4 +124,43 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("curriculumOrder: per-source easy-to-hard ranks cut into equal stages") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "b", 99L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Pipeline.curriculumOrder(docs, col("source"), col("n_chars"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got(1L) === ((1L, 0))) // shortest -> first stage
+    assert(got(2L) === ((2L, 0)))
+    assert(got(3L) === ((3L, 1)))
+    assert(got(4L) === ((4L, 1)))
+    assert(got(5L) === ((1L, 0))) // singleton source: rank 1, stage 0
+  }
+
+  test("repeatUpsample: floor(w) copies plus md5-thresholded extra") {
+    // independent md5 mirror of the operator's hash
+    def h32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val thrHalf = (0.5 * 4294967296.0).toLong
+    val docs = (0L to 9L).map(i => (i, "s")).toDF("doc_id", "source")
+    // w = 0.5: base 0 -> rows appear ONLY when hash under threshold
+    // (exercises the empty-sequence guard for zero-copy rows)
+    val gotHalf = Pipeline.repeatUpsample(docs, col("source"), lit(0), Seq(0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expHalf = (0L to 9L).filter(h32(_) < thrHalf).map((_, 1L))
+    assert(gotHalf.sorted === expHalf.sorted)
+    // w = 2.5: every row gets 2 or 3 copies, numbered 1..n
+    val got25 = Pipeline.repeatUpsample(docs, col("source"), lit(0), Seq(2.5))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val exp25 = (0L to 9L).flatMap { i =>
+      val n = 2L + (if (h32(i) < thrHalf) 1L else 0L)
+      (1L to n).map(c => (i, c))
+    }
+    assert(got25.sorted === exp25.sorted)
+  }
 }
