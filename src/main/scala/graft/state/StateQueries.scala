@@ -236,6 +236,37 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // W9 through the hash gate on the FLINK dialect: a savepoint written
+    // at maxParallelism 128 is rescaled to (16, 512) — every key
+    // re-assigns to a new key group, prefixes widen to 2 bytes, subtask
+    // split boundaries move — then magic-sniff loaded and typed-read.
+    // The oracle never changes: rescaling must preserve content exactly.
+    QueryDef(
+      "sp09_rescale",
+      Some("SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey"),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("rescale-op", parallelism = 4,
+            maxParallelism = 128), "rescale-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp09a"))
+        val rows = Savepoints.reader(s, Savepoints.load(meta1.basePath), "rescale-op")
+          .getAllUnreadKeyedStateRows
+        val meta2 = Savepoints.writer(s, Savepoints.load(meta1.basePath), "rescale-op")
+          .addKeyedStateRows(rows)
+          .withParallelism(16, 512)
+          .writeAll(tmp("graft-sp09b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "rescale-op")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // S4 through the hash gate: state lives in a real RocksDB
     // checkpoint (one column family per state, native SST files) and is
     // read back through the DSv2 source + typed reader. Checkpoint

@@ -306,6 +306,60 @@ object StreamingQueries {
             unix_micros(col("session_window.start")).as("start_us"),
             unix_micros(col("session_window.end")).as("end_us"),
             col("n"))
+      }),
+
+    // st10: LEFT OUTER stream-stream interval join — st04's
+    // click-to-purchase attribution, but purchases with no qualifying
+    // click are also emitted (null click) once the watermark proves no
+    // future click can match. The outer-null set is watermark-gated:
+    // a purchase at pts can still match clicks with cts <= pts + 1s,
+    // so its state is evictable (and the null row emitted) only when
+    // the global watermark passes pts + 1s. The oracle reproduces the
+    // eviction bound in exact microseconds (Spark tracks watermarks in
+    // ms; both sides' max event times are ms-floored before the 1h
+    // delay subtraction, and the global watermark is their min).
+    QueryDef(
+      "st10_interval_outer_join",
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+              |    epoch_ms(cast(ts as timestamp)) AS ms,
+              |    epoch_us(cast(ts as timestamp)) AS us FROM events),
+              |m AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              |    p.user_id, p.ms AS pms, c.ms AS cms
+              |  FROM ev p JOIN ev c ON p.event_type = 'purchase'
+              |    AND c.event_type = 'click' AND c.user_id = p.user_id
+              |    AND c.ms >= p.ms - $GapMs2 AND c.ms < p.ms),
+              |wm AS (SELECT (least(
+              |    (SELECT max(ms) FROM ev WHERE event_type = 'purchase'),
+              |    (SELECT max(ms) FROM ev WHERE event_type = 'click'))
+              |    - 3600000) * 1000 AS wmus),
+              |um AS (SELECT p.event_id AS purchase_id,
+              |    cast(NULL as bigint) AS click_id, p.user_id, p.ms AS pms,
+              |    cast(NULL as bigint) AS cms
+              |  FROM ev p, wm WHERE p.event_type = 'purchase'
+              |    AND p.us + 1000000 < wm.wmus
+              |    -- equality anti join against the matched set (a
+              |    -- correlated range NOT EXISTS nested-loops at sf0.1)
+              |    AND p.event_id NOT IN (SELECT purchase_id FROM m))
+              |SELECT * FROM m UNION ALL SELECT * FROM um""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st10", "append") { raw =>
+        val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          expr("ts div 1000000").as("ms"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("pts"), col("ms").as("pms"))
+          .withWatermark("pts", "1 hour")
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+            col("ts").as("cts"), col("ms").as("cms"))
+          .withWatermark("cts", "1 hour")
+        p.join(c, col("cuser") === col("user_id")
+            && col("cts") >= col("pts") - expr("INTERVAL 61 MINUTES")
+            && col("cts") <= col("pts") + expr("INTERVAL 1 SECOND")
+            && col("cms") >= col("pms") - GapMs2 && col("cms") < col("pms"),
+            "leftOuter")
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            col("pms"), col("cms"))
       })
   )
 
