@@ -373,6 +373,50 @@ object RelationalQueries3 {
           .select(col("l_returnflag"), col("n").cast("long").as("n"),
             expr(corrSql).as("corr_qp"), expr(covarSql).as("covar_qp"),
             expr(stddevSql).as("stddev_q"))
+      }),
+
+    // Salted skew join through the hash gate: the salted dataflow
+    // (ScaleOps.saltedJoin - big side scattered over 8 salt buckets,
+    // small side replicated) must produce EXACTLY the plain join's
+    // aggregate. Salting only reroutes rows; the oracle is the
+    // unsalted SQL.
+    QueryDef(
+      "q41_salted_join",
+      Some("""SELECT p.p_brand, count(*) AS n_items,
+             |  cast(sum(cast(round(l.l_extendedprice * 100) as bigint)) as bigint)
+             |    AS revenue_cents
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE p.p_size <= 10 GROUP BY p.p_brand""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        val pt = t(s, d, "part").filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"))
+        ScaleOps.saltedJoin(li, pt, "l_partkey", "p_partkey", factor = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).as("revenue_cents"))
+      }),
+
+    // Bloom-pruned join through the hash gate: the pre-shuffle Bloom
+    // filter never false-negatives, so the pruned join's aggregate must
+    // equal the plain join's. (The filter's only effect is fewer
+    // shuffled bytes - exactly what the oracle cannot see.)
+    QueryDef(
+      "q42_bloom_join",
+      Some("""SELECT count(*) AS n_items,
+             |  cast(sum(l.l_quantity) as bigint) AS total_qty
+             |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |WHERE s.s_acctbal > 5000""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+          .select(col("s_suppkey"))
+        ScaleOps.bloomPrunedJoin(li, sup, "l_suppkey", "s_suppkey",
+            expectedItems = 10000)
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("total_qty"))
       })
   )
 
