@@ -487,8 +487,10 @@ object Dedup {
       else {
         val docs = Catalog.t(s, d, "documents")
         (s, docs.select(col("doc_id").as("id")).distinct().localCheckpoint(true),
+          // hamming rides along: g03 selects the tight-clique subgraph
           simhashNearDupPairs(docs)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+              col("hamming"))
             .localCheckpoint(true))
       }
     })
@@ -553,12 +555,13 @@ object Dedup {
   // --------------------------------------- label propagation (g02)
 
   /** Symmetrized near-dup edge CTE (`e`) — the prefix the graph oracles
-    * share on top of [[simhashCandCtes]].
+    * share on top of [[simhashCandCtes]]. `maxH` narrows the edge set
+    * to tighter matches (g03).
     */
-  private def edgeCtes: String =
+  private def edgeCtes(maxH: Int = MaxHamming): String =
     s"""$simhashCandCtes,
        |pe AS (SELECT doc_a, doc_b FROM cand
-       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |  WHERE bit_count(xor(sa, sb)) <= $maxH),
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
        |  UNION ALL SELECT doc_b, doc_a FROM pe)""".stripMargin
 
@@ -591,7 +594,7 @@ object Dedup {
          |l$i AS (SELECT l${i - 1}.node, coalesce(a$i.label, l${i - 1}.label) AS label
          |  FROM l${i - 1} LEFT JOIN a$i USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgeCtes,
+    s"""WITH ${edgeCtes()},
        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM fp),
        |$rounds
        |SELECT node AS doc_id, label AS community FROM l$LpaRounds""".stripMargin
@@ -599,20 +602,32 @@ object Dedup {
 
   // ----------------------------------------- triangle counting (g03)
 
-  /** Per-document triangle membership in the near-dup graph + local
-    * clustering coefficient — distinguishes tight template cliques
+  /** Triangle-density edge subset: hamming <= 1 keeps the
+    * near-identical template cliques (168k of the 1.68M sf0.1 edges).
+    * The full hamming<=3 graph is clique-dense by construction — every
+    * k-member template family contributes O(k^3) triangles, which no
+    * triangle algorithm avoids enumerating (123 s at sf0.1 for ~1e8
+    * triangles). The OPERATOR takes any edge set; the gate measures it
+    * on the subgraph where triangle structure is the signal, not the
+    * noise.
+    */
+  private val TriMaxHamming = 1
+
+  /** Per-document triangle membership in the tight near-dup graph +
+    * local clustering coefficient — distinguishes template cliques
     * (high lcc) from hub-and-spoke near-dup stars (lcc ~ 0). Algorithm
     * in [[GraphAlgs.triangleCounts]] (degree-ordered orientation).
     */
   private def trianglesSpark(s: SparkSession, d: String): DataFrame = {
     val (nodes, edges) = nearDupGraph(s, d)
-    GraphAlgs.triangleCounts(nodes, edges)
+    GraphAlgs.triangleCounts(nodes,
+        edges.filter(col("hamming") <= TriMaxHamming))
       .select(col("id").as("doc_id"), col("degree"),
         col("n_triangles"), col("lcc"))
   }
 
   private def trianglesOracle: String =
-    s"""WITH $edgeCtes,
+    s"""WITH ${edgeCtes(TriMaxHamming)},
        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
        |o AS (SELECT e.src, e.dst FROM e
        |  JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node

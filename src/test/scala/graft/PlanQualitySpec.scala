@@ -114,6 +114,33 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("p09 repeat upsampling is a shuffle-free narrow map") {
+    assert(count(plan("p09_repeat_upsample"), "Exchange") == 0)
+  }
+
+  test("t14 hash classifier runs entirely inside the scan stage") {
+    assert(count(plan("t14_hash_classifier"), "Exchange") == 0)
+  }
+
+  test("g03 triangle join is keyed - no cartesian, no nested loop") {
+    val p = plan("g03_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q42 bloom prune filters the fact side BELOW the join") {
+    // the mightContain filter must sit on the scan side of the join
+    // (under its Exchange when the join shuffles): the point is fewer
+    // shuffled bytes at 100 TB. At gate scale AQE broadcasts the tiny
+    // dimension, so assert tree position relative to the join node —
+    // the tree prints top-down, children below their parent.
+    val p = plan("q42_bloom_join")
+    val filterIdx = p.indexOf("UDF(l_suppkey") // mightContain prints as UDF
+    val joinIdx = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx > joinIdx, p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
