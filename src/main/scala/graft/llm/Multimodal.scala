@@ -156,6 +156,55 @@ object Multimodal {
             }
           }))
           .toDF()
-      })
+      }),
+
+    // m05: modality-partitioned shard packing — the export step for
+    // binary media: within each modality, blobs pack in doc_id order
+    // into shards capped at ShardBytes (greedy running-sum cut, the
+    // p01 packing shape over bytes instead of tokens), and the
+    // manifest reports per-shard item/byte totals. At corpus scale the
+    // window key is (modality, corpus shard); the manifest is what a
+    // WebDataset-style writer persists next to the tar shards.
+    QueryDef(
+      "m05_media_shards",
+      Some(s"""WITH m AS (SELECT doc_id,
+              |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1]
+              |      AS format,
+              |    cast(strlen(text) as bigint) AS n_bytes FROM documents),
+              |x AS (SELECT *,
+              |    cast((sum(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) - n_bytes) // $ShardBytes as int)
+              |      AS shard_id
+              |  FROM m)
+              |SELECT format, shard_id, count(*) AS n_items,
+              |  cast(sum(n_bytes) as bigint) AS bytes,
+              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              |FROM x GROUP BY format, shard_id""".stripMargin),
+      (s, d) => mediaShards(mediaDF(s, d)))
   )
+
+  /** Shard cap for m05 — small enough that the gate corpus produces
+    * multiple shards per modality.
+    */
+  private val ShardBytes = 8000L
+
+  /** Public API: greedy byte-budget shard packing per modality. A blob
+    * goes to shard `floor(bytes_before_it / cap)` within its modality
+    * (items never split): deterministic, one window per modality key,
+    * and the manifest aggregation is map-side partial.
+    */
+  def mediaShards(media: DataFrame, cap: Long = ShardBytes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("format")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    media
+      .select(col("doc_id"), col("format"),
+        expr("cast(octet_length(payload) as bigint)").as("n_bytes"))
+      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+      .withColumn("shard_id",
+        expr(s"cast((cum_bytes - n_bytes) div $cap as int)"))
+      .groupBy(col("format"), col("shard_id"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
 }

@@ -267,6 +267,35 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // S8/S11 through the hash gate: NON-KEYED broadcast state written
+    // in the Flink dialect, magic-sniff loaded, projected back to rows.
+    // The driver-side model is the reference's own contract (non-keyed
+    // state is "completely restored in-memory"); the 25-row nation dim
+    // is exactly the broadcast-rule-table shape this state serves.
+    QueryDef(
+      "sp10_broadcast_state",
+      Some("SELECT n_nationkey AS key, n_name AS name FROM nation"),
+      (s, d) => {
+        import s.implicits._
+        val pairs = Catalog.t(s, d, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name"))
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("bc-op", parallelism = 2,
+            maxParallelism = 128), "bc-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .transformNonKeyedState((_, b) =>
+            BackendStates.withBroadcastState(b, "nations", pairs)(
+              graft.core.codec.Codecs.IntCodec, Codecs.FlinkStringCodec))
+          .writeAll(tmp("graft-sp10"))
+        val op = Savepoints.load(meta.basePath).operator("bc-op")
+        val back = BackendStates.broadcastState[Int, String](
+          op.nonKeyed(0), "nations")(
+          graft.core.codec.Codecs.IntCodec, Codecs.FlinkStringCodec)
+        back.toSeq.toDF("key", "name")
+          .select(col("key").cast("long").as("key"), col("name"))
+      }),
+
     // S4 through the hash gate: state lives in a real RocksDB
     // checkpoint (one column family per state, native SST files) and is
     // read back through the DSv2 source + typed reader. Checkpoint

@@ -117,6 +117,22 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 4L, 2L, 5L, 8L))) // d, e new; vocab 5 of 8 tokens
   }
 
+  test("mediaShards: greedy byte-budget cut, items never split") {
+    // sizes 5,5,5 with cap 8: bytes-before 0,5,10 -> shards 0,0,1
+    val media = Seq(
+      (1L, "png", Array.fill[Byte](5)(1)),
+      (2L, "png", Array.fill[Byte](5)(1)),
+      (3L, "png", Array.fill[Byte](5)(1)),
+      (4L, "wav", Array.fill[Byte](3)(1))
+    ).toDF("doc_id", "format", "payload")
+    val got = llm.Multimodal.mediaShards(media, cap = 8L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("png", 0)) === ((2L, 10L, 1L, 2L)))
+    assert(got(("png", 1)) === ((1L, 5L, 3L, 3L)))
+    assert(got(("wav", 0)) === ((1L, 3L, 4L, 4L)))
+  }
+
   test("expireTtl: keeps only entries stamped at/after the cutoff") {
     val maxPar = 128
     def row(key: Long, ts: Long, v: Long): KeyedStateRow = {
