@@ -145,14 +145,19 @@ object RelationalQueries {
 
     QueryDef(
       "q07_running_qty",
+      // l_quantity in the ORDER BY: (suppkey, shipdate, orderkey,
+      // linenumber) is NOT unique at sf0.1 (the generator emits one
+      // duplicated group with differing quantities), and a tied prefix
+      // sum is engine-order-dependent; quantity makes the order total
       Some(s"""SELECT l_suppkey, l_orderkey, l_linenumber,
               |  cast(sum($Q100) OVER (PARTITION BY l_suppkey
-              |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+              |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) / 100 AS run_qty
               |FROM lineitem""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem")
           .withColumn("run_qty", (sum(expr(Q100)).over(w).cast("double") / 100).as("run_qty"))
