@@ -55,6 +55,8 @@ object Dedup {
 
     QueryDef("d02_minhash_lsh", Some(minhashOracle),
       (s, d) => minhashLshPairs(Catalog.t(s, d, "documents"))),
+    QueryDef("d14_minhash_quality", Some(estimateQualityOracle),
+      (s, d) => minhashEstimateQuality(Catalog.t(s, d, "documents"))),
     QueryDef("d03_ngram_jaccard", Some(jaccardOracle),
       (s, d) => ngramJaccardPairs(Catalog.t(s, d, "documents"))),
     QueryDef("d04_simhash", Some(simhashOracle),
@@ -224,7 +226,11 @@ object Dedup {
       .filter(col("est_sim") >= 0.5)
   }
 
-  private def minhashOracle: String = {
+  /** MinHash CTE chain through `p` (LSH candidate pairs with est_sim
+    * >= 0.5) — shared by the d02 oracle and the d14 estimator-quality
+    * oracle. Also defines `s` (distinct doc shingles).
+    */
+  private def minhashCtes: String = {
     val mins = (0 until Perms)
       .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $P) AS h$j")
       .mkString(",\n    ")
@@ -234,7 +240,7 @@ object Dedup {
     }.mkString(" OR ")
     val matches = (0 until Perms)
       .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+    s"""d AS (SELECT doc_id, $duckWords AS w FROM documents),
        |sx AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d),
        |s AS (SELECT DISTINCT doc_id, sh FROM sx),
        |hs AS (SELECT doc_id, ${duckWordHash("sh")} AS h FROM s),
@@ -242,11 +248,61 @@ object Dedup {
        |    $mins
        |  FROM hs GROUP BY doc_id),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
-       |SELECT doc_a, doc_b, cast($matches as double) / $Perms AS est_sim
-       |FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
-       |WHERE cast($matches as double) / $Perms >= 0.5""".stripMargin
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+       |p AS (SELECT doc_a, doc_b, cast($matches as double) / $Perms AS est_sim
+       |  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+       |  WHERE cast($matches as double) / $Perms >= 0.5)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
+       |SELECT doc_a, doc_b, est_sim FROM p""".stripMargin
+
+  /** Public API: MinHash estimator quality — every d02 LSH candidate
+    * pair annotated with its EXACT shingle Jaccard and the estimation
+    * error (the s04-recall analogue for the dedup family: how well do
+    * 16 permutations approximate the true similarity at the working
+    * threshold?). Returns `(doc_a, doc_b, est_sim, jaccard, abs_err)`.
+    *
+    * Scale: the exact intersection is computed ONLY for candidate
+    * pairs — shingles join the (small) candidate list by doc key, so
+    * the work is candidates x shingles-per-doc, never the corpus-wide
+    * inverted-index self-join.
+    */
+  def minhashEstimateQuality(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = pairs.select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        expr("cast(coalesce(i, 0) as double) / (na + nb - coalesce(i, 0))")
+          .as("jaccard"))
+      .withColumn("abs_err", abs(col("est_sim") - col("jaccard")))
+  }
+
+  private def estimateQualityOracle: String =
+    s"""WITH $minhashCtes,
+       |szs AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+       |intr AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM p JOIN s a ON a.doc_id = p.doc_a
+       |  JOIN s b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.est_sim,
+       |  cast(coalesce(i, 0) as double) / (na.n + nb.n - coalesce(i, 0))
+       |    AS jaccard,
+       |  abs(p.est_sim - cast(coalesce(i, 0) as double)
+       |    / (na.n + nb.n - coalesce(i, 0))) AS abs_err
+       |FROM p LEFT JOIN intr ON p.doc_a = intr.doc_a AND p.doc_b = intr.doc_b
+       |JOIN szs na ON p.doc_a = na.doc_id
+       |JOIN szs nb ON p.doc_b = nb.doc_id""".stripMargin
 
   // --------------------------------------------------- n-gram Jaccard
 

@@ -80,6 +80,61 @@ object RelationalQueries3 {
     // ------------------------------------------------- banded range join
     // Click-to-purchase attribution: for each purchase, the same user's
     // clicks in the preceding hour. Purchases probe the 2 hour-buckets
+    // j03: FORWARD as-of with tolerance — for each purchase, the
+    // customer's FIRST click at-or-after it, nulled beyond a 1-hour
+    // horizon (forward attribution; j01 is the backward direction).
+    // Same union-merge idiom scanned in DESCENDING time: the running
+    // last(ignoreNulls) click in the reverse scan IS the nearest
+    // following click — one shuffle per key, no probe join, no
+    // quadratic time join. The oracle mirrors the window with
+    // last_value(... IGNORE NULLS) over the identical frame.
+    QueryDef(
+      "j03_asof_forward",
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+              |u AS (SELECT user_id, ms AS tm, 1 AS src, event_id AS pid,
+              |    cast(NULL as bigint) AS cid FROM ev WHERE event_type = 'purchase'
+              |  UNION ALL SELECT user_id, ms, 0, NULL, event_id
+              |  FROM ev WHERE event_type = 'click'),
+              |w AS (SELECT *,
+              |    last_value(cid IGNORE NULLS) OVER win AS ncid,
+              |    last_value(CASE WHEN src = 0 THEN tm END IGNORE NULLS)
+              |      OVER win AS ncms
+              |  FROM u WINDOW win AS (PARTITION BY user_id
+              |    ORDER BY tm DESC, src ASC, cid DESC NULLS LAST
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT pid AS purchase_id, user_id, tm AS pms,
+              |  CASE WHEN ncms <= tm + $HourMs THEN ncid END AS next_click_id,
+              |  CASE WHEN ncms <= tm + $HourMs THEN ncms END AS next_cms
+              |FROM w WHERE src = 1""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("event_type"), unix_millis(col("ts")).as("ms"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ms").as("tm"), lit(1).as("src"),
+            col("event_id").as("pid"), lit(null).cast("long").as("cid"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ms").as("tm"), lit(0).as("src"),
+            lit(null).cast("long").as("pid"), col("event_id").as("cid"))
+        // reverse scan: larger times first; at equal tm clicks (src 0)
+        // precede purchases so a same-ms click is visible (>=); equal-ms
+        // clicks order by id desc so the running last is the SMALLEST id
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tm").desc, col("src").asc, col("cid").desc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pur.unionByName(clk)
+          .withColumn("ncid", last(col("cid"), ignoreNulls = true).over(w))
+          .withColumn("ncms", last(when(col("src") === 0, col("tm")),
+            ignoreNulls = true).over(w))
+          .filter(col("src") === 1)
+          .select(col("pid").as("purchase_id"), col("user_id"),
+            col("tm").as("pms"),
+            when(col("ncms") <= col("tm") + HourMs, col("ncid"))
+              .as("next_click_id"),
+            when(col("ncms") <= col("tm") + HourMs, col("ncms"))
+              .as("next_cms"))
+      }),
+
     // the window can span; the exact range filters in-bucket. All time
     // math on ms bigints so both engines compare identical integers.
     QueryDef(
