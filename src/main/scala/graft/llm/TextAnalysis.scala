@@ -380,6 +380,16 @@ object TextAnalysis {
               |FROM documents d2 LEFT JOIN sc ON d2.doc_id = sc.doc_id""".stripMargin),
       (s, d) => heldOutBigramScore(Catalog.t(s, d, "documents"))),
 
+    // BPE tokenizer training: BpeRounds merge rounds over the corpus
+    // vocabulary — each round counts adjacent symbol pairs (weighted by
+    // word frequency), adopts the most frequent pair as a merge, and
+    // rewrites the vocabulary. The oracle unrolls the same rounds in
+    // SQL, so the learned merge table is cross-engine exact.
+    QueryDef(
+      "t17_bpe_merges",
+      Some(bpeOracle),
+      (s, d) => bpeMerges(Catalog.t(s, d, "documents"), BpeRounds)),
+
     // Heaps'-law vocabulary growth: split the corpus into 10 doc-id
     // deciles and report per-decile token counts, NEW distinct words
     // (first appearance), and the cumulative vocabulary curve. The
@@ -486,6 +496,86 @@ object TextAnalysis {
     * round(p * 1e9) sums stay far below 2^63 at any corpus size.
     */
   private val PplFx = 1000000000L
+
+  /** BPE merge rounds learned by the t17 gate (enough that later
+    * merges build on earlier ones — multi-char tokens appear).
+    */
+  private val BpeRounds = 4
+
+  /** BPE tokenizer training: `rounds` merge rounds over the corpus.
+    * The vocabulary is `(word, freq)` (one shuffle); each word starts
+    * as its space-separated character sequence. A round counts adjacent
+    * symbol pairs weighted by word frequency, adopts the top pair
+    * (count desc, then lexicographic — fully deterministic), and
+    * rewrites every word's symbol sequence by non-overlapping
+    * left-to-right replacement (identical semantics in Spark and
+    * DuckDB `replace`). Returns the learned merge table
+    * `(round, lhs, rhs, cnt)`.
+    *
+    * Scale: the corpus collapses to its distinct-word vocabulary ONCE;
+    * every round is a narrow pair-explode over vocabulary rows + one
+    * partial-aggregated count. Only the single winning pair per round
+    * reaches the driver — the same model-artifact collect a
+    * distributed BPE trainer (e.g. the original sentencepiece-style
+    * map-reduce formulation) performs.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var reprs = words.select(col("freq"), expr(
+      "concat_ws(' ', transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1)))").as("repr")).cache()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val pairs = reprs.withColumn("w", split(col("repr"), " "))
+        .select(col("freq"), explode(expr(sparkBigrams)).as("b"))
+        .select(col("freq"), col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rt, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((r, l, rt, c))
+        val next = reprs.withColumn("repr",
+          expr(s"replace(repr, ${q(l + " " + rt)}, ${q(l + rt)})")).cache()
+        next.count() // materialize before releasing the parent round
+        reprs.unpersist()
+        reprs = next
+      }
+    }
+    reprs.unpersist()
+    s.createDataset(out.toSeq).toDF("round", "lhs", "rhs", "cnt")
+      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
+        col("cnt"))
+  }
+
+  private def bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""p$i AS (SELECT w1, w2, cast(sum(freq) as bigint) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(ww)),
+         |      k -> {'w1': ww[k], 'w2': ww[k + 1]}), recursive := true)
+         |    FROM (SELECT freq, string_split(repr, ' ') AS ww FROM r${i - 1}))
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT $i AS round, w1, w2, cnt FROM p$i
+         |  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+         |r$i AS (SELECT freq, replace(repr, t.w1 || ' ' || t.w2, t.w1 || t.w2)
+         |    AS repr FROM r${i - 1}, t$i t)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to BpeRounds)
+      .map(i => s"SELECT round, w1 AS lhs, w2 AS rhs, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT word, cast(count(*) as bigint) AS freq FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY word),
+       |r0 AS (SELECT freq, array_to_string(list_transform(range(1, length(word) + 1),
+       |    i -> substring(word, i, 1)), ' ') AS repr FROM w),
+       |$rounds
+       |$un""".stripMargin
+  }
 
   /** Adjacent-word bigrams of the space-split `text` column, guarded for
     * single-word docs (Spark's `sequence(1, 0)` DESCENDS — t11 note).

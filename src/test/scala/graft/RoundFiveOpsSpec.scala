@@ -117,6 +117,18 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 4L, 2L, 5L, 8L))) // d, e new; vocab 5 of 8 tokens
   }
 
+  test("bpeMerges: frequency-weighted pairs, merges build on merges") {
+    // "aa" x2 + "ab" x1: round 1 learns (a,a) with weight 2, the
+    // rewrite turns "a a" into "aa", so round 2's only pair is (a,b);
+    // round 3 has no pairs left and learns nothing
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, rounds = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
   test("mediaShards: greedy byte-budget cut, items never split") {
     // sizes 5,5,5 with cap 8: bytes-before 0,5,10 -> shards 0,0,1
     val media = Seq(
