@@ -42,6 +42,7 @@ object Clustering {
   def all: Seq[QueryDef] = Seq(
     QueryDef("c01_kmeans_step", Some(kmeansOracle), kmeansSpark),
     QueryDef("c02_kmeans_train", Some(kmeansTrainOracle), kmeansTrainSpark),
+    QueryDef("c03_cluster_eval", Some(clusterEvalOracle), clusterEvalSpark),
     QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
     QueryDef("s08_adc_rerank", Some(rerankOracle), rerankSpark),
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark)
@@ -98,6 +99,70 @@ object Clustering {
        |SELECT cid, dim, count(*) AS n_members,
        |  cast(sum(fx) as bigint) // count(*) AS mean_fx
        |FROM px GROUP BY cid, dim""".stripMargin
+
+  // ---------------------------------------------------- cluster eval
+
+  private def clusterEvalSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    clusterEval(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  /** Public API: clustering-quality evaluation — per-cluster member
+    * count, total inertia (sum of squared L2 distance to the assigned
+    * centroid), and mean member distance, all on the 1e7 fixed-point
+    * scale so the metrics are cross-engine exact. The evaluation side
+    * of c01/c02: inertia is THE quantity Lloyd iterations minimize, so
+    * this is how k/seed choices get compared on a corpus.
+    *
+    * Scale: assignment is the shared inlined-centroid fold; the
+    * distance fold runs inside the scan stage; the only shuffle is the
+    * C-row aggregation (map-side partial).
+    */
+  def clusterEval(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val cvecs = centroids.select(col("cid"),
+      col("embedding").cast("array<double>").as("cvec"))
+    assignCells(c, cent)
+      .join(broadcast(cvecs), "cid")
+      .withColumn("sqd", expr(
+        "aggregate(zip_with(ca, cvec, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, v) -> a + v)"))
+      .withColumn("fx", expr(s"cast(round(sqd * $MeanFx) as bigint)"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("fx")).as("inertia_fx"))
+      .select(col("cid"), col("n_members"), col("inertia_fx"),
+        expr("inertia_fx div n_members").as("mean_dist_fx"))
+  }
+
+  private def clusterEvalOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |d2 AS (SELECT a.cid, list_reduce(list_prepend(cast(0 as double),
+       |    list_transform(range(1, 65),
+       |      i -> (a.va[i] - c.ca[i]) * (a.va[i] - c.ca[i]))),
+       |    (x, y) -> x + y) AS sqd
+       |  FROM asg a JOIN c ON a.cid = c.cid)
+       |SELECT cid, count(*) AS n_members,
+       |  cast(sum(cast(round(sqd * $MeanFx) as bigint)) as bigint) AS inertia_fx,
+       |  cast(sum(cast(round(sqd * $MeanFx) as bigint)) as bigint) // count(*)
+       |    AS mean_dist_fx
+       |FROM d2 GROUP BY cid""".stripMargin
 
   // ----------------------------------------------------- PQ ADC search
 

@@ -74,6 +74,7 @@ object Dedup {
     QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
+    QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
 
     QueryDef("d12_dup_spans", Some(dupSpansOracle),
       (s, d) => dupSpans(Catalog.t(s, d, "documents"))),
@@ -720,6 +721,47 @@ object Dedup {
     s"""WITH RECURSIVE $componentsCtes
        |SELECT node AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY node""".stripMargin
+
+  // ----------------------------------- leakage-safe split (p10)
+
+  /** Train/val/test thresholds over the 32-bit md5 space: 80/10/10. */
+  private val SplitTrain = (0.8 * 4294967296.0).toLong
+  private val SplitVal = (0.9 * 4294967296.0).toLong
+
+  /** Public API: leakage-safe dataset split — the split unit is the
+    * NEAR-DUP CLUSTER, not the document, so near-duplicates can never
+    * straddle train and eval (the classic contamination bug in
+    * doc-level random splits). Cluster ids come from the verified
+    * connected components; the 80/10/10 assignment hashes the cluster
+    * id (deterministic, partition-independent). Returns
+    * `(doc_id, cluster_id, split)`.
+    */
+  def leakageSafeSplit(labels: DataFrame): DataFrame =
+    labels
+      .withColumn("h",
+        expr("conv(substring(md5(cast(cluster_id as string)), 1, 8), 16, 10)")
+          .cast("long"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") < SplitTrain, "train")
+          .when(col("h") < SplitVal, "val")
+          .otherwise("test").as("split"))
+
+  private def splitSpark(s: SparkSession, d: String): DataFrame =
+    leakageSafeSplit(componentsSpark(s, d))
+
+  private def splitOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY node),
+       |h AS (SELECT doc_id, cluster_id,
+       |    cast(('0x' || substring(md5(cast(cluster_id as varchar)), 1, 8))
+       |         as bigint) AS h
+       |  FROM comp)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN h < $SplitTrain THEN 'train'
+       |       WHEN h < $SplitVal THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h""".stripMargin
 
   // ------------------------------------- near-dup cluster keep-best (d10)
 

@@ -41,8 +41,66 @@ object Similarity {
     QueryDef("s04_ann_recall", Some(annRecallOracle), annRecallSpark),
     QueryDef("s05_quantize_int8", Some(quantizeOracle), quantizeSpark),
     QueryDef("s06_pq_encode", Some(pqOracle), pqSpark),
+    QueryDef("s09_filtered_ann", Some(filteredAnnOracle), filteredAnnSpark),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // ------------------------------------------------------ filtered ANN
+
+  /** Metadata-filtered vector search: top-k among candidates sharing
+    * the query's `label` — the "filtered vector search" every serving
+    * stack needs (category-scoped recommendations, per-tenant search).
+    * The label equality is part of the JOIN key, so the search space
+    * prunes BEFORE any distance math; at scale the label join is keyed
+    * (or the label is the partition column and the filter prunes
+    * partitions), never a post-filter over an unfiltered top-k (which
+    * under-fills k when the filter is selective).
+    */
+  def filteredCosineTopK(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query_id"), col("label"),
+      col("embedding").as("qa"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+    val c = candidates.select(col("neighbor_id"),
+      col("label").as("clabel"), col("embedding").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(c, col("label") === col("clabel")
+        && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "label", "cosine", "rn")
+  }
+
+  private def filteredAnnSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    filteredCosineTopK(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding")),
+      TopK)
+  }
+
+  private def filteredAnnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label,
+       |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |qn AS (SELECT query_id, label, qa, sqrt(${duckDot("qa", "qa")}) AS qn FROM q),
+       |c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+       |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
+       |cn AS (SELECT neighbor_id, clabel, ca, sqrt(${duckDot("ca", "ca")}) AS cn FROM c),
+       |p AS (SELECT query_id, neighbor_id, label,
+       |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
+       |  FROM qn JOIN cn ON label = clabel AND query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, label, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
+       |SELECT query_id, neighbor_id, label, cosine, rn FROM r WHERE rn <= $TopK""".stripMargin
 
   // ---------------------------------------------- product quantization
 

@@ -360,6 +360,42 @@ object StreamingQueries {
             "leftOuter")
           .select(col("purchase_id"), col("click_id"), col("user_id"),
             col("pms"), col("cms"))
+      }),
+
+    // st11: foreachBatch parquet sink — the production export path
+    // (streams land in a lake table, not a memory sink). Each
+    // micro-batch appends to a parquet dir; a real pipeline makes the
+    // write idempotent per (target, batchId) for exactly-once across
+    // restarts — a single gate run appends each batch exactly once, so
+    // the landed table must equal the batch SQL over the same input.
+    QueryDef(
+      "st11_foreachbatch_sink",
+      Some("""SELECT event_id, user_id,
+             |  cast(round(value * 100) as bigint) AS cents
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      (s, d) => {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-st11-out").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-st11-ckpt").toString
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val raw = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(d)
+          val q = raw.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"),
+              expr("cast(round(value * 100) as bigint)").as("cents"))
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.read.parquet(outDir)
       })
   )
 

@@ -117,6 +117,41 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 4L, 2L, 5L, 8L))) // d, e new; vocab 5 of 8 tokens
   }
 
+  test("leakageSafeSplit: whole cluster shares one split, thresholds respected") {
+    def h32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def expectedSplit(cid: Long): String = {
+      val h = h32(cid)
+      if (h < (0.8 * 4294967296.0).toLong) "train"
+      else if (h < (0.9 * 4294967296.0).toLong) "val" else "test"
+    }
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .toDF("doc_id", "cluster_id")
+    val got = llm.Dedup.leakageSafeSplit(labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L)._2 === got(2L)._2) // same cluster -> same split, always
+    got.values.foreach { case (cid, split) =>
+      assert(split === expectedSplit(cid))
+    }
+  }
+
+  test("filteredCosineTopK: candidates outside the query label never rank") {
+    graft.functions.GraftFunctions.register(spark)
+    val q = Seq((100L, 1, Array(1.0f, 0.0f))).toDF("query_id", "label", "embedding")
+    val c = Seq(
+      (10L, 1, Array(1.0f, 0.0f)),   // label match, cos 1
+      (11L, 2, Array(1.0f, 0.0f)),   // perfect cosine but WRONG label
+      (12L, 1, Array(0.0f, 1.0f))    // label match, cos 0
+    ).toDF("neighbor_id", "label", "embedding")
+    val got = llm.Similarity.filteredCosineTopK(q, c, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    assert(got.toSet === Set((10L, 1), (12L, 2))) // 11 filtered out
+  }
+
   test("bpeMerges: frequency-weighted pairs, merges build on merges") {
     // "aa" x2 + "ab" x1: round 1 learns (a,a) with weight 2, the
     // rewrite turns "a a" into "aa", so round 2's only pair is (a,b);
