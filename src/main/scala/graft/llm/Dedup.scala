@@ -75,6 +75,7 @@ object Dedup {
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
+    QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
     QueryDef("d12_dup_spans", Some(dupSpansOracle),
       (s, d) => dupSpans(Catalog.t(s, d, "documents"))),
@@ -721,6 +722,41 @@ object Dedup {
     s"""WITH RECURSIVE $componentsCtes
        |SELECT node AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY node""".stripMargin
+
+  // --------------------------------------- soft dedup (d15)
+
+  /** Fixed-point scale for soft-dedup weights (1/n in (0, 1]). */
+  private val WeightFx = 10000000L
+
+  /** Public API: soft deduplication — instead of DROPPING
+    * near-duplicates, every document is down-weighted by the inverse
+    * of its near-dup cluster size (`weight_fx = 1e7 div n_members`),
+    * so a training sampler sees each semantic item with total weight
+    * ~1 regardless of how many copies crawled in. This is the
+    * "reweight, don't remove" alternative modern pipelines prefer when
+    * duplicates carry signal (popularity). One join + one
+    * cluster-sized aggregation over the verified components. Returns
+    * `(doc_id, cluster_id, n_members, weight_fx)`.
+    */
+  def softDedup(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        expr(s"$WeightFx div n_members").as("weight_fx"))
+  }
+
+  private def softDedupSpark(s: SparkSession, d: String): DataFrame =
+    softDedup(componentsSpark(s, d))
+
+  private def softDedupOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY 1)
+       |SELECT doc_id, cluster_id, n_members,
+       |  cast($WeightFx // n_members as bigint) AS weight_fx
+       |FROM comp JOIN sz USING (cluster_id)""".stripMargin
 
   // ----------------------------------- leakage-safe split (p10)
 

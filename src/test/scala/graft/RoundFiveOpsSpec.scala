@@ -117,6 +117,16 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 4L, 2L, 5L, 8L))) // d, e new; vocab 5 of 8 tokens
   }
 
+  test("softDedup: inverse-cluster-size weights, singletons keep full weight") {
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val got = llm.Dedup.softDedup(labels)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 3333333L))) // 1e7 div 3
+    assert(got(2L) === ((3L, 3333333L)))
+    assert(got(4L) === ((1L, 10000000L))) // singleton: weight 1.0
+  }
+
   test("leakageSafeSplit: whole cluster shares one split, thresholds respected") {
     def h32(id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
