@@ -119,7 +119,16 @@ object FlinkMetadataIO {
       d.writeInt(HeaderMagic)
       d.writeInt(SavepointVersion)
       d.writeLong(meta.checkpointId)
-      d.writeInt(0) // master states
+      // master states pass through verbatim (reference carries
+      // oldSavepoint.getMasterStates() into every rewritten savepoint,
+      // StateMetadataUtils.java:124): same magic/length framing, payload
+      // bytes untouched
+      d.writeInt(meta.masterStates.size)
+      meta.masterStates.foreach { bytes =>
+        d.writeInt(MasterStateMagic)
+        d.writeInt(bytes.length)
+        d.write(bytes)
+      }
       d.writeInt(meta.operators.size)
       meta.operators.foreach { op =>
         val idBytes = hexToBytes(op.operatorId)
@@ -204,10 +213,14 @@ object FlinkMetadataIO {
         s"unsupported savepoint metadata version $version (supported: 2)")
       val checkpointId = d.readLong()
       val nMaster = d.readInt()
-      (0 until nMaster).foreach { _ =>
-        d.readInt() // master-state magic (value not depended upon)
+      val masterStates = (0 until nMaster).map { _ =>
+        val magic = d.readInt()
+        require(magic == MasterStateMagic,
+          f"corrupt master state: magic 0x$magic%08x")
         val len = d.readInt()
-        skipFully(d, len.toLong)
+        val bytes = new Array[Byte](len)
+        d.readFully(bytes)
+        bytes
       }
       val nOps = d.readInt()
       val ops = (0 until nOps).map { _ =>
@@ -264,7 +277,8 @@ object FlinkMetadataIO {
             }
         }
       }
-      SavepointMeta(checkpointId, basePath, resolved, Dialect.Flink)
+      SavepointMeta(checkpointId, basePath, resolved, Dialect.Flink,
+        masterStates)
     } finally d.close()
   }
 

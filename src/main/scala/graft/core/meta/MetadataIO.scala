@@ -14,8 +14,9 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * self-consistency is the testable contract (FIXTURES.md §A). Layout:
   *
   * {{{
-  * magic "GRFTSP03" (02 added non-keyed codec ids; 03 the per-state
-  *                    namespace codec — any layout change bumps it)
+  * magic "GRFTSP04" (02 added non-keyed codec ids; 03 the per-state
+  *                    namespace codec; 04 trailing master states — any
+  *                    layout change bumps it; 03 files still load)
   * varlong checkpointId
   * varint numOperators, each:
   *   string uid | string operatorId | varint parallelism | varint maxPar
@@ -34,11 +35,15 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *     varint numBroadcastStates, each: string name
   *         | string keyCodecId | string valueCodecId ("" = undeclared)
   *         | varint n | (bytes key, bytes value)...
+  * varint numMasterStates, each: bytes (opaque payload — the Flink
+  *     master-state blob carried through graft-dialect rewrites so a
+  *     later Flink-dialect write can restore it verbatim; v04)
   * }}}
   */
 object MetadataIO {
 
-  val Magic = "GRFTSP03"
+  val Magic = "GRFTSP04"
+  private val MagicV3 = "GRFTSP03"
   val MetadataFile = "_metadata"
 
   def resolveMetadataPath(pathStr: String): Path = {
@@ -64,7 +69,8 @@ object MetadataIO {
       val r = new ByteReader(in)
       val magic = new String(r.readFully(Magic.length),
         java.nio.charset.StandardCharsets.US_ASCII)
-      require(magic == Magic, s"not a graft savepoint: bad magic '$magic'")
+      require(magic == Magic || magic == MagicV3,
+        s"not a graft savepoint: bad magic '$magic'")
       val checkpointId = r.readVarLong()
       val nOps = r.readVarInt()
       val ops = (0 until nOps).map { _ =>
@@ -118,8 +124,12 @@ object MetadataIO {
         OperatorStateMeta(uid, opId, par, maxPar, keyCodec, states,
           compression, files, nonKeyed)
       }
+      val masterStates =
+        if (magic == MagicV3) Seq.empty[Array[Byte]]
+        else (0 until r.readVarInt()).map(_ => r.readBytes())
       SavepointMeta(checkpointId,
-        mp.getParent.toAbsolutePath.toString, ops)
+        mp.getParent.toAbsolutePath.toString, ops,
+        masterStates = masterStates)
     } finally in.close()
   }
 
@@ -181,6 +191,8 @@ object MetadataIO {
         }
       }
     }
+    w.writeVarInt(meta.masterStates.size)
+    meta.masterStates.foreach(w.writeBytes)
     val out = new BufferedOutputStream(Files.newOutputStream(mp,
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE))
     try out.write(w.toBytes) finally out.close()

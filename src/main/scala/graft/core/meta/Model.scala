@@ -115,13 +115,20 @@ final case class OperatorStateMeta(
 }
 
 /** The savepoint: checkpoint id + operator states (reference
-  * Savepoint, StateMetadataUtils.java:59-74).
+  * Savepoint, StateMetadataUtils.java:59-74), plus the checkpoint's
+  * master states carried as opaque payload blobs. The reference
+  * propagates `oldSavepoint.getMasterStates()` verbatim into every
+  * rewritten savepoint (StateMetadataUtils.java:124); we do the same —
+  * the blob is the serialized hook payload between the per-state
+  * magic/length framing, never interpreted, re-framed identically on
+  * write ([[graft.core.flink.FlinkMetadataIO]]).
   */
 final case class SavepointMeta(
     checkpointId: Long,
     basePath: String,
     operators: Seq[OperatorStateMeta],
-    dialect: Byte = Dialect.Graft) {
+    dialect: Byte = Dialect.Graft,
+    masterStates: Seq[Array[Byte]] = Seq.empty) {
 
   /** Match by uid, by operator-id hex, or by murmur3_128(uid) — the
     * last covers real Flink metadata, which stores only hashed ids

@@ -229,8 +229,11 @@ final class OperatorStateWriter(
     val others = savepoint.operators
       .filterNot(_.operatorId == opId)
       .map(o => o.copy(keyedFiles = o.keyedFiles.map(absolutize)))
+    // master states ride along untouched (reference: every rewritten
+    // savepoint keeps oldSavepoint.getMasterStates(),
+    // StateMetadataUtils.java:124)
     val newMeta = SavepointMeta(savepoint.checkpointId + 1, outAbs,
-      others :+ newOp, outDialect)
+      others :+ newOp, outDialect, savepoint.masterStates)
     if (outDialect == Dialect.Flink)
       graft.core.flink.FlinkMetadataIO.write(outAbs, newMeta)
     else

@@ -296,6 +296,46 @@ object StateQueries {
           .select(col("key").cast("long").as("key"), col("name"))
       }),
 
+    // S10 master-state passthrough through the hash gate: a Flink-
+    // dialect savepoint is written with a master-state blob (the
+    // payload ENCODES table-derived content), rewritten via a second
+    // writeAll cycle — the path the reference preserves
+    // oldSavepoint.getMasterStates() through (StateMetadataUtils.java:
+    // 124) — and the final DataFrame is decoded FROM the roundtripped
+    // blob, so any drop or corruption breaks the oracle match.
+    QueryDef(
+      "sp11_master_state",
+      Some("""SELECT 'regions' AS k, count(*) AS v FROM region
+             |UNION ALL
+             |SELECT 'nations' AS k, count(*) AS v FROM nation""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val nRegion = Catalog.t(s, d, "region").count()
+        val nNation = Catalog.t(s, d, "nation").count()
+        val payload = s"regions=$nRegion;nations=$nNation"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val base = Savepoints.bootstrap("ms-op", 2, 128)
+          .copy(masterStates = Seq(payload))
+        val meta1 = Savepoints.writer(s, base, "ms-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .createNewValueState("V", Seq((1L, nRegion)).toDS(), LongCodec)
+          .writeAll(tmp("graft-sp11a"))
+        // reload from disk (only `_metadata` carries the blob now), then
+        // rewrite — passthrough under transform is what's under test
+        val loaded1 = Savepoints.load(meta1.basePath)
+        val rows = Savepoints.reader(s, loaded1, "ms-op").getAllUnreadKeyedStateRows
+        val meta2 = Savepoints.writer(s, loaded1, "ms-op")
+          .addKeyedStateRows(rows)
+          .writeAll(tmp("graft-sp11b"))
+        val ms = Savepoints.load(meta2.basePath).masterStates
+        require(ms.size == 1, s"master states not preserved: ${ms.size}")
+        new String(ms.head, java.nio.charset.StandardCharsets.UTF_8)
+          .split(';').toSeq
+          .map { kv => val Array(k, v) = kv.split('='); (k, v.toLong) }
+          .toDF("k", "v")
+      }),
+
     // S4 through the hash gate: state lives in a real RocksDB
     // checkpoint (one column family per state, native SST files) and is
     // read back through the DSv2 source + typed reader. Checkpoint

@@ -77,6 +77,9 @@ class FlinkFormatSpec extends AnyFunSuite {
     // though the metadata only stores the hashed id
     val op = meta.operator(Uid)
     assert(op.operatorId === Identifiers.operatorId(Uid))
+    // master states load as opaque payload blobs (S10 passthrough)
+    assert(meta.masterStates.map(_.toSeq) ===
+      Seq(golden.masterStatePayload().toSeq))
     assert(op.parallelism === 1 && op.maxParallelism === MaxPar)
     assert(!op.compression)
     assert(op.keyCodecId === Some("flink-string"))
@@ -127,6 +130,44 @@ class FlinkFormatSpec extends AnyFunSuite {
     val counts = Savepoints.reader(spark, reloaded, Uid)
       .readValueStates[String, Long]("count").collect().toMap
     assert(counts === golden.Counts)
+  }
+
+  test("master states survive a writeAll rewrite byte-identically (S10), " +
+    "in both dialects") {
+    import spark.implicits._
+    val loaded = Savepoints.load(resourceDir.toString)
+    val rows = Savepoints.reader(spark, loaded, Uid).getAllUnreadKeyedStateRows
+    // Flink-dialect rewrite: _metadata re-emits magic + length + payload
+    val outF = Files.createTempDirectory("flink-master-f"); Files.delete(outF)
+    val metaF = Savepoints.writer(spark, loaded, Uid)
+      .addKeyedStateRows(rows)
+      .writeAll(outF.toString)
+    assert(metaF.masterStates.map(_.toSeq) ===
+      Seq(FlinkGoldenAssembler.masterStatePayload().toSeq))
+    val reF = Savepoints.load(metaF.basePath)
+    assert(reF.masterStates.map(_.toSeq) ===
+      Seq(FlinkGoldenAssembler.masterStatePayload().toSeq))
+    // graft-dialect rewrite carries the blob too (v04 trailing section),
+    // so Flink -> graft -> Flink loses nothing
+    val outG = Files.createTempDirectory("flink-master-g"); Files.delete(outG)
+    val metaG = Savepoints.writer(spark, reF, Uid)
+      .withDialect(Dialect.Graft)
+      .addKeyedStateRows(Savepoints.reader(spark, reF, Uid).getAllUnreadKeyedStateRows)
+      .writeAll(outG.toString)
+    val reG = Savepoints.load(metaG.basePath)
+    assert(reG.masterStates.map(_.toSeq) ===
+      Seq(FlinkGoldenAssembler.masterStatePayload().toSeq))
+    val outF2 = Files.createTempDirectory("flink-master-f2"); Files.delete(outF2)
+    val metaF2 = Savepoints.writer(spark, reG, Uid)
+      .withDialect(Dialect.Flink)
+      .addKeyedStateRows(Savepoints.reader(spark, reG, Uid).getAllUnreadKeyedStateRows)
+      .writeAll(outF2.toString)
+    assert(Savepoints.load(metaF2.basePath).masterStates.map(_.toSeq) ===
+      Seq(FlinkGoldenAssembler.masterStatePayload().toSeq))
+    // and the state content rode along unharmed
+    assert(Savepoints.reader(spark, Savepoints.load(metaF2.basePath), Uid)
+      .readValueStates[String, Long]("count").collect().toMap ===
+      FlinkGoldenAssembler.Counts)
   }
 
   test("compressed (snappy-framed) Flink roundtrip with map and list state") {
@@ -602,6 +643,22 @@ object FlinkGoldenAssembler {
 
   def offsets(): Seq[Long] = stateFileBytes()._2
 
+  /** Master-state payload mimicking Flink 1.7's MasterState body
+    * (version int, UTF name, length-prefixed opaque hook bytes). The
+    * production code treats it as one opaque blob between the
+    * magic/length framing — this realistic shape proves verbatim
+    * passthrough of real hook state.
+    */
+  def masterStatePayload(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(1)            // MasterState version
+    d.writeUTF("golden-hook")
+    val hook = "hook-state-bytes".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    d.writeInt(hook.length); d.write(hook)
+    d.flush(); bos.toByteArray
+  }
+
   /** `_metadata` per the reconstructed SavepointV2 grammar. The state
     * file path is RELATIVE (resolved against the metadata dir) so the
     * checked-in fixture is location-independent; real Flink writes
@@ -613,7 +670,11 @@ object FlinkGoldenAssembler {
     d.writeInt(0x4960672d) // HEADER_MAGIC_NUMBER
     d.writeInt(2)          // SavepointV2
     d.writeLong(CheckpointId)
-    d.writeInt(0)          // master states
+    d.writeInt(1)          // one master state (MASTER_STATE_MAGIC framing)
+    val master = masterStatePayload()
+    d.writeInt(0xc96b1696)
+    d.writeInt(master.length)
+    d.write(master)
     d.writeInt(1)          // one operator
     val id = Identifiers.operatorId(Uid)
     d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
