@@ -54,9 +54,9 @@ object Dedup {
       (s, d) => exactDuplicates(Catalog.t(s, d, "documents"))),
 
     QueryDef("d02_minhash_lsh", Some(minhashOracle),
-      (s, d) => minhashLshPairs(Catalog.t(s, d, "documents"))),
+      (s, d) => minhashShared(s, d)._1),
     QueryDef("d14_minhash_quality", Some(estimateQualityOracle),
-      (s, d) => minhashEstimateQuality(Catalog.t(s, d, "documents"))),
+      (s, d) => { val (pairs, sh) = minhashShared(s, d); qualityFromParts(pairs, sh) }),
     QueryDef("d03_ngram_jaccard", Some(jaccardOracle),
       (s, d) => ngramJaccardPairs(Catalog.t(s, d, "documents"))),
     QueryDef("d04_simhash", Some(simhashOracle),
@@ -193,9 +193,19 @@ object Dedup {
     * Jaccard ≥ 0.5. One shuffle for signatures, one keyed self-join on
     * exploded band keys for candidates — never all-pairs.
     */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val withH = shingles(docs)
+  def minhashLshPairs(docs: DataFrame): DataFrame =
+    minhashPairsWithSig(shingles(docs))._1
+
+  /** Core derivation from a prepared distinct (doc_id, sh) set. Returns
+    * (pairs, sig) with `sig` cached — sig appears twice in the pairs
+    * join, so caching it halves the signature aggregation; the CALLER
+    * owns unpersisting it once pairs are materialized (the memoized
+    * gate path and d14 do; the plain public API leaves it to the
+    * session-cache note at the top of this section).
+    */
+  private def minhashPairsWithSig(sh: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    val withH = sh
       .select(col("doc_id"), expr("graft_polyhash32(sh)").as("h"))
     val aggs = (0 until Perms).map { j =>
       min(expr(s"(${permA(j)} * h + ${permB(j)}) % $P")).as(s"h$j")
@@ -222,10 +232,35 @@ object Dedup {
       (0 until Perms).map(j => col(s"h$j").as(s"y$j")): _*)
     val matches = (0 until Perms)
       .map(j => s"CASE WHEN x$j = y$j THEN 1 ELSE 0 END").mkString(" + ")
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr(s"cast($matches as double) / $Perms").as("est_sim"))
       .filter(col("est_sim") >= 0.5)
+    (pairs, sig)
+  }
+
+  // One shared MinHash derivation per (session, data dir) for the gate
+  // queries — same memo discipline as the graph family below: d02 and
+  // d14 both consume the SAME eagerly-checkpointed shingle set and
+  // candidate pairs instead of re-deriving the signature pipeline, and
+  // the intermediate sig cache is unpersisted as soon as the pairs are
+  // materialized.
+  private val minhashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame)]()
+
+  private def minhashShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = minhashMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val docs = Catalog.t(s, d, "documents")
+        val sh = shingles(docs).localCheckpoint(true)
+        val (pairs0, sig) = minhashPairsWithSig(sh)
+        val pairs = pairs0.localCheckpoint(true)
+        sig.unpersist()
+        (s, pairs, sh)
+      }
+    })
+    (e._2, e._3)
   }
 
   /** MinHash CTE chain through `p` (LSH candidate pairs with est_sim
@@ -272,13 +307,37 @@ object Dedup {
     * inverted-index self-join.
     */
   def minhashEstimateQuality(docs: DataFrame): DataFrame = {
-    val pairs = minhashLshPairs(docs)
     val sh = shingles(docs).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val (pairs, sig) = minhashPairsWithSig(sh)
+    // eagerly materialize the (small) result, then drop the corpus-sized
+    // intermediates — the caller gets a lineage-free DataFrame and no
+    // residual executor storage (own-the-unpersist, like GraphAlgs)
+    val result = qualityFromParts(pairs, sh).localCheckpoint(true)
+    sig.unpersist()
+    sh.unpersist()
+    result
+  }
+
+  /** Quality annotation from prepared parts: exact shingle Jaccard ONLY
+    * for the LSH candidate pairs (work = candidates x shingles-per-doc,
+    * never the corpus-wide self-join), plus the estimation error.
+    */
+  private def qualityFromParts(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a"), col("doc_b"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+    // candidate pairs are a tiny fraction of the corpus (LSH's whole
+    // point): broadcast the candidate doc list and prune the shingle
+    // set BEFORE the size aggregate and intersection join, so neither
+    // shuffles corpus-sized data — only shingles of candidate docs
+    val candDocs = broadcast(cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct())
+    // materialize the pruned set eagerly: it is consumed three times
+    // (sizes + both sides of the intersection join) and pruning it once
+    // means ONE pass over the corpus shingles, not three
+    val shc = sh.join(candDocs, "doc_id").localCheckpoint(true)
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(shc.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shc.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
