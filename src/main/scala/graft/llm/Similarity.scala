@@ -285,37 +285,101 @@ object Similarity {
 
   // ------------------------------------------- embedding-cosine near-dup
 
-  // Exact near-duplicate pairs above a cosine threshold. This is the
-  // verification baseline (all-pairs on the broadcast side); at 100 TB
-  // candidate generation moves to the LSH buckets of s02 and only
-  // candidate pairs get the exact cosine. The threshold sits below the
-  // test tables' observed cosine maxima (0.48/0.51/0.60 at
-  // sf0.001/0.01/0.1) so the gate check is non-vacuous: the oracle
-  // match proves the dot-product fold, the norm, and the threshold
-  // logic on real rows, not on an empty set.
+  // Embedding near-dup pairs above a cosine threshold. The GATED plan is
+  // the scale path: banded sign-LSH candidate generation (4 bands x 8
+  // deterministic hyperplanes — d02's banded-minhash idiom applied to
+  // s02's sign buckets) followed by exact cosine ONLY on candidate
+  // pairs. Nothing unbounded is ever broadcast and there is no
+  // cartesian; every join keys on (band, bucket) or vec_id (asserted in
+  // PlanQualitySpec). The semantics are the standard LSH contract —
+  // same-band-bucket pairs — which the oracle mirrors exactly, so the
+  // hash gate proves bucket assignment, the dot-product fold, and the
+  // threshold on real rows: 8 / 12 / 122 output rows at
+  // sf0.001/0.01/0.1 (non-vacuous at every scale). The exact all-pairs
+  // variant stays available as the opt-in `exact = true` verification
+  // baseline on the public API.
   private val NearDupMin = 0.4
+  private val NdBands = 4
+  private val NdRowBits = 8
 
-  private def nearDupSpark(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val e = Catalog.t(s, d, "embeddings")
+  private def nearDupSpark(s: SparkSession, d: String): DataFrame =
+    embeddingNearDups(Catalog.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Public API: near-duplicate `(vec_a, vec_b, cosine)` pairs over an
+    * `(vec_id, embedding)` frame. Default is the banded sign-LSH
+    * candidate path (scale-safe: candidates join keyed on band buckets,
+    * exact cosine only on candidates — pairs whose buckets never
+    * collide are not reported, the usual LSH recall trade). Pass
+    * `exact = true` for the brute-force all-pairs baseline — a
+    * verification tool; its broadcast of the full table is a
+    * scale-killer by design, never the default.
+    */
+  def embeddingNearDups(vecs: DataFrame, minCosine: Double = NearDupMin,
+      exact: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val e = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
-      .filter(col("cosine") >= NearDupMin)
-      .select("vec_a", "vec_b", "cosine")
+    if (exact) {
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
+        .filter(col("cosine") >= minCosine)
+        .select("vec_a", "vec_b", "cosine")
+    } else {
+      // narrow band-key rows: (vec_id, band, bk) — vectors are NOT
+      // carried through the candidate join, they are fetched back by id
+      // after the distinct (d02's candidate shape)
+      val pl = planesN(NdBands * NdRowBits)
+      val bandStructs = (0 until NdBands).map { b =>
+        val bits = (0 until NdRowBits).map { j =>
+          val p = pl(b * NdRowBits + j)
+            .mkString("cast(array(", ", ", ") as array<double>)")
+          s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"struct($b as band, cast($bits as int) as bk)"
+      }.mkString(", ")
+      val keyed = e.select(col("vec_id"),
+        explode(expr(s"array($bandStructs)")).as("bb"))
+        .select(col("vec_id"), col("bb.band"), col("bb.bk"))
+      val cand = keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+        .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
+          Seq("band", "bk"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
+        .filter(col("cosine") >= minCosine)
+        .select("vec_a", "vec_b", "cosine")
+    }
   }
 
-  private def nearDupOracle: String =
+  private def nearDupOracle: String = {
+    val pl = planesN(NdBands * NdRowBits)
+    val bandSelects = (0 until NdBands).map { b =>
+      val bits = (0 until NdRowBits).map { j =>
+        val p = pl(b * NdRowBits + j).mkString("[", ", ", "]")
+        s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
+    }.mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
-       |n AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |n AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v),
+       |k AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
        |  ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
        |WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= $NearDupMin""".stripMargin
+  }
 
   // ------------------------------------------------- brute-force top-k
 
@@ -532,8 +596,10 @@ object Similarity {
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (LCG over the flat index). */
-  private[llm] def planes: Array[Array[Double]] =
-    Array.tabulate(NumPlanes, Dim) { (j, i) =>
+  private[llm] def planes: Array[Array[Double]] = planesN(NumPlanes)
+
+  private[llm] def planesN(n: Int): Array[Array[Double]] =
+    Array.tabulate(n, Dim) { (j, i) =>
       val x = (1103515245L * (j * Dim + i) + 12345L) % 2147483647L
       ((x % 2001L) - 1000L) / 1000.0
     }

@@ -128,6 +128,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d06 near-dup gate is LSH-bucketed: no cartesian, no MANDATORY " +
+    "broadcast") {
+    // stats-driven broadcasts at toy scale are fine (they self-disable
+    // when the table outgrows the threshold); what must NOT exist is a
+    // broadcast the plan cannot run without — an explicit broadcast()
+    // hint survives a -1 threshold, so with thresholds off, any
+    // BroadcastExchange left is a mandatory one (GraphAlgsSpec idiom)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val p = plan("d06_embedding_neardup")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("BroadcastExchange"), p)
+      // the exact all-pairs baseline keeps its documented mandatory
+      // broadcast — proving it is opt-in only, never the gated plan
+      val exact = graft.llm.Similarity.embeddingNearDups(
+        Catalog.t(spark, sf, "embeddings").select(col("vec_id"), col("embedding")),
+        exact = true).queryExecution.executedPlan.toString
+      assert(exact.contains("BroadcastExchange") ||
+        exact.contains("BroadcastNestedLoopJoin"), exact)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q42 bloom prune filters the fact side BELOW the join") {
     // the mightContain filter must sit on the scan side of the join
     // (under its Exchange when the join shuffles): the point is fewer
