@@ -329,15 +329,33 @@ object Clustering {
     import spark.implicits._
     var cent = init.select(col("cid").cast("long").as("cid"),
       col("embedding").cast("array<double>").as("embedding"))
+    // the per-round driver round-trip (collect means -> LocalRelation)
+    // is only taken for centroid sets small enough to inline into the
+    // assignment fold; above the bound the next-round centroids are
+    // assembled DISTRIBUTED (one groupBy over the C x dim means) and
+    // assignCells takes its min_by fallback — no C x dim rows ever
+    // land on the driver, mirroring pqEncode's MaxInlineCentroids
+    // guard instead of exploding the plan string
+    val inline = init.count() <= Similarity.MaxInlineCentroids
     var step = kmeansStep(vecs, cent)
     for (_ <- 2 to iters) {
-      val next = step.select(col("cid"), col("dim"), col("mean_fx")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (cid, ds) =>
-          (cid, ds.sortBy(_._2).map(_._3.toDouble / MeanFx).toSeq)
-        }
-      cent = next.toDF("cid", "embedding")
+      cent =
+        if (inline)
+          step.select(col("cid"), col("dim"), col("mean_fx")).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (cid, ds) =>
+              (cid, ds.sortBy(_._2).map(_._3.toDouble / MeanFx).toSeq)
+            }.toDF("cid", "embedding")
+        else
+          // identical values to the driver path: mean_fx is an exact
+          // long, the /1e7 double division is the same IEEE op, and
+          // array_sort over (dim, _) reproduces the dim ordering
+          step.groupBy(col("cid"))
+            .agg(expr(
+              s"""transform(array_sort(collect_list(struct(dim, mean_fx))),
+                 |  s -> s.mean_fx / cast($MeanFx as double))""".stripMargin)
+              .as("embedding"))
       step = kmeansStep(vecs, cent)
     }
     step

@@ -520,7 +520,7 @@ object Similarity {
     * the assignment uses `min_by` over a broadcast join instead (still
     * far narrower than the old N x C window exchange).
     */
-  private val MaxInlineCentroids = 1024
+  private[llm] val MaxInlineCentroids = 1024
 
   /** Exact-roundtrip double literal: `Double.toString` <->
     * `cast(string as double)` is bit-exact, so inlining loses nothing.
@@ -533,11 +533,14 @@ object Similarity {
     * [[MaxInlineCentroids]].
     */
   private[llm] def assignCells(c: DataFrame, cent: DataFrame): DataFrame = {
-    val centRows = cent.select(col("cid").cast("long"),
-      col("cemb").cast("array<double>"), col("cnrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    if (centRows.length <= MaxInlineCentroids) {
+    // count BEFORE collecting: a large centroid set must never land on
+    // the driver just to discover it takes the fallback path
+    val nCent = cent.count()
+    if (nCent <= MaxInlineCentroids) {
+      val centRows = cent.select(col("cid").cast("long"),
+        col("cemb").cast("array<double>"), col("cnrm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
       val centArr = centRows.map { case (cid, emb, nrm) =>
         s"named_struct('cid', cast($cid as bigint), " +
           s"'cemb', array(${emb.map(dlit).mkString(",")}), 'cnrm', ${dlit(nrm)})"

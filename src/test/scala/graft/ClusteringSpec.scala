@@ -32,6 +32,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got((1L, 1L)) === (1L, fx(0.7)))
   }
 
+  test("kmeansTrain above MaxInlineCentroids trains via the distributed " +
+    "fallback and matches the driver-path means") {
+    // 4 well-separated true clusters; vectors = centroid +- tiny jitter
+    val dim = 4
+    def base(c: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == c % dim) 1.0f else 0.0f)
+    val vecs = (0 until 64).map { v =>
+      val c = v % 4
+      (v.toLong, base(c).zipWithIndex.map { case (x, i) =>
+        x + (if (i == (v / 4) % dim) 0.01f * (1 + v % 3) else 0.0f) })
+    }.toDF("vec_id", "embedding")
+    // small init (driver path) vs the SAME 4 centroids buried in a
+    // >1024 init (fallback path): extra centroids sit far away with a
+    // negative component so nothing re-assigns to them
+    val smallInit = (0 until 4).map(c => (c.toLong, base(c))).toDF("cid", "embedding")
+    val got = Clustering.kmeansTrain(vecs, smallInit, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val bigInit = ((0 until 4).map(c => (c.toLong, base(c))) ++
+      (4 until 1100).map { c =>
+        (c.toLong, Array.tabulate(dim)(i => if (i == c % dim) -5.0f else -1.0f))
+      }).toDF("cid", "embedding")
+    val gotBig = Clustering.kmeansTrain(vecs, bigInit, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // empty far-away clusters drop out; surviving means identical
+    assert(gotBig === got)
+    assert(got.keys.map(_._1).toSet === Set(0L, 1L, 2L, 3L))
+  }
+
   test("pqAdcTopK: a query equal to codewords has ADC distance 0") {
     // dim 4, m 2, sub 2: codebook {0: [1,0|0,1], 1: [0,1|1,0]};
     // candidate 5 IS codeword 0 in both subspaces, candidate 6 is
