@@ -411,6 +411,29 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(Savepoints.load(meta2.basePath).operator("wide-op").maxParallelism === 4096)
   }
 
+  test("v3 (Flink 1.8+) golden savepoint fixture decodes through P1") {
+    import spark.implicits._
+    val dir = FlinkV3GoldenAssembler.resourceDir
+    // byte-stability against the independent assembler
+    val tmp = Files.createTempDirectory("flink-v3-regen")
+    FlinkV3GoldenAssembler.writeFixture(tmp)
+    assert(Files.readAllBytes(tmp.resolve("_metadata")).toSeq ===
+      Files.readAllBytes(dir.resolve("_metadata")).toSeq, "_metadata drift")
+    assert(Files.readAllBytes(tmp.resolve(FlinkV3GoldenAssembler.StateFileName)).toSeq ===
+      Files.readAllBytes(dir.resolve(FlinkV3GoldenAssembler.StateFileName)).toSeq,
+      "state file drift")
+    // the production loader resolves codecs from the v3 (empty-body)
+    // serializer snapshots and the typed P1 read returns the content
+    val meta = Savepoints.load(dir.toString)
+    val op = meta.operator("v3-op")
+    assert(op.keyCodecId === Some("long"))
+    assert(op.states.map(s => (s.name, s.kind, s.valueCodecId)) ===
+      Seq(("count", StateKind.Value, "long")))
+    val got = Savepoints.reader(spark, meta, "v3-op")
+      .readValueStates[Long, Long]("count").collect().toMap
+    assert(got === FlinkV3GoldenAssembler.Counts)
+  }
+
   test("v3 (Flink 1.8+) empty-body simple snapshots also read") {
     val bos = new ByteArrayOutputStream()
     val d = new DataOutputStream(bos)
@@ -510,6 +533,134 @@ class FlinkFormatSpec extends AnyFunSuite {
         StateMeta("v", StateKind.Value, "flink-bytes")))
     val back = FlinkProxyIO.read(new java.io.ByteArrayInputStream(FlinkProxyIO.toBytes(p)))
     assert(back === p)
+  }
+}
+
+/** Independent assembler for a Flink 1.8+-style savepoint whose
+  * serializer snapshots use the v3 EMPTY-BODY layout (1.8's
+  * SimpleTypeSerializerSnapshot bumped to version 3 and stopped writing
+  * the serializer class name as a UTF body; 1.7 wrote version 2 with
+  * the body). The production reader must resolve codecs from these
+  * envelopes and decode the state through P1 — proving forward
+  * compatibility beyond the reference's pinned 1.7.1 target.
+  */
+object FlinkV3GoldenAssembler {
+
+  val CheckpointId = 90L
+  val StateFileName = "state-0"
+  private val Uid = "v3-op"
+  private val MaxPar = 128
+
+  // three long keys in distinct key groups
+  val Keys: Seq[Long] = {
+    val picked = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    var k = 0L
+    while (picked.size < 3) {
+      val kg = KeyGroups.assignToKeyGroup(k, MaxPar)
+      if (!picked.contains(kg)) picked(kg) = k
+      k += 1
+    }
+    picked.values.toSeq
+  }
+  val Counts: Map[Long, Long] = Keys.zipWithIndex.map { case (k, i) => k -> (i * 11L + 3L) }.toMap
+
+  def resourceDir: Path = {
+    val p = Paths.get("src/test/resources/flink-golden-v3")
+    if (!Files.exists(p.resolve("_metadata"))) {
+      Files.createDirectories(p)
+      writeFixture(p)
+    }
+    p
+  }
+
+  private def writeV3Snapshot(d: DataOutputStream, serializerCls: String): Unit = {
+    val simpleName = serializerCls.substring(serializerCls.lastIndexOf('.') + 1)
+      .replace("$", "")
+    d.writeInt(2)        // snapshot envelope version
+    d.writeBoolean(true) // new-style snapshot
+    d.writeUTF(serializerCls + "$" + simpleName + "Snapshot")
+    d.writeInt(3)        // SimpleTypeSerializerSnapshot v3: EMPTY body
+  }
+
+  private def proxyBytes(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(5)            // KeyedBackendSerializationProxy.VERSION
+    d.writeBoolean(false)    // no key-group compression
+    writeV3Snapshot(d, "org.apache.flink.api.common.typeutils.base.LongSerializer")
+    d.writeShort(1)
+    d.writeUTF("count")
+    d.writeInt(0) // KEY_VALUE
+    d.writeInt(1)
+    d.writeUTF("KEYED_STATE_TYPE"); d.writeUTF("VALUE")
+    d.writeInt(2)
+    d.writeUTF("NAMESPACE_SERIALIZER")
+    writeV3Snapshot(d, "org.apache.flink.runtime.state.VoidNamespaceSerializer")
+    d.writeUTF("VALUE_SERIALIZER")
+    writeV3Snapshot(d, "org.apache.flink.api.common.typeutils.base.LongSerializer")
+    d.flush(); bos.toByteArray
+  }
+
+  private def stateFileBytes(): (Array[Byte], Seq[Long]) = {
+    def keyBytes(key: Long): Array[Byte] = {
+      val w = new graft.core.codec.ByteWriter()
+      KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, MaxPar), MaxPar)
+      Codecs.LongCodec.write(w, key)
+      w.writeByte(0) // VoidNamespace
+      w.toBytes
+    }
+    val bos = new ByteArrayOutputStream()
+    bos.write(proxyBytes())
+    val offsets = Array.fill[Long](MaxPar)(0L)
+    Keys.map(k => (KeyGroups.assignToKeyGroup(k, MaxPar), k)).sortBy(_._1)
+      .foreach { case (kg, k) =>
+        offsets(kg) = bos.size().toLong
+        val d = new DataOutputStream(bos)
+        d.writeShort(0) // state id 0
+        val key = keyBytes(k)
+        val value = Codecs.LongCodec.toBytes(Counts(k))
+        d.writeInt(key.length)
+        d.writeByte(key(0) | 0x80) // single record: metadata follows
+        d.write(key, 1, key.length - 1)
+        d.writeInt(value.length)
+        d.write(value)
+        d.writeShort(0xffff) // END_OF_KEY_GROUP
+        d.flush()
+      }
+    (bos.toByteArray, offsets.toSeq)
+  }
+
+  private def metadataBytes(stateFileSize: Long, offsets: Seq[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d) // HEADER_MAGIC_NUMBER
+    d.writeInt(2)          // SavepointV2
+    d.writeLong(CheckpointId)
+    d.writeInt(0)          // master states
+    d.writeInt(1)          // one operator
+    val id = Identifiers.operatorId(Uid)
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(1); d.writeInt(MaxPar); d.writeInt(1)
+    d.writeInt(1)          // one subtask
+    d.writeInt(0)
+    d.writeLong(-1L); d.writeInt(0)
+    d.writeInt(0)          // managed operator state: none
+    d.writeInt(0)          // raw operator state: none
+    d.writeByte(3)         // KEY_GROUPS_HANDLE
+    d.writeInt(0); d.writeInt(MaxPar)
+    offsets.foreach(d.writeLong)
+    d.writeByte(2)         // FILE_STREAM_STATE_HANDLE
+    d.writeLong(stateFileSize)
+    d.writeUTF(StateFileName)
+    d.writeByte(0)         // raw keyed: null
+    d.flush(); bos.toByteArray
+  }
+
+  def writeFixture(dir: Path): Unit = {
+    val (state, offsets) = stateFileBytes()
+    Files.write(dir.resolve(StateFileName), state)
+    Files.write(dir.resolve("_metadata"), metadataBytes(state.length.toLong, offsets))
   }
 }
 
