@@ -614,12 +614,26 @@ object Dedup {
     (entry._2, entry._3)
   }
 
+  /** Round-truncation mode for the iterative gate queries: unset (the
+    * default) uses executor-local checkpoints — fastest, but a lost
+    * executor mid-iteration fails the job. Point this session conf at a
+    * reliable filesystem (HDFS/S3) and every graph gate switches to
+    * fault-tolerant `checkpoint()` rounds with identical results
+    * (spec-asserted). Flip it for long multi-round jobs on preemptible
+    * or large clusters where executor loss is expected, not exceptional.
+    */
+  val GraphCheckpointDirConf = "graft.graph.checkpointDir"
+
+  private def graphCheckpointDir(s: SparkSession): Option[String] =
+    s.conf.getOption(GraphCheckpointDirConf)
+
   private def componentsSpark(s: SparkSession, d: String): DataFrame =
     labelsMemo.compute(d, { (_, cur) =>
       if (cur != null && (cur._1 eq s)) cur
       else {
         val (nodes, edges) = nearDupGraph(s, d)
-        (s, GraphAlgs.connectedComponents(nodes, edges)
+        (s, GraphAlgs.connectedComponents(nodes, edges,
+            checkpointDir = graphCheckpointDir(s))
           .select(col("id").as("doc_id"), col("component").as("cluster_id"))
           .localCheckpoint(true))
       }
@@ -639,7 +653,8 @@ object Dedup {
 
   private def pagerankSpark(s: SparkSession, d: String): DataFrame = {
     val (nodes, edges) = nearDupGraph(s, d)
-    GraphAlgs.pageRank(nodes, edges, PrIters, PrScale)
+    GraphAlgs.pageRank(nodes, edges, PrIters, PrScale,
+        checkpointDir = graphCheckpointDir(s))
       .select(col("id").as("doc_id"), col("rank").as("pr"))
   }
 

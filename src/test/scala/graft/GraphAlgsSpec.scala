@@ -200,6 +200,37 @@ class GraphAlgsSpec extends AnyFunSuite {
     assert(got(5L) === ((0L, 0L, 0.0)))
   }
 
+  test("d08/g01 GATE queries honor graft.graph.checkpointDir: reliable " +
+    "rounds, identical results") {
+    val sf = "/root/testdata/sf0.001"
+    val spark0 = spark
+    val ccBase = SparkEntry.queries("d08_conn_components")(spark0, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prBase = SparkEntry.queries("g01_pagerank")(spark0, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-ckpt")
+    // a fresh session invalidates the graph memo (session-identity
+    // check), so the conf'd run really re-derives through checkpoint()
+    val s2 = spark0.newSession()
+    s2.conf.set(graft.llm.Dedup.GraphCheckpointDirConf, dir.toString)
+    try {
+      val cc = SparkEntry.queries("d08_conn_components")(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cc === ccBase)
+      val pr = SparkEntry.queries("g01_pagerank")(s2, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pr === prBase)
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(java.nio.file.Files.isRegularFile(_))
+      assert(files > 0, "gate run wrote no reliable checkpoints")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("reliable checkpoint mode: results identical, checkpoint dir used") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     try {
