@@ -30,17 +30,82 @@ object Multimodal {
       doc_id: Long, format: String, out_w: Int, out_h: Int,
       n_samples: Long, n_thumbs: Int)
 
-  /** STUB decode: a real implementation would hand `payload` to an image
-    * or av codec here; this derives deterministic fake dimensions and a
-    * rolling checksum so tests are stable. Batched by the caller.
+  /** SPI seam for the decode kernel: implement this trait with a real
+    * image/audio/video codec (javax.imageio, JavaCV, an FFI wrapper —
+    * anything Serializable) and pass it to [[decodeFeatures]] /
+    * [[frameSample]] / [[modalityResize]]. `decode` runs executor-side
+    * inside batched mapPartitions, one call per media row; it must be
+    * deterministic for reproducible pipelines and must not retain the
+    * payload beyond the call (batches stream through).
     */
-  private[llm] def decodeStub(r: MediaRow): MediaFeatures = {
-    val n = r.payload.length
-    val checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 4294967291L)
-    val width = 64 + (checksum % 64).toInt
-    val height = 64 + ((checksum / 64) % 64).toInt
-    val frames = if (r.format == "mp4") 1 + n / 100 else 1
-    MediaFeatures(r.doc_id, r.format, n.toLong, width, height, frames, checksum)
+  trait MediaCodec extends Serializable {
+    def decode(r: MediaRow): MediaFeatures
+  }
+
+  /** Default codec: an honest deterministic STUB. This container ships
+    * no media codecs, so a real implementation cannot exist here; the
+    * stub derives fake dimensions and a rolling checksum from the
+    * payload bytes so the full pipeline (schema, batching, dispatch,
+    * oracle checks) runs for real. Swap it out via the [[MediaCodec]]
+    * parameter — the gate queries keep the stub so the DuckDB oracle
+    * can replay the arithmetic exactly.
+    */
+  object StubMediaCodec extends MediaCodec {
+    def decode(r: MediaRow): MediaFeatures = {
+      val n = r.payload.length
+      val checksum = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 4294967291L)
+      val width = 64 + (checksum % 64).toInt
+      val height = 64 + ((checksum / 64) % 64).toInt
+      val frames = if (r.format == "mp4") 1 + n / 100 else 1
+      MediaFeatures(r.doc_id, r.format, n.toLong, width, height, frames, checksum)
+    }
+  }
+
+  /** Public API: batched decode/feature-extract of a media frame
+    * `(doc_id, format, payload)` through the pluggable codec (m02's
+    * pipeline). Batch size bounds peak decoded-payload memory per task.
+    */
+  def decodeFeatures(media: DataFrame, codec: MediaCodec = StubMediaCodec,
+      batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(batch => batch.map(codec.decode)))
+      .toDF()
+  }
+
+  /** Public API: every-`stride`th-frame sampling of video rows (m03). */
+  def frameSample(media: DataFrame, codec: MediaCodec = StubMediaCodec,
+      stride: Int = 4, batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow]
+      .filter((r: MediaRow) => r.format == "mp4")
+      .mapPartitions(_.grouped(batchSize).flatMap(batch => batch.map(codec.decode)))
+      .flatMap(f => (0 until f.n_frames by stride).map(i => (f.doc_id, i)))
+      .toDF("doc_id", "frame_idx")
+  }
+
+  /** Public API: modality router (m04) — decode through the codec, then
+    * dispatch per-format kernels (image resize to a 32-wide box, audio
+    * resample, video thumbnail count).
+    */
+  def modalityResize(media: DataFrame, codec: MediaCodec = StubMediaCodec,
+      batchSize: Int = 64): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val f = codec.decode(r) // modality dispatch on the decoded meta
+        f.format match {
+          case "png" | "jpeg" => MediaResized(f.doc_id, f.format,
+            32, math.max(f.height * 32 / f.width, 1), 0L, 0)
+          case "wav" => MediaResized(f.doc_id, f.format, 0, 0, f.n_bytes / 4, 0)
+          case _ => MediaResized(f.doc_id, f.format, 0, 0, 0L,
+            1 + (f.n_frames - 1) / 4)
+        }
+      }))
+      .toDF()
   }
 
   private val Formats = Seq("png", "jpeg", "wav", "mp4")
@@ -86,12 +151,7 @@ object Multimodal {
               |  cast(CASE WHEN format = 'mp4' THEN 1 + n_bytes // 100 ELSE 1 END as int) AS n_frames,
               |  checksum
               |FROM c""".stripMargin),
-      (s, d) => {
-        import s.implicits._
-        mediaDF(s, d).as[MediaRow]
-          .mapPartitions(_.grouped(64).flatMap(batch => batch.map(decodeStub)))
-          .toDF()
-      }),
+      (s, d) => decodeFeatures(mediaDF(s, d))),
 
     // Frame sampling: one row per sampled frame of each decoded video
     // (every 4th frame). The decode stub drives n_frames; the explode is
@@ -105,14 +165,7 @@ object Multimodal {
              |  FROM documents WHERE doc_id % 4 = 3)
              |SELECT doc_id, cast(unnest(range(0, n_frames, 4)) as int) AS frame_idx
              |FROM f""".stripMargin),
-      (s, d) => {
-        import s.implicits._
-        mediaDF(s, d).as[MediaRow]
-          .filter((r: MediaRow) => r.format == "mp4")
-          .mapPartitions(_.grouped(64).flatMap(batch => batch.map(decodeStub)))
-          .flatMap(f => (0 until f.n_frames by 4).map(i => (f.doc_id, i)))
-          .toDF("doc_id", "frame_idx")
-      }),
+      (s, d) => frameSample(mediaDF(s, d))),
 
     // m04: modality router — one typed pipeline dispatches per-format
     // kernels (image resize to a 32-wide box, audio resample, video
@@ -142,21 +195,7 @@ object Multimodal {
               |  cast(CASE WHEN format = 'mp4' THEN 1 + (n_frames - 1) // 4
               |    ELSE 0 END as int) AS n_thumbs
               |FROM f""".stripMargin),
-      (s, d) => {
-        import s.implicits._
-        mediaDF(s, d).as[MediaRow]
-          .mapPartitions(_.grouped(64).flatMap(_.map { r =>
-            val f = decodeStub(r) // modality dispatch on the decoded meta
-            f.format match {
-              case "png" | "jpeg" => MediaResized(f.doc_id, f.format,
-                32, math.max(f.height * 32 / f.width, 1), 0L, 0)
-              case "wav" => MediaResized(f.doc_id, f.format, 0, 0, f.n_bytes / 4, 0)
-              case _ => MediaResized(f.doc_id, f.format, 0, 0, 0L,
-                1 + (f.n_frames - 1) / 4)
-            }
-          }))
-          .toDF()
-      }),
+      (s, d) => modalityResize(mediaDF(s, d))),
 
     // m05: modality-partitioned shard packing — the export step for
     // binary media: within each modality, blobs pack in doc_id order

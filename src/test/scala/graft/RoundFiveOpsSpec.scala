@@ -174,6 +174,44 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
   }
 
+  test("MediaCodec SPI: an injected codec replaces the stub in m02/m04 " +
+    "pipelines") {
+    import llm.Multimodal
+    import llm.Multimodal.{MediaFeatures, MediaRow}
+    // a fake "real" codec: pretends every payload decodes to a fixed
+    // 640x480 image with n_frames = payload length (distinguishable
+    // from the stub's checksum-derived dims on every row)
+    object FakeCodec extends Multimodal.MediaCodec {
+      def decode(r: MediaRow): MediaFeatures =
+        MediaFeatures(r.doc_id, r.format, r.payload.length.toLong,
+          640, 480, r.payload.length, 42L)
+    }
+    val media = Seq(
+      (1L, "png", Array.fill[Byte](5)(1)),
+      (2L, "mp4", Array.fill[Byte](9)(1)),
+      (3L, "wav", Array.fill[Byte](8)(1))
+    ).toDF("doc_id", "format", "payload")
+    val feats = Multimodal.decodeFeatures(media, FakeCodec)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(feats === Map(1L -> ((640, 480, 5)), 2L -> ((640, 480, 9)),
+      3L -> ((640, 480, 8))))
+    // m04 dispatch consumes the injected codec's dims: 480*32/640 = 24
+    val resized = Multimodal.modalityResize(media, FakeCodec)
+      .collect().map(r => r.getString(1) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(resized("png") === ((32, 24, 0L, 0)))
+    assert(resized("wav") === ((0, 0, 2L, 0)))   // 8 bytes / 4 samples
+    assert(resized("mp4") === ((0, 0, 0L, 3)))   // frames 9 -> thumbs 1+(8/4)
+    // m03 frame sampling strides the injected frame count
+    val frames = Multimodal.frameSample(media, FakeCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames === Set((2L, 0), (2L, 4), (2L, 8)))
+    // and the default remains the stub (gate parity unchanged)
+    val stub = Multimodal.decodeFeatures(media)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(stub.values.forall(w => w >= 64 && w < 128))
+  }
+
   test("mediaShards: greedy byte-budget cut, items never split") {
     // sizes 5,5,5 with cap 8: bytes-before 0,5,10 -> shards 0,0,1
     val media = Seq(
