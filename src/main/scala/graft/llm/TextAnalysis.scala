@@ -397,8 +397,10 @@ object TextAnalysis {
     // 10 bucket rows.
     QueryDef(
       "t16_heaps_law",
-      Some(s"""WITH n AS (SELECT count(*) AS nd FROM documents),
-              |d AS (SELECT doc_id, cast(doc_id * 10 // nd as int) AS bucket,
+      Some(s"""WITH n AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+              |    FROM documents),
+              |d AS (SELECT doc_id,
+              |    cast((doc_id - lo) * 10 // (hi - lo + 1) as int) AS bucket,
               |    $duckWords AS w FROM documents, n),
               |words AS (SELECT bucket, unnest(w) AS x FROM d),
               |toks AS (SELECT bucket, count(*) AS n_tokens FROM words GROUP BY 1),
@@ -507,9 +509,13 @@ object TextAnalysis {
     * as its space-separated character sequence. A round counts adjacent
     * symbol pairs weighted by word frequency, adopts the top pair
     * (count desc, then lexicographic — fully deterministic), and
-    * rewrites every word's symbol sequence by non-overlapping
-    * left-to-right replacement (identical semantics in Spark and
-    * DuckDB `replace`). Returns the learned merge table
+    * rewrites every word's SPLIT SYMBOL SEQUENCE by greedy
+    * non-overlapping left-to-right merge — a boundary-aware fold over
+    * the symbol array, NOT a raw-string replace (a plain
+    * `replace(repr, 'w1 w2', 'w1w2')` can match across symbol
+    * boundaries once multi-char symbols exist: symbols `[ab, c]`
+    * render as `'ab c'` and a learned pair `(b, c)` would fuse a pair
+    * that was never counted). Returns the learned merge table
     * `(round, lhs, rhs, cnt)`.
     *
     * Scale: the corpus collapses to its distinct-word vocabulary ONCE;
@@ -540,8 +546,22 @@ object TextAnalysis {
         val (l, rt, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((r, l, rt, c))
-        val next = reprs.withColumn("repr",
-          expr(s"replace(repr, ${q(l + " " + rt)}, ${q(l + rt)})")).cache()
+        // true BPE merge: fold left-to-right over the symbol array,
+        // merging (prev, x) = (w1, w2) pairs non-overlapping (a merged
+        // symbol never re-pairs within the same round — prev resets)
+        val next = reprs.withColumn("repr", expr(
+          s"""concat_ws(' ', aggregate(
+             |  split(repr, ' '),
+             |  named_struct('acc', cast(array() as array<string>),
+             |    'prev', cast(null as string)),
+             |  (s, x) -> IF(s.prev = ${q(l)} AND x = ${q(rt)},
+             |    named_struct('acc', array_append(s.acc, ${q(l + rt)}),
+             |      'prev', cast(null as string)),
+             |    named_struct('acc',
+             |      IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev)),
+             |      'prev', x)),
+             |  s -> IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev))))"""
+            .stripMargin)).cache()
         next.count() // materialize before releasing the parent round
         reprs.unpersist()
         reprs = next
@@ -554,6 +574,12 @@ object TextAnalysis {
   }
 
   private def bpeOracle: String = {
+    // the per-round rewrite mirrors the Spark fold's TRUE-BPE greedy
+    // merge with window functions (DuckDB 1.0 list_reduce cannot thread
+    // a struct accumulator): candidate positions -> runs of consecutive
+    // candidates -> take alternating positions within each run (greedy
+    // non-overlap) -> emit merged symbol at taken positions, drop the
+    // consumed follower, reassemble in position order
     val rounds = (1 to BpeRounds).map { i =>
       s"""p$i AS (SELECT w1, w2, cast(sum(freq) as bigint) AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(ww)),
@@ -562,8 +588,26 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |t$i AS (SELECT $i AS round, w1, w2, cnt FROM p$i
          |  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
-         |r$i AS (SELECT freq, replace(repr, t.w1 || ' ' || t.w2, t.w1 || t.w2)
-         |    AS repr FROM r${i - 1}, t$i t)""".stripMargin
+         |s$i AS (SELECT freq, repr AS orepr, string_split(repr, ' ') AS ww,
+         |    unnest(range(1, len(string_split(repr, ' ')) + 1)) AS j
+         |  FROM r${i - 1}),
+         |c$i AS (SELECT freq, orepr, ww, j,
+         |    CASE WHEN j < len(ww) AND ww[j] = t.w1 AND ww[j + 1] = t.w2
+         |      THEN 1 ELSE 0 END AS cand
+         |  FROM s$i, t$i t),
+         |g$i AS (SELECT *, CASE WHEN cand = 1 THEN j - row_number()
+         |    OVER (PARTITION BY orepr, cand ORDER BY j) END AS grp FROM c$i),
+         |tk$i AS (SELECT *, CASE WHEN cand = 1 AND (row_number()
+         |    OVER (PARTITION BY orepr, grp ORDER BY j) % 2) = 1
+         |    THEN 1 ELSE 0 END AS taken FROM g$i),
+         |fin$i AS (SELECT freq, orepr, j,
+         |    CASE WHEN taken = 1 THEN t.w1 || t.w2
+         |      WHEN coalesce(lag(taken) OVER (PARTITION BY orepr ORDER BY j), 0) = 1
+         |      THEN NULL ELSE ww[j] END AS sym
+         |  FROM tk$i, t$i t),
+         |r$i AS (SELECT freq, array_to_string(list(sym ORDER BY j)
+         |      FILTER (sym IS NOT NULL), ' ') AS repr
+         |  FROM fin$i GROUP BY freq, orepr)""".stripMargin
     }.mkString(",\n")
     val un = (1 to BpeRounds)
       .map(i => s"SELECT round, w1 AS lhs, w2 AS rhs, cnt FROM t$i")
@@ -630,17 +674,25 @@ object TextAnalysis {
 
   /** Heaps'-law vocabulary growth over `buckets` doc-id slices: per
     * bucket, doc/token counts, words first seen there, and cumulative
-    * vocabulary/token curves. Buckets come from `doc_id * buckets div N`
-    * (doc ids are dense in the driver corpus; with sparse ids the curve
-    * is still a valid id-ordered growth profile). The only window runs
-    * over the `buckets` result rows — every corpus-sized stage is a
-    * narrow map or a keyed aggregation.
+    * vocabulary/token curves. Buckets are range-normalized —
+    * `(doc_id - min_id) * buckets div (max_id - min_id + 1)` — so ANY
+    * id distribution (sparse, non-zero-based) lands in [0, buckets);
+    * for dense 0-based ids this is exactly `doc_id * buckets div N`.
+    * Rank-based bucketing (row_number/ntile) would give perfectly even
+    * slices but needs a GLOBAL single-partition window — a scale
+    * killer; range normalization keeps every corpus-sized stage a
+    * narrow map or keyed aggregation (heavily clustered ids give
+    * uneven slices — an accepted trade, the curve stays a valid
+    * id-ordered growth profile). The only window runs over the
+    * `buckets` result rows.
     */
   def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.agg(count(lit(1)).as("nd"))
+    val n = docs.agg(count(lit(1)).as("nd"),
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     val d = docs.crossJoin(broadcast(n))
-      .withColumn("bucket", expr(s"cast(doc_id * $buckets div nd as int)"))
+      .withColumn("bucket",
+        expr(s"cast((doc_id - lo) * $buckets div (hi - lo + 1) as int)"))
     val words = d.select(col("bucket"),
       explode(split(col("text"), " ")).as("x"))
     val toks = words.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))

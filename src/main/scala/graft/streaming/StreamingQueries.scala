@@ -375,10 +375,14 @@ object StreamingQueries {
              |FROM events WHERE event_type = 'purchase'""".stripMargin),
       (s, d) => {
         val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft-st11-out").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft-st11-ckpt").toString
+        // the returned DataFrame lazily SCANS outDir, so it cannot be
+        // deleted inline — it is cleaned by the JVM-exit hook; the
+        // checkpoint dir is not referenced by the result and is
+        // deleted as soon as the stream stops
+        val outDir = StreamingQueries.trackTemp(java.nio.file.Files
+          .createTempDirectory("graft-st11-out")).toString
+        val ckptPath = java.nio.file.Files.createTempDirectory("graft-st11-ckpt")
+        val ckpt = ckptPath.toString
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -394,7 +398,10 @@ object StreamingQueries {
             }
             .start()
           try q.processAllAvailable() finally q.stop()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          StreamingQueries.deleteRecursively(ckptPath)
+        }
         s.read.parquet(outDir)
       })
   )
@@ -433,4 +440,27 @@ object StreamingQueries {
     out += UserSession(userId, sid, n, start, last)
     out.iterator
   }
+
+  // ---------------------------------------------------- temp hygiene
+
+  /** Temp dirs whose contents the RESULT DataFrame still references —
+    * deleted on JVM exit so repeated gate/bench runs do not accumulate
+    * parquet output on disk (same discipline as FlinkMetadataIO's
+    * inline-state staging).
+    */
+  private val tempDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempDirs.forEach(p => try deleteRecursively(p) catch { case _: Throwable => })))
+
+  private[streaming] def trackTemp(p: java.nio.file.Path): java.nio.file.Path = {
+    tempDirs.add(p); p
+  }
+
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 }

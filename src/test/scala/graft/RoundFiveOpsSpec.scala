@@ -174,6 +174,29 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
   }
 
+  test("vocabGrowth buckets sparse non-zero-based ids into [0, buckets)") {
+    val docs = Seq((1000L, "a b"), (5000L, "b c"), (999999L, "c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, buckets = 4).collect()
+    assert(got.map(_.getInt(0)).forall(b => b >= 0 && b < 4), got.mkString(";"))
+    assert(got.map(_.getLong(1)).sum === 3L) // every doc lands in a bucket
+  }
+
+  test("bpeMerges is boundary-aware: a learned pair never fuses across " +
+    "symbol boundaries") {
+    // round 1 learns (a,b) cnt 5 -> 'abc' becomes [ab, c]; round 2
+    // learns (b,c) cnt 3 from the 'bc' words — a raw-string replace of
+    // 'b c' would corrupt [ab, c] (rendered 'ab c') into the never-
+    // counted symbol 'abc'; the true fold leaves it for round 3, which
+    // learns (ab, c) cnt 2
+    val docs = Seq((1L, "ab ab ab abc abc bc bc bc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "b", 5L), (2, "b", "c", 3L),
+      (3, "ab", "c", 2L)))
+  }
+
   test("MediaCodec SPI: an injected codec replaces the stub in m02/m04 " +
     "pipelines") {
     import llm.Multimodal
