@@ -390,6 +390,26 @@ object TextAnalysis {
       Some(bpeOracle),
       (s, d) => bpeMerges(Catalog.t(s, d, "documents"), BpeRounds)),
 
+    // BPE APPLICATION: the corpus tokenized with the t17-trained model —
+    // per-doc whitespace vs BPE token counts (the number every data
+    // pipeline budget runs on). The trained segmentation is joined back
+    // to the corpus words keyed on `word`; the oracle re-runs the same
+    // training rounds in SQL and the same join.
+    QueryDef(
+      "t18_bpe_encode",
+      Some(bpeEncodeOracle),
+      (s, d) => bpeEncode(Catalog.t(s, d, "documents"), BpeRounds)),
+
+    // Repetition-based quality metrics (the Gopher-rule family adapted
+    // to the line-less corpus): per-doc distinct-word ratio, top-word
+    // fraction and top-bigram fraction — the signals that catch
+    // boilerplate and degenerate repetition before training. Every
+    // stage is a narrow explode + per-doc keyed aggregation.
+    QueryDef(
+      "t19_repetition",
+      Some(repetitionOracle),
+      (s, d) => repetitionMetrics(Catalog.t(s, d, "documents"))),
+
     // Heaps'-law vocabulary growth: split the corpus into 10 doc-id
     // deciles and report per-decile token counts, NEW distinct words
     // (first appearance), and the cumulative vocabulary curve. The
@@ -528,10 +548,24 @@ object TextAnalysis {
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val (out, reprs) = bpeTrain(docs, rounds)
+    reprs.unpersist()
+    s.createDataset(out).toDF("round", "lhs", "rhs", "cnt")
+      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
+        col("cnt"))
+  }
+
+  /** BPE trainer core: returns the merge list and the FINAL segmented
+    * vocabulary `(word, freq, repr)` (cached — the caller owns the
+    * unpersist). Shared by [[bpeMerges]] (the merge table) and
+    * [[bpeEncode]] (corpus tokenization with the trained segmentation).
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int):
+      (Seq[(Int, String, String, Long)], DataFrame) = {
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var reprs = words.select(col("freq"), expr(
+    var reprs = words.select(col("word"), col("freq"), expr(
       "concat_ws(' ', transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1)))").as("repr")).cache()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -567,13 +601,33 @@ object TextAnalysis {
         reprs = next
       }
     }
-    reprs.unpersist()
-    s.createDataset(out.toSeq).toDF("round", "lhs", "rhs", "cnt")
-      .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
-        col("cnt"))
+    (out.toSeq, reprs)
   }
 
-  private def bpeOracle: String = {
+  /** Public API: tokenize the corpus with a BPE model trained on it —
+    * `rounds` merge rounds, then each doc's words join the segmented
+    * vocabulary for per-doc counts `(doc_id, n_words, n_bpe_tokens)`.
+    *
+    * Scale: the vocabulary is corpus-distinct words (small relative to
+    * the corpus); the tokenize join keys on `word` and AQE broadcasts
+    * the vocab when it fits — no all-pairs, no global window.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, reprs) = bpeTrain(docs, rounds)
+    val vocab = reprs.select(col("word"),
+      expr("cast(size(split(repr, ' ')) as bigint)").as("n_syms"))
+    val out = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+      .localCheckpoint(true)
+    reprs.unpersist()
+    out
+  }
+
+  private def bpeCtes: String = {
     // the per-round rewrite mirrors the Spark fold's TRUE-BPE greedy
     // merge with window functions (DuckDB 1.0 list_reduce cannot thread
     // a struct accumulator): candidate positions -> runs of consecutive
@@ -609,17 +663,94 @@ object TextAnalysis {
          |      FILTER (sym IS NOT NULL), ' ') AS repr
          |  FROM fin$i GROUP BY freq, orepr)""".stripMargin
     }.mkString(",\n")
-    val un = (1 to BpeRounds)
-      .map(i => s"SELECT round, w1 AS lhs, w2 AS rhs, cnt FROM t$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT word, cast(count(*) as bigint) AS freq FROM
+    s"""w AS (SELECT word, cast(count(*) as bigint) AS freq FROM
        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) >= 1 GROUP BY word),
        |r0 AS (SELECT freq, array_to_string(list_transform(range(1, length(word) + 1),
        |    i -> substring(word, i, 1)), ' ') AS repr FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle: String = {
+    val un = (1 to BpeRounds)
+      .map(i => s"SELECT round, w1 AS lhs, w2 AS rhs, cnt FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |$un""".stripMargin
   }
+
+  /** t18 oracle: the final round's segmented vocabulary (word
+    * reconstructs as the symbol concat) joined back to the corpus words
+    * — per-doc whitespace and BPE token counts.
+    */
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeCtes,
+       |v AS (SELECT replace(repr, ' ', '') AS word,
+       |    cast(len(string_split(repr, ' ')) as bigint) AS n_syms
+       |  FROM r$BpeRounds),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE length(word) >= 1)
+       |SELECT doc_id, count(*) AS n_words,
+       |  cast(sum(n_syms) as bigint) AS n_bpe_tokens
+       |FROM dwf JOIN v USING (word)
+       |GROUP BY doc_id""".stripMargin
+
+  /** Per-doc repetition metrics over `(doc_id, text)`: `n_words`,
+    * `distinct_ratio` (distinct / total words), `top_word_frac` (most
+    * frequent word's share) and `top_bigram_frac` (most frequent
+    * adjacent bigram's share; 0.0 for single-word docs). High top-*
+    * fractions flag boilerplate / degenerate repetition — the
+    * Gopher-style pre-training filters. Docs with no words are absent
+    * (nothing to measure).
+    *
+    * Scale: narrow explodes + aggregations keyed by doc_id (and the
+    * in-doc word/bigram) — no global window, no join wider than the
+    * per-doc aggregate rows.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
+      .filter(length(col("x")) >= 1)
+    val wa = words.groupBy(col("doc_id"), col("x"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_w"))
+    val ba = docs.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkBigrams)).as("b"))
+      .groupBy(col("doc_id"), col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("tot_b"), max(col("n")).as("top_b"))
+    wa.join(ba, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        expr("cast(n_distinct as double) / cast(n_words as double)")
+          .as("distinct_ratio"),
+        expr("cast(top_w as double) / cast(n_words as double)")
+          .as("top_word_frac"),
+        expr("coalesce(cast(top_b as double) / cast(tot_b as double), " +
+          "cast(0 as double))").as("top_bigram_frac"))
+  }
+
+  private def repetitionOracle: String =
+    s"""WITH dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+       |  FROM documents),
+       |dwf AS (SELECT doc_id, x FROM dw WHERE length(x) >= 1),
+       |wc AS (SELECT doc_id, x, count(*) AS n FROM dwf GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, cast(sum(n) as bigint) AS n_words,
+       |    count(*) AS n_distinct, max(n) AS top_w FROM wc GROUP BY 1),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ww)),
+       |    k -> {'w1': ww[k], 'w2': ww[k + 1]}), recursive := true)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ww FROM documents)),
+       |bc AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+       |ba AS (SELECT doc_id, sum(n) AS tot_b, max(n) AS top_b FROM bc GROUP BY 1)
+       |SELECT wa.doc_id, wa.n_words,
+       |  cast(n_distinct as double) / cast(n_words as double) AS distinct_ratio,
+       |  cast(top_w as double) / cast(n_words as double) AS top_word_frac,
+       |  coalesce(cast(top_b as double) / cast(tot_b as double),
+       |    cast(0 as double)) AS top_bigram_frac
+       |FROM wa LEFT JOIN ba USING (doc_id)""".stripMargin
 
   /** Adjacent-word bigrams of the space-split `text` column, guarded for
     * single-word docs (Spark's `sequence(1, 0)` DESCENDS — t11 note).

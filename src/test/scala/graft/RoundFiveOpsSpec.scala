@@ -174,6 +174,30 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
   }
 
+  test("bpeEncode: per-doc token counts shrink with the learned merges") {
+    // one merge round learns (a,b) cnt 4 -> 'ab' 1 token, 'abc' 2
+    val docs = Seq((1L, "ab ab abc"), (2L, "abc cd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: ab(1) + ab(1) + abc(ab,c -> 2) = 3 words, 4 bpe tokens
+    // doc 2: abc(2) + cd(c,d -> 2) = 2 words, 4 bpe tokens
+    assert(got === Map(1L -> ((3L, 4L)), 2L -> ((2L, 4L))))
+  }
+
+  test("repetitionMetrics: hand-computed fractions, single-word doc " +
+    "bigram frac 0") {
+    val docs = Seq(
+      (1L, "a a a b"),  // 4 words, 2 distinct; top word a=3; bigrams: aa,aa,ab -> top 2/3
+      (2L, "x"))        // single word: no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((4L, 0.5, 0.75, 2.0 / 3.0)))
+    assert(got(2L) === ((1L, 1.0, 1.0, 0.0)))
+  }
+
   test("vocabGrowth buckets sparse non-zero-based ids into [0, buckets)") {
     val docs = Seq((1000L, "a b"), (5000L, "b c"), (999999L, "c d"))
       .toDF("doc_id", "text")
