@@ -336,6 +336,46 @@ object StateQueries {
           .toDF("k", "v")
       }),
 
+    // State-size analytics (capacity planning): per-state row counts and
+    // EXACT encoded byte totals of a Flink-dialect savepoint, via the
+    // raw-row scan (F3 surface). The oracle replays the wire arithmetic
+    // from the table data — key = 1-byte key-group prefix + Flink
+    // StringValue (len+1 prefix, 7-bit chars; 1+len for ASCII) + 1-byte
+    // VoidNamespace; long value = 8 bytes; string value = 1+len — so
+    // the byte LAYOUT itself (C2/C5/C11) is hash-gated, not just the
+    // decoded content.
+    QueryDef(
+      "sp12_state_sizes",
+      Some("""WITH c AS (SELECT c_name, strlen(c_name) AS len FROM customer)
+             |SELECT 'Cents' AS state, count(*) AS n_rows,
+             |  cast(sum(3 + len) as bigint) AS key_bytes,
+             |  cast(count(*) * 8 as bigint) AS value_bytes FROM c
+             |UNION ALL
+             |SELECT 'Name', count(*),
+             |  cast(sum(3 + len) as bigint),
+             |  cast(sum(1 + len) as bigint) FROM c""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val cust = Catalog.t(s, d, "customer")
+        val cents = cust.select(col("c_name"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("v"))
+          .as[(String, Long)]
+        val names = cust.select(col("c_name"), col("c_name")).as[(String, String)]
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("sz-op", 4, 128), "sz-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(Codecs.FlinkStringCodec)
+          .createNewValueState("Cents", cents, LongCodec)
+          .createNewValueState("Name", names, Codecs.FlinkStringCodec)
+          .writeAll(tmp("graft-sp12"))
+        Savepoints.reader(s, Savepoints.load(meta.basePath), "sz-op")
+          .getAllUnreadKeyedStateRows
+          .groupBy(col("stateName").as("state"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("octet_length(keyAndNamespaceBytes)")).as("key_bytes"),
+            sum(expr("octet_length(valueBytes)")).as("value_bytes"))
+      }),
+
     // S4 through the hash gate: state lives in a real RocksDB
     // checkpoint (one column family per state, native SST files) and is
     // read back through the DSv2 source + typed reader. Checkpoint
