@@ -42,8 +42,75 @@ object Similarity {
     QueryDef("s05_quantize_int8", Some(quantizeOracle), quantizeSpark),
     QueryDef("s06_pq_encode", Some(pqOracle), pqSpark),
     QueryDef("s09_filtered_ann", Some(filteredAnnOracle), filteredAnnSpark),
+    QueryDef("s10_multiprobe_ann", Some(multiProbeOracle), multiProbeSpark),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // --------------------------------------------------- multi-probe ANN
+
+  /** Multi-probe LSH: each query probes its own sign bucket PLUS the 16
+    * single-bit-flip neighbor buckets (the standard recall fix for
+    * bucket-boundary misses — a vector near a hyperplane lands on
+    * either side, and flipping that plane's bit reaches it). Probe
+    * count is queries x 17 — still a keyed bucket join, never
+    * all-pairs; candidates are deduped before the exact cosine.
+    */
+  def multiProbeLshAnn(queries: DataFrame, candidates: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q0 = bucketed(queries).select(col("query_id"),
+      col("embedding").as("qa"), col("nrm").as("qn"), col("bucket"))
+    val probes = (0 until NumPlanes).map(j => s"cast(bucket ^ ${1 << j} as int)")
+      .mkString("array(cast(bucket as int), ", ", ", ")")
+    val q = q0.select(col("query_id"), col("qa"), col("qn"),
+      explode(expr(probes)).as("bucket"))
+    val c = bucketed(candidates).select(col("neighbor_id"),
+      col("embedding").as("ca"), col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, "bucket")
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qa"), col("qn"),
+        col("neighbor_id"), col("ca"), col("cn"))
+      .distinct() // a candidate reachable via several probes scores once
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+  }
+
+  private def multiProbeSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    multiProbeLshAnn(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")), 3)
+  }
+
+  private def multiProbeOracle: String = {
+    val planeLits = planes.map(_.mkString("[", ", ", "]"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    val flips = (0 until NumPlanes).map(j => s"xor(bucket, ${1 << j})")
+      .mkString("[bucket, ", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |b AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn,
+       |    cast($bucketExpr as int) AS bucket FROM v),
+       |qp AS (SELECT vec_id, va, nn, cast(unnest($flips) as int) AS bucket
+       |  FROM b WHERE vec_id < $NumQueries),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.va AS qa, q.nn AS qn,
+       |    c.vec_id AS neighbor_id, c.va AS ca, c.nn AS cn
+       |  FROM qp q JOIN b c USING (bucket)
+       |  WHERE q.vec_id <> c.vec_id),
+       |p AS (SELECT query_id, neighbor_id,
+       |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine FROM cand),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
+       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+  }
 
   // ------------------------------------------------------ filtered ANN
 

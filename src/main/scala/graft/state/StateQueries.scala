@@ -336,6 +336,50 @@ object StateQueries {
           .toDF("k", "v")
       }),
 
+    // Operator clone (topology-change maintenance): state of operator A
+    // is copied under a NEW uid B into one savepoint that carries BOTH —
+    // the move behind renaming an operator or bootstrapping a parallel
+    // branch from existing state. Exercises untouched-operator
+    // passthrough (W8: A's files absolutize, only B encodes) plus raw
+    // row copy-through; the oracle is the content SQL twice (A UNION
+    // ALL B with the uid as a discriminator column).
+    QueryDef(
+      "sp13_operator_clone",
+      Some("""WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT 'op-a' AS op, key, cnt FROM c
+             |UNION ALL SELECT 'op-b', key, cnt FROM c""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("op-a", 4, 128), "op-a")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp13a"))
+        // clone: add a state-less op-b to the savepoint, feed it op-a's
+        // raw rows; op-a's files pass through untouched (W8)
+        val opB = graft.core.meta.OperatorStateMeta("op-b",
+          Identifiers.operatorId("op-b"), 4, 128, None, Seq.empty,
+          compression = true, Seq.empty)
+        val withB = meta1.copy(operators = meta1.operators :+ opB)
+        val rowsA = Savepoints.reader(s, meta1, "op-a").getAllUnreadKeyedStateRows
+        val meta2 = Savepoints.writer(s, withB, "op-b")
+          .withKeyCodec(LongCodec)
+          .defineState(StateMeta("Count", StateKind.Value, "long"))
+          .addKeyedStateRows(rowsA)
+          .writeAll(tmp("graft-sp13b"))
+        val loaded = Savepoints.load(meta2.basePath)
+        Seq("op-a", "op-b").map { uid =>
+          Savepoints.reader(s, loaded, uid)
+            .readValueStates[Long, Long]("Count")
+            .toDF("key", "cnt")
+            .select(lit(uid).as("op"), col("key"), col("cnt"))
+        }.reduce(_ unionAll _)
+      }),
+
     // State-size analytics (capacity planning): per-state row counts and
     // EXACT encoded byte totals of a Flink-dialect savepoint, via the
     // raw-row scan (F3 surface). The oracle replays the wire arithmetic
