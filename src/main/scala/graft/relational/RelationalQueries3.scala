@@ -472,6 +472,42 @@ object RelationalQueries3 {
         ScaleOps.bloomPrunedJoin(li, sup, "l_suppkey", "s_suppkey",
             expectedItems = 10000)
           .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("total_qty"))
+      }),
+
+    // Ordered funnel analysis: per user, the earliest strictly-ordered
+    // view -> click -> purchase completion (each step's timestamp must
+    // exceed the previous step's). The canonical product-analytics
+    // query; every stage is a keyed filter-aggregate or a user_id-keyed
+    // join — map-side partial everywhere, no window wider than a user.
+    QueryDef(
+      "q43_funnel",
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_ms(cast(ts as timestamp)) AS tms FROM events),
+             |v AS (SELECT user_id, min(tms) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(tms) AS t2 FROM e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND tms > t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(tms) AS t3 FROM e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND tms > t2 GROUP BY 1)
+             |SELECT v.user_id, t1, t2, t3,
+             |  cast(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+             |    + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END as int) AS steps
+             |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin),
+      (s, d) => {
+        val e = t(s, d, "events").select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("tms"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tms")).as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("tms") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("tms")).as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("tms") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("tms")).as("t3"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+            (lit(1) + col("t2").isNotNull.cast("int")
+              + col("t3").isNotNull.cast("int")).as("steps"))
       })
   )
 
