@@ -393,16 +393,16 @@ object StreamingQueries {
               expr("cast(round(value * 100) as bigint)").as("cents"))
             .writeStream
             .option("checkpointLocation", ckpt)
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(outDir)
-            }
+            // exactly-once across restarts: (target, batchId) is the
+            // write key (StreamingSinkSpec proves replay + restart)
+            .foreachBatch(StreamingQueries.idempotentParquetBatchWriter(outDir))
             .start()
           try q.processAllAvailable() finally q.stop()
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prevParts)
           StreamingQueries.deleteRecursively(ckptPath)
         }
-        s.read.parquet(outDir)
+        s.read.parquet(outDir).select("event_id", "user_id", "cents")
       })
   )
 
@@ -440,6 +440,22 @@ object StreamingQueries {
     out += UserSession(userId, sid, n, start, last)
     out.iterator
   }
+
+  // ------------------------------------------- idempotent lake sink
+
+  /** Exactly-once foreachBatch parquet sink: each micro-batch lands in
+    * its own `batch_id=<id>` partition directory with OVERWRITE
+    * semantics, so a batch replayed after a failure/restart (Structured
+    * Streaming re-delivers the last uncommitted batch from the
+    * checkpoint) rewrites the same partition instead of appending
+    * duplicates. This is the standard idempotence recipe for
+    * non-transactional stores: make (target, batchId) the write key.
+    * Readers see `spark.read.parquet(outDir)` with `batch_id` as an
+    * ordinary partition column.
+    */
+  def idempotentParquetBatchWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
   // ---------------------------------------------------- temp hygiene
 
