@@ -508,6 +508,30 @@ object RelationalQueries3 {
           .select(col("user_id"), col("t1"), col("t2"), col("t3"),
             (lit(1) + col("t2").isNotNull.cast("int")
               + col("t3").isNotNull.cast("int")).as("steps"))
+      }),
+
+    // Join-key skew profile: the diagnostic you run BEFORE choosing a
+    // salting/AQE strategy — top-20 heaviest keys with their share of
+    // all rows. One map-side-partial aggregate, a broadcast 1-row total,
+    // and a deterministic top-k (cnt desc, key asc); at any scale the
+    // heavy hitters are what this surfaces, and limit-20 keeps the
+    // result driver-sized.
+    QueryDef(
+      "q44_skew_profile",
+      Some("""WITH f AS (SELECT l_suppkey AS key, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT cast(sum(cnt) as bigint) AS total FROM f)
+             |SELECT key, cnt, cast(cnt as double) / total AS share
+             |FROM f, t ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin),
+      (s, d) => {
+        val f = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+        val tot = f.agg(sum(col("cnt")).as("total"))
+        f.crossJoin(broadcast(tot))
+          .select(col("key"), col("cnt"),
+            (col("cnt").cast("double") / col("total")).as("share"))
+          .orderBy(col("cnt").desc, col("key").asc)
+          .limit(20)
       })
   )
 
