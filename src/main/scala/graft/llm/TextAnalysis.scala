@@ -506,13 +506,18 @@ object TextAnalysis {
   }
 
   /** Token counts: whitespace, BPE-ish regex, and bytes/4 estimate. */
-  def tokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def tokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // ws_tokens runs as the codegen'd byte-scan kernel — identical
+    // semantics to size(split(text, ' ')) (spaces + 1, empties kept)
+    // with no token-array materialization (WhitespaceTokenCount)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
-      expr("cast(size(split(text, ' ')) as bigint)").as("ws_tokens"),
+      expr("graft_ws_tokens(text)").as("ws_tokens"),
       expr("cast(size(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)) as bigint)")
         .as("re_tokens"),
       expr("cast(ceil(octet_length(text) / 4.0) as bigint)").as("est_bpe_tokens"))
+  }
 
   /** Fixed-point scale for bigram probabilities: p in (0, 1], so
     * round(p * 1e9) sums stay far below 2^63 at any corpus size.

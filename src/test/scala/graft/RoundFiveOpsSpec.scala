@@ -198,6 +198,18 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 1.0, 1.0, 0.0)))
   }
 
+  test("graft_ws_tokens kernel equals size(split) on edge cases incl. " +
+    "multi-byte unicode") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq("", "a", "a b", "a  b", " a b ", "é € 漢 😀", "😀😀 x")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = rows.selectExpr("doc_id", "graft_ws_tokens(text) AS k",
+      "cast(size(split(text, ' ')) as bigint) AS ref").collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"mismatch on doc ${r.getLong(0)}"))
+  }
+
   test("vocabGrowth buckets sparse non-zero-based ids into [0, buckets)") {
     val docs = Seq((1000L, "a b"), (5000L, "b c"), (999999L, "c d"))
       .toDF("doc_id", "text")
