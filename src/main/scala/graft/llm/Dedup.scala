@@ -57,6 +57,8 @@ object Dedup {
       (s, d) => minhashShared(s, d)._1),
     QueryDef("d14_minhash_quality", Some(estimateQualityOracle),
       (s, d) => { val (pairs, sh) = minhashShared(s, d); qualityFromParts(pairs, sh) }),
+    QueryDef("d16_containment", Some(containmentOracle),
+      (s, d) => { val (pairs, sh) = minhashShared(s, d); containmentFromParts(pairs, sh) }),
     QueryDef("d03_ngram_jaccard", Some(jaccardOracle),
       (s, d) => ngramJaccardPairs(Catalog.t(s, d, "documents"))),
     QueryDef("d04_simhash", Some(simhashOracle),
@@ -72,6 +74,8 @@ object Dedup {
     QueryDef("d10_cluster_keep_best", Some(clusterKeepBestOracle),
       clusterKeepBestSpark),
     QueryDef("g01_pagerank", Some(pagerankOracle), pagerankSpark),
+    QueryDef("g04_component_sizes", Some(componentSizesOracle),
+      componentSizesSpark),
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
@@ -318,11 +322,13 @@ object Dedup {
     result
   }
 
-  /** Quality annotation from prepared parts: exact shingle Jaccard ONLY
-    * for the LSH candidate pairs (work = candidates x shingles-per-doc,
-    * never the corpus-wide self-join), plus the estimation error.
+  /** Candidate-pair overlap stats shared by d14 (Jaccard quality) and
+    * d16 (containment): exact shingle intersections ONLY for the LSH
+    * candidate pairs — work = candidates x shingles-per-doc, never the
+    * corpus-wide self-join. Returns
+    * `(doc_a, doc_b, est_sim, i, na, nb)`.
     */
-  private def qualityFromParts(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  private def overlapParts(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a"), col("doc_b"))
     // candidate pairs are a tiny fraction of the corpus (LSH's whole
     // point): broadcast the candidate doc list and prune the shingle
@@ -344,10 +350,40 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
-        expr("cast(coalesce(i, 0) as double) / (na + nb - coalesce(i, 0))")
-          .as("jaccard"))
-      .withColumn("abs_err", abs(col("est_sim") - col("jaccard")))
+        expr("cast(coalesce(i, 0) as bigint)").as("i"), col("na"), col("nb"))
   }
+
+  /** Quality annotation from prepared parts (d14). */
+  private def qualityFromParts(pairs: DataFrame, sh: DataFrame): DataFrame =
+    overlapParts(pairs, sh)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        expr("cast(i as double) / (na + nb - i)").as("jaccard"))
+      .withColumn("abs_err", abs(col("est_sim") - col("jaccard")))
+
+  /** Containment annotation from prepared parts (d16): |A∩B|/|A| and
+    * |A∩B|/|B| — the asymmetric scores that catch near-SUPERSET
+    * duplication (one doc quoting or embedding another), which
+    * symmetric Jaccard under-reports when sizes differ.
+    */
+  private def containmentFromParts(pairs: DataFrame, sh: DataFrame): DataFrame =
+    overlapParts(pairs, sh)
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(i as double) / na").as("cont_a"),
+        expr("cast(i as double) / nb").as("cont_b"))
+
+  private def containmentOracle: String =
+    s"""WITH $minhashCtes,
+       |szs AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+       |intr AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM p JOIN s a ON a.doc_id = p.doc_a
+       |  JOIN s b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b,
+       |  cast(coalesce(i, 0) as double) / na.n AS cont_a,
+       |  cast(coalesce(i, 0) as double) / nb.n AS cont_b
+       |FROM p LEFT JOIN intr ON p.doc_a = intr.doc_a AND p.doc_b = intr.doc_b
+       |JOIN szs na ON p.doc_a = na.doc_id
+       |JOIN szs nb ON p.doc_b = nb.doc_id""".stripMargin
 
   private def estimateQualityOracle: String =
     s"""WITH $minhashCtes,
@@ -796,6 +832,26 @@ object Dedup {
     s"""WITH RECURSIVE $componentsCtes
        |SELECT node AS doc_id, min(label) AS cluster_id
        |FROM walk GROUP BY node""".stripMargin
+
+  /** g04: component-size histogram + implicit giant-component share —
+    * the summary statistic that tells a curation run whether near-dup
+    * clustering found isolated pairs or one giant hairball. Derived
+    * from the SAME memoized labels as d08/d10 (no extra graph work);
+    * two tiny keyed aggregates over the label table.
+    */
+  private def componentSizesSpark(s: SparkSession, d: String): DataFrame =
+    componentsSpark(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+
+  private def componentSizesOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY node),
+       |cs AS (SELECT cluster_id, count(*) AS component_size
+       |  FROM comp GROUP BY 1)
+       |SELECT component_size, count(*) AS n_components
+       |FROM cs GROUP BY 1""".stripMargin
 
   // --------------------------------------- soft dedup (d15)
 
