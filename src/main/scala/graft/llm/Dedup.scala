@@ -244,13 +244,17 @@ object Dedup {
   }
 
   // One shared MinHash derivation per (session, data dir) for the gate
-  // queries — same memo discipline as the graph family below: d02 and
-  // d14 both consume the SAME eagerly-checkpointed shingle set and
-  // candidate pairs instead of re-deriving the signature pipeline, and
-  // the intermediate sig cache is unpersisted as soon as the pairs are
-  // materialized.
+  // queries — same memo discipline as the graph family below: d02, d14
+  // and d16 all consume the SAME eagerly-checkpointed candidate pairs
+  // and candidate-doc shingle set instead of re-deriving the signature
+  // pipeline, and the intermediate sig cache is unpersisted as soon as
+  // the pairs are materialized. The memo holds exactly THREE stored
+  // artifacts per (session, dir) — corpus shingles, pairs, pruned
+  // candidate shingles — however many gate queries (or bench repeats)
+  // consume them; per-call checkpoints would accumulate storage across
+  // a long suite.
   private val minhashMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame, DataFrame)]()
 
   private def minhashShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = minhashMemo.compute(d, { (_, cur) =>
@@ -261,10 +265,22 @@ object Dedup {
         val (pairs0, sig) = minhashPairsWithSig(sh)
         val pairs = pairs0.localCheckpoint(true)
         sig.unpersist()
-        (s, pairs, sh)
+        val shc = pruneToCandidates(pairs, sh).localCheckpoint(true)
+        (s, pairs, sh, shc)
       }
     })
-    (e._2, e._3)
+    (e._2, e._4)
+  }
+
+  /** Shingles restricted to docs that appear in a candidate pair —
+    * tiny relative to the corpus (LSH's whole point); the broadcast of
+    * the candidate doc list keeps the prune a single map-side pass.
+    */
+  private def pruneToCandidates(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val cand = pairs.select(col("doc_a"), col("doc_b"))
+    val candDocs = broadcast(cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct())
+    sh.join(candDocs, "doc_id")
   }
 
   /** MinHash CTE chain through `p` (LSH candidate pairs with est_sim
@@ -316,7 +332,8 @@ object Dedup {
     // eagerly materialize the (small) result, then drop the corpus-sized
     // intermediates — the caller gets a lineage-free DataFrame and no
     // residual executor storage (own-the-unpersist, like GraphAlgs)
-    val result = qualityFromParts(pairs, sh).localCheckpoint(true)
+    val result = qualityFromParts(pairs, pruneToCandidates(pairs, sh))
+      .localCheckpoint(true)
     sig.unpersist()
     sh.unpersist()
     result
@@ -325,21 +342,12 @@ object Dedup {
   /** Candidate-pair overlap stats shared by d14 (Jaccard quality) and
     * d16 (containment): exact shingle intersections ONLY for the LSH
     * candidate pairs — work = candidates x shingles-per-doc, never the
-    * corpus-wide self-join. Returns
-    * `(doc_a, doc_b, est_sim, i, na, nb)`.
+    * corpus-wide self-join. `shc` must be the candidate-pruned shingle
+    * set (memoized for the gates; [[pruneToCandidates]] for the public
+    * path). Returns `(doc_a, doc_b, est_sim, i, na, nb)`.
     */
-  private def overlapParts(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  private def overlapParts(pairs: DataFrame, shc: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a"), col("doc_b"))
-    // candidate pairs are a tiny fraction of the corpus (LSH's whole
-    // point): broadcast the candidate doc list and prune the shingle
-    // set BEFORE the size aggregate and intersection join, so neither
-    // shuffles corpus-sized data — only shingles of candidate docs
-    val candDocs = broadcast(cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct())
-    // materialize the pruned set eagerly: it is consumed three times
-    // (sizes + both sides of the intersection join) and pruning it once
-    // means ONE pass over the corpus shingles, not three
-    val shc = sh.join(candDocs, "doc_id").localCheckpoint(true)
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
       .join(shc.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
