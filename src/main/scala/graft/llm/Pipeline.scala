@@ -206,6 +206,34 @@ object Pipeline {
       (s, d) => mixAllocation(Catalog.t(s, d, "documents"), col("source"),
         expr(s"cast(size($sparkWords) as bigint)"), MixBudget)),
 
+    // Temperature-weighted mixture (T = 0.5): source weights
+    // proportional to sqrt(token total) — the standard multilingual /
+    // multi-source rebalance that upsamples the tail relative to raw
+    // proportions. sqrt is correctly-rounded IEEE in both engines and
+    // the weight is snapped to fixed-point BEFORE apportionment, so the
+    // largest-remainder allocation stays integer-exact cross-engine.
+    QueryDef(
+      "p11_temperature_mix",
+      Some(s"""WITH tok AS (SELECT source,
+              |    cast(sum(len(string_split(text, ' '))) as bigint) AS toks
+              |  FROM documents GROUP BY source),
+              |wt AS (SELECT source, toks,
+              |    cast(floor(sqrt(toks) * $TempFx) as bigint) AS w_fx FROM tok),
+              |tot AS (SELECT cast(sum(w_fx) as bigint) AS total FROM wt),
+              |base AS (SELECT source, toks, w_fx,
+              |    ($MixBudget * w_fx) // total AS base_alloc,
+              |    ($MixBudget * w_fx) % total AS rem
+              |  FROM wt, tot),
+              |ranked AS (SELECT *,
+              |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+              |    $MixBudget - cast(sum(base_alloc) OVER () as bigint) AS leftover
+              |  FROM base)
+              |SELECT source, toks, w_fx, cast(base_alloc as bigint) +
+              |  CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+              |FROM ranked""".stripMargin),
+      (s, d) => temperatureMix(Catalog.t(s, d, "documents"), col("source"),
+        expr(s"cast(size($sparkWords) as bigint)"), MixBudget)),
+
     // Z-order file layout: quantize two filter dimensions to 16 bits,
     // interleave into a Morton key, and carve the key order into files;
     // the per-file min/max envelope is the data-skipping index a lake
@@ -499,6 +527,39 @@ object Pipeline {
     ranked.select(byCol, col("toks"),
       (col("base_alloc") +
         when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** Fixed-point scale for temperature weights: sqrt(toks) * 1e6
+    * floored — enough precision that distinct source sizes never
+    * collide, small enough that budget * w_fx stays far below 2^63.
+    */
+  private val TempFx = 1000000L
+
+  /** Temperature-weighted token-budget apportionment (T = 0.5):
+    * group weights proportional to `sqrt(token total)` instead of the
+    * raw totals, flattening the source distribution (the multilingual
+    * rebalance of mT5/XLM-R-style training mixes). The sqrt is snapped
+    * to fixed-point before the largest-remainder split, so the result
+    * is integer-exact and engine-independent; same window discipline
+    * as [[mixAllocation]] (one row per group).
+    */
+  def temperatureMix(docs: DataFrame, byCol: Column, tokensCol: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.withColumn("n_tokens", tokensCol)
+      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks"))
+    val wAll = Window.partitionBy()
+    tok
+      .withColumn("w_fx", expr(s"cast(floor(sqrt(toks) * $TempFx) as bigint)"))
+      .withColumn("total", sum(col("w_fx")).over(wAll))
+      .withColumn("base_alloc", expr(s"($budget * w_fx) div total"))
+      .withColumn("rem", expr(s"($budget * w_fx) % total"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, byCol.asc)))
+      .withColumn("leftover", lit(budget) - sum(col("base_alloc")).over(wAll))
+      .select(byCol, col("toks"), col("w_fx"),
+        (col("base_alloc") +
+          when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
   }
 
   /** Curriculum ordering: per-`byCol` difficulty rank (easy->hard by
