@@ -336,6 +336,46 @@ object StateQueries {
           .toDF("k", "v")
       }),
 
+    // Savepoint validation (the reference's "validate corrupted state"
+    // use case, README.md:41-44): a value + map state savepoint is
+    // scanned row-by-row against its own codec declarations — key-group
+    // range, exact key/namespace/map-key consumption, null-marker-aware
+    // value decode. Healthy savepoint => ok_rows = n_rows, bad_rows = 0
+    // (the corruption-DETECTION side is spec'd with surgically broken
+    // rows in RoundFiveOpsSpec). n_key_groups is reported to users but
+    // not oracle-checkable (murmur key-group math has no SQL analogue).
+    QueryDef(
+      "sp14_validate",
+      Some("""WITH c AS (SELECT o_custkey FROM orders GROUP BY o_custkey),
+             |m AS (SELECT o_custkey, o_orderstatus FROM orders GROUP BY 1, 2)
+             |SELECT 'Count' AS state, count(*) AS n_rows,
+             |  count(*) AS ok_rows, cast(0 as bigint) AS bad_rows FROM c
+             |UNION ALL
+             |SELECT 'StatusCounts', count(*), count(*), cast(0 as bigint)
+             |FROM m""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val orders = Catalog.t(s, d, "orders")
+        val counts = orders.groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val mapRows = orders
+          .groupBy(col("o_custkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"))
+          .as[(Long, String, Long)]
+          .map { case (k, status, cnt) =>
+            StateQueries.mapRow("StatusCounts", k, status, cnt, maxPar)
+          }
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("val-op", 4, maxPar), "val-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .defineState(StateMeta("StatusCounts", StateKind.Map, "long", Some("string")))
+          .addKeyedStateRows(mapRows)
+          .writeAll(tmp("graft-sp14"))
+        StateMaintenance.validate(s, Savepoints.load(meta.basePath), "val-op")
+          .select("state", "n_rows", "ok_rows", "bad_rows")
+      }),
+
     // Operator clone (topology-change maintenance): state of operator A
     // is copied under a NEW uid B into one savepoint that carries BOTH —
     // the move behind renaming an operator or bootstrapping a parallel

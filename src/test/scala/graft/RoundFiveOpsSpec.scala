@@ -287,6 +287,40 @@ class RoundFiveOpsSpec extends AnyFunSuite {
     assert(got(("wav", 0)) === ((1L, 3L, 4L, 4L)))
   }
 
+  test("validate localizes corrupted rows to their state (detection side " +
+    "of sp14)") {
+    val maxPar = 128
+    def goodRow(k: Long, v: Long): KeyedStateRow = {
+      val w = new ByteWriter()
+      KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(k, maxPar), maxPar)
+      LongCodec.write(w, k)
+      w.writeByte(0) // void namespace
+      KeyedStateRow("Count", w.toBytes, LongCodec.toBytes(v))
+    }
+    // two corruptions: a value too short for the declared long codec,
+    // and key bytes with TRAILING GARBAGE after the namespace
+    val shortValue = goodRow(101L, 5L).copy(valueBytes = Array[Byte](1, 2, 3))
+    val trailingKey = {
+      val g = goodRow(102L, 6L)
+      g.copy(keyAndNamespaceBytes = g.keyAndNamespaceBytes ++ Array[Byte](9))
+    }
+    val rows = Seq(goodRow(1L, 10L), goodRow(2L, 20L), shortValue, trailingKey)
+    val meta = Savepoints
+      .writer(spark, Savepoints.bootstrap("corrupt-op", 2, maxPar), "corrupt-op")
+      .withKeyCodec(LongCodec)
+      .defineState(StateMeta("Count", StateKind.Value, "long"))
+      .addKeyedStateRows(rows.toDS())
+      .writeAll(java.nio.file.Files.createTempDirectory("graft-validate").toString + "/sp")
+    val rep = StateMaintenance.validate(spark, Savepoints.load(meta.basePath),
+      "corrupt-op").collect()
+    assert(rep.length === 1)
+    val r = rep.head
+    assert(r.getString(0) === "Count")
+    assert(r.getLong(1) === 4L)  // n_rows
+    assert(r.getLong(3) === 2L, r.toString)  // ok_rows
+    assert(r.getLong(4) === 2L, r.toString)  // bad_rows
+  }
+
   test("expireTtl: keeps only entries stamped at/after the cutoff") {
     val maxPar = 128
     def row(key: Long, ts: Long, v: Long): KeyedStateRow = {
