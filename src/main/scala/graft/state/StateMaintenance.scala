@@ -58,10 +58,7 @@ object StateMaintenance {
     import org.apache.spark.sql.functions._
     val op = sp.operator(uid)
     val maxPar = op.maxParallelism
-    val prefix = KeyGroups.prefixBytes(maxPar)
-    val keyCodecId = op.keyCodecId
-    val states = op.states.map(s =>
-      s.name -> ((s.kind, s.valueCodecId, s.mapKeyCodecId, s.namespaceCodecId))).toMap
+    val check = rowChecker(sp, uid)
     implicit val rowEnc: org.apache.spark.sql.Encoder[KeyedStateRow] =
       Encoders.product[KeyedStateRow]
     implicit val outEnc: org.apache.spark.sql.Encoder[(String, Int, Boolean)] =
@@ -72,25 +69,7 @@ object StateMaintenance {
         val kg =
           try KeyGroups.readKeyGroup(r.keyAndNamespaceBytes, maxPar)
           catch { case _: Throwable => -1 }
-        val ok = kg >= 0 && kg < maxPar && (try {
-          states.get(r.stateName) match {
-            case None => false // row claims a state the metadata lacks
-            case Some((kind, vcId, mkId, nsId)) =>
-              val kr = new ByteReader(r.keyAndNamespaceBytes)
-              kr.skip(prefix.toLong)
-              keyCodecId.foreach(id => CodecRegistry.resolve(id).read(kr))
-              CodecRegistry.resolve(nsId).read(kr)
-              if (kind == StateKind.Map)
-                mkId.foreach(id => CodecRegistry.resolve(id).read(kr))
-              val keyFully = kr.position == r.keyAndNamespaceBytes.length.toLong
-              val vr = new ByteReader(r.valueBytes)
-              if (kind == StateKind.Map) {
-                if (!vr.readBoolean()) CodecRegistry.resolve(vcId).read(vr)
-              } else CodecRegistry.resolve(vcId).read(vr)
-              keyFully && vr.position == r.valueBytes.length.toLong
-          }
-        } catch { case _: Throwable => false })
-        (r.stateName, kg, ok)
+        (r.stateName, kg, check(r))
       }
       .toDF("state", "key_group", "ok")
       .groupBy(col("state"))
@@ -98,5 +77,61 @@ object StateMaintenance {
         countDistinct(col("key_group")).as("n_key_groups"),
         sum(col("ok").cast("long")).as("ok_rows"),
         sum((!col("ok")).cast("long")).as("bad_rows"))
+  }
+
+  /** Serializable per-row validity check against the savepoint's own
+    * declarations — the executor-side core of [[validate]]/[[repair]].
+    */
+  private def rowChecker(sp: SavepointMeta, uid: String): KeyedStateRow => Boolean = {
+    val op = sp.operator(uid)
+    val maxPar = op.maxParallelism
+    val prefix = KeyGroups.prefixBytes(maxPar)
+    val keyCodecId = op.keyCodecId
+    val states = op.states.map(s =>
+      s.name -> ((s.kind, s.valueCodecId, s.mapKeyCodecId, s.namespaceCodecId))).toMap
+    (r: KeyedStateRow) => {
+      val kg =
+        try KeyGroups.readKeyGroup(r.keyAndNamespaceBytes, maxPar)
+        catch { case _: Throwable => -1 }
+      kg >= 0 && kg < maxPar && (try {
+        states.get(r.stateName) match {
+          case None => false // row claims a state the metadata lacks
+          case Some((kind, vcId, mkId, nsId)) =>
+            val kr = new ByteReader(r.keyAndNamespaceBytes)
+            kr.skip(prefix.toLong)
+            keyCodecId.foreach(id => CodecRegistry.resolve(id).read(kr))
+            CodecRegistry.resolve(nsId).read(kr)
+            if (kind == StateKind.Map)
+              mkId.foreach(id => CodecRegistry.resolve(id).read(kr))
+            val keyFully = kr.position == r.keyAndNamespaceBytes.length.toLong
+            val vr = new ByteReader(r.valueBytes)
+            if (kind == StateKind.Map) {
+              if (!vr.readBoolean()) CodecRegistry.resolve(vcId).read(vr)
+            } else CodecRegistry.resolve(vcId).read(vr)
+            keyFully && vr.position == r.valueBytes.length.toLong
+        }
+      } catch { case _: Throwable => false })
+    }
+  }
+
+  /** Savepoint repair — the other half of the reference's
+    * "validate/REPAIR corrupted state" use case: rewrite operator
+    * `uid`'s keyed state keeping only rows that pass the [[validate]]
+    * checks, so a job can restore from the repaired savepoint instead
+    * of crashing on the first undecodable row. Dropped rows are gone —
+    * run [[validate]] first to see what you lose; surviving rows pass
+    * through byte-identical (no re-encode).
+    */
+  def repair(spark: SparkSession, sp: SavepointMeta, uid: String,
+      outDir: String): SavepointMeta = {
+    val check = rowChecker(sp, uid)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[KeyedStateRow] =
+      Encoders.product[KeyedStateRow]
+    val surviving = Savepoints.reader(spark, sp, uid)
+      .getAllUnreadKeyedStateRows.as[KeyedStateRow]
+      .filter(check)
+    Savepoints.writer(spark, sp, uid)
+      .addKeyedStateRows(surviving)
+      .writeAll(outDir)
   }
 }

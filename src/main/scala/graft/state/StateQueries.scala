@@ -376,6 +376,45 @@ object StateQueries {
           .select("state", "n_rows", "ok_rows", "bad_rows")
       }),
 
+    // Savepoint REPAIR through the hash gate (the other half of the
+    // validate/repair use case): deterministic corruption is injected —
+    // one truncated-value row per synthetic key (real custkey +
+    // 10^9, so no collision with content keys) — then repair drops
+    // exactly the invalid rows and the typed read of the REPAIRED
+    // savepoint must equal the clean SQL aggregate. A repair that drops
+    // too much or too little breaks the hash either way.
+    QueryDef(
+      "sp15_repair",
+      Some("SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey"),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        // corrupt rows: valid key framing for a synthetic key, but a
+        // 3-byte value under a declared 8-byte long codec
+        val corrupt = counts.map { case (k, _) =>
+          val sk = k + 1000000000L
+          val w = new ByteWriter()
+          KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(sk, maxPar), maxPar)
+          Codecs.LongCodec.write(w, sk)
+          w.writeByte(0)
+          KeyedStateRow("Count", w.toBytes, Array[Byte](1, 2, 3))
+        }
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("repair-op", 4, maxPar), "repair-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .addKeyedStateRows(corrupt.toDF())
+          .writeAll(tmp("graft-sp15a"))
+        val meta2 = StateMaintenance.repair(
+          s, Savepoints.load(meta1.basePath), "repair-op", tmp("graft-sp15b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "repair-op")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // Operator clone (topology-change maintenance): state of operator A
     // is copied under a NEW uid B into one savepoint that carries BOTH —
     // the move behind renaming an operator or bootstrapping a parallel
