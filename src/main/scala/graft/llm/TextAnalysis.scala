@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Catalog, QueryDef}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM data pipelines over the `documents`
@@ -388,7 +388,7 @@ object TextAnalysis {
     QueryDef(
       "t17_bpe_merges",
       Some(bpeOracle),
-      (s, d) => bpeMerges(Catalog.t(s, d, "documents"), BpeRounds)),
+      (s, d) => mergesToDF(s, bpeShared(s, d)._1)),
 
     // BPE APPLICATION: the corpus tokenized with the t17-trained model —
     // per-doc whitespace vs BPE token counts (the number every data
@@ -398,7 +398,8 @@ object TextAnalysis {
     QueryDef(
       "t18_bpe_encode",
       Some(bpeEncodeOracle),
-      (s, d) => bpeEncode(Catalog.t(s, d, "documents"), BpeRounds)),
+      (s, d) => bpeEncodeWith(Catalog.t(s, d, "documents"),
+        bpeShared(s, d)._2)),
 
     // Repetition-based quality metrics (the Gopher-rule family adapted
     // to the line-less corpus): per-doc distinct-word ratio, top-word
@@ -552,12 +553,39 @@ object TextAnalysis {
     */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val s = docs.sparkSession
-    import s.implicits._
     val (out, reprs) = bpeTrain(docs, rounds)
     reprs.unpersist()
+    mergesToDF(s, out)
+  }
+
+  private def mergesToDF(s: SparkSession,
+      out: Seq[(Int, String, String, Long)]): DataFrame = {
+    import s.implicits._
     s.createDataset(out).toDF("round", "lhs", "rhs", "cnt")
       .select(col("round").cast("int").as("round"), col("lhs"), col("rhs"),
         col("cnt"))
+  }
+
+  // One shared BPE training per (session, data dir) for the t17/t18
+  // gates — the minhash memo discipline: train once, read the merge
+  // table AND tokenize with the segmented vocabulary from the same
+  // checkpointed result. A fresh session replaces the entry.
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (SparkSession, Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private def bpeShared(s: SparkSession, d: String):
+      (Seq[(Int, String, String, Long)], DataFrame) = {
+    val e = bpeMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val (merges, reprs) = bpeTrain(Catalog.t(s, d, "documents"), BpeRounds)
+        val ck = reprs.localCheckpoint(true)
+        reprs.unpersist()
+        (s, merges, ck)
+      }
+    })
+    (e._2, e._3)
   }
 
   /** BPE trainer core: returns the merge list and the FINAL segmented
@@ -587,9 +615,17 @@ object TextAnalysis {
         out += ((r, l, rt, c))
         // true BPE merge: fold left-to-right over the symbol array,
         // merging (prev, x) = (w1, w2) pairs non-overlapping (a merged
-        // symbol never re-pairs within the same round — prev resets)
+        // symbol never re-pairs within the same round — prev resets).
+        // Fast path: symbols never contain spaces, so the PADDED
+        // substring ' w1 w2 ' can only match at symbol boundaries —
+        // an exact adjacency DETECTOR (the boundary bug was only ever
+        // in replace, which consumes shared spaces) — and words
+        // without the pair skip the fold entirely (the vast majority
+        // every round).
+        val pad = q(" " + l + " " + rt + " ")
         val next = reprs.withColumn("repr", expr(
-          s"""concat_ws(' ', aggregate(
+          s"""IF(NOT contains(concat(' ', repr, ' '), $pad), repr,
+             |  concat_ws(' ', aggregate(
              |  split(repr, ' '),
              |  named_struct('acc', cast(array() as array<string>),
              |    'prev', cast(null as string)),
@@ -599,7 +635,7 @@ object TextAnalysis {
              |    named_struct('acc',
              |      IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev)),
              |      'prev', x)),
-             |  s -> IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev))))"""
+             |  s -> IF(s.prev IS NULL, s.acc, array_append(s.acc, s.prev)))))"""
             .stripMargin)).cache()
         next.count() // materialize before releasing the parent round
         reprs.unpersist()
@@ -619,17 +655,23 @@ object TextAnalysis {
     */
   def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
     val (_, reprs) = bpeTrain(docs, rounds)
+    val out = bpeEncodeWith(docs, reprs).localCheckpoint(true)
+    reprs.unpersist()
+    out
+  }
+
+  /** Tokenize `docs` against an already-trained segmented vocabulary
+    * `reprs` (`word, freq, repr`). Does NOT own `reprs`' lifecycle.
+    */
+  private def bpeEncodeWith(docs: DataFrame, reprs: DataFrame): DataFrame = {
     val vocab = reprs.select(col("word"),
       expr("cast(size(split(repr, ' ')) as bigint)").as("n_syms"))
-    val out = docs
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(vocab, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
-      .localCheckpoint(true)
-    reprs.unpersist()
-    out
   }
 
   private def bpeCtes: String = {
