@@ -60,7 +60,11 @@ object Dedup {
     QueryDef("d16_containment", Some(containmentOracle),
       (s, d) => { val (pairs, sh) = minhashShared(s, d); containmentFromParts(pairs, sh) }),
     QueryDef("d03_ngram_jaccard", Some(jaccardOracle),
-      (s, d) => ngramJaccardPairs(Catalog.t(s, d, "documents"))),
+      (s, d) => ngramJaccardFrom(corpusShingles(s, d))),
+    QueryDef("d17_incremental_dedup", Some(incrementalOracle),
+      (s, d) => incrementalDedup(
+        Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
+        Catalog.t(s, d, "documents").filter(col("doc_id") % 5 === 0))),
     QueryDef("d04_simhash", Some(simhashOracle),
       (s, d) => simhashFingerprints(Catalog.t(s, d, "documents"))),
     QueryDef("d05_simhash_pairs", Some(simhashPairsOracle),
@@ -252,24 +256,36 @@ object Dedup {
   // artifacts per (session, dir) — corpus shingles, pairs, pruned
   // candidate shingles — however many gate queries (or bench repeats)
   // consume them; per-call checkpoints would accumulate storage across
-  // a long suite.
+  // a long suite. The corpus shingle set is its own memo stage because
+  // d03 (exact n-gram Jaccard) consumes it WITHOUT needing the MinHash
+  // signature pipeline on top.
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
   private val minhashMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame)]()
+
+  /** Eagerly-checkpointed distinct (doc_id, sh) set for the gate corpus,
+    * derived once per (session, dir).
+    */
+  private def corpusShingles(s: SparkSession, d: String): DataFrame =
+    shingleMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else (s, shingles(Catalog.t(s, d, "documents")).localCheckpoint(true))
+    })._2
 
   private def minhashShared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = minhashMemo.compute(d, { (_, cur) =>
       if (cur != null && (cur._1 eq s)) cur
       else {
-        val docs = Catalog.t(s, d, "documents")
-        val sh = shingles(docs).localCheckpoint(true)
+        val sh = corpusShingles(s, d)
         val (pairs0, sig) = minhashPairsWithSig(sh)
         val pairs = pairs0.localCheckpoint(true)
         sig.unpersist()
         val shc = pruneToCandidates(pairs, sh).localCheckpoint(true)
-        (s, pairs, sh, shc)
+        (s, pairs, shc)
       }
     })
-    (e._2, e._4)
+    (e._2, e._3)
   }
 
   /** Shingles restricted to docs that appear in a candidate pair —
@@ -418,11 +434,14 @@ object Dedup {
     * index, with a document-frequency cap dropping stop-shingles (the
     * standard hot-key guard for the quadratic worst case).
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame): DataFrame =
     // cache: the distinct'd shingle set feeds both the df-cap aggregate
     // and the inverted-index join — without it the split/explode/distinct
-    // (two jobs' worth of shuffle) runs twice
-    val ds = shingles(docs).cache()
+    // (two jobs' worth of shuffle) runs twice (the gate path passes the
+    // memoized checkpointed corpus set instead)
+    ngramJaccardFrom(shingles(docs).cache())
+
+  private def ngramJaccardFrom(ds: DataFrame): DataFrame = {
     val keep = ds.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("sh")
     val dk = ds.join(keep, "sh").cache()
@@ -451,6 +470,46 @@ object Dedup {
        |SELECT doc_a, doc_b, cast(ni as double) / (x.n + y.n - ni) AS jaccard
        |FROM pr JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
        |WHERE cast(ni as double) / (x.n + y.n - ni) >= $JaccardMin""".stripMargin
+
+  // --------------------------------------- incremental (cross-corpus) dedup
+
+  private val PrefixWords = 10
+
+  /** Incremental dedup of a new batch against an existing corpus: each
+    * batch doc is flagged when its prefix fingerprint (md5 of the first
+    * [[PrefixWords]] words) already exists in the corpus, along with the
+    * canonical (minimum) corpus doc_id it collides with — the "don't
+    * re-ingest what the lake already holds" step of a rolling pipeline.
+    *
+    * 100 TB stance: the historical corpus contributes ONE map-side-
+    * combinable aggregate over 16-byte fingerprints and is never
+    * rescanned at text granularity; the join shuffles (fingerprint,
+    * min_id) pairs, not documents. In a real deployment the fingerprint
+    * table IS the persisted dedup index maintained batch over batch, and
+    * a bloom filter over it pre-drops the clear-miss majority before the
+    * join (the q42 pattern).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    def fp(df: DataFrame): DataFrame = df.withColumn("fingerprint",
+      md5(expr(s"cast(concat_ws(' ', slice($sparkWords, 1, $PrefixWords)) as binary)")))
+    val idx = fp(corpus).groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("corpus_id"))
+    fp(batch).join(idx, Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        col("corpus_id").isNotNull.as("dup_in_corpus"), col("corpus_id"))
+  }
+
+  private[graft] def incrementalOracle: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    md5(array_to_string(list_slice($duckWords, 1, $PrefixWords), ' '))
+       |      AS fingerprint
+       |  FROM documents),
+       |idx AS (SELECT fingerprint, min(doc_id) AS corpus_id FROM f
+       |  WHERE doc_id % 5 <> 0 GROUP BY fingerprint)
+       |SELECT b.doc_id, b.fingerprint, idx.corpus_id IS NOT NULL AS dup_in_corpus,
+       |  idx.corpus_id
+       |FROM f b LEFT JOIN idx USING (fingerprint)
+       |WHERE b.doc_id % 5 = 0""".stripMargin
 
   // --------------------------------------------------------------- SimHash
 

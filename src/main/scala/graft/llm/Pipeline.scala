@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   import TextExprs._
 
+  private val TokenBudget = 10000L // p12 global selection budget
   private val PackBudget = 512  // tokens per packed training sequence
   private val BalancedK = 50    // docs per language
   private val EvalMod = 97      // doc_id % EvalMod == 0 -> benchmark set
@@ -313,8 +314,43 @@ object Pipeline {
       },
       (s, d) => repeatUpsample(Catalog.t(s, d, "documents"), col("source"),
         expr(s"cast(substring(source, 4) as int) % ${RepeatWeights.length}"),
-        RepeatWeights))
+        RepeatWeights)),
+
+    // Token-budget selection: take the highest-priority documents (here
+    // longest-first) until a global token budget is spent. The running
+    // total runs through ScaleOps.globalPrefixSum — range-partitioned
+    // two-phase scan — NOT a global `sum() OVER (ORDER BY ...)`, which
+    // Catalyst plans as a single-task window; the oracle states exactly
+    // that single-reducer form, so the gate proves the distributed scan
+    // computes the identical inclusive totals.
+    QueryDef(
+      "p12_token_budget",
+      Some(s"""WITH d AS (SELECT doc_id, lang, n_chars,
+              |    cast(len($duckWords) as bigint) AS n_tokens FROM documents),
+              |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM d)
+              |SELECT doc_id, lang, n_chars, n_tokens,
+              |  cast(cum as bigint) AS cum_tokens
+              |FROM c WHERE cum <= $TokenBudget""".stripMargin),
+      (s, d) => tokenBudgetSelect(Catalog.t(s, d, "documents"), TokenBudget))
   )
+
+  /** Longest-first document selection under a global token budget: an
+    * inclusive corpus-wide running token total in (n_chars desc, doc_id)
+    * order via [[graft.relational.ScaleOps.globalPrefixSum]] — the
+    * range-partitioned two-phase scan — then keep rows whose running
+    * total fits. The priority order is a parameter of the prefix sum in
+    * spirit; the gate pins the longest-first policy.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame =
+    graft.relational.ScaleOps.globalPrefixSum(
+        docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(s"cast(size($sparkWords) as bigint)").as("n_tokens")),
+        order = Seq(col("n_chars").desc, col("doc_id").asc),
+        valueCol = col("n_tokens"),
+        outCol = "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
 
   private val StratRates = Seq(0.05, 0.15, 0.4, 0.8)
   private val MixBudget = 100000L

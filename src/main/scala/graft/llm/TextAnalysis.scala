@@ -435,7 +435,35 @@ object TextAnalysis {
               |  cast(sum(n_tokens) OVER (ORDER BY db.bucket
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS tokens_cum
               |FROM db JOIN toks USING (bucket) LEFT JOIN nw USING (bucket)""".stripMargin),
-      (s, d) => vocabGrowth(Catalog.t(s, d, "documents")))
+      (s, d) => vocabGrowth(Catalog.t(s, d, "documents"))),
+
+    // DSIR-style importance weights: how target-domain-like is each doc,
+    // scored over hashed unigram features (the data-selection weighting
+    // of Xie et al.'s DSIR, with exact integer bucket masses instead of
+    // log-ratios so the gate stays bit-deterministic). Bucket table is
+    // HashDim rows by construction -> inlined as literals, so scoring is
+    // a pure narrow map (no join, no shuffle) — the same inline-model
+    // pattern as pqEncode/assignCells.
+    QueryDef(
+      "t20_importance_weights",
+      Some {
+        val b = s"cast((${duckWordHash("x")}) % $HashDim as int)"
+        s"""WITH w AS (SELECT doc_id, lang, unnest($duckWords) AS x
+           |  FROM documents),
+           |bk AS (SELECT doc_id, lang, $b AS bucket FROM w),
+           |st AS (SELECT bucket, count(*) AS r_cnt,
+           |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+           |  FROM bk GROUP BY bucket),
+           |doc AS (SELECT bk.doc_id, count(*) AS n_words,
+           |    cast(sum(t_cnt) as bigint) AS target_mass,
+           |    cast(sum(r_cnt) as bigint) AS raw_mass
+           |  FROM bk JOIN st USING (bucket) GROUP BY bk.doc_id)
+           |SELECT doc_id, n_words, target_mass, raw_mass,
+           |  cast(target_mass as double) / cast(raw_mass as double)
+           |    AS importance
+           |FROM doc""".stripMargin
+      },
+      (s, d) => dsirWeights(Catalog.t(s, d, "documents"), targetLang = "en"))
   )
 
   // Hashed-classifier model constants: bucket count and the
@@ -460,6 +488,48 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("score_fx"),
         expr(s"(cast(score_fx as double) / (cast($WeightOff as double) " +
           "* cast(n_words as double))) >= cast(0 as double)").as("keep"))
+  }
+
+  /** DSIR-style importance weights vs a target domain (docs whose `lang`
+    * equals `targetLang`): per-bucket occurrence masses over hashed
+    * unigrams, then a per-doc score
+    * `importance = target_mass / raw_mass` — the resampling weight a
+    * data-selection pass feeds to [[Pipeline]]'s samplers.
+    *
+    * The bucket model is bounded at [[HashDim]] rows, so it collects to
+    * the driver and inlines into the scoring expression as array
+    * literals: pass 1 is one map-side-combinable aggregate, pass 2 a
+    * pure narrow map — nothing shuffles at corpus width, which is what
+    * lets this run as a cheap pre-filter over 100 TB.
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bucket = s"cast((graft_polyhash32(x)) % $HashDim as int)"
+    val stats = docs.withColumn("w", expr(sparkWords))
+      .select(col("lang"), explode(col("w")).as("x"))
+      .select(col("lang"), expr(bucket).as("bucket"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("r_cnt"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"))
+      .collect() // <= HashDim rows by construction — driver-safe
+    val tArr = Array.fill(HashDim)(0L)
+    val rArr = Array.fill(HashDim)(0L)
+    stats.foreach { r =>
+      val i = r.getInt(0); rArr(i) = r.getLong(1); tArr(i) = r.getLong(2)
+    }
+    def lit64(a: Array[Long]) = s"array(${a.map(v => s"${v}L").mkString(", ")})"
+    docs.withColumn("w", expr(sparkWords))
+      .select(col("doc_id"),
+        expr("cast(size(w) as bigint)").as("n_words"),
+        expr(s"aggregate(w, cast(0 as bigint), " +
+          s"(a, x) -> a + element_at(${lit64(tArr)}, ($bucket) + 1))")
+          .as("target_mass"),
+        expr(s"aggregate(w, cast(0 as bigint), " +
+          s"(a, x) -> a + element_at(${lit64(rArr)}, ($bucket) + 1))")
+          .as("raw_mass"))
+      .withColumn("importance",
+        expr("cast(target_mass as double) / cast(raw_mass as double)"))
   }
 
   // ------------------------------------------- public pipeline surface

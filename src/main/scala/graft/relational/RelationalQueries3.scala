@@ -532,6 +532,37 @@ object RelationalQueries3 {
             (col("cnt").cast("double") / col("total")).as("share"))
           .orderBy(col("cnt").desc, col("key").asc)
           .limit(20)
+      }),
+
+    // Retention cohorts: customers grouped by first-order month, counted
+    // in each subsequent month they ordered again — the classic cohort
+    // triangle. Two keyed aggregates (first-order month, then distinct
+    // customers per cohort x month-offset); everything shuffles on
+    // custkey or the tiny (cohort, k) pair, and months arithmetic is
+    // exact integer in both engines.
+    QueryDef(
+      "q45_retention_cohorts",
+      Some("""WITH fo AS (SELECT o_custkey,
+             |    min(date_trunc('month', o_orderdate)) AS cohort FROM orders
+             |  GROUP BY 1),
+             |m AS (SELECT o.o_custkey, fo.cohort,
+             |    (date_part('year', o.o_orderdate) - date_part('year', fo.cohort)) * 12
+             |      + (date_part('month', o.o_orderdate) - date_part('month', fo.cohort))
+             |      AS k
+             |  FROM orders o JOIN fo USING (o_custkey))
+             |SELECT cohort, cast(k as int) AS k,
+             |  count(DISTINCT o_custkey) AS n_cust
+             |FROM m GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val fo = o.groupBy(col("o_custkey"))
+          .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort"))
+        o.join(fo, "o_custkey")
+          .select(col("o_custkey"), col("cohort"),
+            ((year(col("o_orderdate")) - year(col("cohort"))) * 12
+              + (month(col("o_orderdate")) - month(col("cohort")))).as("k"))
+          .groupBy(col("cohort"), col("k"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
       })
   )
 

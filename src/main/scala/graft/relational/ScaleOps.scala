@@ -69,4 +69,55 @@ object ScaleOps {
     big.filter(mightContain(col(bigKey)))
       .join(small, big(bigKey) === small(smallKey))
   }
+
+  /** Exact global running total of `valueCol` in `order` order WITHOUT a
+    * single-reducer window. A plain
+    * `sum(v) OVER (ORDER BY ...)` hash-shuffles every row into ONE task
+    * (Catalyst plans an empty-partition window) — the textbook
+    * scale-killer for corpus-wide cumulative sums. This is the two-phase
+    * scan instead:
+    *
+    *  1. range-repartition + in-partition sort on the order keys
+    *     (TeraSort layout — each of `partitions` tasks owns a contiguous
+    *     key range);
+    *  2. per-partition totals — `partitions` rows — prefix-scanned on
+    *     the driver into per-partition start offsets;
+    *  3. an in-partition running sum (window PARTITIONed BY the physical
+    *     partition id, so it parallelizes across all tasks) plus the
+    *     broadcast offset.
+    *
+    * `order` must be a TOTAL order (include a unique tiebreak column):
+    * the result is then independent of where range boundaries land.
+    * Output = input columns + `outCol` (inclusive running total).
+    */
+  def globalPrefixSum(
+      df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      valueCol: org.apache.spark.sql.Column,
+      outCol: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pidCol = "__graft_pid"
+    val vCol = "__graft_psv"
+    require(!df.columns.contains(pidCol) && !df.columns.contains(vCol),
+      s"input may not already contain '$pidCol'/'$vCol' columns")
+    val parted = df
+      .withColumn(vCol, valueCol.cast("long"))
+      .repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint(true) // phases 2+3 must see the SAME partitioning
+    val totals = parted.groupBy(col(pidCol)).agg(sum(col(vCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val offsetExpr = (0 until partitions).foldLeft(lit(0L)) { (acc, p) =>
+      when(col(pidCol) === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(pidCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn(outCol, sum(col(vCol)).over(w) + offsetExpr)
+      .drop(pidCol, vCol)
+  }
 }

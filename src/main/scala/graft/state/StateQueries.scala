@@ -459,6 +459,59 @@ object StateQueries {
         }.reduce(_ unionAll _)
       }),
 
+    // Savepoint MERGE: two independently-written savepoints (think: two
+    // jobs' state, or a region split being consolidated) combine into
+    // ONE new operator carrying both states — raw rows from both
+    // sources union through the write path, the state-meta union is
+    // declared on the target, and both states must read back intact.
+    // Valid because key-group assignment depends only on (key, maxPar),
+    // which the sources share. Oracle = full outer join of the two
+    // per-source aggregates.
+    QueryDef(
+      "sp16_savepoint_merge",
+      Some("""WITH a AS (SELECT o_custkey AS key, count(*) AS odd_cnt
+             |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+             |b AS (SELECT o_custkey AS key,
+             |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             |      AS even_cents
+             |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
+             |SELECT key, odd_cnt, even_cents
+             |FROM a FULL JOIN b USING (key)""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val orders = Catalog.t(s, d, "orders")
+        val oddCounts = orders.filter(col("o_orderkey") % 2 === 1)
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val evenCents = orders.filter(col("o_orderkey") % 2 === 0)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("c"))
+          .as[(Long, Long)]
+        val metaA = Savepoints
+          .writer(s, Savepoints.bootstrap("merge-src-a", 4, 128), "merge-src-a")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", oddCounts, LongCodec)
+          .writeAll(tmp("graft-sp16a"))
+        val metaB = Savepoints
+          .writer(s, Savepoints.bootstrap("merge-src-b", 4, 128), "merge-src-b")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Cents", evenCents, LongCodec)
+          .writeAll(tmp("graft-sp16b"))
+        val rowsA = Savepoints.reader(s, metaA, "merge-src-a").getAllUnreadKeyedStateRows
+        val rowsB = Savepoints.reader(s, metaB, "merge-src-b").getAllUnreadKeyedStateRows
+        val merged = Savepoints
+          .writer(s, Savepoints.bootstrap("merged", 4, 128), "merged")
+          .withKeyCodec(LongCodec)
+          .defineState(StateMeta("Count", StateKind.Value, "long"))
+          .defineState(StateMeta("Cents", StateKind.Value, "long"))
+          .addKeyedStateRows(rowsA.unionAll(rowsB))
+          .writeAll(tmp("graft-sp16m"))
+        val r = Savepoints.reader(s, Savepoints.load(merged.basePath), "merged")
+        val cnt = r.readValueStates[Long, Long]("Count").toDF("key", "odd_cnt")
+        val cents = r.readValueStates[Long, Long]("Cents").toDF("key", "even_cents")
+        cnt.join(cents, Seq("key"), "full_outer")
+          .select(col("key"), col("odd_cnt"), col("even_cents"))
+      }),
+
     // State-size analytics (capacity planning): per-state row counts and
     // EXACT encoded byte totals of a Flink-dialect savepoint, via the
     // raw-row scan (F3 surface). The oracle replays the wire arithmetic

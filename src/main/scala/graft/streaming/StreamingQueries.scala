@@ -34,9 +34,10 @@ object StreamingQueries {
     * return the materialized table.
     */
   private def runToMemorySink(
-      s: SparkSession, d: String, tag: String, outputMode: String)(
+      s: SparkSession, d: String, tag: String, outputMode: String,
+      table: String = "events")(
       build: DataFrame => DataFrame): DataFrame = {
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema // ts = long nanos
+    val rawSchema = s.read.parquet(s"$d/$table.parquet").schema // ts = long nanos
     val name = s"${tag}_mem_${counter.incrementAndGet()}"
     // Stateful streaming ops open one state store PER shuffle partition
     // (stream-stream joins open four); at test scale the store setup
@@ -49,7 +50,7 @@ object StreamingQueries {
       // readStream requires a directory: stream the sf dir, globbed to
       // the events table only
       val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .option("pathGlobFilter", s"$table.parquet").parquet(d)
       val q = build(raw).writeStream
         .outputMode(outputMode).format("memory").queryName(name).start()
       // restore only after the run: micro-batch planning reads the conf
@@ -403,6 +404,23 @@ object StreamingQueries {
           StreamingQueries.deleteRecursively(ckptPath)
         }
         s.read.parquet(outDir).select("event_id", "user_id", "cents")
+      }),
+
+    // st12: streaming ingest dedup — the rolling-pipeline form of d17.
+    // New documents arrive as a STREAM and check their prefix
+    // fingerprints against the static corpus index per micro-batch
+    // (stream-static left join: no state store, no watermark — the
+    // index is the only persisted artifact, exactly how a 100 TB lake
+    // dedups its ingest without rescanning itself). Same oracle as the
+    // batch operator: streaming must not change the answer.
+    QueryDef(
+      "st12_stream_ingest_dedup",
+      Some(graft.llm.Dedup.incrementalOracle),
+      (s, d) => runToMemorySink(s, d, "st12", "append", table = "documents") {
+        raw =>
+          graft.llm.Dedup.incrementalDedup(
+            Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
+            raw.filter(col("doc_id") % 5 === 0))
       })
   )
 

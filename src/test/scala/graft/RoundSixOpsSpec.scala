@@ -1,0 +1,98 @@
+package graft
+
+import graft.llm.{Dedup, Pipeline, TextAnalysis}
+import graft.relational.ScaleOps
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed cases for the round-6 operators: the distributed
+  * prefix sum, incremental (cross-corpus) dedup, DSIR importance
+  * weighting, and token-budget selection.
+  */
+class RoundSixOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalPrefixSum: matches the single-reducer cumsum on a total order") {
+    // duplicate values force the tiebreak column to carry the ordering;
+    // 8 partitions over 1000 rows exercises range boundaries + offsets
+    val rows = (0 until 1000).map(i => (i.toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("id", "v")
+    val got = ScaleOps.globalPrefixSum(df,
+        order = Seq(col("v").desc, col("id").asc),
+        valueCol = col("v"), outCol = "cum", partitions = 8)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val expected = rows.sortBy { case (id, v) => (-v, id) }
+      .scanLeft((-1L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .drop(1).toMap
+    assert(got === expected)
+  }
+
+  test("globalPrefixSum: survives partitions > rows and rejects clashes") {
+    val df = Seq((1L, 10L), (2L, 5L)).toDF("id", "v")
+    val got = ScaleOps.globalPrefixSum(df, Seq(col("id").asc), col("v"),
+        "cum", partitions = 16)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 10L, 2L -> 15L))
+    val bad = df.withColumnRenamed("v", "__graft_pid")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.globalPrefixSum(bad, Seq(col("id")), col("id"), "cum")
+    }
+    assert(e.getMessage.contains("__graft_pid"))
+  }
+
+  test("globalPrefixSum: plan has no single-partition exchange") {
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val out = ScaleOps.globalPrefixSum(df, Seq(col("id").asc), col("v"), "cum",
+      partitions = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window leaked into the plan:\n$plan")
+  }
+
+  test("incrementalDedup: prefix-fingerprint hit carries the canonical corpus id") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val shared = (1 to 10).map(i => s"w$i") // identical 10-word prefix
+    val corpus = Seq(
+      mk(7L, shared ++ Seq("corpus", "tail")),
+      mk(3L, shared ++ Seq("other", "ending")), // canonical: min id 3
+      mk(9L, Seq("completely", "different", "text"))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(100L, shared ++ Seq("new", "suffix")), // dup (prefix collides)
+      mk(101L, Seq("fresh", "content", "here")) // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id", "dup_in_corpus", "corpus_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(100L) === ((true, 3L)))
+    assert(got(101L) === ((false, -1L)))
+  }
+
+  test("dsirWeights: bucket masses on a single shared word") {
+    // one distinct word -> one bucket: per-occurrence target mass is the
+    // en-doc occurrence count (2), raw mass the corpus count (3)
+    val docs = Seq(
+      (1L, "a a", "en"),
+      (2L, "a", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirWeights(docs, targetLang = "en")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((2L, 4L, 6L, 4.0 / 6.0)))
+    assert(got(2L) === ((1L, 2L, 3L, 2.0 / 3.0)))
+  }
+
+  test("tokenBudgetSelect: longest-first until the budget is spent") {
+    val docs = Seq(
+      (1L, "a b c d e", "en", 9L),   // 5 tokens, longest
+      (2L, "a b c", "en", 5L),       // 3 tokens, second
+      (3L, "a b", "en", 3L)          // 2 tokens, would exceed budget 8
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val kept = Pipeline.tokenBudgetSelect(docs, budget = 8L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept === Map(1L -> 5L, 2L -> 8L))
+  }
+}
