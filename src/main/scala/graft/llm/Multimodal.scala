@@ -219,8 +219,64 @@ object Multimodal {
               |  cast(sum(n_bytes) as bigint) AS bytes,
               |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
               |FROM x GROUP BY format, shard_id""".stripMargin),
-      (s, d) => mediaShards(mediaDF(s, d)))
+      (s, d) => mediaShards(mediaDF(s, d))),
+
+    // m06: perceptual-hash near-dup over DECODED media — the dedup
+    // family extended to the binary column. A 16-bit pHash derives from
+    // the codec's content features (here: the stub checksum; a real
+    // codec supplies DCT-based bits through the same SPI), pairs
+    // generate via the pigeonhole 8-bit-half bucket join (d05's shape
+    // — hamming <= 1 guarantees an intact half; never all-pairs), and
+    // exact hamming filters the candidates. Oracle replays the stub
+    // arithmetic and the same pigeonhole algebra in SQL.
+    QueryDef(
+      "m06_perceptual_neardup",
+      Some(s"""WITH c AS (SELECT doc_id,
+              |    (${TextExprs.duckWordHash("text")}) % 65536 AS ph
+              |  FROM documents),
+              |h AS (SELECT doc_id, ph, ph // 256 AS hi, ph % 256 AS lo FROM c),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.ph AS pa, b.ph AS pb
+              |  FROM h a JOIN h b
+              |    ON a.doc_id < b.doc_id AND (a.hi = b.hi OR a.lo = b.lo))
+              |SELECT doc_a, doc_b, cast(bit_count(xor(pa, pb)) as int) AS hamming
+              |FROM cand WHERE bit_count(xor(pa, pb)) <= 1""".stripMargin),
+      (s, d) => perceptualNearDups(mediaDF(s, d)))
   )
+
+  /** Public API: perceptual-hash near-duplicate pairs over decoded
+    * media (m06). The 16-bit pHash comes from the codec's features;
+    * candidates come from a keyed self-join on the two 8-bit halves
+    * (pigeonhole: hamming <= 1 implies one half equal), exact hamming
+    * only on candidates. One shuffle on the bucket keys — the media
+    * twin of the d05 SimHash chunk join.
+    */
+  def perceptualNearDups(media: DataFrame, codec: MediaCodec = StubMediaCodec,
+      maxHamming: Int = 1, batchSize: Int = 64): DataFrame = {
+    require(maxHamming <= 1,
+      s"the 2-half pigeonhole scheme detects hamming <= 1; got $maxHamming" +
+        " (widen to 4 x 4-bit bands for higher radii)")
+    val s = media.sparkSession
+    import s.implicits._
+    val ph = media.as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val f = codec.decode(r)
+        (f.doc_id, f.checksum % 65536L)
+      })).toDF("doc_id", "ph")
+    val buckets = ph.select(col("doc_id"), col("ph"), explode(expr(
+        "array(struct(0 as bi, ph div 256 as bv), struct(1 as bi, ph % 256 as bv))"))
+        .as("b"))
+      .select(col("doc_id"), col("ph"), col("b.bi"), col("b.bv"))
+    buckets.select(col("doc_id").as("doc_a"), col("ph").as("pa"),
+        col("bi"), col("bv"))
+      .join(buckets.select(col("doc_id").as("doc_b"), col("ph").as("pb"),
+        col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(pa ^ pb) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Shard cap for m05 — small enough that the gate corpus produces
     * multiple shards per modality.

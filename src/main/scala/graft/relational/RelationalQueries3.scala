@@ -32,6 +32,7 @@ object RelationalQueries3 {
 
   private val HourMs = 3600000L
   private val DayMs = 86400000L
+  private val GapMs = 1800000L // q47 session gap: 30 min, matches st02
 
   def all: Seq[QueryDef] = Seq(
 
@@ -563,6 +564,77 @@ object RelationalQueries3 {
               + (month(col("o_orderdate")) - month(col("cohort")))).as("k"))
           .groupBy(col("cohort"), col("k"))
           .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      }),
+
+    // Exact per-group quantiles by rank selection: the value at rank
+    // ceil(q*n) in a total (cents, orderkey) order. Both engines state
+    // the SAME rank formula — no reliance on either engine's
+    // quantile-function indexing convention (they differ), no float
+    // interpolation. Per-group windows bound the sort width; an exact
+    // GLOBAL quantile at 100 TB uses the same rank math over a range
+    // partitioning (globalPrefixSum's layout) instead.
+    QueryDef(
+      "q46_exact_quantiles",
+      Some("""WITH o AS (SELECT o_orderpriority AS pri,
+             |    cast(round(o_totalprice * 100) as bigint) AS cents, o_orderkey
+             |  FROM orders),
+             |r AS (SELECT pri, cents,
+             |    row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY pri) AS n FROM o)
+             |SELECT pri, cast(pct as int) AS pct, cents
+             |FROM r CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS pct) q
+             |WHERE rn = (n * pct + 99) // 100""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderpriority").as("pri"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+          col("o_orderkey"))
+        val w = Window.partitionBy(col("pri"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        val cw = Window.partitionBy(col("pri"))
+        o.select(col("pri"), col("cents"),
+            row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
+          .withColumn("pct", explode(expr("array(25, 50, 75, 95)")))
+          .filter(expr("rn = (n * pct + 99) div 100"))
+          .select(col("pri"), col("pct"), col("cents"))
+      }),
+
+    // Batch sessionization — the batch twin of st02's stateful
+    // streaming sessionizer: per user, a session breaks on >30 min
+    // gaps; session ids are the running count of breaks (the classic
+    // gaps-and-islands pair of windows), then one aggregate per
+    // session. All windows are user-bounded; the same 30-min constant
+    // as the streaming path.
+    QueryDef(
+      "q47_batch_sessions",
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+              |x AS (SELECT user_id, event_id, ms,
+              |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+              |        ORDER BY ms, event_id) > $GapMs THEN 1 ELSE 0 END AS brk
+              |  FROM e),
+              |s AS (SELECT user_id, ms,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              |      ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+              |  FROM x)
+              |SELECT user_id, cast(session_id as int) AS session_id,
+              |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+              |FROM s GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val ord = Seq(col("ms"), col("event_id"))
+        val wl = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        val wc = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+          .withColumn("brk",
+            when(col("ms") - lag(col("ms"), 1).over(wl) > GapMs, 1)
+              .otherwise(0))
+          .withColumn("session_id", (sum(col("brk")).over(wc) + 1).cast("int"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
       })
   )
 

@@ -459,6 +459,44 @@ object StateQueries {
         }.reduce(_ unionAll _)
       }),
 
+    // Dialect MIGRATION: state written by a Flink 1.7 job (Flink-dialect
+    // container: Checkpoints-header `_metadata`, serialization proxy,
+    // flag-bit runs, snappy framing) moves into a graft-dialect
+    // savepoint by raw-row copy-through — KeyedStateRow is
+    // dialect-NEUTRAL (stateName + framed key/value bytes), so
+    // migration is a container rewrite, never a value transcode. The
+    // migrated savepoint reloads via magic-sniffing and must decode to
+    // the same relation the Flink-side write started from.
+    QueryDef(
+      "sp17_dialect_migration",
+      Some("""SELECT c_name AS key,
+             |  cast(round(c_acctbal * 100) as bigint) AS cents
+             |FROM customer""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val bal = Catalog.t(s, d, "customer")
+          .select(col("c_name"),
+            expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+          .as[(String, Long)]
+        val metaF = Savepoints
+          .writer(s, Savepoints.bootstrap("mig-op", 4, 128), "mig-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(Codecs.FlinkStringCodec)
+          .createNewValueState("Balance", bal, LongCodec)
+          .writeAll(tmp("graft-sp17f"))
+        val raw = Savepoints.reader(s, Savepoints.load(metaF.basePath), "mig-op")
+          .getAllUnreadKeyedStateRows
+        val metaG = Savepoints
+          .writer(s, Savepoints.bootstrap("mig-op", 4, 128), "mig-op")
+          .withKeyCodec(Codecs.FlinkStringCodec)
+          .defineState(StateMeta("Balance", StateKind.Value, "long"))
+          .addKeyedStateRows(raw)
+          .writeAll(tmp("graft-sp17g"))
+        Savepoints.reader(s, Savepoints.load(metaG.basePath), "mig-op")
+          .readValueStates[String, Long]("Balance")
+          .toDF("key", "cents")
+      }),
+
     // Savepoint MERGE: two independently-written savepoints (think: two
     // jobs' state, or a region split being consolidated) combine into
     // ONE new operator carrying both states — raw rows from both

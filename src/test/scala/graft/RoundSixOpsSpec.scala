@@ -85,6 +85,32 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(got(2L) === ((1L, 2L, 3L, 2.0 / 3.0)))
   }
 
+  test("perceptualNearDups: pigeonhole finds hamming<=1 pairs, rejects radius>1") {
+    import graft.llm.Multimodal
+    // inject a codec whose checksum IS the pHash we want per doc
+    val fixed = new Multimodal.MediaCodec {
+      def decode(r: Multimodal.MediaRow): Multimodal.MediaFeatures =
+        Multimodal.MediaFeatures(r.doc_id, r.format, 0L, 0, 0, 0,
+          checksum = r.doc_id match {
+            case 1L => 0x00FFL // vs doc 2: hamming 1 (bit 0)
+            case 2L => 0x00FEL
+            case 3L => 0x0F00L // vs 1/2: hamming >1 but shares hi half 0x00? no: hi=0x0F
+            case _  => 0xAAAAL
+          })
+    }
+    val media = Seq(
+      (1L, "png", Array[Byte](1)), (2L, "png", Array[Byte](2)),
+      (3L, "png", Array[Byte](3)), (4L, "png", Array[Byte](4))
+    ).toDF("doc_id", "format", "payload")
+    val got = Multimodal.perceptualNearDups(media, fixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1)))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.perceptualNearDups(media, fixed, maxHamming = 2)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("tokenBudgetSelect: longest-first until the budget is spent") {
     val docs = Seq(
       (1L, "a b c d e", "en", 9L),   // 5 tokens, longest
