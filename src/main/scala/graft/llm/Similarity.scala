@@ -43,8 +43,62 @@ object Similarity {
     QueryDef("s06_pq_encode", Some(pqOracle), pqSpark),
     QueryDef("s09_filtered_ann", Some(filteredAnnOracle), filteredAnnSpark),
     QueryDef("s10_multiprobe_ann", Some(multiProbeOracle), multiProbeSpark),
+    QueryDef("s11_knn_graph", Some(knnGraphOracle), (s, d) =>
+      knnGraph(Catalog.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), KnnK)),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // ----------------------------------------------------- k-NN graph
+
+  private val KnnK = 3
+
+  /** k-NN graph construction over the banded sign-LSH candidate set:
+    * symmetrize the candidate pairs, then keep each node's top-k
+    * neighbors by exact cosine (dst tiebreak). The input of SemDeDup-
+    * style pruning and graph-based curation — and the standard
+    * scalable approximation of the quadratic exact k-NN graph: every
+    * stage is the already-gated d06 candidate machinery plus one
+    * node-keyed window.
+    */
+  def knnGraph(vecs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = embeddingNearDups(vecs, minCosine = -1.0)
+    val sym = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cosine"))
+      .unionAll(pairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cosine")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rank"))
+  }
+
+  private def knnGraphOracle: String = {
+    val pl = planesN(NdBands * NdRowBits)
+    val bandSelects = (0 until NdBands).map { b =>
+      val bits = (0 until NdRowBits).map { j =>
+        val p = pl(b * NdRowBits + j).mkString("[", ", ", "]")
+        s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |n AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v),
+       |k AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |p AS (SELECT vec_a, vec_b,
+       |    ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
+       |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b),
+       |sym AS (SELECT vec_a AS src, vec_b AS dst, cosine FROM p
+       |  UNION ALL SELECT vec_b, vec_a, cosine FROM p),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst ASC) AS rank FROM sym)
+       |SELECT src, dst, cosine, cast(rank as int) AS rank
+       |FROM r WHERE rank <= $KnnK""".stripMargin
+  }
 
   // --------------------------------------------------- multi-probe ANN
 

@@ -463,8 +463,65 @@ object TextAnalysis {
            |    AS importance
            |FROM doc""".stripMargin
       },
-      (s, d) => dsirWeights(Catalog.t(s, d, "documents"), targetLang = "en"))
+      (s, d) => dsirWeights(Catalog.t(s, d, "documents"), targetLang = "en")),
+
+    // PMI-style collocation mining: adjacent-word pairs scored by lift
+    // = P(w1,w2) / (P(w1) P(w2)), the classic corpus-linguistics
+    // signal for multiword expressions. No logs — the ratio itself is
+    // one shared double formula over exact integer counts, so the
+    // top-20 (lift, w1, w2) ordering is engine-identical. Count
+    // aggregates are map-side partial; the min-count floor bounds the
+    // join fan-in.
+    QueryDef(
+      "t21_pmi_collocations",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS ww FROM documents),
+              |u AS (SELECT unnest(ww) AS x FROM d),
+              |uc AS (SELECT x, count(*) AS c FROM u GROUP BY x),
+              |bg AS (SELECT unnest(list_transform(range(1, len(ww)),
+              |    k -> {'w1': ww[k], 'w2': ww[k + 1]}), recursive := true)
+              |  FROM d),
+              |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+              |  HAVING count(*) >= $PmiMinCount),
+              |t AS (SELECT (SELECT cast(sum(c) as bigint) FROM uc) AS nu,
+              |    (SELECT count(*) FROM bg) AS nb)
+              |SELECT w1, w2, c12, a.c AS c1, b.c AS c2,
+              |  (cast(c12 as double) * cast(nu as double) * cast(nu as double))
+              |    / (cast(a.c as double) * cast(b.c as double)
+              |       * cast(nb as double)) AS lift
+              |FROM bc JOIN uc a ON a.x = w1 JOIN uc b ON b.x = w2, t
+              |ORDER BY lift DESC, w1, w2 LIMIT $PmiTopK""".stripMargin),
+      (s, d) => pmiCollocations(Catalog.t(s, d, "documents")))
   )
+
+  private val PmiMinCount = 5L
+  private val PmiTopK = 20
+
+  /** Top-k adjacent-word collocations by PMI lift. The unigram/bigram
+    * count tables are map-side-combinable aggregates; the two count
+    * joins key on single words (AQE broadcasts the filtered bigram
+    * side when small); the global totals ride a broadcast 1-row cross
+    * join. Top-k is a deterministic (lift, w1, w2) order + limit.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = PmiMinCount,
+      k: Int = PmiTopK): DataFrame = {
+    val words = docs.withColumn("w", split(col("text"), " "))
+    val uni = words.select(explode(col("w")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("c"))
+    val bg = words.select(explode(expr(sparkBigrams)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("nu"))
+      .crossJoin(bg.agg(count(lit(1)).as("nb")))
+    bc.join(uni.select(col("x").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("x").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", expr(
+        "(cast(c12 as double) * cast(nu as double) * cast(nu as double))" +
+          " / (cast(c1 as double) * cast(c2 as double) * cast(nb as double))"))
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+      .select("w1", "w2", "c12", "c1", "c2", "lift")
+  }
 
   // Hashed-classifier model constants: bucket count and the
   // multiplicative stand-in weights (Knuth constant spreads bucket ->
