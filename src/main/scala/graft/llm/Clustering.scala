@@ -43,6 +43,9 @@ object Clustering {
     QueryDef("c01_kmeans_step", Some(kmeansOracle), kmeansSpark),
     QueryDef("c02_kmeans_train", Some(kmeansTrainOracle), kmeansTrainSpark),
     QueryDef("c03_cluster_eval", Some(clusterEvalOracle), clusterEvalSpark),
+    QueryDef("c04_kmeanspp_seed", Some(seedOracle), (s, d) =>
+      kmeansppSeed(Catalog.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), SeedK)),
     QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
     QueryDef("s08_adc_rerank", Some(rerankOracle), rerankSpark),
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark)
@@ -79,6 +82,67 @@ object Clustering {
         sum(expr(s"cast(round(x * $MeanFx) as bigint)")).as("sum_fx"))
       .select(col("cid"), col("dim"), col("n_members"),
         expr("sum_fx div n_members").as("mean_fx"))
+  }
+
+  // ------------------------------------------------- maximin seeding
+
+  private val SeedK = 4
+
+  /** Deterministic farthest-point (k-means++-style maximin) seeding
+    * under cosine similarity: seed 1 is the minimum vec_id; each next
+    * seed is the vector whose MAXIMUM cosine to the chosen set is
+    * smallest (vec_id tie-break) — the spread-out initialization c01/
+    * c02 consume. Each round is one broadcast join against the
+    * k-row seed set + a 1-row argmin collect; the corpus itself never
+    * shuffles, so rounds cost a scan each and k stays driver-sized.
+    */
+  def kmeansppSeed(vecs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val s = vecs.sparkSession
+    import s.implicits._
+    require(k >= 1, s"need at least one seed, got $k")
+    val v = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+      .withColumn("vn", expr(s"sqrt(${sparkDot("va", "va")})"))
+      .localCheckpoint(true)
+    val first = v.agg(min(col("vec_id"))).as[Long].head()
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.size < k) {
+      val sdf = v.filter(col("vec_id").isin(chosen.toSeq: _*))
+        .select(col("va").as("sa"), col("vn").as("sn"))
+      val next = v.crossJoin(broadcast(sdf))
+        .select(col("vec_id"),
+          expr(s"${sparkDot("va", "sa")} / (vn * sn)").as("cos"))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("mx"))
+        .orderBy(col("mx").asc, col("vec_id").asc)
+        .limit(1).select("vec_id").as[Long].head()
+      chosen += next
+    }
+    chosen.toSeq.zipWithIndex
+      .map { case (id, i) => (i + 1, id) }
+      .toDF("rank", "vec_id")
+  }
+
+  private def seedOracle: String = {
+    val dot = duckDot("v.va", "s.va")
+    val rounds = (1 until SeedK).map { i =>
+      s"""m$i AS (SELECT v.vec_id AS vid, max($dot / (v.vn * s.vn)) AS mx
+         |  FROM v, seeds$i s GROUP BY v.vec_id),
+         |p$i AS (SELECT vid FROM m$i ORDER BY mx ASC, vid ASC LIMIT 1),
+         |seeds${i + 1} AS (SELECT * FROM seeds$i
+         |  UNION ALL SELECT v.* FROM v, p$i WHERE v.vec_id = vid)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 until SeedK)
+      .map(i => s"UNION ALL SELECT cast(${i + 1} as int), vid FROM p$i")
+      .mkString("\n")
+    s"""WITH v0 AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS vn FROM v0),
+       |seeds1 AS (SELECT vec_id, va, vn FROM v
+       |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       |$rounds
+       |SELECT cast(1 as int) AS rank, vec_id FROM seeds1
+       |$outs""".stripMargin
   }
 
   private def kmeansOracle: String =

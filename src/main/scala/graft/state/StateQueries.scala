@@ -267,6 +267,37 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // W9 in the DOWN direction: consolidation onto a smaller cluster
+    // (512 key groups / 2-byte prefixes → 64 key groups / 1-byte
+    // prefixes). The write path recomputes every key group from the
+    // raw key bytes under the NEW maxParallelism, so shrink is the
+    // same job as sp09's grow — including the prefix-width change the
+    // C5 rule implies. Oracle: the state's defining SQL, unchanged.
+    QueryDef(
+      "sp18_rescale_down",
+      Some("SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey"),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("shrink-op", parallelism = 16,
+            maxParallelism = 512), "shrink-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp18a"))
+        val rows = Savepoints.reader(s, Savepoints.load(meta1.basePath), "shrink-op")
+          .getAllUnreadKeyedStateRows
+        val meta2 = Savepoints.writer(s, Savepoints.load(meta1.basePath), "shrink-op")
+          .addKeyedStateRows(rows)
+          .withParallelism(2, 64)
+          .writeAll(tmp("graft-sp18b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "shrink-op")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // S8/S11 through the hash gate: NON-KEYED broadcast state written
     // in the Flink dialect, magic-sniff loaded, projected back to rows.
     // The driver-side model is the reference's own contract (non-keyed
