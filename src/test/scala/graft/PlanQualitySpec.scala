@@ -171,6 +171,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx > joinIdx, p)
   }
 
+  test("d17 incremental dedup aggregates the corpus index below the join") {
+    // the corpus side must reduce to (fingerprint, min_id) BEFORE the
+    // join — partial+final HashAggregate phases — and the join itself
+    // must be keyed, never a nested loop: the historical corpus is the
+    // unbounded side at 100 TB
+    val p = plan("d17_incremental_dedup")
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s11 knn graph joins only on bucket keys and vec ids") {
+    val p = plan("s11_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t20 importance scoring is a shuffle-free narrow map") {
+    // the bucket model inlines as literals (pass 1 collects <= HashDim
+    // rows while BUILDING the plan); the returned scoring plan itself
+    // must not shuffle at corpus width
+    assert(count(plan("t20_importance_weights"), "Exchange") == 0)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
