@@ -65,6 +65,9 @@ object Dedup {
       (s, d) => incrementalDedup(
         Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
         Catalog.t(s, d, "documents").filter(col("doc_id") % 5 === 0))),
+    QueryDef("d18_dup_rate_by_source", Some(dupBySourceOracle),
+      (s, d) => dupRateBySource(minhashShared(s, d)._1,
+        Catalog.t(s, d, "documents"))),
     QueryDef("d04_simhash", Some(simhashOracle),
       (s, d) => simhashFingerprints(Catalog.t(s, d, "documents"))),
     QueryDef("d05_simhash_pairs", Some(simhashPairsOracle),
@@ -330,6 +333,31 @@ object Dedup {
   private def minhashOracle: String =
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, est_sim FROM p""".stripMargin
+
+  /** Near-dup provenance rollup: LSH candidate pairs attributed to the
+    * unordered (source, source) pair of their endpoints — "where is my
+    * duplication coming from", the report that decides which feeds get
+    * de-prioritized. Rides the shared memoized pairs; the doc→source
+    * joins key on doc ids and the rollup is a tiny keyed aggregate.
+    */
+  def dupRateBySource(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def dupBySourceOracle: String =
+    s"""WITH $minhashCtes,
+       |j AS (SELECT least(a.source, b.source) AS source_a,
+       |    greatest(a.source, b.source) AS source_b
+       |  FROM p JOIN documents a ON p.doc_a = a.doc_id
+       |  JOIN documents b ON p.doc_b = b.doc_id)
+       |SELECT source_a, source_b, count(*) AS n_pairs
+       |FROM j GROUP BY 1, 2""".stripMargin
 
   /** Public API: MinHash estimator quality — every d02 LSH candidate
     * pair annotated with its EXACT shingle Jaccard and the estimation

@@ -490,8 +490,85 @@ object TextAnalysis {
               |       * cast(nb as double)) AS lift
               |FROM bc JOIN uc a ON a.x = w1 JOIN uc b ON b.x = w2, t
               |ORDER BY lift DESC, w1, w2 LIMIT $PmiTopK""".stripMargin),
-      (s, d) => pmiCollocations(Catalog.t(s, d, "documents")))
+      (s, d) => pmiCollocations(Catalog.t(s, d, "documents"))),
+
+    // Classifier threshold sweep: the t14 hashed linear scorer evaluated
+    // against a deterministic gold label (lang = 'en') at five decision
+    // thresholds — confusion counts plus precision/recall, the
+    // calibration report a quality-filter rollout reads before picking
+    // its cut. Exact integer counts; thresholds are integer percents so
+    // neither engine touches decimal literals.
+    QueryDef(
+      "t22_classifier_eval",
+      Some {
+        val wt = s"((((${duckWordHash("x")}) % $HashDim) * $WeightMul) " +
+          s"% $WeightMod) - $WeightOff"
+        s"""WITH w AS (SELECT doc_id, unnest($duckWords) AS x FROM documents),
+           |sc AS (SELECT doc_id, cast(sum($wt) as bigint) AS score_fx,
+           |    count(*) AS n_words FROM w GROUP BY doc_id),
+           |s2 AS (SELECT d.doc_id,
+           |    cast(score_fx as double)
+           |      / (cast($WeightOff as double) * cast(n_words as double)) AS s,
+           |    d.lang = 'en' AS gold
+           |  FROM sc JOIN documents d USING (doc_id)),
+           |t AS (SELECT unnest([$EvalThresholds]) AS thr_pct),
+           |x AS (SELECT thr_pct,
+           |    sum(CASE WHEN s * cast(100 as double) >= cast(thr_pct as double)
+           |        AND gold THEN 1 ELSE 0 END) AS tp,
+           |    sum(CASE WHEN s * cast(100 as double) >= cast(thr_pct as double)
+           |        AND NOT gold THEN 1 ELSE 0 END) AS fp,
+           |    sum(CASE WHEN s * cast(100 as double) < cast(thr_pct as double)
+           |        AND gold THEN 1 ELSE 0 END) AS fn,
+           |    sum(CASE WHEN s * cast(100 as double) < cast(thr_pct as double)
+           |        AND NOT gold THEN 1 ELSE 0 END) AS tn
+           |  FROM s2, t GROUP BY thr_pct)
+           |SELECT cast(thr_pct as int) AS thr_pct, cast(tp as bigint) AS tp,
+           |  cast(fp as bigint) AS fp, cast(fn as bigint) AS fn,
+           |  cast(tn as bigint) AS tn,
+           |  CASE WHEN tp + fp = 0 THEN NULL
+           |    ELSE cast(tp as double) / cast(tp + fp as double) END AS prec,
+           |  CASE WHEN tp + fn = 0 THEN NULL
+           |    ELSE cast(tp as double) / cast(tp + fn as double) END AS rec
+           |FROM x""".stripMargin
+      },
+      (s, d) => classifierEval(Catalog.t(s, d, "documents")))
   )
+
+  private val EvalThresholds = "-20, -10, 0, 10, 20"
+
+  /** Threshold sweep of the t14 scorer vs the `lang = 'en'` gold label:
+    * one narrow scoring pass (the t14 in-scan fold), then a 5-way
+    * threshold explode and ONE confusion aggregate — map-side partial,
+    * output rows = thresholds. Precision/recall guard their zero
+    * denominators with the same CASE in both engines.
+    */
+  def classifierEval(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scored = hashClassifier(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"),
+        expr(s"cast(score_fx as double) / (cast($WeightOff as double)" +
+          " * cast(n_words as double))").as("s"),
+        (col("lang") === "en").as("gold"))
+    scored
+      .withColumn("thr_pct", explode(expr(s"array($EvalThresholds)")))
+      .groupBy(col("thr_pct"))
+      .agg(
+        sum(expr("CASE WHEN s * cast(100 as double) >= cast(thr_pct as double)" +
+          " AND gold THEN 1 ELSE 0 END")).as("tp"),
+        sum(expr("CASE WHEN s * cast(100 as double) >= cast(thr_pct as double)" +
+          " AND NOT gold THEN 1 ELSE 0 END")).as("fp"),
+        sum(expr("CASE WHEN s * cast(100 as double) < cast(thr_pct as double)" +
+          " AND gold THEN 1 ELSE 0 END")).as("fn"),
+        sum(expr("CASE WHEN s * cast(100 as double) < cast(thr_pct as double)" +
+          " AND NOT gold THEN 1 ELSE 0 END")).as("tn"))
+      .select(col("thr_pct").cast("int").as("thr_pct"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN NULL" +
+          " ELSE cast(tp as double) / cast(tp + fp as double) END").as("prec"),
+        expr("CASE WHEN tp + fn = 0 THEN NULL" +
+          " ELSE cast(tp as double) / cast(tp + fn as double) END").as("rec"))
+  }
 
   private val PmiMinCount = 5L
   private val PmiTopK = 20
