@@ -333,8 +333,48 @@ object Pipeline {
               |SELECT doc_id, lang, n_chars, n_tokens,
               |  cast(cum as bigint) AS cum_tokens
               |FROM c WHERE cum <= $TokenBudget""".stripMargin),
-      (s, d) => tokenBudgetSelect(Catalog.t(s, d, "documents"), TokenBudget))
+      (s, d) => tokenBudgetSelect(Catalog.t(s, d, "documents"), TokenBudget)),
+
+    // Deterministic per-epoch global shuffle: every epoch orders the
+    // corpus by md5(epoch || '-' || doc_id) — reproducible, seedable,
+    // and different each epoch, which is exactly what a training run
+    // wants from its data order. The global position comes from
+    // globalPrefixSum over a count-of-ones (rank without a
+    // single-reducer window; the oracle states the window form), with
+    // per-epoch positions recovered by subtracting the epoch offset.
+    QueryDef(
+      "p13_epoch_shuffle",
+      Some(s"""WITH e AS (SELECT doc_id, unnest(range(0, $ShuffleEpochs))
+              |    AS epoch FROM documents),
+              |o AS (SELECT epoch, doc_id,
+              |    md5(epoch || '-' || doc_id) AS ord FROM e),
+              |r AS (SELECT epoch, doc_id, row_number() OVER (
+              |    PARTITION BY epoch ORDER BY ord, doc_id) AS pos FROM o)
+              |SELECT cast(epoch as int) AS epoch, doc_id,
+              |  cast(pos as bigint) AS pos FROM r""".stripMargin),
+      (s, d) => epochShuffle(Catalog.t(s, d, "documents"), ShuffleEpochs))
   )
+
+  private val ShuffleEpochs = 2
+
+  /** Reproducible per-epoch corpus order (see p13). One row per
+    * (epoch, doc); the rank runs as ONE globalPrefixSum over the total
+    * (epoch, md5, doc_id) order — scale-safe for any corpus — and the
+    * per-epoch position subtracts `epoch * corpus_size`, valid because
+    * every epoch permutes the identical doc set.
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int): DataFrame = {
+    val n = docs.count()
+    val o = docs.select(col("doc_id"))
+      .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
+      .withColumn("ord",
+        md5(concat_ws("-", col("epoch"), col("doc_id")).cast("binary")))
+    graft.relational.ScaleOps.globalPrefixSum(o,
+        order = Seq(col("epoch").asc, col("ord").asc, col("doc_id").asc),
+        valueCol = lit(1L), outCol = "cum")
+      .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+        (col("cum") - col("epoch").cast("long") * n).as("pos"))
+  }
 
   /** Longest-first document selection under a global token budget: an
     * inclusive corpus-wide running token total in (n_chars desc, doc_id)
