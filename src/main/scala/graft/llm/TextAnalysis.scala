@@ -357,28 +357,29 @@ object TextAnalysis {
     // cross-engine exact; n_unseen counts out-of-model bigrams.
     QueryDef(
       "t15_perplexity",
-      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
-              |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-              |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true) FROM d),
-              |c AS (SELECT w1, w2, count(*) AS cnt FROM bg
-              |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-              |tot AS (SELECT w1, cast(sum(cnt) as bigint) AS tot FROM c GROUP BY 1),
-              |v AS (SELECT count(*) AS v FROM
-              |  (SELECT DISTINCT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)),
-              |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
-              |    cast(sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unseen,
-              |    cast(sum(cast(round((cast(coalesce(c.cnt, 0) + 1 as double)
-              |      / cast(coalesce(tot.tot, 0) + v.v as double)) * $PplFx) as bigint))
-              |      as bigint) AS score_fx
-              |  FROM bg LEFT JOIN c ON bg.w1 = c.w1 AND bg.w2 = c.w2
-              |  LEFT JOIN tot ON bg.w1 = tot.w1 CROSS JOIN v
-              |  GROUP BY bg.doc_id)
-              |SELECT d2.doc_id,
-              |  cast(coalesce(n_bigrams, 0) as bigint) AS n_bigrams,
-              |  cast(coalesce(n_unseen, 0) as bigint) AS n_unseen,
-              |  cast(coalesce(score_fx, 0) as bigint) AS score_fx
-              |FROM documents d2 LEFT JOIN sc ON d2.doc_id = sc.doc_id""".stripMargin),
+      Some(s"""WITH $perplexityCtes
+              |SELECT doc_id, n_bigrams, n_unseen, score_fx FROM px""".stripMargin),
       (s, d) => heldOutBigramScore(Catalog.t(s, d, "documents"))),
+
+    // CCNet-style perplexity tiers: per language, docs split into
+    // head/middle/tail terciles by LM score rank — the bucketing CCNet
+    // uses to keep the well-modeled third and discard boilerplate. The
+    // tier boundary is exact integer rank math over the t15 scores, so
+    // the report is engine-identical.
+    QueryDef(
+      "t23_perplexity_tiers",
+      Some(s"""WITH $perplexityCtes,
+              |l AS (SELECT px.doc_id, d3.lang, score_fx FROM px
+              |  JOIN documents d3 ON px.doc_id = d3.doc_id),
+              |r AS (SELECT doc_id, lang, score_fx,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY score_fx DESC, doc_id) AS rn,
+              |    count(*) OVER (PARTITION BY lang) AS n FROM l)
+              |SELECT lang, cast((rn - 1) * 3 // n as int) AS tier,
+              |  count(*) AS n_docs, min(score_fx) AS min_fx,
+              |  max(score_fx) AS max_fx
+              |FROM r GROUP BY 1, 2""".stripMargin),
+      (s, d) => perplexityTiers(Catalog.t(s, d, "documents"))),
 
     // BPE tokenizer training: BpeRounds merge rounds over the corpus
     // vocabulary — each round counts adjacent symbol pairs (weighted by
@@ -533,6 +534,53 @@ object TextAnalysis {
       },
       (s, d) => classifierEval(Catalog.t(s, d, "documents")))
   )
+
+  /** The t15 scoring chain through `px` (per-doc bigram-LM fixed-point
+    * scores, zero-filled for short docs) — shared by the t15 oracle and
+    * the t23 tier report.
+    */
+  private def perplexityCtes: String =
+    s"""d AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true) FROM d),
+       |c AS (SELECT w1, w2, count(*) AS cnt FROM bg
+       |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |tot AS (SELECT w1, cast(sum(cnt) as bigint) AS tot FROM c GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM
+       |  (SELECT DISTINCT unnest(w) AS x FROM d WHERE doc_id % 2 = 0)),
+       |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+       |    cast(sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) as bigint) AS n_unseen,
+       |    cast(sum(cast(round((cast(coalesce(c.cnt, 0) + 1 as double)
+       |      / cast(coalesce(tot.tot, 0) + v.v as double)) * $PplFx) as bigint))
+       |      as bigint) AS score_fx
+       |  FROM bg LEFT JOIN c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+       |  LEFT JOIN tot ON bg.w1 = tot.w1 CROSS JOIN v
+       |  GROUP BY bg.doc_id),
+       |px AS (SELECT d2.doc_id,
+       |    cast(coalesce(n_bigrams, 0) as bigint) AS n_bigrams,
+       |    cast(coalesce(n_unseen, 0) as bigint) AS n_unseen,
+       |    cast(coalesce(score_fx, 0) as bigint) AS score_fx
+       |  FROM documents d2 LEFT JOIN sc ON d2.doc_id = sc.doc_id)""".stripMargin
+
+  /** Per-language perplexity terciles over the t15 scores (see t23):
+    * one rank window per language (group-bounded), exact integer tier
+    * math, and a tiny (lang, tier) report aggregate.
+    */
+  def perplexityTiers(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = heldOutBigramScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+    val cw = Window.partitionBy(col("lang"))
+    scored
+      .select(col("doc_id"), col("lang"), col("score_fx"),
+        row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
+      .withColumn("tier", expr("cast((rn - 1) * 3 div n as int)"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), min(col("score_fx")).as("min_fx"),
+        max(col("score_fx")).as("max_fx"))
+  }
 
   private val EvalThresholds = "-20, -10, 0, 10, 20"
 
