@@ -121,4 +121,46 @@ class RoundSixOpsSpec extends AnyFunSuite {
       .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
     assert(kept === Map(1L -> 5L, 2L -> 8L))
   }
+
+  test("kmeansppSeed: spreads across separated directions, min-id tie-breaks") {
+    import graft.llm.Clustering
+    // three tight direction clusters; seed 1 = min id (10, cluster A);
+    // the next two must come from the OTHER clusters before any
+    // within-cluster vector repeats
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)), (11L, Array(0.99f, 0.01f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f)), (21L, Array(0.0f, 0.99f, 0.01f)),
+      (30L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Clustering.kmeansppSeed(vecs, k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(seeds.head === 10L)
+    assert(seeds.toSet.intersect(Set(20L, 21L)).size === 1)
+    assert(seeds.contains(30L))
+  }
+
+  test("epochShuffle: each epoch is a full permutation with distinct orders") {
+    val docs = (0 until 50).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = Pipeline.epochShuffle(docs, epochs = 2)
+      .select("epoch", "doc_id", "pos")
+      .as[(Int, Long, Long)].collect()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to 50L)) // exact 1..n ranks
+      assert(rows.map(_._2).toSet.size === 50)            // every doc once
+    }
+    val order0 = byEpoch(0).sortBy(_._3).map(_._2).toSeq
+    val order1 = byEpoch(1).sortBy(_._3).map(_._2).toSeq
+    assert(order0 !== order1, "epochs must permute differently")
+  }
+
+  test("perplexityTiers: terciles split 6 docs per lang as 2/2/2") {
+    import graft.llm.TextAnalysis
+    val docs = (1 to 6).map(i =>
+      (i.toLong, (s"w$i " * (i + 1)).trim, "en")).toDF("doc_id", "text", "lang")
+    val tiers = TextAnalysis.perplexityTiers(docs)
+      .select("tier", "n_docs").as[(Int, Long)].collect().toMap
+    assert(tiers === Map(0 -> 2L, 1 -> 2L, 2 -> 2L))
+  }
 }
