@@ -46,8 +46,63 @@ object Similarity {
     QueryDef("s11_knn_graph", Some(knnGraphOracle), (s, d) =>
       knnGraph(Catalog.t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding")), KnnK)),
+    QueryDef("s12_hard_negatives", Some(hardNegOracle), (s, d) => {
+      val e = Catalog.t(s, d, "embeddings")
+      hardNegatives(
+        e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("label"), col("embedding")),
+        e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding")),
+        TopK)
+    }),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
   )
+
+  // ----------------------------------------------- hard-negative mining
+
+  /** Per-query top-k most-similar candidates with a DIFFERENT label —
+    * the hard negatives contrastive embedding training feeds on (s09's
+    * filtered top-k with the label predicate inverted). Queries are the
+    * small broadcast side by contract (s01's shape), candidates stream
+    * embarrassingly parallel; the label-inequality join is the
+    * broadcast-side filter, never a shuffle key.
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query_id"), col("label"),
+      col("embedding").as("qa"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+    val c = candidates.select(col("neighbor_id"),
+      col("label").as("neg_label"), col("embedding").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q)
+      .join(c, col("label") =!= col("neg_label"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "label", "neg_label", "cosine", "rn")
+  }
+
+  private def hardNegOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label,
+       |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |qn AS (SELECT query_id, label, qa, sqrt(${duckDot("qa", "qa")}) AS qn FROM q),
+       |c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
+       |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
+       |cn AS (SELECT neighbor_id, neg_label, ca, sqrt(${duckDot("ca", "ca")}) AS cn
+       |  FROM c),
+       |p AS (SELECT query_id, neighbor_id, label, neg_label,
+       |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
+       |  FROM qn JOIN cn ON label <> neg_label),
+       |r AS (SELECT query_id, neighbor_id, label, neg_label, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
+       |SELECT query_id, neighbor_id, label, neg_label, cosine, rn
+       |FROM r WHERE rn <= $TopK""".stripMargin
 
   // ----------------------------------------------------- k-NN graph
 
