@@ -89,6 +89,11 @@ object ScaleOps {
     * `order` must be a TOTAL order (include a unique tiebreak column):
     * the result is then independent of where range boundaries land.
     * Output = input columns + `outCol` (inclusive running total).
+    *
+    * The sorted layout is pinned with `localCheckpoint(true)` so phases
+    * 2 and 3 observe the SAME partitioning; the checkpoint blocks back
+    * the returned DataFrame and are reclaimed by Spark's ContextCleaner
+    * once the result is no longer referenced.
     */
   def globalPrefixSum(
       df: DataFrame,
