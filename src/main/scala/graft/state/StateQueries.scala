@@ -490,6 +490,42 @@ object StateQueries {
         }.reduce(_ unionAll _)
       }),
 
+    // P7 through the hash gate: a WINDOW operator's accumulated state —
+    // "window-contents" rows whose namespace bytes are real Flink
+    // TimeWindow (start, end) pairs — written, reloaded, and read back
+    // WITH the window bounds. The reference reads exactly this state
+    // (WindowStateReadingTest.java:65-75); here the decoded relation
+    // must hash-match the hourly SQL the windows represent.
+    QueryDef(
+      "sp19_window_state",
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ms(cast(ts as timestamp)) // 3600000 AS hr
+             |  FROM events WHERE user_id < 50)
+             |SELECT user_id AS key, hr * 3600000 AS window_start,
+             |  (hr + 1) * 3600000 AS window_end, count(*) AS cnt
+             |FROM e GROUP BY user_id, hr""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val rows = Catalog.t(s, d, "events").filter(col("user_id") < 50)
+          .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+          .groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+          .as[(Long, Long, Long)]
+          .map { case (k, hr, v) =>
+            StateQueries.windowRow(k, hr * 3600000L, (hr + 1) * 3600000L, v, maxPar)
+          }
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("win-op", 4, maxPar), "win-op")
+          .withKeyCodec(LongCodec)
+          .defineState(StateMeta(OperatorStateReader.WindowContents,
+            StateKind.Value, "long", None, Codecs.FlinkTimeWindowCodec.id))
+          .addKeyedStateRows(rows)
+          .writeAll(tmp("graft-sp19"))
+        Savepoints.reader(s, Savepoints.load(meta.basePath), "win-op")
+          .readWindowStatesWithBounds[Long, Long]()
+          .toDF("key", "window_start", "window_end", "cnt")
+      }),
+
     // Dialect MIGRATION: state written by a Flink 1.7 job (Flink-dialect
     // container: Checkpoints-header `_metadata`, serialization proxy,
     // flag-bit runs, snappy framing) moves into a graft-dialect
@@ -679,6 +715,19 @@ object StateQueries {
     LongCodec.write(w, key)
     Codecs.VoidNamespaceCodec.write(w, ())
     KeyedStateRow(name, w.toBytes, value)
+  }
+
+  /** Window-state row: [prefix][key][TimeWindow(start,end) namespace]
+    * with a plain value payload (reference window-contents layout).
+    */
+  private[state] def windowRow(key: Long, start: Long, end: Long,
+      value: Long, maxPar: Int): KeyedStateRow = {
+    val w = new ByteWriter()
+    KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, maxPar), maxPar)
+    LongCodec.write(w, key)
+    Codecs.FlinkTimeWindowCodec.write(w, (start, end))
+    KeyedStateRow(OperatorStateReader.WindowContents, w.toBytes,
+      LongCodec.toBytes(value))
   }
 
   /** Map-state row: [prefix][key][namespace][mapKey] + null-marked value
