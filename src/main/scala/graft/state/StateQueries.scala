@@ -490,6 +490,39 @@ object StateQueries {
         }.reduce(_ unionAll _)
       }),
 
+    // P8/W3 through the hash gate: schema evolution of a live state —
+    // the reference's ValueStateTypeChangeTest use-case. A long counter
+    // state is read, transformed to a formatted STRING, and re-written
+    // with createNewValueState replacing the state's serializer; the
+    // reloaded savepoint must decode the new type. Oracle = the SQL of
+    // the transform.
+    QueryDef(
+      "sp20_type_migration",
+      Some("""SELECT o_custkey AS key,
+             |  'count=' || cast(count(*) as varchar) AS label
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("typed-op", 4, 128), "typed-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp20a"))
+        val asString = Savepoints.reader(s, Savepoints.load(meta1.basePath), "typed-op")
+          .readValueStates[Long, Long]("Count")
+          .map { case (k, v) => (k, s"count=$v") }
+        val meta2 = Savepoints
+          .writer(s, Savepoints.load(meta1.basePath), "typed-op")
+          .createNewValueState("Count", asString, StringCodec)
+          .writeAll(tmp("graft-sp20b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "typed-op")
+          .readValueStates[Long, String]("Count")
+          .toDF("key", "label")
+      }),
+
     // P7 through the hash gate: a WINDOW operator's accumulated state —
     // "window-contents" rows whose namespace bytes are real Flink
     // TimeWindow (start, end) pairs — written, reloaded, and read back
