@@ -753,7 +753,7 @@ object StateQueries {
   /** Window-state row: [prefix][key][TimeWindow(start,end) namespace]
     * with a plain value payload (reference window-contents layout).
     */
-  private[state] def windowRow(key: Long, start: Long, end: Long,
+  private[graft] def windowRow(key: Long, start: Long, end: Long,
       value: Long, maxPar: Int): KeyedStateRow = {
     val w = new ByteWriter()
     KeyGroups.writeKeyGroup(w, KeyGroups.assignToKeyGroup(key, maxPar), maxPar)

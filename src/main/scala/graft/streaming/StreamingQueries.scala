@@ -421,6 +421,55 @@ object StreamingQueries {
           graft.llm.Dedup.incrementalDedup(
             Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
             raw.filter(col("doc_id") % 5 === 0))
+      }),
+
+    // st13: the reverse of st08 — a STREAMING aggregation exported INTO
+    // a savepoint. The hourly windowed counts stream to completion,
+    // then land as real window-contents state (TimeWindow namespaces,
+    // sp19's layout) that a Flink window operator could restore from;
+    // the reloaded savepoint must decode back to the hourly SQL. This
+    // closes the reference's loop in both directions: savepoint →
+    // analytics (the read path), analytics → savepoint (bootstrap), and
+    // now stream → savepoint (state materialization).
+    QueryDef(
+      "st13_stream_to_savepoint",
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ms(cast(ts as timestamp)) // 3600000 AS hr
+             |  FROM events WHERE user_id < 50)
+             |SELECT user_id AS key, hr * 3600000 AS window_start,
+             |  (hr + 1) * 3600000 AS window_end, count(*) AS cnt
+             |FROM e GROUP BY user_id, hr""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        import graft.core.codec.Codecs
+        import graft.core.meta.{StateKind, StateMeta}
+        import graft.state.{OperatorStateReader, Savepoints, StateQueries}
+        val maxPar = 128
+        val agg = runToMemorySink(s, d, "st13", "complete") { raw =>
+          raw.filter(col("user_id") < 50)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(col("user_id"),
+              expr("unix_millis(window.start)").as("ws"),
+              expr("unix_millis(window.end)").as("we"), col("cnt"))
+        }
+        val rows = agg.as[(Long, Long, Long, Long)]
+          .map { case (k, ws, we, v) =>
+            StateQueries.windowRow(k, ws, we, v, maxPar)
+          }
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-st13").toString
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("stream-win", 4, maxPar), "stream-win")
+          .withKeyCodec(Codecs.LongCodec)
+          .defineState(StateMeta(OperatorStateReader.WindowContents,
+            StateKind.Value, "long", None, Codecs.FlinkTimeWindowCodec.id))
+          .addKeyedStateRows(rows)
+          .writeAll(outDir)
+        Savepoints.reader(s, Savepoints.load(meta.basePath), "stream-win")
+          .readWindowStatesWithBounds[Long, Long]()
+          .toDF("key", "window_start", "window_end", "cnt")
       })
   )
 
