@@ -162,9 +162,14 @@ final class OperatorStateWriter(
       case None =>
         // metadata-only writes may not mutate the state list: existing
         // files embed state ids positional in base.states — reusing them
-        // under different metadata would silently misattribute rows
+        // under different metadata would silently misattribute rows.
+        // Parallelism CAN change without rows when the operator has no
+        // keyed files (non-keyed-only op): key groups live only in the
+        // keyed streams, and the non-keyed redistribution below handles
+        // the subtask change.
         require(finalStates == base.states.toVector &&
-          maxPar == base.maxParallelism && par == base.parallelism,
+          (base.keyedFiles.isEmpty ||
+            (maxPar == base.maxParallelism && par == base.parallelism)),
           "state list / parallelism changed but no rows were supplied: " +
             "add the rewritten rows (e.g. reader.getAllUnreadKeyedStateRows)")
         base.keyedFiles.map(absolutize)

@@ -327,6 +327,34 @@ object StateQueries {
           .select(col("key").cast("long").as("key"), col("name"))
       }),
 
+    // S8/W9 UNION-list state through the hash gate: non-keyed union
+    // state written split across 2 subtasks, redistributed through a
+    // 2→3 rescale cycle (union entries gather so every restoring
+    // subtask re-reads the full set), and read back complete. Oracle =
+    // the source projection: redistribution must lose nothing.
+    QueryDef(
+      "sp21_union_state",
+      Some("SELECT s_suppkey AS elem FROM supplier"),
+      (s, d) => {
+        import s.implicits._
+        val keys = Catalog.t(s, d, "supplier")
+          .select(col("s_suppkey")).as[Long].collect().toSeq.sorted
+        val halves = keys.grouped((keys.size + 1) / 2).toSeq
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("un-op", 2, 128), "un-op")
+          .transformNonKeyedState((i, b) =>
+            BackendStates.withListState(b, "ids", halves(i),
+              mode = graft.core.meta.ListStateMode.Union)(LongCodec))
+          .writeAll(tmp("graft-sp21a"))
+        val meta2 = Savepoints
+          .writer(s, Savepoints.load(meta1.basePath), "un-op")
+          .withParallelism(3, 128) // non-keyed-only op: metadata-only rescale
+          .writeAll(tmp("graft-sp21b"))
+        val restored = Savepoints.load(meta2.basePath).operator("un-op")
+        BackendStates.unionListState[Long](restored.nonKeyed(0), "ids")(LongCodec)
+          .toDF("elem")
+      }),
+
     // S10 master-state passthrough through the hash gate: a Flink-
     // dialect savepoint is written with a master-state blob (the
     // payload ENCODES table-derived content), rewritten via a second
