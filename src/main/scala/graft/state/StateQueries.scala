@@ -355,6 +355,33 @@ object StateQueries {
           .toDF("elem")
       }),
 
+    // The SPLIT-DISTRIBUTE companion of sp21: per-subtask list state
+    // dealt round-robin across a 2→3 rescale; no element may be lost
+    // or duplicated, so the concatenation over ALL new subtasks must
+    // equal the source projection exactly.
+    QueryDef(
+      "sp22_split_list_state",
+      Some("SELECT s_suppkey AS elem FROM supplier"),
+      (s, d) => {
+        import s.implicits._
+        val keys = Catalog.t(s, d, "supplier")
+          .select(col("s_suppkey")).as[Long].collect().toSeq.sorted
+        val halves = keys.grouped((keys.size + 1) / 2).toSeq
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("sd-op", 2, 128), "sd-op")
+          .transformNonKeyedState((i, b) =>
+            BackendStates.withListState(b, "ids", halves(i))(LongCodec))
+          .writeAll(tmp("graft-sp22a"))
+        val meta2 = Savepoints
+          .writer(s, Savepoints.load(meta1.basePath), "sd-op")
+          .withParallelism(3, 128)
+          .writeAll(tmp("graft-sp22b"))
+        val restored = Savepoints.load(meta2.basePath).operator("sd-op")
+        (0 until 3).flatMap(i =>
+            BackendStates.listState[Long](restored.nonKeyed(i), "ids")(LongCodec))
+          .toDF("elem")
+      }),
+
     // S10 master-state passthrough through the hash gate: a Flink-
     // dialect savepoint is written with a master-state blob (the
     // payload ENCODES table-derived content), rewritten via a second
