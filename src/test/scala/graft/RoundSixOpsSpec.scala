@@ -155,6 +155,36 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(order0 !== order1, "epochs must permute differently")
   }
 
+  test("metadata-only rescale: allowed without keyed files, rejected with them") {
+    import graft.core.codec.Codecs.LongCodec
+    import graft.state.{BackendStates, Savepoints}
+    def tmp() = java.nio.file.Files.createTempDirectory("graft-rescale").toString
+    // keyed op: parallelism change without rows must fail loudly
+    val keyed = Savepoints
+      .writer(spark, Savepoints.bootstrap("k-op", 2, 128), "k-op")
+      .withKeyCodec(LongCodec)
+      .createNewValueState("Count", Seq((1L, 2L), (3L, 4L)).toDS(), LongCodec)
+      .writeAll(tmp())
+    val e = intercept[IllegalArgumentException] {
+      Savepoints.writer(spark, Savepoints.load(keyed.basePath), "k-op")
+        .withParallelism(4, 256).writeAll(tmp())
+    }
+    assert(e.getMessage.contains("no rows were supplied"))
+    // non-keyed-only op: the same metadata-only rescale succeeds
+    val nk = Savepoints
+      .writer(spark, Savepoints.bootstrap("n-op", 2, 128), "n-op")
+      .transformNonKeyedState((i, b) =>
+        BackendStates.withListState(b, "xs", Seq(i.toLong))(LongCodec))
+      .writeAll(tmp())
+    val rescaled = Savepoints
+      .writer(spark, Savepoints.load(nk.basePath), "n-op")
+      .withParallelism(4, 128).writeAll(tmp())
+    val op = Savepoints.load(rescaled.basePath).operator("n-op")
+    val all = (0 until 4)
+      .flatMap(i => BackendStates.listState[Long](op.nonKeyed(i), "xs")(LongCodec))
+    assert(all.sorted === Seq(0L, 1L))
+  }
+
   test("perplexityTiers: terciles split 6 docs per lang as 2/2/2") {
     import graft.llm.TextAnalysis
     val docs = (1 to 6).map(i =>
