@@ -114,6 +114,47 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables co-locate the join: zero Exchange at any size") {
+    // the bucketing leg of the scale stance: two fact tables bucketed
+    // on the join key join WITHOUT any shuffle — the layout 100 TB
+    // fact-fact joins pre-pay for. Broadcast is forced off so the
+    // assert proves co-location, not a small-side special case.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Catalog.t(spark, sf, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("graft_orders_bkt")
+      Catalog.t(spark, sf, "customer")
+        .write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("graft_cust_bkt")
+      val j = spark.table("graft_orders_bkt")
+        .join(spark.table("graft_cust_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+      j.collect()
+      // the join subtree must not shuffle (structural check — the
+      // aggregate above it keeps its own Exchange)
+      val finalPlan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      // AQE nests the join inside a query stage, so assert on the final
+      // plan STRING: everything printed after the SortMergeJoin line is
+      // its subtree, and none of it may be an Exchange
+      val s = finalPlan.toString
+      val i = s.indexOf("SortMergeJoin")
+      assert(i >= 0, s)
+      assert(!s.substring(i).contains("Exchange"),
+        s"bucketed join still shuffles:\n$s")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_bkt")
+    }
+  }
+
   test("p09 repeat upsampling is a shuffle-free narrow map") {
     assert(count(plan("p09_repeat_upsample"), "Exchange") == 0)
   }
