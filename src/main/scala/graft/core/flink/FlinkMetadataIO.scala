@@ -47,6 +47,14 @@ object FlinkMetadataIO {
 
   val HeaderMagic = 0x4960672d
   val SavepointVersion = 2
+  /** Flink >=1.11 checkpoint metadata (MetadataV3Serializer): the
+    * legacy chain-length int becomes an operator-coordinator stream
+    * handle, subtask states gain trailing channel-state collections
+    * (empty for savepoints, which are always aligned), and stream
+    * handles gain the RELATIVE tag of relocatable savepoints. Read
+    * support only — writes stay v2, the reference's pinned target.
+    */
+  val MetadataV3Version = 3
   val MasterStateMagic = 0xc96b1696
 
   val NullHandle = 0
@@ -55,6 +63,10 @@ object FlinkMetadataIO {
   val KeyGroupsHandle = 3
   val PartitionableOpHandle = 4
   val IncrementalKeyGroupsHandle = 5
+  /** Relocatable-savepoint file handle (Flink >=1.11): path relative to
+    * the checkpoint dir, so the savepoint can be moved wholesale.
+    */
+  val RelativeStreamHandle = 6
 
   val MetadataFile = "_metadata"
 
@@ -137,11 +149,16 @@ object FlinkMetadataIO {
         d.writeInt(op.parallelism)
         d.writeInt(op.maxParallelism)
         d.writeInt(1) // legacy chain length
+        require(op.coordinatorState.isEmpty,
+          s"operator ${op.uid} carries v3 operator-coordinator state, " +
+            "which the v2 savepoint layout cannot represent; rewriting " +
+            "such savepoints in the Flink dialect is not supported")
         val keyedBySubtask = op.keyedFiles.map(f => f.subtaskIndex -> f).toMap
         val nonKeyedSubtasks = op.nonKeyed.filter { case (_, b) =>
           b.listStates.nonEmpty || b.broadcastStates.nonEmpty
         }
-        val subtasks = (keyedBySubtask.keySet ++ nonKeyedSubtasks.keySet).toSeq.sorted
+        val subtasks = (keyedBySubtask.keySet ++ nonKeyedSubtasks.keySet ++
+          op.rawOperatorState.keySet ++ op.rawKeyedState.keySet).toSeq.sorted
         d.writeInt(subtasks.size)
         subtasks.foreach { subtask =>
           d.writeInt(subtask)
@@ -167,7 +184,13 @@ object FlinkMetadataIO {
               d.writeInt(bytes.length)
               d.write(bytes)
           }
-          d.writeInt(0) // raw operator state: none
+          // raw operator state: verbatim section replay (reference keeps
+          // subtaskState.getRawOperatorState() untouched,
+          // OperatorStateWriter.java:266-280)
+          op.rawOperatorState.get(subtask) match {
+            case None        => d.writeInt(0)
+            case Some(bytes) => d.writeInt(1); d.write(bytes)
+          }
           // managed keyed: KEY_GROUPS_HANDLE (or null)
           keyedBySubtask.get(subtask) match {
             case None => d.writeByte(NullHandle)
@@ -185,8 +208,15 @@ object FlinkMetadataIO {
               d.writeLong(size)
               d.writeUTF(p.toString)
           }
-          // raw keyed: none
-          d.writeByte(NullHandle)
+          // raw keyed: verbatim section replay, or null. A raw handle's
+          // file references are replayed as written (real Flink 1.7
+          // emits absolute URIs, which stay valid from the new dir —
+          // the reference's handle-object passthrough has the same
+          // property).
+          op.rawKeyedState.get(subtask) match {
+            case None        => d.writeByte(NullHandle)
+            case Some(bytes) => d.write(bytes)
+          }
         }
       }
       d.flush()
@@ -209,8 +239,8 @@ object FlinkMetadataIO {
       val magic = d.readInt()
       require(magic == HeaderMagic, f"not a Flink checkpoint: magic 0x$magic%08x")
       val version = d.readInt()
-      require(version == SavepointVersion,
-        s"unsupported savepoint metadata version $version (supported: 2)")
+      require(version == SavepointVersion || version == MetadataV3Version,
+        s"unsupported savepoint metadata version $version (supported: 2, 3)")
       val checkpointId = d.readLong()
       val nMaster = d.readInt()
       val masterStates = (0 until nMaster).map { _ =>
@@ -230,11 +260,18 @@ object FlinkMetadataIO {
         val opId = bytesToHex(idBytes)
         val par = d.readInt()
         val maxPar = d.readInt()
-        d.readInt() // legacy chain length (always 1)
+        // v2: legacy chain length (always 1). v3 (Flink >=1.11,
+        // MetadataV3Serializer): an operator-coordinator stream handle
+        // instead — staged verbatim so a drop is never silent.
+        val coordinator: Option[Array[Byte]] =
+          if (version == SavepointVersion) { d.readInt(); None }
+          else Some(capture(d)(skipStreamHandle)).filterNot(isNullSection)
         val nSub = d.readInt()
         val files = scala.collection.mutable.ArrayBuffer.empty[KeyedFileHandle]
         val nonKeyed = scala.collection.mutable.Map.empty[Int, OperatorBackendState]
         val proxySources = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        val rawOp = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+        val rawKeyed = scala.collection.mutable.Map.empty[Int, Array[Byte]]
         (0 until nSub).foreach { _ =>
           val subtask = d.readInt()
           d.readLong() // legacy duration
@@ -242,15 +279,34 @@ object FlinkMetadataIO {
           (0 until nLegacy).foreach(_ => readStreamHandle(d)) // absorb
           if (d.readInt() == 1)
             readOperatorHandle(d, basePath).foreach(nonKeyed(subtask) = _)
-          // raw operator state: arbitrary user bytes — skip past the
-          // handle structure WITHOUT fetching or parsing the delegate
-          // (it is not an OperatorBackendSerializationProxy)
-          if (d.readInt() == 1) skipOperatorHandle(d)
+          // raw operator state: arbitrary user bytes — stage the handle
+          // section VERBATIM without fetching or parsing the delegate
+          // (it is not an OperatorBackendSerializationProxy). Replayed
+          // byte-identically on write (reference passthrough,
+          // OperatorStateWriter.java:266-280).
+          if (d.readInt() == 1)
+            rawOp(subtask) = capture(d)(skipOperatorHandle)
           readKeyedHandle(d, basePath, subtask, proxySources).foreach(files += _)
-          skipKeyedHandle(d) // raw keyed: consume structure, no staging
+          // raw keyed: stage the full handle section verbatim (heap
+          // timers of a real Flink job live here)
+          val rk = capture(d)(skipKeyedHandle)
+          if (!isNullSection(rk)) rawKeyed(subtask) = rk
+          if (version == MetadataV3Version) {
+            // v3 channel state (unaligned checkpoints): savepoints are
+            // always aligned, so both collections are empty; reject a
+            // non-empty one rather than guess its layout
+            val nIn = d.readInt()
+            require(nIn == 0, "unaligned-checkpoint input-channel state " +
+              "is not supported; take an (aligned) savepoint instead")
+            val nOut = d.readInt()
+            require(nOut == 0, "unaligned-checkpoint result-subpartition " +
+              "state is not supported; take an (aligned) savepoint instead")
+          }
         }
         (OperatorStateMeta(opId, opId, par, maxPar, None, Seq.empty,
-          compression = false, files.toSeq, nonKeyed.toMap),
+          compression = false, files.toSeq, nonKeyed.toMap,
+          rawOperatorState = rawOp.toMap, rawKeyedState = rawKeyed.toMap,
+          coordinatorState = coordinator),
           proxySources.headOption)
       }
       // resolve codecs/compression per operator from the proxy: full
@@ -461,6 +517,13 @@ object FlinkMetadataIO {
       case FileStreamHandle =>
         val size = d.readLong()
         FileHandle(d.readUTF(), size)
+      case RelativeStreamHandle =>
+        // v3 relocatable savepoint: relative path first, then size; the
+        // relative path resolves against the metadata dir like our own
+        // relative handles
+        val path = d.readUTF()
+        val size = d.readLong()
+        FileHandle(path, size)
       case ByteStreamHandle =>
         val name = d.readUTF()
         val len = d.readInt()
@@ -470,6 +533,34 @@ object FlinkMetadataIO {
       case other =>
         throw new IllegalArgumentException(s"unknown stream state handle tag $other")
     }
+
+  /** Consume a stream handle without materializing inline bytes into a
+    * [[StreamHandle]] value — used under [[capture]].
+    */
+  private def skipStreamHandle(d: DataInputStream): Unit = { readStreamHandle(d); () }
+
+  /** Run `parse` against a tee of `d`, returning every byte it consumed
+    * VERBATIM. The parse functions validate structure; the returned
+    * bytes are the staging currency for raw-state / coordinator-state
+    * passthrough.
+    */
+  private def capture(d: DataInputStream)(parse: DataInputStream => Unit): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val tee: java.io.InputStream = new java.io.InputStream {
+      override def read(): Int = {
+        val b = d.read(); if (b >= 0) buf.write(b); b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = d.read(b, off, len); if (n > 0) buf.write(b, off, n); n
+      }
+    }
+    parse(new DataInputStream(tee))
+    buf.toByteArray
+  }
+
+  /** A captured section that is just the single NULL_HANDLE tag. */
+  private def isNullSection(bytes: Array[Byte]): Boolean =
+    bytes.length == 1 && bytes(0) == NullHandle.toByte
 
   private def readHandleMap(d: DataInputStream): Seq[(String, StreamHandle)] = {
     val n = d.readInt()

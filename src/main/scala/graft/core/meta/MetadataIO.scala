@@ -14,9 +14,10 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * self-consistency is the testable contract (FIXTURES.md §A). Layout:
   *
   * {{{
-  * magic "GRFTSP04" (02 added non-keyed codec ids; 03 the per-state
-  *                    namespace codec; 04 trailing master states — any
-  *                    layout change bumps it; 03 files still load)
+  * magic "GRFTSP05" (02 added non-keyed codec ids; 03 the per-state
+  *                    namespace codec; 04 trailing master states; 05
+  *                    per-operator raw-state + coordinator carry — any
+  *                    layout change bumps it; 03/04 files still load)
   * varlong checkpointId
   * varint numOperators, each:
   *   string uid | string operatorId | varint parallelism | varint maxPar
@@ -35,6 +36,11 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   *     varint numBroadcastStates, each: string name
   *         | string keyCodecId | string valueCodecId ("" = undeclared)
   *         | varint n | (bytes key, bytes value)...
+  *   varint numRawOperator, each: varint subtask | bytes (verbatim
+  *       Flink raw-operator handle section; v05)
+  *   varint numRawKeyed, each: varint subtask | bytes (verbatim Flink
+  *       raw-keyed handle section; v05)
+  *   bool hasCoordinator [bytes] (verbatim v3 coordinator handle; v05)
   * varint numMasterStates, each: bytes (opaque payload — the Flink
   *     master-state blob carried through graft-dialect rewrites so a
   *     later Flink-dialect write can restore it verbatim; v04)
@@ -42,7 +48,8 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 object MetadataIO {
 
-  val Magic = "GRFTSP04"
+  val Magic = "GRFTSP05"
+  private val MagicV4 = "GRFTSP04"
   private val MagicV3 = "GRFTSP03"
   val MetadataFile = "_metadata"
 
@@ -69,7 +76,7 @@ object MetadataIO {
       val r = new ByteReader(in)
       val magic = new String(r.readFully(Magic.length),
         java.nio.charset.StandardCharsets.US_ASCII)
-      require(magic == Magic || magic == MagicV3,
+      require(magic == Magic || magic == MagicV4 || magic == MagicV3,
         s"not a graft savepoint: bad magic '$magic'")
       val checkpointId = r.readVarLong()
       val nOps = r.readVarInt()
@@ -121,8 +128,16 @@ object MetadataIO {
             bsWithCodec.collect { case (n, k, v, _) if k.nonEmpty && v.nonEmpty =>
               n -> (k, v) }.toMap)
         }.toMap
+        val (rawOp, rawKeyed, coordinator) =
+          if (magic != Magic) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]], None)
+          else {
+            val ro = (0 until r.readVarInt()).map(_ => r.readVarInt() -> r.readBytes()).toMap
+            val rk = (0 until r.readVarInt()).map(_ => r.readVarInt() -> r.readBytes()).toMap
+            val co = if (r.readBoolean()) Some(r.readBytes()) else None
+            (ro, rk, co)
+          }
         OperatorStateMeta(uid, opId, par, maxPar, keyCodec, states,
-          compression, files, nonKeyed)
+          compression, files, nonKeyed, rawOp, rawKeyed, coordinator)
       }
       val masterStates =
         if (magic == MagicV3) Seq.empty[Array[Byte]]
@@ -190,6 +205,18 @@ object MetadataIO {
           entries.foreach { case (k, v) => w.writeBytes(k); w.writeBytes(v) }
         }
       }
+      // v05: raw-state + coordinator carry, so a Flink -> graft -> Flink
+      // rewrite chain loses nothing (same contract as master states)
+      w.writeVarInt(o.rawOperatorState.size)
+      o.rawOperatorState.toSeq.sortBy(_._1).foreach { case (sub, bytes) =>
+        w.writeVarInt(sub); w.writeBytes(bytes)
+      }
+      w.writeVarInt(o.rawKeyedState.size)
+      o.rawKeyedState.toSeq.sortBy(_._1).foreach { case (sub, bytes) =>
+        w.writeVarInt(sub); w.writeBytes(bytes)
+      }
+      w.writeBoolean(o.coordinatorState.isDefined)
+      o.coordinatorState.foreach(w.writeBytes)
     }
     w.writeVarInt(meta.masterStates.size)
     meta.masterStates.foreach(w.writeBytes)

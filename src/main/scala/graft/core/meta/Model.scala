@@ -104,7 +104,26 @@ final case class OperatorStateMeta(
     states: Seq[StateMeta],
     compression: Boolean,
     keyedFiles: Seq[KeyedFileHandle],
-    nonKeyed: Map[Int, OperatorBackendState] = Map.empty) {
+    nonKeyed: Map[Int, OperatorBackendState] = Map.empty,
+    // Raw (stream-written) state carried VERBATIM per subtask — the
+    // serialized Flink handle bytes, never interpreted. The reference
+    // puts `subtaskState.getRawOperatorState()` / `getRawKeyedState()`
+    // unchanged into every rewritten OperatorState
+    // (OperatorStateWriter.java:266-280); we stage the exact section
+    // bytes on read and replay them on write. Keys are subtask indexes.
+    // rawOperatorState values EXCLUDE the i32 presence flag (they start
+    // at the handle tag byte); rawKeyedState values are the full keyed
+    // handle serialization starting at its tag byte.
+    rawOperatorState: Map[Int, Array[Byte]] = Map.empty,
+    rawKeyedState: Map[Int, Array[Byte]] = Map.empty,
+    // Flink >=1.11 (metadata v3) operator-coordinator state, staged as
+    // the verbatim stream-handle bytes. Read-only carry: the v2 writer
+    // cannot represent it, so Flink-dialect rewrites refuse while it is
+    // present rather than silently dropping it.
+    coordinatorState: Option[Array[Byte]] = None) {
+
+  /** True if any subtask carries raw keyed or raw operator state. */
+  def hasRawState: Boolean = rawOperatorState.nonEmpty || rawKeyedState.nonEmpty
 
   def stateId(name: String): Int = states.indexWhere(_.name == name) match {
     case -1 => throw new NoSuchElementException(s"no state named '$name' in operator $uid")

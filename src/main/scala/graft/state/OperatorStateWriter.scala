@@ -229,8 +229,19 @@ final class OperatorStateWriter(
         }.toMap
     }
 
+    // raw keyed / raw operator state rides along verbatim per subtask
+    // (reference passthrough, OperatorStateWriter.java:266-280). The
+    // bytes are keyed by subtask index and reference the ORIGINAL
+    // key-group ranges, so a parallelism change would silently orphan
+    // or misalign them — refuse instead.
+    if (base.hasRawState)
+      require(par == base.parallelism && maxPar == base.maxParallelism,
+        s"operator ${base.uid} carries raw keyed/operator state, which " +
+          "is opaque and cannot be re-sharded; keep the original " +
+          "parallelism or drop the raw state explicitly")
     val newOp = OperatorStateMeta(base.uid, opId, par, maxPar,
-      keyCodecId, finalStates, compression, newFiles, newNonKeyed)
+      keyCodecId, finalStates, compression, newFiles, newNonKeyed,
+      base.rawOperatorState, base.rawKeyedState, base.coordinatorState)
     val others = savepoint.operators
       .filterNot(_.operatorId == opId)
       .map(o => o.copy(keyedFiles = o.keyedFiles.map(absolutize)))

@@ -422,6 +422,58 @@ object StateQueries {
           .toDF("k", "v")
       }),
 
+    // W7 raw-state passthrough through the hash gate: a Flink-dialect
+    // savepoint whose subtask 0 carries RAW keyed + RAW operator state
+    // (opaque handle sections whose payloads ENCODE table-derived
+    // counts) is rewritten via a full writeAll cycle — the path the
+    // reference carries subtaskState.getRawOperatorState()/
+    // getRawKeyedState() through verbatim (OperatorStateWriter.java:
+    // 266-280). The managed state decodes from the rewritten savepoint
+    // as keys >= 0; the two raw payloads decode from the ROUNDTRIPPED
+    // sections as keys -1/-2 — a drop or corruption of either breaks
+    // the oracle match.
+    QueryDef(
+      "sp23_raw_state_passthrough",
+      Some("""SELECT o_custkey AS key, count(*) AS cnt FROM orders
+             |GROUP BY o_custkey
+             |UNION ALL SELECT -1, count(*) FROM supplier
+             |UNION ALL SELECT -2, count(*) FROM nation""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val nSupplier = Catalog.t(s, d, "supplier").count()
+        val nNation = Catalog.t(s, d, "nation").count()
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("raw-op", 4, 128), "raw-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp23a"))
+        // inject raw sections (valid Flink handle grammar, opaque
+        // payloads) onto subtask 0, as a real 1.7 job with heap timers
+        // would have written them
+        val loaded1 = Savepoints.load(meta1.basePath)
+        val op1 = loaded1.operator("raw-op")
+        val withRaw = loaded1.withReplacedOperators(Seq(op1.copy(
+          rawKeyedState = Map(0 -> rawKeyedSectionWith(nSupplier)),
+          rawOperatorState = Map(0 -> rawOperatorSectionWith(nNation)))))
+        val meta2 = Savepoints.writer(s, withRaw, "raw-op")
+          .addKeyedStateRows(
+            Savepoints.reader(s, withRaw, "raw-op").getAllUnreadKeyedStateRows)
+          .writeAll(tmp("graft-sp23b"))
+        // reload from disk: the raw sections must have survived the
+        // metadata write + read cycle verbatim
+        val re = Savepoints.load(meta2.basePath).operator("raw-op")
+        val fromRawKeyed = decodeInlinePayload(re.rawKeyedState(0))
+        val fromRawOp = decodeInlinePayload(re.rawOperatorState(0))
+        val managed = Savepoints.reader(s, Savepoints.load(meta2.basePath), "raw-op")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+        managed.unionAll(Seq((-1L, fromRawKeyed), (-2L, fromRawOp)).toDF("key", "cnt"))
+      }),
+
     // Savepoint validation (the reference's "validate corrupted state"
     // use case, README.md:41-44): a value + map state savepoint is
     // scanned row-by-row against its own codec declarations — key-group
@@ -816,6 +868,47 @@ object StateQueries {
     Codecs.FlinkTimeWindowCodec.write(w, (start, end))
     KeyedStateRow(OperatorStateReader.WindowContents, w.toBytes,
       LongCodec.toBytes(value))
+  }
+
+  /** Raw keyed-state section for sp23: a KEY_GROUPS handle whose inline
+    * delegate payload is the 8-byte big-endian encoding of `v` — valid
+    * Flink handle grammar, opaque payload.
+    */
+  private def rawKeyedSectionWith(v: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeByte(3)  // KEY_GROUPS_HANDLE
+    d.writeInt(0); d.writeInt(1); d.writeLong(0L)
+    d.writeByte(1)  // inline byte-stream delegate
+    d.writeUTF("raw-keyed")
+    d.writeInt(8); d.writeLong(v)
+    d.flush(); bos.toByteArray
+  }
+
+  /** Raw operator-state section for sp23 (bytes after the presence
+    * flag): a PARTITIONABLE handle with an inline delegate encoding `v`.
+    */
+  private def rawOperatorSectionWith(v: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeByte(4)  // PARTITIONABLE_OPERATOR_STATE_HANDLE
+    d.writeInt(1)
+    d.writeUTF("timers"); d.writeByte(0)
+    d.writeInt(1); d.writeLong(0L)
+    d.writeByte(1)  // inline byte-stream delegate
+    d.writeUTF("raw-op")
+    d.writeInt(8); d.writeLong(v)
+    d.flush(); bos.toByteArray
+  }
+
+  /** Extract the 8-byte payload from a roundtripped raw section built by
+    * the two helpers above (the inline delegate's bytes are the LAST
+    * 8 + 4(len) of the section, preceded by the UTF name).
+    */
+  private def decodeInlinePayload(section: Array[Byte]): Long = {
+    val d = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(section, section.length - 8, 8))
+    d.readLong()
   }
 
   /** Map-state row: [prefix][key][namespace][mapKey] + null-marked value

@@ -434,6 +434,134 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(got === FlinkV3GoldenAssembler.Counts)
   }
 
+  // --------------------------------------------- raw-state passthrough
+
+  private def rawResourceDir: Path = {
+    val p = Paths.get("src/test/resources/flink-golden-raw")
+    if (!Files.exists(p.resolve("_metadata"))) {
+      Files.createDirectories(p)
+      golden.writeRawFixture(p)
+    }
+    p
+  }
+
+  test("raw keyed + raw operator state roundtrip verbatim through " +
+    "writeAll (W7 parity with reference OperatorStateWriter.java:266-280)") {
+    import spark.implicits._
+    val loaded = Savepoints.load(rawResourceDir.toString)
+    val op = loaded.operator(Uid)
+    // staged verbatim on read
+    assert(op.rawKeyedState(0).toSeq === golden.rawKeyedSection().toSeq)
+    assert(op.rawOperatorState(0).toSeq === golden.rawOperatorSection().toSeq)
+    // full rewrite with rows: raw sections must ride along untouched
+    val rows = Savepoints.reader(spark, loaded, Uid).getAllUnreadKeyedStateRows
+    val out = Files.createTempDirectory("flink-raw-rt"); Files.delete(out)
+    val meta2 = Savepoints.writer(spark, loaded, Uid)
+      .addKeyedStateRows(rows)
+      .writeAll(out.toString)
+    // the new _metadata embeds both sections byte-identically
+    val written = Files.readAllBytes(Paths.get(meta2.basePath, "_metadata")).toSeq
+    assert(written.indexOfSlice(golden.rawKeyedSection().toSeq) >= 0,
+      "raw keyed section not replayed verbatim")
+    assert(written.indexOfSlice(golden.rawOperatorSection().toSeq) >= 0,
+      "raw operator section not replayed verbatim")
+    val re = Savepoints.load(meta2.basePath)
+    assert(re.operator(Uid).rawKeyedState(0).toSeq === golden.rawKeyedSection().toSeq)
+    assert(re.operator(Uid).rawOperatorState(0).toSeq === golden.rawOperatorSection().toSeq)
+    // and the managed state rewrote correctly alongside
+    assert(Savepoints.reader(spark, re, Uid)
+      .readValueStates[String, Long]("count").collect().toMap === golden.Counts)
+  }
+
+  test("raw state survives a Flink -> graft -> Flink rewrite chain") {
+    import spark.implicits._
+    val loaded = Savepoints.load(rawResourceDir.toString)
+    val outG = Files.createTempDirectory("flink-raw-g"); Files.delete(outG)
+    val metaG = Savepoints.writer(spark, loaded, Uid)
+      .withDialect(Dialect.Graft)
+      .addKeyedStateRows(Savepoints.reader(spark, loaded, Uid).getAllUnreadKeyedStateRows)
+      .writeAll(outG.toString)
+    val reG = Savepoints.load(metaG.basePath)
+    assert(reG.operator(Uid).rawKeyedState(0).toSeq === golden.rawKeyedSection().toSeq)
+    val outF = Files.createTempDirectory("flink-raw-f"); Files.delete(outF)
+    val metaF = Savepoints.writer(spark, reG, Uid)
+      .withDialect(Dialect.Flink)
+      .addKeyedStateRows(Savepoints.reader(spark, reG, Uid).getAllUnreadKeyedStateRows)
+      .writeAll(outF.toString)
+    val reF = Savepoints.load(metaF.basePath)
+    assert(reF.operator(Uid).rawKeyedState(0).toSeq === golden.rawKeyedSection().toSeq)
+    assert(reF.operator(Uid).rawOperatorState(0).toSeq === golden.rawOperatorSection().toSeq)
+    assert(Savepoints.reader(spark, reF, Uid)
+      .readValueStates[String, Long]("count").collect().toMap === golden.Counts)
+  }
+
+  test("raw state refuses a re-shard (opaque bytes cannot move key groups)") {
+    import spark.implicits._
+    val loaded = Savepoints.load(rawResourceDir.toString)
+    val rows = Savepoints.reader(spark, loaded, Uid).getAllUnreadKeyedStateRows
+    val out = Files.createTempDirectory("flink-raw-rs"); Files.delete(out)
+    val e = intercept[IllegalArgumentException] {
+      Savepoints.writer(spark, loaded, Uid)
+        .addKeyedStateRows(rows)
+        .withParallelism(8, 512)
+        .writeAll(out.toString)
+    }
+    assert(e.getMessage.contains("raw"))
+  }
+
+  test("v3 checkpoint metadata (Flink >=1.11) loads through S1 and " +
+    "decodes through P1: coordinator slot, relative handle, channel state") {
+    import spark.implicits._
+    val dir = FlinkV3GoldenAssembler.v3MetaResourceDir
+    val tmp = Files.createTempDirectory("flink-v3meta-regen")
+    FlinkV3GoldenAssembler.writeV3MetaFixture(tmp)
+    assert(Files.readAllBytes(tmp.resolve("_metadata")).toSeq ===
+      Files.readAllBytes(dir.resolve("_metadata")).toSeq, "_metadata drift")
+    val meta = Savepoints.load(dir.toString)
+    val op = meta.operator("v3-op")
+    assert(op.keyCodecId === Some("long"))
+    assert(op.coordinatorState.isEmpty) // null handle stages as absent
+    val got = Savepoints.reader(spark, meta, "v3-op")
+      .readValueStates[Long, Long]("count").collect().toMap
+    assert(got === FlinkV3GoldenAssembler.Counts)
+  }
+
+  test("v3 coordinator state is staged on read and blocks a v2 rewrite " +
+    "instead of being dropped silently") {
+    // hand-assemble a v3 _metadata whose operator carries coordinator
+    // state (a FLIP-27 source's enumerator checkpoint)
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d); d.writeInt(3)
+    d.writeLong(17L); d.writeInt(0); d.writeInt(1)
+    val id = Identifiers.operatorId("coord-op")
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(1); d.writeInt(128)
+    d.writeByte(1) // coordinator: inline byte-stream handle
+    d.writeUTF("coordinator")
+    val coord = "enumerator-split-state".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    d.writeInt(coord.length); d.write(coord)
+    d.writeInt(1)  // one subtask
+    d.writeInt(0); d.writeLong(-1L); d.writeInt(0)
+    d.writeInt(0)  // managed operator: none
+    d.writeInt(0)  // raw operator: none
+    d.writeByte(0) // managed keyed: null
+    d.writeByte(0) // raw keyed: null
+    d.writeInt(0); d.writeInt(0) // channel state: empty
+    d.flush()
+    val dir = Files.createTempDirectory("flink-v3-coord")
+    Files.write(dir.resolve("_metadata"), bos.toByteArray)
+    val meta = Savepoints.load(dir.toString)
+    val op = meta.operator("coord-op")
+    assert(op.coordinatorState.isDefined)
+    val out = Files.createTempDirectory("flink-v3-coord-out"); Files.delete(out)
+    val e = intercept[IllegalArgumentException] {
+      FlinkMetadataIO.write(out.toString, meta)
+    }
+    assert(e.getMessage.contains("coordinator"))
+  }
+
   test("v3 (Flink 1.8+) empty-body simple snapshots also read") {
     val bos = new ByteArrayOutputStream()
     val d = new DataOutputStream(bos)
@@ -476,7 +604,12 @@ class FlinkFormatSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("flink-raw-op")
     Files.write(dir.resolve("_metadata"), bos.toByteArray)
     val meta = Savepoints.load(dir.toString) // must not throw
-    assert(meta.operator("raw-op").nonKeyed.isEmpty)
+    val op = meta.operator("raw-op")
+    assert(op.nonKeyed.isEmpty)
+    // ...and the whole section (tag byte onward) is staged verbatim for
+    // replay, junk delegate included
+    assert(op.rawOperatorState(0).toSeq.containsSlice(junk.toSeq))
+    assert(op.rawOperatorState(0).head === 4.toByte)
   }
 
   test("proxy rejects graft-only codec layouts in the Flink dialect") {
@@ -662,6 +795,55 @@ object FlinkV3GoldenAssembler {
     Files.write(dir.resolve(StateFileName), state)
     Files.write(dir.resolve("_metadata"), metadataBytes(state.length.toLong, offsets))
   }
+
+  /** Checkpoint-metadata VERSION 3 fixture (Flink >=1.11,
+    * MetadataV3Serializer): per-operator coordinator handle instead of
+    * the legacy chain-length int, per-subtask trailing channel-state
+    * collections (empty — savepoints are aligned), and the state file
+    * referenced through the RELATIVE stream handle of relocatable
+    * savepoints. Same proxy/state-file bytes as the v2-era fixture.
+    */
+  def v3MetaResourceDir: Path = {
+    val p = Paths.get("src/test/resources/flink-golden-v3meta")
+    if (!Files.exists(p.resolve("_metadata"))) {
+      Files.createDirectories(p)
+      writeV3MetaFixture(p)
+    }
+    p
+  }
+
+  def writeV3MetaFixture(dir: Path): Unit = {
+    val (state, offsets) = stateFileBytes()
+    Files.write(dir.resolve(StateFileName), state)
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d) // HEADER_MAGIC_NUMBER
+    d.writeInt(3)          // checkpoint metadata v3
+    d.writeLong(CheckpointId)
+    d.writeInt(0)          // master states
+    d.writeInt(1)          // one operator
+    val id = Identifiers.operatorId(Uid)
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(1); d.writeInt(MaxPar)
+    d.writeByte(0)         // coordinator state: null handle
+    d.writeInt(1)          // one subtask
+    d.writeInt(0)          // subtask index
+    d.writeLong(-1L); d.writeInt(0)
+    d.writeInt(0)          // managed operator state: none
+    d.writeInt(0)          // raw operator state: none
+    d.writeByte(3)         // KEY_GROUPS_HANDLE
+    d.writeInt(0); d.writeInt(MaxPar)
+    offsets.foreach(d.writeLong)
+    d.writeByte(6)         // RELATIVE_STREAM_STATE_HANDLE (relocatable)
+    d.writeUTF(StateFileName)
+    d.writeLong(state.length.toLong)
+    d.writeByte(0)         // raw keyed: null
+    d.writeInt(0)          // input-channel state: empty
+    d.writeInt(0)          // result-subpartition state: empty
+    d.flush()
+    Files.write(dir.resolve("_metadata"), bos.toByteArray)
+  }
 }
 
 /** Independent hand-assembler for the golden fixture: writes the Flink
@@ -813,9 +995,12 @@ object FlinkGoldenAssembler {
   /** `_metadata` per the reconstructed SavepointV2 grammar. The state
     * file path is RELATIVE (resolved against the metadata dir) so the
     * checked-in fixture is location-independent; real Flink writes
-    * absolute URIs, which the reader also accepts.
+    * absolute URIs, which the reader also accepts. `rawOp`/`rawKeyed`
+    * inject verbatim raw-state sections for the W7 passthrough fixture.
     */
-  private def metadataBytes(stateFileSize: Long): Array[Byte] = {
+  private def metadataBytes(stateFileSize: Long,
+      rawOp: Option[Array[Byte]] = None,
+      rawKeyed: Option[Array[Byte]] = None): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val d = new DataOutputStream(bos)
     d.writeInt(0x4960672d) // HEADER_MAGIC_NUMBER
@@ -838,7 +1023,10 @@ object FlinkGoldenAssembler {
     d.writeLong(-1L)       // legacy duration
     d.writeInt(0)          // legacy state count
     d.writeInt(0)          // managed operator state: none
-    d.writeInt(0)          // raw operator state: none
+    rawOp match {          // raw operator state
+      case None    => d.writeInt(0)
+      case Some(b) => d.writeInt(1); d.write(b)
+    }
     d.writeByte(3)         // KEY_GROUPS_HANDLE
     d.writeInt(0)          // start key group
     d.writeInt(MaxPar)     // number of key groups
@@ -846,7 +1034,48 @@ object FlinkGoldenAssembler {
     d.writeByte(2)         // FILE_STREAM_STATE_HANDLE
     d.writeLong(stateFileSize)
     d.writeUTF(StateFileName)
-    d.writeByte(0)         // raw keyed: null
+    rawKeyed match {       // raw keyed state
+      case None    => d.writeByte(0)
+      case Some(b) => d.write(b)
+    }
+    d.flush(); bos.toByteArray
+  }
+
+  /** Raw keyed-state section: a KEY_GROUPS handle whose inline
+    * byte-stream delegate holds opaque bytes — the shape Flink 1.7's
+    * heap timer service snapshots into the raw keyed stream. The
+    * production code must carry the whole section verbatim.
+    */
+  def rawKeyedSection(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeByte(3)           // KEY_GROUPS_HANDLE
+    d.writeInt(0)            // start key group
+    d.writeInt(1)            // one key group
+    d.writeLong(0L)          // its offset
+    d.writeByte(1)           // inline byte-stream delegate
+    d.writeUTF("raw-keyed")
+    val payload = "heap-timer-stream-bytes"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    d.writeInt(payload.length); d.write(payload)
+    d.flush(); bos.toByteArray
+  }
+
+  /** Raw operator-state section (after the presence flag): a
+    * PARTITIONABLE handle whose delegate bytes are arbitrary user
+    * output, NOT an OperatorBackendSerializationProxy.
+    */
+  def rawOperatorSection(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeByte(4)           // PARTITIONABLE_OPERATOR_STATE_HANDLE
+    d.writeInt(1)            // one named state
+    d.writeUTF("user-raw-op"); d.writeByte(0)
+    d.writeInt(1); d.writeLong(0L)
+    d.writeByte(1)           // inline byte-stream delegate
+    d.writeUTF("raw-op")
+    val payload = Array.tabulate[Byte](29)(i => (i * 17 + 3).toByte)
+    d.writeInt(payload.length); d.write(payload)
     d.flush(); bos.toByteArray
   }
 
@@ -854,5 +1083,15 @@ object FlinkGoldenAssembler {
     val (state, _) = stateFileBytes()
     Files.write(dir.resolve(StateFileName), state)
     Files.write(dir.resolve("_metadata"), metadataBytes(state.length.toLong))
+  }
+
+  /** The W7 raw-state fixture: same managed state as the main fixture,
+    * plus raw operator + raw keyed sections on subtask 0.
+    */
+  def writeRawFixture(dir: Path): Unit = {
+    val (state, _) = stateFileBytes()
+    Files.write(dir.resolve(StateFileName), state)
+    Files.write(dir.resolve("_metadata"), metadataBytes(state.length.toLong,
+      rawOp = Some(rawOperatorSection()), rawKeyed = Some(rawKeyedSection())))
   }
 }
