@@ -196,6 +196,56 @@ final class OperatorStateReader(
     }
   }
 
+  // ----------------------------------------------------------- raw timers
+
+  /** Heap-timer decode over the RAW keyed stream (beyond the reference,
+    * which only preserves the handle bytes): every event/processing-time
+    * timer of every subtask as typed rows. Handle sections parse
+    * driver-side (tiny); group decode distributes one task per subtask —
+    * inline delegates ship with their task, file delegates open + seek
+    * executor-side. Timer volume per subtask is bounded by live keys x
+    * open windows of that subtask, the same bound the original job's
+    * heap held.
+    */
+  def readTimers(): Dataset[graft.core.flink.FlinkTimerIO.TimerRow] = {
+    val base = savepoint.basePath
+    val sections = operator.rawKeyedState.toSeq.sortBy(_._1)
+    implicit val pairEnc: Encoder[(Int, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.BINARY)
+    implicit val rowEnc: Encoder[graft.core.flink.FlinkTimerIO.TimerRow] =
+      org.apache.spark.sql.Encoders.product[graft.core.flink.FlinkTimerIO.TimerRow]
+    spark.createDataset(sections)
+      .repartition(math.max(1, sections.size))
+      .flatMap { case (sub, bytes) =>
+        graft.core.flink.FlinkTimerIO.decodeSection(bytes, base, sub)
+      }
+  }
+
+  /** Event-time WINDOW timers — the state a restored window job fires
+    * from — as (key, windowStart, windowEnd, timestamp). `service`
+    * defaults to the window operator's timer-service name.
+    */
+  def readEventTimeWindowTimers[K](
+      service: String = OperatorStateReader.WindowTimers,
+      keyCodec: Codec[K] = null)(
+      implicit e: Encoder[(K, Long, Long, Long)]): Dataset[(K, Long, Long, Long)] = {
+    val kcOverride = Option(keyCodec)
+    val svc = service
+    readTimers()
+      .filter(t => t.eventTime && t.service == svc)
+      .map { t =>
+        require(t.namespaceCodecId == Codecs.FlinkTimeWindowCodec.id,
+          s"timer service '$svc' has namespace codec " +
+            s"'${t.namespaceCodecId}', not a TimeWindow")
+        val kc = kcOverride.getOrElse(
+          CodecRegistry.resolve(t.keyCodecId).asInstanceOf[Codec[K]])
+        val (s0, e0) = Codecs.FlinkTimeWindowCodec.fromBytes(t.namespaceBytes)
+        (kc.fromBytes(t.keyBytes), s0, e0, t.timestamp)
+      }
+  }
+
   // ------------------------------------------------------------- helpers
 
   private def valueBytesFor(name: String): Dataset[Array[Byte]] =
@@ -239,4 +289,6 @@ final class OperatorStateReader(
 object OperatorStateReader {
   /** Flink's window-operator state name (KeyedStateReader.java:46-48). */
   val WindowContents = "window-contents"
+  /** Flink's window-operator timer-service name (WindowOperator.open). */
+  val WindowTimers = "window-timers"
 }

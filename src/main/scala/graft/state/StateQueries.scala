@@ -474,6 +474,77 @@ object StateQueries {
         managed.unionAll(Seq((-1L, fromRawKeyed), (-2L, fromRawOp)).toDF("key", "cnt"))
       }),
 
+    // Raw TIMER stream decode through the hash gate (builds on sp23's
+    // raw-state carry): per-user hourly window timers — the state a
+    // restored Flink window job fires from — are encoded into a REAL
+    // raw-keyed timer stream (InternalTimerServiceSerializationProxy
+    // grammar: snapshot-headed services, flipped-sign timestamps),
+    // injected per subtask, carried through a writeAll rewrite, and
+    // decoded back as (key, window, fire_ts) rows. Oracle = the SQL of
+    // the windows with the event-time fire timestamp (window_end - 1).
+    QueryDef(
+      "sp24_timer_state",
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ms(cast(ts as timestamp)) // 3600000 AS hr
+             |  FROM events WHERE user_id < 50)
+             |SELECT user_id AS key, hr * 3600000 AS window_start,
+             |  (hr + 1) * 3600000 AS window_end,
+             |  (hr + 1) * 3600000 - 1 AS fire_ts
+             |FROM e GROUP BY user_id, hr""".stripMargin),
+      (s, d) => {
+        import graft.core.flink.FlinkTimerIO
+        import s.implicits._
+        val maxPar = 128
+        val par = 4
+        val windows: Seq[(Long, Long)] = Catalog.t(s, d, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"))
+          .distinct()
+          .as[(Long, Long)].collect().toSeq
+        // real timer-stream encode: one ServiceGroup per key group,
+        // timers keyed WITHOUT the group prefix (the segment IS the
+        // group), TimeWindow namespaces, fire at window_end - 1
+        val byGroup: Map[Int, Seq[FlinkTimerIO.ServiceGroup]] = windows
+          .groupBy { case (k, _) => KeyGroups.assignToKeyGroup(k, maxPar) }
+          .map { case (kg, ws) =>
+            kg -> Seq(FlinkTimerIO.ServiceGroup("window-timers", "long",
+              Codecs.FlinkTimeWindowCodec.id,
+              eventTimers = ws.sortBy(w => (w._1, w._2)).map { case (k, hr) =>
+                FlinkTimerIO.Timer(LongCodec.toBytes(k),
+                  Codecs.FlinkTimeWindowCodec.toBytes(
+                    (hr * 3600000L, (hr + 1) * 3600000L)),
+                  (hr + 1) * 3600000L - 1)
+              },
+              processingTimers = Seq.empty))
+          }
+        // managed state alongside (a window job always has both)
+        val counts = Catalog.t(s, d, "events").filter(col("user_id") < 50)
+          .groupBy(col("user_id")).count().as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("timer-op", par, maxPar), "timer-op")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp24a"))
+        val loaded1 = Savepoints.load(meta1.basePath)
+        val op1 = loaded1.operator("timer-op")
+        val rawKeyed = (0 until par).map { sub =>
+          val (kgLo, kgHi) = KeyGroups.keyGroupRange(maxPar, par, sub)
+          sub -> FlinkTimerIO.buildRawKeyedSection(kgLo, kgHi - kgLo + 1,
+            byGroup.view.filterKeys(kg => kg >= kgLo && kg <= kgHi).toMap)
+        }.toMap
+        val withTimers = loaded1.withReplacedOperators(Seq(
+          op1.copy(rawKeyedState = rawKeyed)))
+        // full rewrite cycle: timers must survive it verbatim
+        val meta2 = Savepoints.writer(s, withTimers, "timer-op")
+          .addKeyedStateRows(
+            Savepoints.reader(s, withTimers, "timer-op").getAllUnreadKeyedStateRows)
+          .writeAll(tmp("graft-sp24b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "timer-op")
+          .readEventTimeWindowTimers[Long]()
+          .toDF("key", "window_start", "window_end", "fire_ts")
+      }),
+
     // Savepoint validation (the reference's "validate corrupted state"
     // use case, README.md:41-44): a value + map state savepoint is
     // scanned row-by-row against its own codec declarations — key-group

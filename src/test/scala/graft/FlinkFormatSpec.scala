@@ -562,6 +562,63 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("coordinator"))
   }
 
+  test("raw timer stream: proxy grammar roundtrip, flipped-sign " +
+    "timestamps, per-key-group sections, empty groups") {
+    import graft.core.flink.FlinkTimerIO
+    import graft.core.codec.Codecs.{FlinkTimeWindowCodec, LongCodec}
+    // two key groups with timers, one without; event + processing
+    def timer(k: Long, s0: Long, e0: Long, ts: Long) =
+      FlinkTimerIO.Timer(LongCodec.toBytes(k),
+        FlinkTimeWindowCodec.toBytes((s0, e0)), ts)
+    val groups = Map(
+      3 -> Seq(FlinkTimerIO.ServiceGroup("window-timers", "long",
+        "flink-window",
+        eventTimers = Seq(timer(1L, 0L, 3600L, 3599L), timer(2L, 0L, 3600L, 3599L)),
+        processingTimers = Seq(timer(1L, 3600L, 7200L, 7199L)))),
+      7 -> Seq(FlinkTimerIO.ServiceGroup("window-timers", "long",
+        "flink-window",
+        eventTimers = Seq(timer(9L, 0L, 3600L, 3599L)),
+        processingTimers = Seq.empty)))
+    val section = FlinkTimerIO.buildRawKeyedSection(0, 16, groups)
+    // negative-timestamp flip is sign-safe
+    assert(FlinkTimerIO.flipSignBit(FlinkTimerIO.flipSignBit(-42L)) === -42L)
+    val rows = FlinkTimerIO.decodeSection(section, "", subtask = 0).toSeq
+    assert(rows.size === 4)
+    assert(rows.count(_.eventTime) === 3)
+    val ev = rows.filter(r => r.eventTime)
+      .map(r => (LongCodec.fromBytes(r.keyBytes),
+        FlinkTimeWindowCodec.fromBytes(r.namespaceBytes), r.timestamp)).toSet
+    assert(ev === Set((1L, (0L, 3600L), 3599L), (2L, (0L, 3600L), 3599L),
+      (9L, (0L, 3600L), 3599L)))
+    assert(rows.forall(_.keyCodecId == "long"))
+    assert(rows.forall(_.namespaceCodecId == "flink-window"))
+    // the section survives a savepoint rewrite and decodes through the
+    // distributed reader API
+    import spark.implicits._
+    val base = SavepointMeta(21L, "", Seq(
+      OperatorStateMeta("t-op", Identifiers.operatorId("t-op"), 1, 16,
+        None, Seq.empty, compression = false, Seq.empty)))
+    val out = Files.createTempDirectory("flink-timers"); Files.delete(out)
+    val meta = Savepoints.writer(spark, base, "t-op")
+      .withDialect(Dialect.Flink)
+      .withKeyCodec(Codecs.LongCodec)
+      .createNewValueState("v", Seq((1L, 10L), (2L, 20L)).toDS(), Codecs.LongCodec)
+      .writeAll(out.toString)
+    val loaded = Savepoints.load(meta.basePath)
+    val withTimers = loaded.withReplacedOperators(Seq(
+      loaded.operator("t-op").copy(rawKeyedState = Map(0 -> section))))
+    val out2 = Files.createTempDirectory("flink-timers2"); Files.delete(out2)
+    val meta2 = Savepoints.writer(spark, withTimers, "t-op")
+      .addKeyedStateRows(Savepoints.reader(spark, withTimers, "t-op")
+        .getAllUnreadKeyedStateRows)
+      .writeAll(out2.toString)
+    val got = Savepoints.reader(spark, Savepoints.load(meta2.basePath), "t-op")
+      .readEventTimeWindowTimers[Long]()
+      .collect().toSet
+    assert(got === Set((1L, 0L, 3600L, 3599L), (2L, 0L, 3600L, 3599L),
+      (9L, 0L, 3600L, 3599L)))
+  }
+
   test("v3 (Flink 1.8+) empty-body simple snapshots also read") {
     val bos = new ByteArrayOutputStream()
     val d = new DataOutputStream(bos)
