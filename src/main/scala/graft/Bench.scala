@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // machine-load guard: a record taken on a contended machine is not
+    // comparable round-over-round (r6 post-mortem: the official record
+    // ran 2.1x the quiet-run total). The 1-minute load average before/
+    // after is printed in the JSON so any consumer can see contention.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -63,10 +71,12 @@ object Bench {
     // Full per-query detail -> a file (the driver keeps only the last
     // ~2000 chars of stdout, which a 95-entry map can never fit; the
     // committed detail file is the per-query record of a local run).
+    val loadAfter = loadAvg()
+    val loadFields = s""""load_before":${r3(loadBefore)},"load_after":${r3(loadAfter)},"runs":$runs"""
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$detail,$loadFields,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -79,7 +89,7 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fams,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fams,"n_queries":${results.size},$loadFields,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -110,7 +110,11 @@ object Clustering {
     while (chosen.size < k) {
       val sdf = v.filter(col("vec_id").isin(chosen.toSeq: _*))
         .select(col("va").as("sa"), col("vn").as("sn"))
-      val next = v.crossJoin(broadcast(sdf))
+      // exclude already-chosen vectors from the candidate side: with
+      // duplicate/parallel embeddings every chosen seed ties at cos=1.0
+      // and could be re-selected, yielding duplicate seeds
+      val next = v.filter(!col("vec_id").isin(chosen.toSeq: _*))
+        .crossJoin(broadcast(sdf))
         .select(col("vec_id"),
           expr(s"${sparkDot("va", "sa")} / (vn * sn)").as("cos"))
         .groupBy(col("vec_id")).agg(max(col("cos")).as("mx"))
@@ -127,7 +131,9 @@ object Clustering {
     val dot = duckDot("v.va", "s.va")
     val rounds = (1 until SeedK).map { i =>
       s"""m$i AS (SELECT v.vec_id AS vid, max($dot / (v.vn * s.vn)) AS mx
-         |  FROM v, seeds$i s GROUP BY v.vec_id),
+         |  FROM v, seeds$i s
+         |  WHERE v.vec_id NOT IN (SELECT vec_id FROM seeds$i)
+         |  GROUP BY v.vec_id),
          |p$i AS (SELECT vid FROM m$i ORDER BY mx ASC, vid ASC LIMIT 1),
          |seeds${i + 1} AS (SELECT * FROM seeds$i
          |  UNION ALL SELECT v.* FROM v, p$i WHERE v.vec_id = vid)""".stripMargin

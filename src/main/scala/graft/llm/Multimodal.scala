@@ -134,16 +134,15 @@ object Multimodal {
     // Batched decode/feature-extract through the typed Dataset pipeline.
     // The decode kernel is a deterministic stub (polynomial mod-hash
     // checksum over the payload bytes), so the oracle can reproduce it
-    // exactly in SQL. The char-fold over `text` equals the byte-fold
-    // over the utf-8 payload ONLY for pure-ASCII text — true for this
-    // corpus and CI-checked by RoundTwoOpsSpec ("corpus is pure ASCII");
-    // a multi-byte corpus would need a byte-level oracle fold instead.
+    // exactly in SQL. The oracle folds the UTF-8 BYTES (duckByteHash
+    // over hex(encode(text))), matching the Spark-side payload fold for
+    // ANY text, ASCII or not.
     QueryDef(
       "m02_multimodal_decode",
       Some(s"""WITH c AS (SELECT doc_id,
               |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1] AS format,
               |    cast(strlen(text) as bigint) AS n_bytes,
-              |    ${TextExprs.duckWordHash("text")} AS checksum
+              |    ${TextExprs.duckByteHash("text")} AS checksum
               |  FROM documents)
               |SELECT doc_id, format, n_bytes,
               |  cast(64 + checksum % 64 as int) AS width,
@@ -178,7 +177,7 @@ object Multimodal {
       Some(s"""WITH c AS (SELECT doc_id,
               |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1] AS format,
               |    cast(strlen(text) as bigint) AS n_bytes,
-              |    ${TextExprs.duckWordHash("text")} AS checksum
+              |    ${TextExprs.duckByteHash("text")} AS checksum
               |  FROM documents),
               |f AS (SELECT doc_id, format, n_bytes,
               |    cast(64 + checksum % 64 as int) AS width,
@@ -232,7 +231,7 @@ object Multimodal {
     QueryDef(
       "m06_perceptual_neardup",
       Some(s"""WITH c AS (SELECT doc_id,
-              |    (${TextExprs.duckWordHash("text")}) % 65536 AS ph
+              |    (${TextExprs.duckByteHash("text")}) % 65536 AS ph
               |  FROM documents),
               |h AS (SELECT doc_id, ph, ph // 256 AS hi, ph % 256 AS lo FROM c),
               |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -364,16 +364,18 @@ object Pipeline {
     * every epoch permutes the identical doc set.
     */
   def epochShuffle(docs: DataFrame, epochs: Int): DataFrame = {
-    val n = docs.count()
     val o = docs.select(col("doc_id"))
       .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
       .withColumn("ord",
         md5(concat_ws("-", col("epoch"), col("doc_id")).cast("binary")))
-    graft.relational.ScaleOps.globalPrefixSum(o,
-        order = Seq(col("epoch").asc, col("ord").asc, col("doc_id").asc),
-        valueCol = lit(1L), outCol = "cum")
-      .select(col("epoch").cast("int").as("epoch"), col("doc_id"),
-        (col("cum") - col("epoch").cast("long") * n).as("pos"))
+    // corpus size falls out of the prefix sum's own partition totals
+    // (total = epochs * n) — no separate count() scan
+    val (summed, total) = graft.relational.ScaleOps.globalPrefixSumWithTotal(o,
+      order = Seq(col("epoch").asc, col("ord").asc, col("doc_id").asc),
+      valueCol = lit(1L), outCol = "cum")
+    val n = total / epochs
+    summed.select(col("epoch").cast("int").as("epoch"), col("doc_id"),
+      (col("cum") - col("epoch").cast("long") * n).as("pos"))
   }
 
   /** Longest-first document selection under a global token budget: an
@@ -590,8 +592,8 @@ object Pipeline {
   def mixAllocation(docs: DataFrame, byCol: Column, tokensCol: Column,
       budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.withColumn("n_tokens", tokensCol)
-      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks"))
+    val tok = boundedGroups(docs.withColumn("n_tokens", tokensCol)
+      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks")), "mixAllocation")
     val wAll = Window.partitionBy()
     val ranked = tok
       .withColumn("total", sum(col("toks")).over(wAll))
@@ -603,6 +605,26 @@ object Pipeline {
     ranked.select(byCol, col("toks"),
       (col("base_alloc") +
         when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** The mix apportionments run UNPARTITIONED windows over one row per
+    * group — fine by construction (mix groups are sources/domains, a
+    * handful), but the contract is enforced, not assumed (the
+    * MaxInlineCentroids discipline): the grouped aggregate is pinned
+    * with `localCheckpoint`, counted, and rejected above this bound
+    * before any single-partition window touches it.
+    */
+  private[graft] val MaxMixGroups = 65536L
+
+  private def boundedGroups(tok: DataFrame, what: String): DataFrame = {
+    val pinned = tok.localCheckpoint(true)
+    val n = pinned.count()
+    require(n <= MaxMixGroups,
+      s"$what produced $n groups, above MaxMixGroups=$MaxMixGroups — its " +
+        "largest-remainder window is single-partition by design and only " +
+        "safe for bounded group counts; pre-aggregate the group key " +
+        "(e.g. source, not doc) or shard the mix")
+    pinned
   }
 
   /** Fixed-point scale for temperature weights: sqrt(toks) * 1e6
@@ -622,8 +644,8 @@ object Pipeline {
   def temperatureMix(docs: DataFrame, byCol: Column, tokensCol: Column,
       budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.withColumn("n_tokens", tokensCol)
-      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks"))
+    val tok = boundedGroups(docs.withColumn("n_tokens", tokensCol)
+      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks")), "temperatureMix")
     val wAll = Window.partitionBy()
     tok
       .withColumn("w_fx", expr(s"cast(floor(sqrt(toks) * $TempFx) as bigint)"))

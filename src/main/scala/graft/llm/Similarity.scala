@@ -62,9 +62,13 @@ object Similarity {
   /** Per-query top-k most-similar candidates with a DIFFERENT label —
     * the hard negatives contrastive embedding training feeds on (s09's
     * filtered top-k with the label predicate inverted). Queries are the
-    * small broadcast side by contract (s01's shape), candidates stream
-    * embarrassingly parallel; the label-inequality join is the
-    * broadcast-side filter, never a shuffle key.
+    * small broadcast side by contract (s01's shape); the inequality-only
+    * join plans as a broadcast nested loop, so candidates stream
+    * embarrassingly parallel. The |Q|x|C| scored stream is then
+    * PRE-REDUCED with a per-partition bounded heap (<= |Q| x k rows per
+    * task survive) before the per-query window — without it, one window
+    * task per query would absorb ALL of that query's candidates, the
+    * width/skew bound the rest of the repo avoids.
     */
   def hardNegatives(queries: DataFrame, candidates: DataFrame,
       k: Int): DataFrame = {
@@ -76,13 +80,41 @@ object Similarity {
     val c = candidates.select(col("neighbor_id"),
       col("label").as("neg_label"), col("embedding").as("ca"))
       .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q)
+    val scored = broadcast(q)
       .join(c, col("label") =!= col("neg_label"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .select("query_id", "neighbor_id", "label", "neg_label", "cosine")
+    // per-partition top-k per query under the SAME total order the
+    // window uses ((cosine desc, neighbor_id asc); neighbor_id is
+    // unique, so the order is total and the global top-k is contained
+    // in the union of per-partition top-ks). Heap memory per task is
+    // |Q| x k rows — bounded by the queries-are-broadcast-small
+    // contract already in force.
+    val kk = k
+    val schema = scored.schema
+    val qIdx = schema.fieldIndex("query_id")
+    val cosIdx = schema.fieldIndex("cosine")
+    val nIdx = schema.fieldIndex("neighbor_id")
+    // quality order: best = (highest cosine, lowest neighbor_id). The
+    // queue uses its REVERSE so dequeue() evicts the worst retained row.
+    val byQuality = Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+      r => (r.getDouble(cosIdx), -r.getAs[Number](nIdx).longValue))
+    val reduced = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getAs[Number](qIdx).longValue,
+          scala.collection.mutable.PriorityQueue.empty(byQuality.reverse))
+        h.enqueue(r)
+        if (h.size > kk) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    reduced
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .filter(col("rn") <= kk)
       .select("query_id", "neighbor_id", "label", "neg_label", "cosine", "rn")
   }
 

@@ -43,6 +43,23 @@ object TextExprs {
       s"list_transform(range(1, length($x) + 1), i -> cast(ascii($x[i]) as bigint))), " +
       s"(a, b) -> (a * 31 + b) % $PolyMod)"
 
+  /** BYTE-exact polynomial hash over the UTF-8 encoding of `x`: the
+    * oracle mirror of the Spark-side fold over the `encode(x, 'UTF-8')`
+    * payload (m-series decode stub, unsigned bytes). Bytes are recovered
+    * from `hex(encode(x))` pairs — DuckDB exposes no direct blob octet
+    * indexing — so non-ASCII text folds identically in both engines
+    * (unlike the per-CODEPOINT [[duckWordHash]], whose char-fold equals
+    * the byte-fold only for pure-ASCII input).
+    */
+  def duckByteHash(x: String): String = {
+    val hx = s"hex(encode($x))"
+    val byte = s"(strpos('0123456789ABCDEF', $hx[2*i-1]) - 1) * 16 " +
+      s"+ (strpos('0123456789ABCDEF', $hx[2*i]) - 1)"
+    s"list_reduce(list_prepend(cast(0 as bigint), " +
+      s"list_transform(range(1, strlen($x) + 1), i -> cast($byte as bigint))), " +
+      s"(a, b) -> (a * 31 + b) % $PolyMod)"
+  }
+
   /** Stopword lists for the language-ID heuristic (tie-break order below). */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "on"),

@@ -100,14 +100,38 @@ object ScaleOps {
       order: Seq[org.apache.spark.sql.Column],
       valueCol: org.apache.spark.sql.Column,
       outCol: String,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32): DataFrame =
+    globalPrefixSumWithTotal(df, order, valueCol, outCol, partitions)._1
+
+  /** [[globalPrefixSum]] exposing the GRAND total as well — it falls out
+    * of the phase-2 per-partition totals for free, so callers that need
+    * `n` (e.g. epoch-shuffle position math) avoid a separate count scan.
+    */
+  def globalPrefixSumWithTotal(
+      df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      valueCol: org.apache.spark.sql.Column,
+      outCol: String,
+      partitions: Int = 32): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val pidCol = "__graft_pid"
     val vCol = "__graft_psv"
-    require(!df.columns.contains(pidCol) && !df.columns.contains(vCol),
-      s"input may not already contain '$pidCol'/'$vCol' columns")
-    val parted = df
-      .withColumn(vCol, valueCol.cast("long"))
+    val offCol = "__graft_off"
+    require(!df.columns.contains(pidCol) && !df.columns.contains(vCol) &&
+      !df.columns.contains(offCol),
+      s"input may not already contain '$pidCol'/'$vCol'/'$offCol' columns")
+    // integral inputs only: a silent cast("long") over a double weight
+    // would truncate and return a wrong sum with no error
+    val typed = df.withColumn(vCol, valueCol)
+    val vType = typed.schema(vCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(vType),
+      s"globalPrefixSum needs an integral value column, got $vType; " +
+        "cast explicitly (and accept the rounding) if that is intended")
+    val parted = typed
+      .withColumn(vCol, col(vCol).cast("long"))
       .repartitionByRange(partitions, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
@@ -116,13 +140,25 @@ object ScaleOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until partitions)
       .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-    val offsetExpr = (0 until partitions).foldLeft(lit(0L)) { (acc, p) =>
-      when(col(pidCol) === p, lit(offsets(p))).otherwise(acc)
-    }
+    // per-partition start offsets join in as a BROADCAST dim (P rows):
+    // a when/CASE fold over thousands of partitions would blow Catalyst
+    // expression depth / codegen limits at realistic cluster sizes
+    val spark = df.sparkSession
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until partitions).map(p =>
+          org.apache.spark.sql.Row(p, offsets(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(pidCol,
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(offCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val w = Window.partitionBy(col(pidCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn(outCol, sum(col(vCol)).over(w) + offsetExpr)
-      .drop(pidCol, vCol)
+    val result = parted
+      .join(broadcast(offsetsDf), pidCol)
+      .withColumn(outCol, sum(col(vCol)).over(w) + col(offCol))
+      .drop(pidCol, vCol, offCol)
+    (result, offsets.last)
   }
 }

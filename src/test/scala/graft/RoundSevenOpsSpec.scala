@@ -1,0 +1,107 @@
+package graft
+
+import graft.llm.{Clustering, Pipeline, Similarity}
+import graft.relational.ScaleOps
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 guard + correctness specs: enforced bounded-cardinality
+  * contracts, the integral-input guard on the prefix sum, kmeans++ seed
+  * exclusion under duplicate embeddings, and the hard-negative
+  * per-partition pre-reduce.
+  */
+class RoundSevenOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalPrefixSum rejects non-integral value columns instead of " +
+    "silently truncating") {
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.globalPrefixSum(df, Seq(col("id").asc), col("w"), "cum")
+    }
+    assert(e.getMessage.contains("integral"))
+    // explicit cast = caller accepts the rounding; must work
+    val ok = ScaleOps.globalPrefixSum(df, Seq(col("id").asc),
+      col("w").cast("long"), "cum").select("id", "cum")
+      .as[(Long, Long)].collect().toMap
+    assert(ok === Map(1L -> 1L, 2L -> 3L))
+  }
+
+  test("globalPrefixSumWithTotal exposes the grand total without an " +
+    "extra scan; broadcast offsets match the CASE-fold semantics") {
+    val rows = (0 until 500).map(i => (i.toLong, 2L))
+    val (df, total) = ScaleOps.globalPrefixSumWithTotal(rows.toDF("id", "v"),
+      Seq(col("id").asc), col("v"), "cum", partitions = 8)
+    assert(total === 1000L)
+    val got = df.select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got === rows.map { case (id, _) => id -> (id + 1) * 2 }.toMap)
+  }
+
+  test("mixAllocation enforces the bounded-group contract with a clear " +
+    "error above MaxMixGroups") {
+    val wide = spark.range(Pipeline.MaxMixGroups + 1).toDF("g")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.mixAllocation(wide, col("g"), lit(1L), 1000L).collect()
+    }
+    assert(e.getMessage.contains("MaxMixGroups"))
+    // within bounds: integer-exact largest-remainder split sums to budget
+    val ok = Pipeline.mixAllocation(
+      Seq(("a", 10L), ("b", 20L), ("c", 5L)).toDF("g", "t"),
+      col("g"), col("t"), 100L)
+    assert(ok.agg(sum("alloc")).as[Long].head() === 100L)
+  }
+
+  test("temperatureMix enforces the same bound") {
+    val wide = spark.range(Pipeline.MaxMixGroups + 1).toDF("g")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.temperatureMix(wide, col("g"), lit(1L), 1000L).collect()
+    }
+    assert(e.getMessage.contains("MaxMixGroups"))
+  }
+
+  test("kmeansppSeed never re-selects a chosen seed under duplicate " +
+    "embeddings (cos=1.0 ties)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), // exact duplicate of seed 1
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val seeds = Clustering.kmeansppSeed(vecs, 4)
+      .orderBy("rank").as[(Int, Long)].collect()
+    assert(seeds.map(_._2).distinct.length === 4, s"duplicate seeds: ${seeds.toSeq}")
+    // seed 1 = min id; seed 2 = orthogonal vec 3; the duplicate (2) can
+    // only appear once the candidate pool forces it
+    assert(seeds(0)._2 === 1L)
+    assert(seeds(1)._2 === 3L)
+  }
+
+  test("hardNegatives: per-partition heap pre-reduce returns the exact " +
+    "global top-k (vs brute force) across many partitions") {
+    val dims = 4
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(dims)(rnd.nextDouble())
+    val cands = (0L until 200L).map(i => (i, if (i % 3 == 0) "a" else "b", vec()))
+    val qs = Seq((1000L, "a", vec()), (1001L, "b", vec()))
+    val qDf = qs.toDF("query_id", "label", "embedding")
+    val cDf = cands.toDF("neighbor_id", "label", "embedding")
+      .repartition(16) // force many partial heaps per query
+    val got = Similarity.hardNegatives(qDf, cDf, 5)
+      .select("query_id", "neighbor_id", "rn")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force in scala
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = qs.flatMap { case (qid, ql, qa) =>
+      cands.filter(_._2 != ql)
+        .map { case (nid, _, ca) => (nid, cos(qa, ca)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    assert(got === expected)
+  }
+}
