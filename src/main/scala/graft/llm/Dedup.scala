@@ -520,11 +520,30 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
     def fp(df: DataFrame): DataFrame = df.withColumn("fingerprint",
       md5(expr(s"cast(concat_ws(' ', slice($sparkWords, 1, $PrefixWords)) as binary)")))
+    // the corpus index is consumed twice (bloom build + join probe):
+    // pin it so the corpus fingerprint scan runs once
     val idx = fp(corpus).groupBy("fingerprint")
       .agg(min(col("doc_id")).as("corpus_id"))
-    fp(batch).join(idx, Seq("fingerprint"), "left")
+      .cache()
+    val nFp = idx.count()
+    // bloom pre-drop (q42's shape): batch rows whose fingerprint is
+    // DEFINITELY absent from the corpus bypass the join shuffle
+    // entirely and emit dup=false directly; only might-match rows —
+    // true dups + ~1% false positives — pay the join. At 100 TB the
+    // steady-state batch is mostly novel, so this drops nearly the
+    // whole batch out of the shuffle.
+    val bf = idx.stat.bloomFilter("fingerprint", math.max(nFp, 1L), 0.01)
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val fb = fp(batch)
+    val joined = fb.filter(might(col("fingerprint")))
+      .join(idx, Seq("fingerprint"), "left")
       .select(col("doc_id"), col("fingerprint"),
         col("corpus_id").isNotNull.as("dup_in_corpus"), col("corpus_id"))
+    val misses = fb.filter(!might(col("fingerprint")))
+      .select(col("doc_id"), col("fingerprint"),
+        lit(false).as("dup_in_corpus"), lit(null).cast("long").as("corpus_id"))
+    joined.unionAll(misses)
   }
 
   private[graft] def incrementalOracle: String =

@@ -635,6 +635,40 @@ object RelationalQueries3 {
           .groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
             min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      }),
+
+    // GLOBAL exact quantiles without a single-reducer sort — the
+    // corpus-wide companion of q46's per-group rank math, and the gate
+    // for PLANS.md's claim that globalPrefixSum generalizes to exact
+    // order statistics. Distinct-value counts prefix-sum into rank
+    // RANGES (value v covers ranks cum-cnt+1..cum) under the range
+    // partitioning; each target rank r = ceil(pct*n/100) — probed to
+    // be DuckDB quantile_disc's convention — finds its value by a
+    // broadcast range join against the tiny rank table. No window, no
+    // global sort, no SinglePartition exchange at any width.
+    QueryDef(
+      "q48_global_quantiles",
+      Some("""WITH o AS (SELECT cast(round(o_totalprice * 100) as bigint)
+             |    AS cents FROM orders)
+             |SELECT 1 AS pct, quantile_disc(cents, 0.01) AS cents FROM o
+             |UNION ALL SELECT 25, quantile_disc(cents, 0.25) FROM o
+             |UNION ALL SELECT 50, quantile_disc(cents, 0.50) FROM o
+             |UNION ALL SELECT 75, quantile_disc(cents, 0.75) FROM o
+             |UNION ALL SELECT 99, quantile_disc(cents, 0.99) FROM o""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val counts = o.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+        val (pre, n) = ScaleOps.globalPrefixSumWithTotal(counts,
+          Seq(col("cents").asc), col("cnt"), "cum")
+        // r = ceil(pct * n / 100), integer-exact; clamped to >= 1
+        val ranks = Seq(1, 25, 50, 75, 99)
+          .map(p => (p, math.max(1L, (p * n + 99L) / 100L)))
+          .toDF("pct", "r")
+        pre.join(broadcast(ranks),
+            col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+          .select(col("pct"), col("cents"))
       })
   )
 

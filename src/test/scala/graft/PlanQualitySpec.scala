@@ -221,6 +221,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    // bloom pre-drop: the batch side is FILTERED below the join (the
+    // mightContain UDF), and the definite-miss branch unions back in
+    // above it without touching the join
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0, p)
+    assert(p.indexOf("Union") >= 0 && p.indexOf("Union") < joinAt,
+      "miss branch should union in above the join:\n" + p)
+    assert(p.substring(joinAt).contains("UDF"),
+      "batch-side bloom filter should sit below the join:\n" + p)
+  }
+
+  test("q48 global quantiles never plan a SinglePartition exchange") {
+    // rank ranges come from globalPrefixSum (range partitioning +
+    // driver-scanned P-row totals); the quantile lookup is a broadcast
+    // range join — at no width does any stage collapse to one task
+    val p = plan("q48_global_quantiles")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("s11 knn graph joins only on bucket keys and vec ids") {
