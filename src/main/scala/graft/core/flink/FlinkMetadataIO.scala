@@ -111,7 +111,8 @@ object FlinkMetadataIO {
     // rows, or keep the graft dialect)
     meta.operators.foreach { op =>
       op.keyedFiles.foreach { f =>
-        require(f.kind == KeyedFileHandle.FlinkStreamKind,
+        require(f.kind == KeyedFileHandle.FlinkStreamKind ||
+          f.kind == KeyedFileHandle.RocksDbKind,
           s"operator ${op.uid} subtask ${f.subtaskIndex}: keyed file is " +
             s"not in the Flink stream layout (kind ${f.kind}); rewrite " +
             "its rows with the Flink dialect (e.g. add " +
@@ -191,9 +192,54 @@ object FlinkMetadataIO {
             case None        => d.writeInt(0)
             case Some(bytes) => d.writeInt(1); d.write(bytes)
           }
-          // managed keyed: KEY_GROUPS_HANDLE (or null)
+          // managed keyed: KEY_GROUPS (stream) or INCREMENTAL (native
+          // RocksDB checkpoint dir) handle, or null
           keyedBySubtask.get(subtask) match {
             case None => d.writeByte(NullHandle)
+            case Some(f) if f.kind == KeyedFileHandle.RocksDbKind =>
+              val dirPath = resolvePath(meta.basePath, f.relativePath)
+              val dfs = dirPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val files = dfs.listStatus(dirPath).filter(_.isFile)
+                .sortBy(_.getPath.getName)
+              // a stub dir from a LOADED incremental handle (manifest +
+              // partially materialized files) is not a real checkpoint;
+              // only writer-produced / genuine RocksDB dirs re-emit
+              require(!files.exists(_.getPath.getName ==
+                graft.core.scan.RocksDbCheckpoints.ManifestName),
+                s"operator ${op.uid} subtask $subtask: keyed dir is a " +
+                  "localization stub of a loaded incremental checkpoint; " +
+                  "rewrite its rows instead of re-emitting the handle")
+              d.writeByte(IncrementalKeyGroupsHandle)
+              d.writeLong(meta.checkpointId)
+              d.writeUTF(s"graft-${op.operatorId}-$subtask")
+              d.writeInt(f.kgStart)
+              d.writeInt(f.kgEnd - f.kgStart + 1)
+              // sst files are the shared (dedup-able across checkpoints)
+              // state, misc files (CURRENT/MANIFEST/OPTIONS) private —
+              // Flink's own split for incremental RocksDB handles
+              val (sst, misc) = files.partition(_.getPath.getName.endsWith(".sst"))
+              def writeFileMap(fsList: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+                d.writeInt(fsList.size)
+                fsList.foreach { st =>
+                  d.writeUTF(st.getPath.getName)
+                  d.writeByte(FileStreamHandle)
+                  d.writeLong(st.getLen)
+                  d.writeUTF(st.getPath.toString)
+                }
+              }
+              writeFileMap(sst.toSeq)
+              writeFileMap(misc.toSeq)
+              // meta state: the serialization proxy (codec resolution
+              // for incremental loads, same as the read path expects)
+              val proxy = FlinkProxyIO.toBytes(FlinkProxyIO.Proxy(
+                op.compression,
+                op.keyCodecId.getOrElse(throw new IllegalStateException(
+                  s"operator ${op.uid}: incremental handle needs a key codec")),
+                op.states))
+              d.writeByte(ByteStreamHandle)
+              d.writeUTF("meta")
+              d.writeInt(proxy.length)
+              d.write(proxy)
             case Some(f) =>
               d.writeByte(KeyGroupsHandle)
               d.writeInt(f.kgStart)

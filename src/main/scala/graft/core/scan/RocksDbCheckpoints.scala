@@ -11,10 +11,12 @@ import scala.jdk.CollectionConverters._
   * RocksDBCheckpointIterator.java:73-248 (transfer :92-148, open
   * :196-216, iterate :218-238).
   *
-  * Read path only, like the reference (writes always produce full
-  * savepoint streams). `createCheckpoint` exists so fixtures and
-  * round-trips can fabricate native-format state without a running
-  * Flink/RocksDB job.
+  * Beyond the reference (which only reads this format), graft also
+  * WRITES it: `createCheckpoint` backs both fixture fabrication and the
+  * native-format savepoint sink
+  * ([[graft.state.OperatorStateWriter.withNativeRocksDb]]), so repaired
+  * or rescaled state can restore through RocksDB's own file loading
+  * instead of a stream-decode.
   */
 object RocksDbCheckpoints {
   RocksDB.loadLibrary()
@@ -25,7 +27,17 @@ object RocksDbCheckpoints {
     */
   def createCheckpoint(
       targetDir: String,
-      rows: Seq[(String, Array[Byte], Array[Byte])]): Unit = {
+      rows: Seq[(String, Array[Byte], Array[Byte])]): Unit =
+    createCheckpoint(targetDir, rows.iterator)
+
+  /** Streaming variant — rows never materialize in memory, so one
+    * subtask's full state can flow straight from the shuffle into the
+    * native files (the write-path analogue of the reference's streamed
+    * read, RocksDBCheckpointIterator.java:218-238).
+    */
+  def createCheckpoint(
+      targetDir: String,
+      rows: Iterator[(String, Array[Byte], Array[Byte])]): Unit = {
     val work = Files.createTempDirectory("graft-rocks-work")
     val opts = new Options().setCreateIfMissing(true)
     val db = RocksDB.open(opts, work.toString)

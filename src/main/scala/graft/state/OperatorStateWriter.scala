@@ -39,6 +39,19 @@ final class OperatorStateWriter(
     */
   def withDialect(d: Byte): this.type = { dialect = d; this }
 
+  private var nativeRocksDb = false
+
+  /** Keyed-state container format: emit each subtask's state as a
+    * NATIVE RocksDB checkpoint directory (one column family per state)
+    * instead of a savepoint stream file — beyond the reference, which
+    * reads this format (S4) but never writes it. Under the Flink
+    * dialect the `_metadata` records a real INCREMENTAL_KEY_GROUPS
+    * handle (sst files shared, misc private, proxy in the meta-state
+    * handle); under the graft dialect a RocksDb-kind keyed file. Either
+    * way the S4 scan restores it without a stream decode.
+    */
+  def withNativeRocksDb(): this.type = { nativeRocksDb = true; this }
+
   private implicit val rowEnc: org.apache.spark.sql.Encoder[KeyedStateRow] =
     Encoders.product[KeyedStateRow]
 
@@ -200,17 +213,24 @@ final class OperatorStateWriter(
             KeyGroups.operatorIndexForKeyGroup(maxPar, par, kg),
             kg, idMap(r.stateName), r.keyAndNamespaceBytes, r.valueBytes)
         }(Encoders.product[EncRow])
+        val useRocks = nativeRocksDb
+        val stateNames = finalStates.map(_.name)
         val handles = withIds
           .groupByKey(_.opIndex)(Encoders.scalaInt)
           .flatMapSortedGroups(col("keyGroup"), col("stateId")) {
             (opIndex: Int, it: Iterator[EncRow]) =>
-              Iterator.single(OperatorStateWriter.encodeSubtask(
-                outAbs, opId, opIndex, par, maxPar, compression, it,
-                outDialect, metaBytes))
+              Iterator.single(
+                if (useRocks)
+                  OperatorStateWriter.encodeSubtaskRocks(
+                    outAbs, opId, opIndex, par, maxPar, it, stateNames)
+                else OperatorStateWriter.encodeSubtask(
+                  outAbs, opId, opIndex, par, maxPar, compression, it,
+                  outDialect, metaBytes))
           }(Encoders.product[HandleRow])
           .collect() // handles only — never rows (SURVEY §7.4 #7)
         val kind =
-          if (outDialect == Dialect.Flink) KeyedFileHandle.FlinkStreamKind
+          if (useRocks) KeyedFileHandle.RocksDbKind
+          else if (outDialect == Dialect.Flink) KeyedFileHandle.FlinkStreamKind
           else KeyedFileHandle.StreamKind
         handles.map(h => KeyedFileHandle(h.subtaskIndex, h.relativePath,
           h.kgStart, h.kgEnd, h.offsets, kind)).toSeq.sortBy(_.subtaskIndex)
@@ -358,6 +378,39 @@ object OperatorStateWriter {
         } else StateStreamFormat.encode(out, records, kgStart, kgEnd, compression)
       } finally out.close()
     HandleRow(opIndex, rel, kgStart, kgEnd, offsets)
+  }
+
+  /** Executor-side NATIVE encode of one subtask's rows: stream them
+    * into a local RocksDB instance (one column family per state), take
+    * a real checkpoint, upload the checkpoint files to
+    * `outDir/<rel>/`. The handle records the directory; offsets are
+    * unused (RocksDB's own file index replaces them).
+    */
+  private[state] def encodeSubtaskRocks(
+      outDir: String, opId: String, opIndex: Int, par: Int, maxPar: Int,
+      it: Iterator[EncRow], stateNames: Seq[String]): HandleRow = {
+    val (kgStart, kgEnd) = KeyGroups.keyGroupRange(maxPar, par, opIndex)
+    val rel = s"op-$opId/rocks-$opIndex-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = java.nio.file.Files.createTempDirectory("graft-rocks-cp")
+    val cpDir = staging.resolve("cp") // must not pre-exist (RocksDB contract)
+    try {
+      graft.core.scan.RocksDbCheckpoints.createCheckpoint(cpDir.toString,
+        it.map(e => (stateNames(e.stateId), e.key, e.value)))
+      val dst = new org.apache.hadoop.fs.Path(outDir, rel)
+      val fs = dst.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(dst)
+      java.nio.file.Files.list(cpDir).forEach { f =>
+        fs.copyFromLocalFile(
+          new org.apache.hadoop.fs.Path(f.toAbsolutePath.toString),
+          new org.apache.hadoop.fs.Path(dst, f.getFileName.toString))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(staging))
+        java.nio.file.Files.walk(staging).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    HandleRow(opIndex, rel, kgStart, kgEnd, Seq.empty)
   }
 }
 

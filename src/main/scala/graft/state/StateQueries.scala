@@ -545,6 +545,34 @@ object StateQueries {
           .toDF("key", "window_start", "window_end", "fire_ts")
       }),
 
+    // Native-RocksDB WRITE path through the hash gate (beyond the
+    // reference, which reads incremental checkpoints but never writes
+    // them): per-customer counts stream into per-subtask RocksDB
+    // checkpoint dirs, the Flink-dialect `_metadata` records real
+    // INCREMENTAL_KEY_GROUPS handles (sst shared / misc private / proxy
+    // meta-state), and the magic-sniff load + S4 scan must decode the
+    // same relation back. Repair/rescale flows can now round in native
+    // format without a stream rewrite.
+    QueryDef(
+      "sp25_native_rocksdb_write",
+      Some("SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey"),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("native-rocks", 4, 128), "native-rocks")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .withNativeRocksDb()
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp25"))
+        Savepoints.reader(s, Savepoints.load(meta.basePath), "native-rocks")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // Savepoint validation (the reference's "validate corrupted state"
     // use case, README.md:41-44): a value + map state savepoint is
     // scanned row-by-row against its own codec declarations — key-group

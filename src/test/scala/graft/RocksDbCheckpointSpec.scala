@@ -76,4 +76,62 @@ class RocksDbCheckpointSpec extends AnyFunSuite {
     assert(r2.readValueStates[Int, Int]("Count").collect().toMap == Map(1 -> 4, 2 -> 2))
     assert(r2.readValueStates[Int, Int]("Other").collect().toMap == Map(7 -> 70, 8 -> 80))
   }
+
+  test("native RocksDB WRITE path (beyond reference): graft-dialect " +
+    "savepoint with per-subtask checkpoint dirs roundtrips through S4") {
+    import graft.core.codec.Codecs.LongCodec
+    val values = (1L to 400L).map(k => (k, k * 13))
+    val out = java.nio.file.Files.createTempDirectory("graft-rocks-native")
+    java.nio.file.Files.delete(out)
+    val meta = Savepoints
+      .writer(spark, Savepoints.bootstrap("native-op", 4, 128), "native-op")
+      .withKeyCodec(LongCodec)
+      .withNativeRocksDb()
+      .createNewValueState("V", values.toDS(), LongCodec)
+      .writeAll(out.toString)
+    val op = meta.operator("native-op")
+    assert(op.keyedFiles.nonEmpty)
+    assert(op.keyedFiles.forall(_.kind == KeyedFileHandle.RocksDbKind))
+    assert(op.keyedFiles.map(_.subtaskIndex).distinct.size === op.keyedFiles.size)
+    // reload from disk: metadata carries the dirs; S4 scan decodes
+    val got = Savepoints.reader(spark, Savepoints.load(meta.basePath), "native-op")
+      .readValueStates[Long, Long]("V").collect().toMap
+    assert(got === values.toMap)
+  }
+
+  test("native RocksDB write under the FLINK dialect emits a real " +
+    "INCREMENTAL_KEY_GROUPS handle that the S4 reader consumes") {
+    import graft.core.codec.Codecs
+    val values = (1L to 300L).map(k => (s"u-$k", k * 7))
+    val out = java.nio.file.Files.createTempDirectory("graft-rocks-flink")
+    java.nio.file.Files.delete(out)
+    val meta = Savepoints
+      .writer(spark, Savepoints.bootstrap("inc-w-op", 2, 128), "inc-w-op")
+      .withDialect(Dialect.Flink)
+      .withKeyCodec(Codecs.FlinkStringCodec)
+      .withNativeRocksDb()
+      .createNewValueState("V", values.toDS(), Codecs.LongCodec)
+      .writeAll(out.toString)
+    // the _metadata is a real Flink envelope; magic-sniff load resolves
+    // codecs from the incremental handle's meta-state proxy
+    val loaded = Savepoints.load(meta.basePath)
+    val op = loaded.operator("inc-w-op")
+    assert(op.keyCodecId === Some("flink-string"))
+    assert(op.states.map(_.name) === Seq("V"))
+    val got = Savepoints.reader(spark, loaded, "inc-w-op")
+      .readValueStates[String, Long]("V").collect().toMap
+    assert(got === values.toMap)
+    // and the rescale path works FROM the incremental checkpoint: rows
+    // re-shard into a plain stream savepoint without a pre-rewrite
+    val out2 = java.nio.file.Files.createTempDirectory("graft-rocks-rescale")
+    java.nio.file.Files.delete(out2)
+    val rows = Savepoints.reader(spark, loaded, "inc-w-op").getAllUnreadKeyedStateRows
+    val meta2 = Savepoints.writer(spark, loaded, "inc-w-op")
+      .addKeyedStateRows(rows)
+      .withParallelism(8, 512)
+      .writeAll(out2.toString)
+    val got2 = Savepoints.reader(spark, Savepoints.load(meta2.basePath), "inc-w-op")
+      .readValueStates[String, Long]("V").collect().toMap
+    assert(got2 === values.toMap)
+  }
 }
