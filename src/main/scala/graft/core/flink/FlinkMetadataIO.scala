@@ -103,6 +103,12 @@ object FlinkMetadataIO {
     * and non-keyed PARTITIONABLE operator handles (inline byte-stream
     * delegates). All validation runs BEFORE the file is created, so a
     * rejected write never leaves a half-written `_metadata` behind.
+    *
+    * Version selection: v2 (the reference's pinned 1.7 target) unless
+    * any operator carries v3 coordinator state, in which case the v3
+    * envelope is written so the coordinator bytes replay verbatim — a
+    * v3-loaded savepoint rewrites as v3, never silently dropping its
+    * enumerator checkpoints.
     */
   def write(dirStr: String, meta: SavepointMeta): org.apache.hadoop.fs.Path = {
     // pre-validate: every keyed file of every operator must be in the
@@ -126,11 +132,14 @@ object FlinkMetadataIO {
     val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.mkdirs(dir)
     val mp = new org.apache.hadoop.fs.Path(dir, MetadataFile)
+    val version =
+      if (meta.operators.exists(_.coordinatorState.isDefined)) MetadataV3Version
+      else SavepointVersion
     val out = fs.create(mp, false) // NO_OVERWRITE
     val d = new DataOutputStream(new BufferedOutputStream(out))
     try {
       d.writeInt(HeaderMagic)
-      d.writeInt(SavepointVersion)
+      d.writeInt(version)
       d.writeLong(meta.checkpointId)
       // master states pass through verbatim (reference carries
       // oldSavepoint.getMasterStates() into every rewritten savepoint,
@@ -149,11 +158,14 @@ object FlinkMetadataIO {
         d.writeLong(longAt(idBytes, 8))
         d.writeInt(op.parallelism)
         d.writeInt(op.maxParallelism)
-        d.writeInt(1) // legacy chain length
-        require(op.coordinatorState.isEmpty,
-          s"operator ${op.uid} carries v3 operator-coordinator state, " +
-            "which the v2 savepoint layout cannot represent; rewriting " +
-            "such savepoints in the Flink dialect is not supported")
+        if (version == MetadataV3Version)
+          // coordinator state replays verbatim (or null)
+          op.coordinatorState match {
+            case None    => d.writeByte(NullHandle)
+            case Some(b) => d.write(b)
+          }
+        else
+          d.writeInt(1) // legacy chain length
         val keyedBySubtask = op.keyedFiles.map(f => f.subtaskIndex -> f).toMap
         val nonKeyedSubtasks = op.nonKeyed.filter { case (_, b) =>
           b.listStates.nonEmpty || b.broadcastStates.nonEmpty
@@ -262,6 +274,10 @@ object FlinkMetadataIO {
           op.rawKeyedState.get(subtask) match {
             case None        => d.writeByte(NullHandle)
             case Some(bytes) => d.write(bytes)
+          }
+          if (version == MetadataV3Version) {
+            d.writeInt(0) // input-channel state: none (aligned)
+            d.writeInt(0) // result-subpartition state: none
           }
         }
       }

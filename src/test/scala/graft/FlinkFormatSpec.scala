@@ -526,8 +526,8 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(got === FlinkV3GoldenAssembler.Counts)
   }
 
-  test("v3 coordinator state is staged on read and blocks a v2 rewrite " +
-    "instead of being dropped silently") {
+  test("v3 coordinator state is staged on read and replays verbatim " +
+    "through a v3 rewrite (never silently dropped)") {
     // hand-assemble a v3 _metadata whose operator carries coordinator
     // state (a FLIP-27 source's enumerator checkpoint)
     val bos = new ByteArrayOutputStream()
@@ -555,11 +555,18 @@ class FlinkFormatSpec extends AnyFunSuite {
     val meta = Savepoints.load(dir.toString)
     val op = meta.operator("coord-op")
     assert(op.coordinatorState.isDefined)
+    // the staged section embeds the enumerator payload verbatim
+    assert(op.coordinatorState.get.toSeq.containsSlice(coord.toSeq))
+    // rewrite: coordinator presence selects the v3 envelope, and the
+    // bytes replay exactly
     val out = Files.createTempDirectory("flink-v3-coord-out"); Files.delete(out)
-    val e = intercept[IllegalArgumentException] {
-      FlinkMetadataIO.write(out.toString, meta)
-    }
-    assert(e.getMessage.contains("coordinator"))
+    FlinkMetadataIO.write(out.toString, meta)
+    val written = Files.readAllBytes(
+      java.nio.file.Paths.get(out.toString, "_metadata"))
+    assert(java.nio.ByteBuffer.wrap(written, 4, 4).getInt === 3, "v3 envelope")
+    val re = Savepoints.load(out.toString)
+    assert(re.operator("coord-op").coordinatorState.get.toSeq ===
+      op.coordinatorState.get.toSeq)
   }
 
   test("raw timer stream: proxy grammar roundtrip, flipped-sign " +
