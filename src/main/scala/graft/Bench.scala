@@ -58,8 +58,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // queries may cache() intermediates (LSH signatures); release them
-      // so storage memory stays flat across the suite
+      // so storage memory stays flat across the suite, and GC between
+      // queries (outside the timed region) so one query's heap garbage
+      // doesn't tax the next query's allocations — in-suite d07 measured
+      // 2.6x its isolated time from exactly this carryover
       spark.catalog.clearCache()
+      System.gc()
       q.name -> times.min
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
