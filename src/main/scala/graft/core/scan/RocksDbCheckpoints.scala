@@ -50,6 +50,10 @@ object RocksDbCheckpoints {
               state.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
           db.put(h, k, v)
         }
+        // flush to SSTs before checkpointing: data left in the WAL would
+        // be invisible to later incremental writes' SST sharing
+        val fo = new FlushOptions().setWaitForFlush(true)
+        try handles.values.foreach(h => db.flush(fo, h)) finally fo.close()
         val cp = Checkpoint.create(db)
         try cp.createCheckpoint(targetDir) finally cp.close()
       } finally handles.values.foreach(_.close()) // CF handles before db
@@ -57,6 +61,142 @@ object RocksDbCheckpoints {
       db.close(); opts.close()
       deleteRecursively(work)
     }
+  }
+
+  /** Result of an incremental write: which checkpoint files were
+    * re-used from the base (manifest references, never re-uploaded) and
+    * which were newly materialized.
+    */
+  final case class IncrementalResult(shared: Seq[String], created: Seq[String])
+
+  /** TRUE incremental checkpoint write — SST sharing across successive
+    * checkpoints (beyond the reference, which only reads the shared/
+    * private layout, RocksDBCheckpointIterator.java:92-148). The new
+    * checkpoint is written as a stub dir: files the base checkpoint
+    * already holds become [[ManifestName]] lines (`name\turi`) pointing
+    * at the base's copy, so only the delta's new SSTs + the small
+    * metadata files (MANIFEST/CURRENT/OPTIONS/log) are materialized.
+    * Within one RocksDB lineage SST file numbers are never reused, so
+    * same-name = same-bytes; a defensive length check enforces it.
+    *
+    * `delta`: (stateName, key, Some(value)) upserts, (stateName, key,
+    * None) deletes. Auto-compaction is disabled on the work DB so an
+    * unchanged base SST can never be rewritten under a new name.
+    *
+    * The existing read path consumes the stub transparently:
+    * [[localize]] assembles materialized + manifest-listed files into
+    * one local dir before the CF scan.
+    */
+  def createIncrementalCheckpoint(
+      targetDir: String,
+      baseDir: String,
+      delta: Iterator[(String, Array[Byte], Option[Array[Byte]])]): IncrementalResult = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val conf = new org.apache.hadoop.conf.Configuration()
+
+    // 1. what the base already stores, under its ORIGINAL uri (a stub
+    // base contributes its manifest entries verbatim — the chain is
+    // flattened, every reference points at a materialized file)
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    val baseFs = basePath.getFileSystem(conf)
+    val baseFiles = scala.collection.mutable.Map.empty[String, (String, Long)]
+    baseFs.listStatus(basePath).foreach { st =>
+      if (st.getPath.getName != ManifestName)
+        baseFiles(st.getPath.getName) =
+          (st.getPath.toUri.toString, st.getLen)
+    }
+    val baseManifest = new org.apache.hadoop.fs.Path(basePath, ManifestName)
+    if (baseFs.exists(baseManifest)) {
+      val in = baseFs.open(baseManifest)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val Array(name, uri) = line.split("\t", 2)
+        val p = new org.apache.hadoop.fs.Path(uri)
+        baseFiles(name) = (uri, p.getFileSystem(conf).getFileStatus(p).getLen)
+      }
+    }
+
+    // 2. writable work copy: hard-link the immutable SSTs (fallback:
+    // copy), copy the small mutable metadata files
+    val localized = localize(baseDir)
+    val work = Files.createTempDirectory("graft-rocks-incr")
+    try {
+      Files.list(Paths.get(localized.path)).forEach { f =>
+        val dst = work.resolve(f.getFileName.toString)
+        if (f.getFileName.toString.endsWith(".sst"))
+          try Files.createLink(dst, f)
+          catch { case _: Exception => Files.copy(f, dst) }
+        else Files.copy(f, dst)
+      }
+      localized.close()
+
+      // 3. open read-write with every column family, apply the delta
+      val cfOpts = new ColumnFamilyOptions().setDisableAutoCompactions(true)
+      val listOpts = new Options()
+      val cfNames =
+        try RocksDB.listColumnFamilies(listOpts, work.toString).asScala.toSeq
+        finally listOpts.close()
+      val descs = cfNames.map(new ColumnFamilyDescriptor(_, cfOpts))
+      val handles = new java.util.ArrayList[ColumnFamilyHandle]()
+      val dbOpts = new DBOptions().setCreateIfMissing(false)
+      val db = RocksDB.open(dbOpts, work.toString, descs.asJava, handles)
+      val cpDir = work.resolveSibling(work.getFileName.toString + "-cp")
+      try {
+        val byName = handles.asScala.toSeq.zip(cfNames)
+          .map { case (h, n) => new String(n, utf8) -> h }
+        val cfMap = scala.collection.mutable.Map(byName: _*)
+        delta.foreach { case (state, k, v) =>
+          val h = cfMap.getOrElseUpdate(state,
+            db.createColumnFamily(new ColumnFamilyDescriptor(state.getBytes(utf8), cfOpts)))
+          v match {
+            case Some(bytes) => db.put(h, k, bytes)
+            case None => db.delete(h, k)
+          }
+        }
+        // flush so the delta becomes SSTs (not WAL residue) before the
+        // checkpoint hard-links the file set
+        val fo = new FlushOptions().setWaitForFlush(true)
+        try cfMap.values.foreach(h => db.flush(fo, h)) finally fo.close()
+        val cp = Checkpoint.create(db)
+        try cp.createCheckpoint(cpDir.toString) finally cp.close()
+      } finally {
+        handles.asScala.foreach(_.close())
+        db.close(); dbOpts.close(); cfOpts.close()
+      }
+
+      // 4. stub write: share what the base already stores, materialize
+      // the rest
+      val target = new org.apache.hadoop.fs.Path(targetDir)
+      val targetFs = target.getFileSystem(conf)
+      targetFs.mkdirs(target)
+      val shared = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val created = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        Files.list(cpDir).forEach { f =>
+          val name = f.getFileName.toString
+          val reusable = name.endsWith(".sst") &&
+            baseFiles.get(name).exists(_._2 == Files.size(f))
+          if (reusable) shared += name -> baseFiles(name)._1
+          else {
+            created += name
+            targetFs.copyFromLocalFile(
+              new org.apache.hadoop.fs.Path(f.toAbsolutePath.toString),
+              new org.apache.hadoop.fs.Path(target, name))
+          }
+        }
+        if (shared.nonEmpty) {
+          val out = targetFs.create(
+            new org.apache.hadoop.fs.Path(target, ManifestName), true)
+          try out.write(shared.sortBy(_._1)
+            .map { case (n, u) => s"$n\t$u" }.mkString("", "\n", "\n")
+            .getBytes(utf8))
+          finally out.close()
+        }
+      } finally deleteRecursively(cpDir)
+      IncrementalResult(shared.map(_._1).toSeq.sorted, created.toSeq.sorted)
+    } finally deleteRecursively(work)
   }
 
   /** Closeable scan over the kept column families of a checkpoint dir. */

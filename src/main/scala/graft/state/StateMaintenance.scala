@@ -134,4 +134,104 @@ object StateMaintenance {
       .addKeyedStateRows(surviving)
       .writeAll(outDir)
   }
+
+  /** Incremental savepoint update — apply a row delta to a
+    * native-RocksDB savepoint WITHOUT rewriting unchanged state (beyond
+    * the reference, which reads the shared-file incremental layout,
+    * RocksDBCheckpointIterator.java:92-148, but always rewrites full
+    * snapshots). Each touched subtask gets a new stub checkpoint dir
+    * whose manifest shares the base checkpoint's unchanged SSTs;
+    * untouched subtasks keep their original handles verbatim. At 100 TB
+    * the write cost is the delta + per-subtask metadata files, not the
+    * state size.
+    *
+    * `upserts` rows replace/insert by (stateName, keyAndNamespaceBytes);
+    * `deletes` rows remove by the same identity (valueBytes ignored).
+    * Rows must already be encoded in the savepoint's key-group space —
+    * parallelism/maxParallelism are unchanged by contract (an
+    * incremental delta cannot re-home opaque shared SSTs, same argument
+    * as the raw-state re-shard refusal).
+    *
+    * Scale: the delta shuffles once on subtask index; each task runs
+    * one local RocksDB open/put/flush/checkpoint over hard-linked base
+    * files. The driver collects only the per-subtask handles.
+    */
+  def incrementalUpdate(
+      spark: SparkSession,
+      sp: SavepointMeta,
+      uid: String,
+      upserts: org.apache.spark.sql.Dataset[KeyedStateRow],
+      deletes: org.apache.spark.sql.Dataset[KeyedStateRow],
+      outDir: String): SavepointMeta = {
+    import graft.core.meta.{KeyedFileHandle, SavepointMeta => SPMeta}
+    val op = sp.operator(uid)
+    require(op.keyedFiles.nonEmpty &&
+      op.keyedFiles.forall(_.kind == KeyedFileHandle.RocksDbKind),
+      s"incrementalUpdate needs a native-RocksDB savepoint (write one " +
+        "with withNativeRocksDb()); operator " + uid + " has " +
+        op.keyedFiles.map(_.kind).distinct.mkString("/") + "-kind files")
+    val par = op.parallelism
+    val maxPar = op.maxParallelism
+    val opId = op.operatorId
+    val outAbs = new org.apache.hadoop.fs.Path(outDir).toString
+    def absolutize(f: KeyedFileHandle): KeyedFileHandle = {
+      val p = new org.apache.hadoop.fs.Path(f.relativePath)
+      if (p.isAbsolute) f
+      else f.copy(relativePath =
+        new org.apache.hadoop.fs.Path(sp.basePath, f.relativePath).toString)
+    }
+    val baseBySubtask: Map[Int, String] =
+      op.keyedFiles.map(f => f.subtaskIndex -> absolutize(f).relativePath).toMap
+
+    implicit val dEnc: org.apache.spark.sql.Encoder[DeltaRow] =
+      Encoders.product[DeltaRow]
+    implicit val hEnc: org.apache.spark.sql.Encoder[HandleRow] =
+      Encoders.product[HandleRow]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[KeyedStateRow] =
+      Encoders.product[KeyedStateRow]
+    def tag(ds: org.apache.spark.sql.Dataset[KeyedStateRow], del: Boolean) =
+      ds.map { r =>
+        DeltaRow(r.operatorIndex(maxPar, par), r.stateName,
+          r.keyAndNamespaceBytes,
+          if (del) Array.emptyByteArray else r.valueBytes, del)
+      }
+    val bases = baseBySubtask // serializable small map (par entries)
+    val handles = tag(upserts, del = false).union(tag(deletes, del = true))
+      .groupByKey(_.opIndex)(Encoders.scalaInt)
+      .mapGroups { (idx: Int, it: Iterator[DeltaRow]) =>
+        val rel = s"op-$opId/incr-$idx-${java.util.UUID.randomUUID().toString.take(8)}"
+        val target = new org.apache.hadoop.fs.Path(outAbs, rel).toString
+        graft.core.scan.RocksDbCheckpoints.createIncrementalCheckpoint(
+          target, bases(idx),
+          it.map(d => (d.stateName, d.key,
+            if (d.isDelete) None else Some(d.value))))
+        val (kgStart, kgEnd) = KeyGroups.keyGroupRange(maxPar, par, idx)
+        HandleRow(idx, rel, kgStart, kgEnd, Seq.empty)
+      }
+      .collect() // handles only, never rows
+    val touched = handles.map(_.subtaskIndex).toSet
+    val newFiles = (handles.toSeq.map(h =>
+      KeyedFileHandle(h.subtaskIndex, h.relativePath, h.kgStart, h.kgEnd,
+        Seq.empty, KeyedFileHandle.RocksDbKind)) ++
+      op.keyedFiles.filterNot(f => touched(f.subtaskIndex)).map(absolutize))
+      .sortBy(_.subtaskIndex)
+    val newOp = op.copy(keyedFiles = newFiles)
+    val others = sp.operators
+      .filterNot(_.operatorId == op.operatorId)
+      .map(o => o.copy(keyedFiles = o.keyedFiles.map(absolutize)))
+    val newMeta = SPMeta(sp.checkpointId + 1, outAbs, others :+ newOp,
+      sp.dialect, sp.masterStates)
+    if (sp.dialect == graft.core.meta.Dialect.Flink)
+      graft.core.flink.FlinkMetadataIO.write(outAbs, newMeta)
+    else
+      graft.core.meta.MetadataIO.write(outAbs, newMeta)
+    newMeta
+  }
 }
+
+/** Shuffle row for [[StateMaintenance.incrementalUpdate]]'s one delta
+  * shuffle: subtask routing key + the raw upsert/delete payload.
+  */
+final case class DeltaRow(
+    opIndex: Int, stateName: String,
+    key: Array[Byte], value: Array[Byte], isDelete: Boolean)
