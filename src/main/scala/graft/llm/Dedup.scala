@@ -89,7 +89,9 @@ object Dedup {
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
     QueryDef("d12_dup_spans", Some(dupSpansOracle),
-      (s, d) => dupSpans(Catalog.t(s, d, "documents"))),
+      (s, d) => dupSpansFrom(spanWindows(s, d))),
+    QueryDef("d19_dup_span_ranges", Some(dupSpanRangesOracle),
+      (s, d) => dupSpanRangesFrom(spanWindows(s, d))),
 
     // Canonical selection: within each exact-duplicate group keep the
     // "best" copy (longest text, doc_id tie-break) — the keep-one step
@@ -686,29 +688,85 @@ object Dedup {
     s"list_transform(range(1, greatest(len(w) - ${w - 2}, 1)), i -> $parts)"
   }
 
+  /** Position-tagged word windows `(doc_id, pos, sh)` — `pos` is the
+    * 0-based start-word index. The one explode both span operators (d12
+    * stats, d19 maximal ranges) derive from.
+    */
+  private def windowsWithPos(docs: DataFrame, windowWords: Int): DataFrame =
+    docs.withColumn("w", expr(TextExprs.sparkWords))
+      .select(col("doc_id"),
+        posexplode(expr(windowConcatSpark(windowWords))).as(Seq("pos", "sh")))
+
+  // shared by the d12/d19 gates: one window explode per (session, dir)
+  private val spanMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  private def spanWindows(s: SparkSession, d: String): DataFrame =
+    spanMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else (s, windowsWithPos(Catalog.t(s, d, "documents"), SpanWords)
+        .localCheckpoint(true))
+    })._2
+
   /** Public API: per-document duplicated-span stats over `(doc_id,
     * text)` — `n_windows`, `n_dup_windows` (window occurrences whose
     * exact `windowWords`-word text appears in at least 2 distinct
     * docs), `dup_ratio`.
     */
-  def dupSpans(docs: DataFrame, windowWords: Int = SpanWords): DataFrame = {
-    val s = docs.withColumn("w", expr(TextExprs.sparkWords))
-      .select(col("doc_id"),
-        explode(expr(windowConcatSpark(windowWords))).as("sh"))
-    // cached: the window explode feeds the dup-set build AND both
-    // per-doc aggregations
-    val sc = s.cache()
-    val dup = sc.select(col("doc_id"), col("sh")).distinct()
+  def dupSpans(docs: DataFrame, windowWords: Int = SpanWords): DataFrame =
+    dupSpansFrom(windowsWithPos(docs, windowWords).cache())
+
+  /** [[dupSpans]] over a pre-built `(doc_id, pos, sh)` window relation
+    * (see the session-cache note at the top of this section).
+    */
+  def dupSpansFrom(sw: DataFrame): DataFrame = {
+    val dup = sw.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("sh"))
-    val total = sc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    val dups = sc.join(dup, "sh")
+    val total = sw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dups = sw.join(dup, "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
     total.join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         (coalesce(col("n_dup_windows"), lit(0L)).cast("double")
           / col("n_windows")).as("dup_ratio"))
+  }
+
+  /** MAXIMAL duplicated spans per document — the remove-side of exact
+    * substring dedup over training corpora (the operator the per-doc
+    * d12 ratios summarize): every maximal run of consecutive window
+    * positions whose `windowWords`-word text also appears in another
+    * document, as `(doc_id, span_start, span_end, n_windows)` word
+    * ranges a cleaning pipeline can cut.
+    *
+    * Scale: one hash aggregate finds cross-doc windows, one hash join
+    * marks positions, and the gaps-and-islands grouping runs under a
+    * per-document window — partition width is bounded by document
+    * length, never corpus size. No corpus-wide sort or suffix
+    * structure; the window text itself is the join key exactly as in
+    * d12, so the two operators share one exploded relation.
+    */
+  def dupSpanRanges(docs: DataFrame, windowWords: Int = SpanWords): DataFrame =
+    dupSpanRangesFrom(windowsWithPos(docs, windowWords).cache(), windowWords)
+
+  /** [[dupSpanRanges]] over a pre-built `(doc_id, pos, sh)` relation. */
+  def dupSpanRangesFrom(
+      sw: DataFrame, windowWords: Int = SpanWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = sw.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("sh"))
+    val p = sw.join(dup, "sh").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    p.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + windowWords - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
   }
 
   private def dupSpansOracle: String =
@@ -723,6 +781,24 @@ object Dedup {
        |  cast(coalesce(n_dup_windows, 0) as bigint) AS n_dup_windows,
        |  cast(coalesce(n_dup_windows, 0) as double) / n_windows AS dup_ratio
        |FROM total LEFT JOIN dups USING (doc_id)""".stripMargin
+
+  // parallel unnests in one SELECT zip in DuckDB, pairing each window
+  // with its 0-based start-word index
+  private def dupSpanRangesOracle: String =
+    s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |s AS (SELECT doc_id,
+       |  unnest(range(1, greatest(len(w) - ${SpanWords - 2}, 1))) - 1 AS pos,
+       |  unnest(${windowConcatDuck(SpanWords)}) AS sh FROM d),
+       |dup AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM s)
+       |  GROUP BY sh HAVING count(*) >= 2),
+       |p AS (SELECT doc_id, pos FROM s JOIN dup USING (sh)),
+       |g AS (SELECT doc_id, pos,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM p)
+       |SELECT doc_id, cast(min(pos) as bigint) AS span_start,
+       |  cast(max(pos) + ${SpanWords - 1} as bigint) AS span_end,
+       |  cast(count(*) as bigint) AS n_windows
+       |FROM g GROUP BY doc_id, grp""".stripMargin
 
   /** d05 near-dup pairs as a (src, dst) edge list + all docs as nodes —
     * the graph inputs d08, g01 and d10 hand to [[GraphAlgs]].

@@ -163,6 +163,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(plan("t14_hash_classifier"), "Exchange") == 0)
   }
 
+  test("d19 span extraction is keyed all the way - no cartesian, and " +
+    "its islands window partitions by doc (no single-partition stage)") {
+    val p = plan("d19_dup_span_ranges")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("g03 triangle join is keyed - no cartesian, no nested loop") {
     val p = plan("g03_triangle_count")
     assert(!p.contains("CartesianProduct"), p)

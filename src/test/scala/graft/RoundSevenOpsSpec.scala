@@ -15,6 +15,26 @@ class RoundSevenOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dupSpanRanges extracts maximal cross-doc spans with word-exact " +
+    "boundaries, and separated repeats stay separate islands") {
+    val share = (1 to 10).map(i => s"s$i").mkString(" ")   // 10 shared words
+    val share2 = (1 to 9).map(i => s"z$i").mkString(" ")   // 9 shared words
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $share b1 b2 b3 b4 b5 b6 b7 $share2"),
+      (2L, s"$share c1 c2"),
+      (3L, s"$share2 d1")).toDF("doc_id", "text")
+    // SpanWords = 8: a 10-word shared run yields 3 consecutive dup
+    // windows; the 9-word run yields 2; the b-gap breaks the islands
+    val got = graft.llm.Dedup.dupSpanRanges(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val d1Share2Start = 3 + 10 + 7 // a-prefix + share + b-gap
+    assert(got === Set(
+      (1L, 3L, 12L, 3L),
+      (1L, d1Share2Start.toLong, (d1Share2Start + 8).toLong, 2L),
+      (2L, 0L, 9L, 3L),
+      (3L, 0L, 8L, 2L)))
+  }
+
   test("globalPrefixSum rejects non-integral value columns instead of " +
     "silently truncating") {
     val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "w")
