@@ -573,6 +573,45 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // TRUE incremental update through the hash gate: a native-RocksDB
+    // savepoint takes a row DELTA (upserts + deletes) without rewriting
+    // unchanged state — untouched subtasks keep their handles verbatim,
+    // touched subtasks share the base checkpoint's unchanged SSTs via
+    // manifest refs (RocksDbCheckpoints.createIncrementalCheckpoint).
+    // The merged read must equal base ∪ upserts − deletes.
+    QueryDef(
+      "sp26_incremental_update",
+      Some("""SELECT o_custkey AS key,
+             |  CASE WHEN o_custkey < 100 THEN 2 * count(*)
+             |       ELSE count(*) END AS cnt
+             |FROM orders GROUP BY o_custkey
+             |HAVING o_custkey < 100 OR o_custkey >= 200""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("incr-gate", 4, maxPar), "incr-gate")
+          .withKeyCodec(LongCodec)
+          .withNativeRocksDb()
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp26a"))
+        val ups = counts.filter(_._1 < 100).map { case (k, v) =>
+          StateRowEncoder.valueRow("Count", k, v * 2, LongCodec, LongCodec, maxPar)
+        }
+        val dels = counts.filter(r => r._1 >= 100 && r._1 < 200)
+          .map { case (k, _) =>
+            StateRowEncoder.valueRow("Count", k, 0L, LongCodec, LongCodec, maxPar)
+          }
+        val meta2 = StateMaintenance.incrementalUpdate(
+          s, Savepoints.load(meta1.basePath), "incr-gate", ups, dels,
+          tmp("graft-sp26b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "incr-gate")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // Savepoint validation (the reference's "validate corrupted state"
     // use case, README.md:41-44): a value + map state savepoint is
     // scanned row-by-row against its own codec declarations — key-group
