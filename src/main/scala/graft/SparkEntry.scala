@@ -21,7 +21,8 @@ object SparkEntry {
       llm.Clustering.all ++
       llm.Multimodal.all ++
       streaming.StreamingQueries.all ++
-      state.StateQueries.all
+      state.StateQueries.all ++
+      sources.IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

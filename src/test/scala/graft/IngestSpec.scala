@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingest-format surface (sources/IngestQueries): the format contracts
+  * the oracle gate can't see — partition pruning in the physical plan,
+  * quote-escaping on hostile field values, and the gzip single-task
+  * caveat documented on i01.
+  */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("i03 lake read prunes non-matching lang partitions from the scan") {
+    val p = SparkEntry.queries("i03_partitioned_lake")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"partition filter must bind lang: $pf")
+  }
+
+  test("CSV roundtrip survives hostile field values (quotes, delimiters, unicode)") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, """comma, inside"""),
+      (2L, """says "hi" loudly"""),
+      (3L, """quoted "then, comma""""),
+      (4L, "tab\tand trailing space "),
+      (5L, "中文 und ümlaut"),
+      (6L, "")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-csv").toString
+    // whitespace preservation is opt-in: the univocity writer/parser trim
+    // trailing whitespace by default (same flags set in i02's path)
+    hostile.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(dir)
+    val back = spark.read
+      .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(dir)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val want = hostile.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === want)
+  }
+
+  test("gzip JSONL reads back identically (per-file tasks, documented non-splittable)") {
+    val docs = Catalog.t(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-gz").toString
+    docs.write.mode("overwrite").option("compression", "gzip").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() === docs.count())
+    val a = back.agg(sum(length(col("text")))).head.getLong(0)
+    val b = docs.agg(sum(length(col("text")))).head.getLong(0)
+    assert(a === b)
+  }
+
+  test("i01 JSONL read uses the explicit schema (no inference pass)") {
+    // A malformed extra file in the dir must not break the typed read of
+    // well-formed parts when the schema is explicit and mode=PERMISSIVE:
+    // corrupt lines become nulls, not a failed inference scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-schema").toString
+    Catalog.t(spark, sf, "documents").limit(10).write.mode("overwrite").json(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-bad.json"), "{not json at all\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.filter(col("doc_id").isNotNull).count() === 10)
+  }
+}
