@@ -352,10 +352,57 @@ object Pipeline {
               |    PARTITION BY epoch ORDER BY ord, doc_id) AS pos FROM o)
               |SELECT cast(epoch as int) AS epoch, doc_id,
               |  cast(pos as bigint) AS pos FROM r""".stripMargin),
-      (s, d) => epochShuffle(Catalog.t(s, d, "documents"), ShuffleEpochs))
+      (s, d) => epochShuffle(Catalog.t(s, d, "documents"), ShuffleEpochs)),
+
+    // Weighted sampling WITHOUT replacement, proportional to document
+    // size (Efraimidis-Spirakis exponential race): each doc draws a
+    // deterministic uniform u from md5(doc_id) (48-bit prefix), races
+    // with key ln(u)/w, and the n largest keys win. One narrow map +
+    // TakeOrdered (per-partition top-n, driver merges n*P candidate
+    // rows) — no global sort, no shuffle of the corpus at any width.
+    QueryDef(
+      "p14_weighted_sample",
+      Some(s"""WITH pri AS (SELECT doc_id, lang, source, n_chars,
+              |    ln((${duckHexFold48("md5(cast(doc_id AS varchar))")} + 1)
+              |       / 281474976710656.0) / n_chars AS k
+              |  FROM documents)
+              |SELECT doc_id, lang, source, n_chars FROM pri
+              |ORDER BY k DESC LIMIT $SampleN""".stripMargin),
+      (s, d) => weightedSample(
+        Catalog.t(s, d, "documents").select("doc_id", "lang", "source", "n_chars"),
+        col("doc_id"), col("n_chars"), SampleN))
   )
 
   private val ShuffleEpochs = 2
+  private val SampleN = 100
+
+  /** 48-bit integer from the first 12 hex chars of `x` (a DuckDB md5
+    * varchar) — the oracle mirror of Spark's `conv(substring(md5, 1, 12),
+    * 16, 10)`.
+    */
+  private def duckHexFold48(x: String): String =
+    s"list_reduce(list_prepend(cast(0 as bigint), " +
+      s"list_transform(range(1, 13), i -> " +
+      s"cast(strpos('0123456789abcdef', ($x)[i]) - 1 as bigint))), " +
+      s"(a, b) -> a * 16 + b)"
+
+  /** Efraimidis-Spirakis A-Res sample of `n` rows proportional to
+    * `weight` (integral, > 0), deterministic via the md5-seeded uniform.
+    * u is exact in both engines ((h+1)/2^48 with h < 2^48: the add and
+    * the power-of-two divide are exact IEEE ops); only the final `ln`
+    * leans on cross-engine libm parity, and the selected rows (not the
+    * keys) are what's compared. Rows with weight <= 0 never win (their
+    * key underflows to -inf), matching the ES precondition.
+    */
+  def weightedSample(docs: DataFrame, idCol: Column, weight: Column,
+      n: Int): DataFrame = {
+    val h = expr(s"cast(conv(substring(md5(cast(${idCol.toString} as string)), 1, 12), " +
+      "16, 10) as bigint)")
+    val u = (h + lit(1L)).cast("double") / lit(281474976710656.0) // 2^48
+    docs.withColumn("__es_key", log(u) / weight.cast("double"))
+      .orderBy(desc("__es_key")).limit(n)
+      .drop("__es_key")
+  }
 
   /** Reproducible per-epoch corpus order (see p13). One row per
     * (epoch, doc); the rank runs as ONE globalPrefixSum over the total

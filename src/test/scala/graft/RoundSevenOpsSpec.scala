@@ -124,4 +124,37 @@ class RoundSevenOpsSpec extends AnyFunSuite {
     }.toSet
     assert(got === expected)
   }
+
+  test("weightedSample matches an independent JVM reference of the " +
+    "Efraimidis-Spirakis race (md5 fold, exact u, ln key)") {
+    val docs = (1L to 400L).map(i => (i, 1L + (i % 13) * 37L)).toDF("id", "w")
+      .repartition(16)
+    val got = Pipeline.weightedSample(docs, col("id"), col("w"), 25)
+      .as[(Long, Long)].collect().toSet
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h + 1).toDouble / 281474976710656.0) / w.toDouble
+    }
+    val expected = (1L to 400L).map(i => (i, 1L + (i % 13) * 37L))
+      .sortBy { case (id, w) => -key(id, w) }.take(25).toSet
+    assert(got === expected)
+  }
+
+  test("weightedSample favors heavy rows and plans as TakeOrdered " +
+    "(no global sort exchange)") {
+    // one row carries nearly all the mass: its key ln(u)/w is ~0^- and
+    // must win every draw of a 1-row sample
+    val docs = ((1L to 200L).map(i => (i, 1L)) :+ (999L, 1000000000L))
+      .toDF("id", "w").repartition(8)
+    val ids = Pipeline.weightedSample(docs, col("id"), col("w"), 1)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(ids === Set(999L))
+    val plan = Pipeline.weightedSample(docs, col("id"), col("w"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
