@@ -198,6 +198,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_ws_tokens",
       exprs => WhitespaceTokenCount(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_mg",
+      exprs => MisraGries(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 

@@ -381,6 +381,29 @@ object TextAnalysis {
               |FROM r GROUP BY 1, 2""".stripMargin),
       (s, d) => perplexityTiers(Catalog.t(s, d, "documents"))),
 
+    // Heavy-hitter sketch over the corpus word stream via the native
+    // Misra-Gries TypedImperativeAggregate (graft_mg): map-side partial
+    // sketches of <= m counters merge with the PODS'12 subtract rule, so
+    // the shuffle carries m counters per mapper, never the term stream.
+    // m=64 >= the corpus vocabulary, so the sketch is exact here and the
+    // oracle is plain frequency counting; the approximation regime
+    // (m < distinct, undercount <= n/(m+1)) is spec-checked instead.
+    QueryDef(
+      "t24_heavy_hitters",
+      Some(s"""WITH d AS (SELECT $duckWords AS w FROM documents),
+              |t AS (SELECT unnest(w) AS term FROM d)
+              |SELECT term, count(*) AS cnt FROM t GROUP BY term
+              |ORDER BY cnt DESC, term ASC LIMIT 10""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Catalog.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .agg(expr("graft_mg(term, 64)").as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(10)
+      }),
+
     // BPE tokenizer training: BpeRounds merge rounds over the corpus
     // vocabulary — each round counts adjacent symbol pairs (weighted by
     // word frequency), adopts the most frequent pair as a merge, and

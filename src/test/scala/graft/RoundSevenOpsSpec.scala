@@ -157,4 +157,36 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("graft_mg is exact when capacity covers the vocabulary, across " +
+    "many partitions (merge path exercised)") {
+    graft.functions.GraftFunctions.register(spark)
+    val terms = (1 to 3000).map(i => s"w${i % 17}").toDF("term").repartition(16)
+    val got = terms.agg(expr("graft_mg(term, 32)").as("hh"))
+      .selectExpr("explode(hh) AS e").selectExpr("e.term", "e.cnt")
+      .as[(String, Long)].collect().toMap
+    val exact = terms.groupBy("term").count().as[(String, Long)].collect().toMap
+    assert(got === exact)
+  }
+
+  test("graft_mg approximation regime honors the n/(m+1) undercount " +
+    "bound and never loses a majority item") {
+    graft.functions.GraftFunctions.register(spark)
+    // 6000 copies of HEAVY + 600 each of 9 light terms, m = 4
+    val n = 6000 + 9 * 600
+    val rows = (Seq.fill(6000)("HEAVY") ++
+      (1 to 9).flatMap(i => Seq.fill(600)(s"light$i")))
+    val terms = rows.toDF("term").repartition(8)
+    val got = terms.agg(expr("graft_mg(term, 4)").as("hh"))
+      .selectExpr("explode(hh) AS e").selectExpr("e.term", "e.cnt")
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= 4)
+    assert(got.contains("HEAVY"), s"majority item evicted: $got")
+    val bound = n / 5 // n/(m+1)
+    got.foreach { case (t, c) =>
+      val truth = if (t == "HEAVY") 6000L else 600L
+      assert(c <= truth, s"$t overcounted: $c > $truth")
+      assert(truth - c <= bound, s"$t undercounted past n/(m+1): $c vs $truth")
+    }
+  }
 }
