@@ -370,11 +370,34 @@ object Pipeline {
               |ORDER BY k DESC LIMIT $SampleN""".stripMargin),
       (s, d) => weightedSample(
         Catalog.t(s, d, "documents").select("doc_id", "lang", "source", "n_chars"),
-        col("doc_id"), col("n_chars"), SampleN))
+        col("doc_id"), col("n_chars"), SampleN)),
+
+    // Sliding-window document chunking for context-window preparation:
+    // token spans of width ChunkTok advancing by StrideTok (overlap =
+    // ChunkTok - StrideTok), final chunk clamped to the doc end. Pure
+    // narrow map + explode — no shuffle at any corpus size; chunk
+    // counts derive from closed-form integer math shared verbatim with
+    // the oracle.
+    QueryDef(
+      "p15_chunk_stride",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    len(string_split(text, ' ')) AS n FROM documents),
+              |c AS (SELECT doc_id, n, unnest(range(0,
+              |    CASE WHEN n <= $ChunkTok THEN 1
+              |    ELSE (n - $ChunkTok + $StrideTok - 1) // $StrideTok + 1
+              |    END)) AS k FROM d)
+              |SELECT doc_id, cast(k AS int) AS chunk_idx,
+              |  cast(k * $StrideTok AS bigint) AS tok_start,
+              |  cast(least(k * $StrideTok + $ChunkTok, n) AS bigint) AS tok_end
+              |FROM c""".stripMargin),
+      (s, d) => chunkByStride(Catalog.t(s, d, "documents"),
+        col("doc_id"), split(col("text"), " "), ChunkTok, StrideTok))
   )
 
   private val ShuffleEpochs = 2
   private val SampleN = 100
+  private val ChunkTok = 32  // p15 window width (tokens)
+  private val StrideTok = 24 // p15 advance; overlap = ChunkTok - StrideTok
 
   /** 48-bit integer from the first 12 hex chars of `x` (a DuckDB md5
     * varchar) — the oracle mirror of Spark's `conv(substring(md5, 1, 12),
@@ -394,6 +417,27 @@ object Pipeline {
     * keys) are what's compared. Rows with weight <= 0 never win (their
     * key underflows to -inf), matching the ES precondition.
     */
+  /** (id, chunk_idx, tok_start, tok_end) spans of `chunk` tokens every
+    * `stride` tokens over `tokens` (an array column); the last span
+    * clamps to the token count. Shuffle-free: chunk counts are
+    * closed-form (`ceil((n-chunk)/stride)+1`), so this is select +
+    * explode inside the scan stage.
+    */
+  def chunkByStride(docs: DataFrame, idCol: Column, tokens: Column,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    docs.select(idCol.as("doc_id"), size(tokens).cast("long").as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), expr(
+          s"CASE WHEN n <= $chunk THEN 0 " +
+            s"ELSE (n - $chunk + $stride - 1) div $stride END"))).as("k"))
+      .select(col("doc_id"),
+        col("k").cast("int").as("chunk_idx"),
+        (col("k") * stride).as("tok_start"),
+        least(col("k") * stride + chunk, col("n")).as("tok_end"))
+  }
+
   def weightedSample(docs: DataFrame, idCol: Column, weight: Column,
       n: Int): DataFrame = {
     val h = expr(s"cast(conv(substring(md5(cast(${idCol.toString} as string)), 1, 12), " +

@@ -669,8 +669,37 @@ object RelationalQueries3 {
         pre.join(broadcast(ranks),
             col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
           .select(col("pct"), col("cents"))
+      }),
+
+    // SQL-interface parity: the ONE SQL text below runs verbatim through
+    // `spark.sql` over registered views AND through DuckDB as its own
+    // oracle — proving the engine's surface is reachable as ANSI SQL,
+    // not only as the DataFrame API. (Catalyst still plans it: the
+    // 3-table join broadcasts nation/customer, aggregation is partial.)
+    QueryDef(
+      "q49_sql_interface",
+      Some(SqlInterfaceText),
+      (s, d) => {
+        Catalog.tableNames.foreach(n =>
+          t(s, d, n).createOrReplaceTempView(n))
+        s.sql(SqlInterfaceText)
       })
   )
+
+  /** Shared dialect subset (ANSI joins, GROUP BY, HAVING, CASE, ORDER)
+    * that parses and evaluates identically in Spark SQL and DuckDB.
+    */
+  private val SqlInterfaceText: String =
+    """SELECT n_name,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS urgent_orders,
+      |  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING count(*) > 10""".stripMargin
 
   // Closed forms over the double-cast moments — ONE definition rendered
   // into both the Spark plan and the DuckDB oracle, so the IEEE

@@ -189,4 +189,23 @@ class RoundSevenOpsSpec extends AnyFunSuite {
       assert(truth - c <= bound, s"$t undercounted past n/(m+1): $c vs $truth")
     }
   }
+
+  test("chunkByStride emits clamped spans with exact overlap and plans " +
+    "shuffle-free") {
+    // chunk=10, stride=7: 24 tokens -> ceil((24-10)/7)+1 = 3 chunks,
+    // last clamped to 24; 10 tokens -> exactly 1; 11 -> 2
+    val docs = Seq(
+      (1L, (1 to 24).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Pipeline.chunkByStride(docs, col("doc_id"),
+      split(col("text"), " "), 10, 7)
+    val got = out.as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0, 0L, 10L), (1L, 1, 7L, 17L), (1L, 2, 14L, 24L),
+      (2L, 0, 0L, 10L),
+      (3L, 0, 0L, 10L), (3L, 1, 7L, 11L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
