@@ -105,6 +105,66 @@ object IngestQueries {
       }),
 
     QueryDef(
+      "i04_orc_roundtrip",
+      Some(fidelityOracle),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val out = tmp("graft-i04")
+        // ORC: the second columnar lake format (predicate pushdown,
+        // column pruning, splittable stripes — same scan properties the
+        // parquet paths rely on)
+        Catalog.t(s, d, "documents").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
+      }),
+
+    // Raw media files on disk -> binary column: `binaryFile` is the
+    // ingest path for image/audio corpora that arrive as loose files.
+    // One payload file per sampled doc (UTF-8 text bytes standing in for
+    // media, same stub contract as the m-series); the re-read joins
+    // path-derived ids back to metadata and folds the payload bytes.
+    // 100 TB stance: loose small files are a driver-side listing + task
+    // scheduling tax — this op is the INGEST step whose output should
+    // immediately be compacted into m05-style byte-capped shards; the
+    // sample cap here (1 in 10) keeps the gate honest about that.
+    QueryDef(
+      "i05_binary_ingest",
+      Some("""WITH s AS (SELECT * FROM documents WHERE doc_id % 10 = 0)
+             |SELECT lang, count(*) AS n_files,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+             |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes
+             |FROM s GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val out = tmp("graft-i05")
+        val sample = Catalog.t(s, d, "documents")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+        sample.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .collect() // bounded: 1-in-10 sample, fixture-construction step
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]]("payload"))
+          }
+        val files = s.read.format("binaryFile").load(out)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        // sum_chars from the metadata side (codepoints), sum_bytes from
+        // the re-read payload (UTF-8 octets) — non-ASCII text keeps the
+        // two distinct, so a lossy binary roundtrip cannot hash-match
+        files.join(sample.select("doc_id", "lang", "text"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_files"),
+            sum(length(col("text"))).as("sum_chars"),
+            sum(expr("octet_length(content)")).as("sum_bytes"))
+      }),
+
+    QueryDef(
       "i03_partitioned_lake",
       Some("""SELECT lang, source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
