@@ -470,6 +470,27 @@ object StreamingQueries {
         Savepoints.reader(s, Savepoints.load(meta.basePath), "stream-win")
           .readWindowStatesWithBounds[Long, Long]()
           .toDF("key", "window_start", "window_end", "cnt")
+      }),
+
+    // st14: the Misra-Gries sketch (t24's graft_mg) INSIDE a streaming
+    // aggregation — partial sketch buffers live in the state store and
+    // merge across micro-batches, so the sketch survives restarts like
+    // any streaming agg state. m=64 >= the event-type cardinality, so
+    // the streamed sketch must equal the exact batch frequency table
+    // (same oracle as a plain batch GROUP BY) — streaming provably does
+    // not change the answer.
+    QueryDef(
+      "st14_stream_heavy_hitters",
+      Some("""SELECT event_type AS term, count(*) AS cnt FROM events
+             |GROUP BY event_type ORDER BY cnt DESC, term ASC""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val mem = runToMemorySink(s, d, "st14", "complete") { raw =>
+          raw.agg(expr("graft_mg(event_type, 64)").as("hh"))
+        }
+        mem.select(explode(col("hh")).as("e"))
+          .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc)
       })
   )
 
