@@ -57,4 +57,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("scale primitives hold at 2M rows x 64 partitions: prefix sum " +
+    "stays exact, weighted sample and MG sketch stay bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 2000000L
+    val df = spark.range(n).toDF("id").repartition(64)
+      .withColumn("w", col("id") % 97 + 1)
+    // exact global prefix sum at width: last cumulative == closed form
+    val (pre, total) = graft.relational.ScaleOps.globalPrefixSumWithTotal(
+      df, Seq(col("id").asc), col("w"), "cum")
+    val expTotal = (0L until 97L).map(r => (r + 1) * ((n - 1 - r) / 97 + 1)).sum
+    assert(total === expTotal)
+    assert(pre.agg(max("cum")).head.getLong(0) === expTotal)
+    // weighted sample: top-50 of 2M with no global sort, result bounded
+    val sample = graft.llm.Pipeline.weightedSample(df, col("id"), col("w"), 50)
+    assert(sample.count() === 50)
+    // MG sketch: 2M-term stream into <= 32 counters, exact (97 < ... no:
+    // 97 distinct > 32 -> approximation regime; bound must hold)
+    graft.functions.GraftFunctions.register(spark)
+    val hh = df.selectExpr("cast(id % 97 as string) AS term")
+      .agg(expr("graft_mg(term, 32)").as("hh"))
+      .selectExpr("explode(hh) AS e").selectExpr("e.cnt")
+      .as[Long].collect()
+    assert(hh.length <= 32)
+    val truth = n / 97 // each term ~20619-20620
+    hh.foreach(c => assert(c <= truth + 1 && truth + 1 - c <= n / 33,
+      s"count $c outside MG bound"))
+  }
 }
