@@ -491,6 +491,40 @@ object StreamingQueries {
         mem.select(explode(col("hh")).as("e"))
           .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
           .orderBy(col("cnt").desc, col("term").asc)
+      }),
+
+    // st15: STREAMING JSONL ingest — the production arrival loop (docs
+    // land as JSONL files, the stream picks each file up exactly once).
+    // Same explicit-schema contract as batch i01 (inference would be a
+    // full pass per micro-batch), same per-lang fidelity hash, so a
+    // defect in the streaming json source or the file tracker breaks
+    // the hash gate. maxFilesPerTrigger forces MULTIPLE micro-batches,
+    // so the memory-sink total proves cross-batch aggregation state.
+    QueryDef(
+      "st15_stream_jsonl_ingest",
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(${graft.llm.TextExprs.duckWordHash("text")})
+              |    AS BIGINT) AS text_hash
+              |FROM documents GROUP BY lang""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-st15").toString
+        val docs = graft.Catalog.t(s, d, "documents")
+        docs.select("doc_id", "text", "lang").repartition(8)
+          .write.mode("overwrite").json(dir)
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string").add("lang", "string")
+        val name = s"st15_mem_${counter.incrementAndGet()}"
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "3").json(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
       })
   )
 
