@@ -282,6 +282,54 @@ object RocksDbCheckpoints {
     */
   val ManifestName = "_graft_manifest"
 
+  /** Every file URI a set of live checkpoint dirs still references via
+    * their [[ManifestName]] stubs. Input for [[gcCheckpoint]].
+    */
+  def referencedUris(liveDirs: Seq[String]): Set[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    liveDirs.flatMap { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val manifest = new org.apache.hadoop.fs.Path(p, ManifestName)
+      if (!fs.exists(manifest)) Seq.empty[String]
+      else {
+        val in = fs.open(manifest)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+          finally in.close()
+        lines.filter(_.nonEmpty).map(_.split("\t", 2)(1))
+      }
+    }.toSet
+  }
+
+  final case class GcReport(deleted: Seq[String], retained: Seq[String])
+
+  /** Ref-count GC of a DROPPED checkpoint dir: every file still listed
+    * in a live checkpoint's manifest (`referenced`) survives in place —
+    * a stub's manifest only ever points at materialized files, so
+    * retaining exactly the referenced set keeps every live chain
+    * restorable — and everything else (MANIFEST/CURRENT/OPTIONS/log +
+    * unshared SSTs + the dropped stub's own manifest) is deleted. The
+    * dir itself goes when nothing survives. This is the lifecycle
+    * counterpart of [[createIncrementalCheckpoint]]: old checkpoints
+    * retire at the cost of a listing, never a rewrite.
+    */
+  def gcCheckpoint(dropDir: String, referenced: Set[String]): GcReport = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(dropDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return GcReport(Seq.empty, Seq.empty)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retained = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(p).foreach { st =>
+      val uri = st.getPath.toUri.toString
+      if (referenced(uri)) retained += uri
+      else { fs.delete(st.getPath, false); deleted += uri }
+    }
+    if (retained.isEmpty) fs.delete(p, true)
+    GcReport(deleted.toSeq.sorted, retained.toSeq.sorted)
+  }
+
   /** Ensure the checkpoint directory is on local disk; if the handle
     * points at a distributed FS, download it first (the reference's
     * transfer step, RocksDBCheckpointIterator.java:92-148). A stub dir

@@ -227,6 +227,65 @@ object StateMaintenance {
       graft.core.meta.MetadataIO.write(outAbs, newMeta)
     newMeta
   }
+
+  final case class SavepointGcReport(
+      deletedFiles: Seq[String], retainedFiles: Seq[String],
+      skippedLiveDirs: Seq[String])
+
+  /** Retire a superseded savepoint from an incremental chain: delete
+    * every physical file of `drop` that no LIVE savepoint still needs,
+    * without breaking any live restore path. Three protection rules:
+    *
+    *  1. a drop-side checkpoint dir that IS a live handle (an untouched
+    *     subtask carried verbatim by [[incrementalUpdate]]) is skipped
+    *     wholesale;
+    *  2. inside the remaining dirs, files listed by any live stub's
+    *     `_graft_manifest` survive in place (stub manifests only ever
+    *     point at materialized files, so the referenced set is exactly
+    *     the live closure);
+    *  3. everything else — unshared SSTs, RocksDB metadata files, the
+    *     dropped savepoint's own `_metadata` — is deleted, so the
+    *     savepoint stops being a restore point the moment GC runs.
+    *
+    * Driver-side listings only (O(files), no job, no data read) — the
+    * retire cost of a 100 TB chain is a directory walk.
+    */
+  def gcSavepoint(drop: SavepointMeta,
+      live: Seq[SavepointMeta]): SavepointGcReport = {
+    import graft.core.scan.RocksDbCheckpoints
+    def absDirs(sp: SavepointMeta): Seq[String] =
+      sp.operators.flatMap(_.keyedFiles).map { f =>
+        val p = new org.apache.hadoop.fs.Path(f.relativePath)
+        if (p.isAbsolute) p.toString
+        else new org.apache.hadoop.fs.Path(sp.basePath, f.relativePath).toString
+      }
+    def norm(dir: String): String =
+      new org.apache.hadoop.fs.Path(dir).toUri.toString
+    val liveDirs = live.flatMap(absDirs)
+    val liveDirSet = liveDirs.map(norm).toSet
+    val referenced = RocksDbCheckpoints.referencedUris(liveDirs)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retained = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    absDirs(drop).distinct.foreach { dir =>
+      if (liveDirSet(norm(dir))) skipped += dir
+      else {
+        val r = RocksDbCheckpoints.gcCheckpoint(dir, referenced)
+        deleted ++= r.deleted; retained ++= r.retained
+      }
+    }
+    // the dropped savepoint's _metadata: no longer a restore point
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val metaPath = new org.apache.hadoop.fs.Path(
+      drop.basePath, graft.core.meta.MetadataIO.MetadataFile)
+    val fs = metaPath.getFileSystem(conf)
+    if (fs.exists(metaPath)) {
+      fs.delete(metaPath, false)
+      deleted += metaPath.toUri.toString
+    }
+    SavepointGcReport(deleted.toSeq.sorted, retained.toSeq.sorted,
+      skipped.toSeq.sorted)
+  }
 }
 
 /** Shuffle row for [[StateMaintenance.incrementalUpdate]]'s one delta

@@ -612,6 +612,50 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // Checkpoint-chain GC through the hash gate: after an incremental
+    // update supersedes its base savepoint, `gcSavepoint` retires the
+    // base — deleting its _metadata and every file no live manifest
+    // references, while verbatim-carried subtask dirs and shared SSTs
+    // survive in place. The updated savepoint must decode IDENTICALLY
+    // after the base is retired, proving the retained set is exactly
+    // the live closure.
+    QueryDef(
+      "sp27_checkpoint_gc",
+      Some("""SELECT o_custkey AS key,
+             |  CASE WHEN o_custkey < 50 THEN 3 * count(*)
+             |       ELSE count(*) END AS cnt
+             |FROM orders GROUP BY o_custkey
+             |HAVING o_custkey < 150 OR o_custkey >= 250""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("gc-gate", 4, maxPar), "gc-gate")
+          .withKeyCodec(LongCodec)
+          .withNativeRocksDb()
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp27a"))
+        val ups = counts.filter(_._1 < 50).map { case (k, v) =>
+          StateRowEncoder.valueRow("Count", k, v * 3, LongCodec, LongCodec, maxPar)
+        }
+        val dels = counts.filter(r => r._1 >= 150 && r._1 < 250)
+          .map { case (k, _) =>
+            StateRowEncoder.valueRow("Count", k, 0L, LongCodec, LongCodec, maxPar)
+          }
+        val base = Savepoints.load(meta1.basePath)
+        val meta2 = StateMaintenance.incrementalUpdate(
+          s, base, "gc-gate", ups, dels, tmp("graft-sp27b"))
+        val updated = Savepoints.load(meta2.basePath)
+        val report = StateMaintenance.gcSavepoint(base, Seq(updated))
+        require(report.deletedFiles.nonEmpty,
+          "GC must delete at least the base _metadata")
+        Savepoints.reader(s, updated, "gc-gate")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // Savepoint validation (the reference's "validate corrupted state"
     // use case, README.md:41-44): a value + map state savepoint is
     // scanned row-by-row against its own codec declarations — key-group

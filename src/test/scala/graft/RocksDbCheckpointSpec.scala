@@ -275,4 +275,46 @@ class RocksDbCheckpointSpec extends AnyFunSuite {
       .readValueStates[String, Long]("V").collect().toMap
     assert(got2 === values.toMap)
   }
+
+  test("gcCheckpoint retires a base: manifest-referenced SSTs survive " +
+    "in place, everything else is deleted, the stub still reads") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("graft-gc-spec")
+    val base = root.resolve("cp-1").toString
+    def row(name: String, k: Int, v: Int): KeyedStateRow =
+      StateRowEncoder.valueRow(name, k, v, IntCodec, IntCodec, 128)
+    RocksDbCheckpoints.createCheckpoint(base,
+      (1 to 400).map(k => row("S", k, k * 7))
+        .map(r => (r.stateName, r.keyAndNamespaceBytes, r.valueBytes)))
+    def kb(k: Int) = row("S", k, 0).keyAndNamespaceBytes
+    def vb(k: Int, v: Int) = row("S", k, v).valueBytes
+    val cp2 = root.resolve("cp-2").toString
+    RocksDbCheckpoints.createIncrementalCheckpoint(cp2, base,
+      Iterator[(String, Array[Byte], Option[Array[Byte]])](
+        ("S", kb(1), Some(vb(1, 999))), ("S", kb(2), None)))
+
+    val referenced = RocksDbCheckpoints.referencedUris(Seq(cp2))
+    assert(referenced.nonEmpty)
+    val report = RocksDbCheckpoints.gcCheckpoint(base, referenced)
+    // exactly the referenced files survive; RocksDB metadata files died
+    assert(report.retained.toSet === referenced)
+    assert(report.deleted.nonEmpty)
+    assert(!report.deleted.exists(referenced), "deleted a referenced file")
+    val left = JFiles.list(Paths.get(base)).iterator().asScala
+      .map(_.toUri.toString).toSet
+    assert(left === referenced.map(_.stripSuffix("/")),
+      s"base dir should hold only shared files, has $left")
+    // the surviving chain still reads, with the delta applied
+    val loc = RocksDbCheckpoints.localize(cp2)
+    try {
+      val scan = RocksDbCheckpoints.iterate(loc.path, None)
+      val got = try scan.map { case (n, k, v) => (n, k.toSeq, v.toSeq) }.toList
+        finally scan.close()
+      assert(got.size === 399) // 400 - 1 delete (+1 upsert replaces)
+    } finally loc.close()
+    // GC with NOTHING live deletes the whole dir
+    val report2 = RocksDbCheckpoints.gcCheckpoint(cp2, Set.empty)
+    assert(report2.retained.isEmpty)
+    assert(!JFiles.exists(Paths.get(cp2)))
+  }
 }
