@@ -85,6 +85,7 @@ object Dedup {
       componentSizesSpark),
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
+    QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -928,6 +929,44 @@ object Dedup {
     * shallow near-dup graph; more rounds would only migrate labels
     * across bridge nodes).
     */
+  // ------------------------------------------- BFS layers (g05)
+
+  /** Shallow cap: near-dup template families are tight cliques, so BFS
+    * saturates in a few hops; the cap also bounds the oracle's
+    * recursion. Distances past the cap report -1 in BOTH engines.
+    */
+  private val BfsMaxDepth = 4
+
+  /** Hop distance from the nearest document of the lexicographically
+    * first source — "how far is every doc from the anchor crawl's
+    * near-dup neighborhood". Traversal in [[GraphAlgs.bfsLayers]]:
+    * frontier-only joins against the memoized edge set, visited-set
+    * anti-join, work proportional to the expanding wavefront.
+    */
+  private def bfsSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    val docs = Catalog.t(s, d, "documents")
+    val minSource = docs.agg(min(col("source"))).first().getString(0)
+    val seeds = docs.filter(col("source") === lit(minSource))
+      .select(col("doc_id").as("id"))
+    GraphAlgs.bfsLayers(nodes, edges, seeds, BfsMaxDepth,
+        checkpointDir = graphCheckpointDir(s))
+      .select(col("id").as("doc_id"), col("dist"))
+  }
+
+  private def bfsOracle: String =
+    s"""WITH RECURSIVE ${edgeCtes()},
+       |seeds AS (SELECT doc_id FROM documents
+       |  WHERE source = (SELECT min(source) FROM documents)),
+       |b(iter, node) AS (
+       |  SELECT 0, doc_id FROM seeds
+       |  UNION
+       |  SELECT b.iter + 1, e.dst FROM b JOIN e ON b.node = e.src
+       |  WHERE b.iter < $BfsMaxDepth),
+       |bd AS (SELECT node, min(iter) AS d FROM b GROUP BY node)
+       |SELECT f.doc_id, cast(coalesce(bd.d, -1) AS int) AS dist
+       |FROM fp f LEFT JOIN bd ON f.doc_id = bd.node""".stripMargin
+
   private val LpaRounds = 2
 
   /** Community detection over the near-dup graph: which documents form

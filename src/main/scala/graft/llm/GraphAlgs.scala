@@ -136,6 +136,48 @@ object GraphAlgs {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Multi-source BFS distances: hops from the nearest seed, breadth
+    * by breadth, `-1` past `maxDepth` or unreachable. Each round joins
+    * only the CURRENT frontier against the cached symmetric edges and
+    * anti-joins the visited set — per-round work is proportional to the
+    * frontier's edge neighborhood, never the graph, and the frontier is
+    * broadcast while it fits. Returns `(id, dist)`.
+    */
+  def bfsLayers(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    val rounds = new Rounds(spark, checkpointDir)
+    val p = shufflePartitions(nodes)
+    val e = undirected(edges, p)
+    var dist = rounds.truncate(
+      seeds.select(col("id")).distinct().withColumn("dist", lit(0)))
+    var frontier = dist.select(col("id"))
+    var frontierCount = frontier.count()
+    var depth = 0
+    while (depth < maxDepth && frontierCount > 0) {
+      depth += 1
+      val fIn =
+        if (frontierCount <= broadcastMaxNodes) broadcast(frontier)
+        else frontier.repartition(p, col("id"))
+      val nbrs = e.join(fIn, e("src") === fIn("id"))
+        .select(col("dst").as("id")).distinct()
+      val next = rounds.truncate(
+        nbrs.join(dist, Seq("id"), "left_anti").withColumn("dist", lit(depth)))
+      frontierCount = next.count()
+      dist = rounds.truncate(dist.union(next))
+      frontier = next.select(col("id"))
+      debug(s"[bfs] depth $depth frontier=$frontierCount")
+    }
+    e.unpersist()
+    nodes.select(col("id")).join(dist, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1)).as("dist"))
+  }
+
   /** Integer-exact PageRank: fixed-point arithmetic (`scale`, damping
     * 85/100, floor division) makes a fixed iteration count bit-identical
     * under any partitioning or summation order. Dangling mass is not

@@ -255,4 +255,22 @@ class GraphAlgsSpec extends AnyFunSuite {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("bfsLayers: hop distances from multi-source seeds, depth cap and " +
+    "unreachable nodes report -1") {
+    // chain 1-2-3-4-5-6 plus isolated 7; seeds {1}: dist = hops, capped
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphAlgs.bfsLayers(ns, es, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3,
+      5L -> -1, 6L -> -1, 7L -> -1))
+    // multi-source: seeds {1, 6} meet in the middle (undirected edges)
+    val got2 = GraphAlgs.bfsLayers(ns, es, Seq(1L, 6L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 1, 6L -> 0, 7L -> -1))
+  }
 }
