@@ -404,6 +404,43 @@ object TextAnalysis {
           .orderBy(col("cnt").desc, col("term").asc).limit(10)
       }),
 
+    // Character-entropy quality signal (low = boilerplate/repetition,
+    // high = encoding noise): Shannon entropy over per-doc char
+    // frequencies in fixed-point micro-bits. Cross-engine float
+    // discipline: both engines fold b*log2(b) over the SAME
+    // ascending-sorted count array (Spark `aggregate` HOF vs DuckDB
+    // list_reduce), so the IEEE operation sequence is identical —
+    // never an unordered SUM over libm outputs.
+    QueryDef(
+      "t25_char_entropy",
+      Some("""WITH w AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, length(text) + 1), i -> text[i])) AS ch
+             |  FROM documents),
+             |g AS (SELECT doc_id, ch, count(*) AS c FROM w GROUP BY 1, 2),
+             |a AS (SELECT doc_id, list_sort(list(c)) AS arr, sum(c) AS n
+             |  FROM g GROUP BY doc_id)
+             |SELECT doc_id, cast(n AS bigint) AS n_chars_obs,
+             |  cast(round(1000000 * (log2(cast(n AS double)) -
+             |    list_reduce(list_prepend(cast(0 AS double),
+             |      list_transform(arr, x -> cast(x AS double))),
+             |      (acc, b) -> acc + b * log2(b)) / cast(n AS double)))
+             |    AS bigint) AS ent_fx
+             |FROM a""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // Java zero-width split artifacts
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("c"))).as("arr"),
+          sum(col("c")).as("n"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_chars_obs"),
+          expr("""cast(round(1000000 * (log2(cast(n as double)) -
+                 |  aggregate(arr, cast(0 as double),
+                 |    (acc, x) -> acc + cast(x as double) * log2(cast(x as double)))
+                 |  / cast(n as double))) as bigint)""".stripMargin)
+            .as("ent_fx"))),
+
     // BPE tokenizer training: BpeRounds merge rounds over the corpus
     // vocabulary — each round counts adjacent symbol pairs (weighted by
     // word frequency), adopts the most frequent pair as a merge, and
