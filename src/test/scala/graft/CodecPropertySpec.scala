@@ -226,4 +226,36 @@ class CodecPropertySpec extends AnyFunSuite {
         ambiguous) === key)
     }
   }
+
+  test("MisraGries buffers roundtrip serialize/deserialize and stay " +
+    "exact under arbitrary splits when capacity covers the keys") {
+    val mg = graft.functions.MisraGries(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 16)
+    val genTerms = Gen.listOfN(300, Gen.oneOf((1 to 12).map(i => s"k$i")))
+    val genSplit = for {
+      ts <- genTerms; cut <- Gen.choose(0, ts.length)
+    } yield (ts, cut)
+    forAllG(genSplit, n = 100) { case (terms, cut) =>
+      def buildVia(items: Seq[String]) = {
+        val b = mg.createAggregationBuffer()
+        items.foreach { t =>
+          val cur = b.getOrDefault(t, 0L)
+          if (cur > 0L) b.put(t, cur + 1L)
+          else if (b.size < 16) b.put(t, 1L)
+        }
+        b
+      }
+      // merge of a split must equal the unsplit build (12 keys < m=16:
+      // both sides exact), and survive the wire roundtrip
+      val (l, r) = terms.splitAt(cut)
+      val merged = mg.merge(
+        mg.deserialize(mg.serialize(buildVia(l))),
+        mg.deserialize(mg.serialize(buildVia(r))))
+      val whole = buildVia(terms)
+      import scala.jdk.CollectionConverters._
+      assert(merged.asScala === whole.asScala)
+      val rt = mg.deserialize(mg.serialize(merged))
+      assert(rt.asScala === merged.asScala)
+    }
+  }
 }

@@ -34,6 +34,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q49 SQL-text plan broadcasts nation and partial-aggregates") {
+    val p = plan("q49_sql_interface")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
+  test("t25 entropy is two shuffles (char counts, per-doc arrays) with " +
+    "map-side partials, no window") {
+    val p = plan("t25_char_entropy")
+    assert(count(p, "Exchange") == 2, p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("q01 aggregation is map-side partial (two HashAggregate phases)") {
     val p = plan("q01_pricing_summary")
     assert(count(p, "HashAggregate") >= 2, p)
