@@ -41,6 +41,18 @@ object IngestQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** ceil(total data bytes / target) — the output file count a
+    * compaction rewrite coalesces to (>= 1). Listing only; no read.
+    */
+  def compactionTargetParts(s: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -162,6 +174,65 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_files"),
             sum(length(col("text"))).as("sum_chars"),
             sum(expr("octet_length(content)")).as("sum_bytes"))
+      }),
+
+    // Small-file compaction (the lake OPTIMIZE primitive): a 64-part
+    // sliver-file layout is rewritten into ceil(bytes/target) files.
+    // At 100 TB the sliver tax is real — driver listing time, task
+    // scheduling overhead, and per-file footer reads all scale with
+    // file COUNT, not bytes — and ingest jobs (st15's arrival loop,
+    // i05's loose files) produce exactly this shape. Fidelity is the
+    // same per-lang hash; the file-count contract is spec-asserted.
+    QueryDef(
+      "i06_compact_small_files",
+      Some(fidelityOracle),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sliver = tmp("graft-i06-sliver")
+        val compact = tmp("graft-i06-compact")
+        Catalog.t(s, d, "documents")
+          .repartition(64).write.mode("overwrite").parquet(sliver)
+        val n = compactionTargetParts(s, sliver, targetBytes = 4L << 20)
+        s.read.parquet(sliver)
+          .repartition(n).write.mode("overwrite").parquet(compact)
+        s.read.parquet(compact)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
+      }),
+
+    // Schema evolution: half the corpus written with the ORIGINAL
+    // 3-column schema, half with the evolved 5-column one, read back
+    // as ONE relation via mergeSchema — missing columns surface as
+    // nulls, never as errors. The 100 TB reality: corpora accrete
+    // columns over years of ingest; a reader that can't span schema
+    // versions forces a full rewrite per evolution. (mergeSchema costs
+    // a footer read per file at planning — enable it per-read, not
+    // globally.)
+    QueryDef(
+      "i07_schema_evolution",
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS with_source,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)
+             |    AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val root = tmp("graft-i07")
+        val docs = Catalog.t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$root/v1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$root/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("source").isNotNull, 1).otherwise(0))
+              .cast("long").as("with_source"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
       }),
 
     QueryDef(

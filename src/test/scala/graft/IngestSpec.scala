@@ -57,6 +57,27 @@ class IngestSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("compaction rewrites a sliver layout to ceil(bytes/target) files " +
+    "with identical content") {
+    import graft.sources.IngestQueries
+    val sliver = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val docs = Catalog.t(spark, sf, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(sliver)
+    import scala.jdk.CollectionConverters._
+    def parts(dir: String) = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+    assert(parts(sliver) === 64)
+    val n = IngestQueries.compactionTargetParts(spark, sliver, 4L << 20)
+    val compact = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    spark.read.parquet(sliver).repartition(n)
+      .write.mode("overwrite").parquet(compact)
+    assert(parts(compact) === n)
+    assert(n < 64, s"sf0.001 documents must compact below 64 parts, got $n")
+    val a = spark.read.parquet(compact).agg(sum(col("doc_id"))).head.getLong(0)
+    val b = docs.agg(sum(col("doc_id"))).head.getLong(0)
+    assert(a === b)
+  }
+
   test("i01 JSONL read uses the explicit schema (no inference pass)") {
     // A malformed extra file in the dir must not break the typed read of
     // well-formed parts when the schema is explicit and mode=PERMISSIVE:
