@@ -391,7 +391,32 @@ object Pipeline {
               |  cast(least(k * $StrideTok + $ChunkTok, n) AS bigint) AS tok_end
               |FROM c""".stripMargin),
       (s, d) => chunkByStride(Catalog.t(s, d, "documents"),
-        col("doc_id"), split(col("text"), " "), ChunkTok, StrideTok))
+        col("doc_id"), split(col("text"), " "), ChunkTok, StrideTok)),
+
+    // Sequence-length profile: docs and token mass bucketed by
+    // power-of-two token count — the corpus histogram every packing /
+    // truncation decision (p01's budget, p15's chunk width) is read
+    // against. Exact integer math; one narrow map + one 20-ish-row
+    // aggregate, nothing at corpus width.
+    QueryDef(
+      "p16_length_profile",
+      Some("""WITH t AS (SELECT len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |b AS (SELECT n, cast(length(bin(n)) - 1 AS int) AS bucket FROM t)
+             |SELECT bucket,
+             |  cast(power(2, bucket) AS bigint) AS bucket_lo,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_mass
+             |FROM b GROUP BY bucket""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        // floor(log2(n)) via binary-string length: exact integer math
+        // in both engines, no libm boundary risk at powers of two
+        .withColumn("bucket", expr("cast(length(bin(n)) - 1 as int)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_mass"))
+        .select(col("bucket"),
+          expr("cast(pow(2, bucket) as bigint)").as("bucket_lo"),
+          col("n_docs"), col("tok_mass")))
   )
 
   private val ShuffleEpochs = 2
