@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
 object IngestQueries {
 
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.TempDirs.create(prefix) // exit-time cleanup (bench hygiene)
 
   /** ceil(total data bytes / target) — the output file count a
     * compaction rewrite coalesces to (>= 1). Listing only; no read.

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object StateQueries {
 
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.TempDirs.create(prefix) // exit-time cleanup (bench hygiene)
 
   def all: Seq[QueryDef] = Seq(
 

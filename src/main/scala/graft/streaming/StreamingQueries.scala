@@ -239,7 +239,7 @@ object StreamingQueries {
           .filter(col("event_id") % 2 === 0)
           .groupBy(col("user_id")).count()
           .as[(Long, Long)]
-        val spDir = java.nio.file.Files.createTempDirectory("graft-st08").toString + "/sp"
+        val spDir = graft.TempDirs.create("graft-st08") + "/sp"
         val meta = Savepoints
           .writer(s, Savepoints.bootstrap("live-counts", 4, 128), "live-counts")
           .withDialect(graft.core.meta.Dialect.Flink)
@@ -458,8 +458,7 @@ object StreamingQueries {
           .map { case (k, ws, we, v) =>
             StateQueries.windowRow(k, ws, we, v, maxPar)
           }
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft-st13").toString
+        val outDir = graft.TempDirs.create("graft-st13")
         val meta = Savepoints
           .writer(s, Savepoints.bootstrap("stream-win", 4, maxPar), "stream-win")
           .withKeyCodec(Codecs.LongCodec)
@@ -508,8 +507,7 @@ object StreamingQueries {
               |FROM documents GROUP BY lang""".stripMargin),
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-st15").toString
+        val dir = graft.TempDirs.create("graft-st15")
         val docs = graft.Catalog.t(s, d, "documents")
         docs.select("doc_id", "text", "lang").repartition(8)
           .write.mode("overwrite").json(dir)
