@@ -273,4 +273,30 @@ class GraphAlgsSpec extends AnyFunSuite {
     assert(got2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2,
       5L -> 1, 6L -> 0, 7L -> -1))
   }
+
+  test("bfsLayers matches a sequential reference BFS on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edgeList = (1 to 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      .filter(e => e._1 != e._2)
+    val seedIds = Seq(0L, 17L, 43L)
+    val depth = 5
+    // sequential reference: classic queue BFS over the symmetric graph
+    val adj = edgeList.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dist = scala.collection.mutable.Map(seedIds.map(_ -> 0): _*)
+    var frontier = seedIds.toSet
+    (1 to depth).foreach { k =>
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = k)
+    }
+    val expected = (0L until n).map(v => v -> dist.getOrElse(v, -1)).toMap
+    val got = GraphAlgs.bfsLayers(
+      (0L until n).toDF("id"), edgeList.toDF("src", "dst"),
+      seedIds.toDF("id"), depth)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === expected)
+  }
 }
