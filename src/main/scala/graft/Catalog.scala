@@ -24,20 +24,41 @@ object Catalog {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Session settings every entry point (Verify/Bench/tests) applies.
-    * `nanosAsLong`: the driver's `events.parquet` carries TIMESTAMP(NANOS)
-    * which Spark's reader otherwise rejects; we read it as long and
-    * normalize back to a timestamp column in [[t]].
+    * `nanosAsLong`: older driver testdata carried `events.ts` as
+    * TIMESTAMP(NANOS), which Spark's reader otherwise rejects; with the
+    * flag it reads as long and [[normalizeTs]] converts it back. Current
+    * testdata writes `timestamp[us]` without timezone (TIMESTAMP_NTZ);
+    * [[normalizeTs]] handles that too. The UTC session timezone makes
+    * both conversions instant-preserving against the DuckDB oracle.
     */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true")
 
+  /** Normalize a `ts` event-time column to TimestampType regardless of
+    * how the driver's parquet encoded it. Schema-aware, so batch reads
+    * (through [[t]]) and streaming reads (which must pin the schema up
+    * front) share ONE conversion rule:
+    *   - LongType           → int64 nanos (legacy `nanosAsLong` read):
+    *                          floor to micros, `timestamp_micros`.
+    *   - TimestampNTZType   → `timestamp[us]` without timezone: cast to
+    *                          TimestampType (UTC session ⇒ same instant).
+    *   - TimestampType      → already normalized, untouched.
+    * Tables without a `ts` column pass through unchanged.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("cast(ts as timestamp)"))
+      case _ => df
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // nanos → micros; keeps `ts` a TimestampType column for query code
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.mutable.ListBuffer
 
-/** Event row for the sessionizer (ns timestamp already floored to ms). */
+/** Event row for the sessionizer (event time already floored to ms). */
 final case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long)
 
 /** One user session: consecutive events with < 30 min gaps. */
@@ -29,15 +29,18 @@ object StreamingQueries {
   private val GapMs = 1800000L
   private val GapMs2 = 3600000L // st04 attribution window (1 hour in ms)
 
-  /** Shared scaffold: build a streaming DataFrame over the events table
-    * (raw nanos schema), run it into a uniquely-named memory sink, and
-    * return the materialized table.
+  /** Shared scaffold: build a streaming DataFrame over the events table,
+    * run it into a uniquely-named memory sink, and return the
+    * materialized table. The `ts` column is normalized to TimestampType
+    * via [[Catalog.normalizeTs]] BEFORE `build` sees the frame, so query
+    * builders are independent of how the driver's parquet encoded event
+    * time (int64 nanos vs timestamp[us] NTZ).
     */
   private def runToMemorySink(
       s: SparkSession, d: String, tag: String, outputMode: String,
       table: String = "events")(
       build: DataFrame => DataFrame): DataFrame = {
-    val rawSchema = s.read.parquet(s"$d/$table.parquet").schema // ts = long nanos
+    val rawSchema = s.read.parquet(s"$d/$table.parquet").schema
     val name = s"${tag}_mem_${counter.incrementAndGet()}"
     // Stateful streaming ops open one state store PER shuffle partition
     // (stream-stream joins open four); at test scale the store setup
@@ -49,8 +52,8 @@ object StreamingQueries {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       // readStream requires a directory: stream the sf dir, globbed to
       // the events table only
-      val raw = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", s"$table.parquet").parquet(d)
+      val raw = Catalog.normalizeTs(s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(d))
       val q = build(raw).writeStream
         .outputMode(outputMode).format("memory").queryName(name).start()
       // restore only after the run: micro-batch planning reads the conf
@@ -68,7 +71,7 @@ object StreamingQueries {
              |  event_type, count(*) AS n
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, d) => runToMemorySink(s, d, "st01", "complete") { raw =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").as("window_start"), col("event_type"), col("n"))
@@ -94,7 +97,7 @@ object StreamingQueries {
         import s.implicits._
         val ev: Dataset[SessEvent] = raw
           .select(col("user_id"), col("event_id"),
-            expr("ts div 1000000").as("ts_ms")) // ns -> ms floor, = epoch_ms
+            unix_millis(col("ts")).as("ts_ms")) // ms floor, = epoch_ms
           .as[SessEvent]
         ev.groupByKey(_.user_id)
           .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
@@ -116,7 +119,7 @@ object StreamingQueries {
              |WHERE epoch_ms(window_start) + 3600000 <= wmms
              |GROUP BY window_start, event_type""".stripMargin),
       (s, d) => runToMemorySink(s, d, "st03", "append") { raw =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -141,8 +144,7 @@ object StreamingQueries {
               |  AND c.ms >= p.ms - $GapMs2 AND c.ms < p.ms""".stripMargin),
       (s, d) => runToMemorySink(s, d, "st04", "append") { raw =>
         val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
-          expr("ts div 1000000").as("ms"))
+          col("ts"), unix_millis(col("ts")).as("ms"))
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("ts").as("pts"), col("ms").as("pms"))
@@ -280,7 +282,7 @@ object StreamingQueries {
     // consecutive events is >= 30 min), the native complement to st02's
     // hand-rolled flatMapGroupsWithState sessionizer. Append mode emits
     // a session once the watermark passes its end. Precision notes the
-    // oracle mirrors: Spark floors event time to MICROS (ts div 1000),
+    // oracle mirrors: Spark event time has MICROS precision,
     // but tracks the WATERMARK in ms (EventTimeWatermarkExec divides by
     // 1000), so eviction compares end_us <= (max_ms - delay_ms) * 1000.
     QueryDef(
@@ -299,7 +301,7 @@ object StreamingQueries {
               |SELECT user_id, start_us, end_us, n FROM g, wm
               |WHERE end_us <= wmus""".stripMargin),
       (s, d) => runToMemorySink(s, d, "st09", "append") { raw =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        raw
           .withWatermark("ts", "1 hour")
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"))
@@ -344,8 +346,7 @@ object StreamingQueries {
               |SELECT * FROM m UNION ALL SELECT * FROM um""".stripMargin),
       (s, d) => runToMemorySink(s, d, "st10", "append") { raw =>
         val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
-          expr("ts div 1000000").as("ms"))
+          col("ts"), unix_millis(col("ts")).as("ms"))
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("ts").as("pts"), col("ms").as("pms"))
@@ -447,7 +448,6 @@ object StreamingQueries {
         val maxPar = 128
         val agg = runToMemorySink(s, d, "st13", "complete") { raw =>
           raw.filter(col("user_id") < 50)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
             .groupBy(col("user_id"), window(col("ts"), "1 hour"))
             .agg(count(lit(1)).as("cnt"))
             .select(col("user_id"),
