@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards for the correctness GATE itself (VERDICT r7 items 2 and 3).
+  *
+  * Round 7 lost 16 queries from the oracle gate without any red signal:
+  * the driver regenerated testdata with a new `events.ts` encoding, the
+  * queries started throwing at analysis, `Verify` caught the throwables
+  * per-query, and the CORRECTNESS file silently shrank from 188 to 172
+  * rows. These suites make both failure modes red in CI:
+  *
+  *   - [[RegistryCompletenessSpec]]: every declared query must run end
+  *     to end on sf0.001 — a throwing entry fails the suite by name.
+  *   - [[SchemaDriftSpec]]: the Spark-side dtypes of all ten driver
+  *     tables (after [[Catalog.t]] normalization) are pinned, so the
+  *     next silent testdata regeneration fails here, in the builder's
+  *     own suite, not at the driver.
+  */
+class RegistryCompletenessSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registry entry runs end-to-end at sf0.001 (no silent gate loss)") {
+    val s = TestSpark.spark
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var nonEmpty = 0
+    SparkEntry.registry.foreach { qd =>
+      try {
+        val df = qd.run(s, sf)
+        assert(df.schema.nonEmpty, s"${qd.name}: empty schema")
+        if (df.count() > 0) nonEmpty += 1
+      } catch {
+        case e: Throwable =>
+          failures += qd.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      } finally s.catalog.clearCache()
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} registry queries FAILED to run (these would vanish " +
+        s"from the driver's CORRECTNESS file): " +
+        failures.map { case (n, m) => s"$n [$m]" }.mkString("; "))
+    // nearly every query yields rows even at sf0.001; a mass-zero result
+    // would mean the gate is comparing empty sets (vacuously green)
+    assert(nonEmpty >= SparkEntry.registry.size - 5,
+      s"only $nonEmpty/${SparkEntry.registry.size} queries returned rows at sf0.001")
+  }
+
+  test("registry size and oracle coverage do not silently shrink") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names in registry")
+    assert(names.size >= 188, s"registry shrank: ${names.size} < 188 declared queries")
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty,
+      s"queries without a DuckDB oracle get only a weak rows-only check: $noOracle")
+  }
+}
+
+class SchemaDriftSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Expected post-[[Catalog.t]] schema per table, as
+    * `name:simpleString` fields in order. `events.ts` MUST read back as
+    * plain `timestamp` (TimestampType) whatever the parquet encoding —
+    * that is the normalization contract every event-time query relies
+    * on. `o_orderdate`/`l_shipdate` are pinned as the driver currently
+    * writes them (timestamp[us] without timezone → `timestamp_ntz`);
+    * query code casts at use sites.
+    */
+  private val expected: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey:int", "r_name:string"),
+    "nation" -> Seq("n_nationkey:int", "n_name:string", "n_regionkey:int"),
+    "customer" -> Seq("c_custkey:bigint", "c_name:string", "c_nationkey:int",
+      "c_acctbal:double", "c_mktsegment:string"),
+    "supplier" -> Seq("s_suppkey:bigint", "s_name:string", "s_nationkey:int",
+      "s_acctbal:double"),
+    "part" -> Seq("p_partkey:bigint", "p_name:string", "p_brand:string",
+      "p_type:string", "p_size:int", "p_retailprice:double"),
+    "orders" -> Seq("o_orderkey:bigint", "o_custkey:bigint", "o_orderstatus:string",
+      "o_totalprice:double", "o_orderdate:timestamp_ntz", "o_orderpriority:string"),
+    "lineitem" -> Seq("l_orderkey:bigint", "l_partkey:bigint", "l_suppkey:bigint",
+      "l_linenumber:int", "l_quantity:double", "l_extendedprice:double",
+      "l_discount:double", "l_tax:double", "l_returnflag:string",
+      "l_linestatus:string", "l_shipdate:timestamp_ntz"),
+    "events" -> Seq("event_id:bigint", "ts:timestamp", "user_id:bigint",
+      "event_type:string", "value:double", "props:string"),
+    "documents" -> Seq("doc_id:bigint", "text:string", "lang:string",
+      "source:string", "n_chars:bigint"),
+    "embeddings" -> Seq("vec_id:bigint", "embedding:array<float>", "label:int"))
+
+  test("driver-table schemas through Catalog.t match the pinned contract") {
+    val s = TestSpark.spark
+    val drift = Catalog.tableNames.flatMap { name =>
+      val got = Catalog.t(s, sf, name).schema
+        .map(f => s"${f.name}:${f.dataType.simpleString}")
+      if (got == expected(name)) None
+      else Some(s"$name: expected ${expected(name).mkString(",")} got ${got.mkString(",")}")
+    }
+    assert(drift.isEmpty, s"testdata schema drift detected:\n${drift.mkString("\n")}")
+  }
+
+  test("normalizeTs handles all three historical ts encodings") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    // long nanos (legacy nanosAsLong read)
+    val longDf = s.createDataFrame(
+      Seq(org.apache.spark.sql.Row(base * 1000L)).asJava,
+      StructType(Seq(StructField("ts", LongType))))
+    // timestamp[us] without timezone (current driver encoding)
+    val ntzDf = s.range(1).select(
+      timestamp_micros(lit(base)).cast(TimestampNTZType).as("ts"))
+    // already TimestampType
+    val tsDf = s.range(1).select(timestamp_micros(lit(base)).as("ts"))
+    Seq(longDf, ntzDf, tsDf).foreach { df =>
+      val out = Catalog.normalizeTs(df)
+      assert(out.schema("ts").dataType == TimestampType)
+      assert(out.select(unix_micros(col("ts"))).head.getLong(0) == base,
+        "normalization must preserve the instant (UTC session)")
+    }
+  }
+}
