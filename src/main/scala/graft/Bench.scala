@@ -45,6 +45,12 @@ object Bench {
     // optional comma-separated name filter for targeted measurement
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a query that throws must NOT produce an ordinary timing row — its
+    // fast-fail time would read as a 10-50x "speedup" to round-over-round
+    // tooling (r7 post-mortem: 16 analysis-failing queries recorded
+    // 0.05-0.17s rows indistinguishable from real wins). Failures are
+    // excluded from the queries map and listed under "failed" instead.
+    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.registry
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
@@ -53,6 +59,7 @@ object Bench {
         try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
           case e: Throwable =>
+            failedNames += q.name
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
@@ -70,14 +77,17 @@ object Bench {
     // "1,234" and corrupt the JSON output
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).sum
+    val ok = results.filterNot { case (k, _) => failedNames.contains(k) }
+    val total = ok.map(_._2).sum
+    val failedField =
+      "\"failed\":[" + failedNames.map("\"" + _ + "\"").mkString(",") + "]"
 
     // Full per-query detail -> a file (the driver keeps only the last
     // ~2000 chars of stdout, which a 95-entry map can never fit; the
     // committed detail file is the per-query record of a local run).
     val loadAfter = loadAvg()
-    val loadFields = s""""load_before":${r3(loadBefore)},"load_after":${r3(loadAfter)},"runs":$runs"""
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val loadFields = s""""load_before":${r3(loadBefore)},"load_after":${r3(loadAfter)},"runs":$runs,$failedField"""
+    val detail = ok.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$detail,$loadFields,"sf":"$sfDir"}"""
@@ -88,12 +98,12 @@ object Bench {
 
     // Compact summary LAST so the complete line survives the stdout
     // tail: per-family subtotals (q/t/d/g/j/s/m/p/st/sp) + total.
-    val fams = results
+    val fams = ok
       .groupBy { case (k, _) => k.takeWhile(_.isLetter) }
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fams,"n_queries":${results.size},$loadFields,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fams,"n_queries":${ok.size},$loadFields,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

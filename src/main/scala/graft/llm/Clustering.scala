@@ -285,7 +285,7 @@ object Clustering {
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    codes
+    val scored = codes
       .crossJoin(broadcast(queries.select(col("query_id"),
         col("embedding").cast("array<double>").as("qa"))))
       .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
@@ -293,6 +293,21 @@ object Clustering {
       // fixed fold order over subspaces (matches the oracle's CASE sum)
       .withColumn("adc_dist",
         (0 until m).map(mi => col(s"d_$mi")).reduce(_ + _))
+      .select("query_id", "neighbor_id", "adc_dist")
+    // per-partition bounded heap BEFORE the per-query window (the
+    // hardNegatives pre-reduce, Similarity.boundedTopKPerKey): at most
+    // |Q| x k rows per task reach the window sort, instead of one window
+    // task per query absorbing ALL of that query's scored candidates —
+    // the full candidates x queries relation never materializes through
+    // an Exchange+sort. Best = (lowest adc_dist, lowest neighbor_id);
+    // neighbor_id is unique per query, so the order is total.
+    val reduced = Similarity.boundedTopKPerKey(scored, "query_id", k) { schema =>
+      val dIdx = schema.fieldIndex("adc_dist")
+      val nIdx = schema.fieldIndex("neighbor_id")
+      Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+        r => (-r.getDouble(dIdx), -r.getAs[Number](nIdx).longValue))
+    }
+    reduced
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "adc_dist", "rn")

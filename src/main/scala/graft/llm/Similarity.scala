@@ -89,33 +89,50 @@ object Similarity {
     // unique, so the order is total and the global top-k is contained
     // in the union of per-partition top-ks). Heap memory per task is
     // |Q| x k rows — bounded by the queries-are-broadcast-small
-    // contract already in force.
-    val kk = k
-    val schema = scored.schema
-    val qIdx = schema.fieldIndex("query_id")
-    val cosIdx = schema.fieldIndex("cosine")
-    val nIdx = schema.fieldIndex("neighbor_id")
-    // quality order: best = (highest cosine, lowest neighbor_id). The
-    // queue uses its REVERSE so dequeue() evicts the worst retained row.
-    val byQuality = Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
-      r => (r.getDouble(cosIdx), -r.getAs[Number](nIdx).longValue))
-    val reduced = scored.mapPartitions { it =>
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
-      it.foreach { r =>
-        val h = heaps.getOrElseUpdate(r.getAs[Number](qIdx).longValue,
-          scala.collection.mutable.PriorityQueue.empty(byQuality.reverse))
-        h.enqueue(r)
-        if (h.size > kk) h.dequeue()
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }(org.apache.spark.sql.Encoders.row(schema))
+    // contract already in force. Quality order: best = (highest cosine,
+    // lowest neighbor_id).
+    val reduced = boundedTopKPerKey(scored, "query_id", k) { schema =>
+      val cosIdx = schema.fieldIndex("cosine")
+      val nIdx = schema.fieldIndex("neighbor_id")
+      Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+        r => (r.getDouble(cosIdx), -r.getAs[Number](nIdx).longValue))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     reduced
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= kk)
+      .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "label", "neg_label", "cosine", "rn")
+  }
+
+  /** Per-partition bounded top-k pre-reduce: keep at most `k` rows per
+    * `keyCol` group per partition under `quality` (a TOTAL best-first
+    * order — callers break ties on a unique id column), so a downstream
+    * per-key `row_number` window ranks at most |keys| x k x P rows
+    * instead of the full scored relation. Because the order is total,
+    * the global per-key top-k is contained in the union of per-partition
+    * top-ks; the window then just finalizes ranks. Heap memory per task
+    * is |keys| x k rows — callers keep the key side broadcast-small.
+    */
+  private[llm] def boundedTopKPerKey(df: DataFrame, keyCol: String, k: Int)(
+      quality: org.apache.spark.sql.types.StructType => Ordering[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val byQuality = quality(schema)
+    df.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+      it.foreach { r =>
+        // the queue uses the REVERSE order so its head is the worst
+        // retained row and dequeue() evicts it
+        val h = heaps.getOrElseUpdate(r.getAs[Number](keyIdx).longValue,
+          scala.collection.mutable.PriorityQueue.empty(byQuality.reverse))
+        h.enqueue(r)
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   private def hardNegOracle: String =

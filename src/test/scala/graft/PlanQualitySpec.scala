@@ -275,6 +275,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(plan("t20_importance_weights"), "Exchange") == 0)
   }
 
+  test("sp19 window-state read is one pushed-down scan, zero shuffles") {
+    // the savepoint source must receive the state-name pushdown (only
+    // the window-contents column family is read) and the typed decode
+    // runs inside the scan stage: at a real savepoint's width there is
+    // no Exchange anywhere on the read path
+    val p = plan("sp19_window_state")
+    assert(p.contains("states=window-contents"), p)
+    assert(count(p, "Exchange") == 0, p)
+  }
+
+  test("sp24 timer decode is narrow: one bounded repartition, no join, " +
+    "no window") {
+    // timers decode via per-partition iteration (MapPartitions) straight
+    // off the state rows; the only Exchange allowed is the explicit
+    // round-robin spreading the fixture across tasks
+    val p = plan("sp24_timer_state")
+    assert(count(p, "Exchange") <= 1, p)
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("s07 ADC top-k pre-reduces map-side below the window exchange") {
+    // the full candidates x queries scored relation must never travel
+    // through the per-query window Exchange: the bounded-heap
+    // mapPartitions (boundedTopKPerKey) runs BELOW the Exchange, so at
+    // most |Q| x k rows per task are shuffled and the window only
+    // finalizes ranks. Tree prints top-down: Window above Exchange
+    // above MapPartitions.
+    val p = plan("s07_ivf_pq_adc")
+    val winAt = p.indexOf("Window [")
+    val exAt = p.indexOf("Exchange hashpartitioning")
+    val mpAt = p.indexOf("MapPartitions")
+    assert(winAt >= 0 && exAt > winAt && mpAt > exAt, p)
+    // queries stay the broadcast side of the scoring cross join
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
