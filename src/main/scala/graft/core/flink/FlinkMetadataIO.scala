@@ -55,6 +55,17 @@ object FlinkMetadataIO {
     * support only — writes stay v2, the reference's pinned target.
     */
   val MetadataV3Version = 3
+  /** Flink >=1.14 checkpoint metadata (MetadataV4Serializer, FLIP-147
+    * "checkpoints after tasks finished"): the v3 layout plus finished-
+    * ness markers — an operator whose tasks all completed writes the
+    * sentinel subtask count -1 (fully finished, no subtask states), and
+    * each subtask entry gains a leading boolean (true = finished, no
+    * further bytes for that subtask). 1.14 savepoints are also fully
+    * relocatable: handles to files inside the savepoint dir are written
+    * with the RELATIVE tag. Read AND write: a savepoint carrying
+    * finished markers round-trips as v4; otherwise writes stay v2/v3.
+    */
+  val MetadataV4Version = 4
   val MasterStateMagic = 0xc96b1696
 
   val NullHandle = 0
@@ -133,7 +144,9 @@ object FlinkMetadataIO {
     fs.mkdirs(dir)
     val mp = new org.apache.hadoop.fs.Path(dir, MetadataFile)
     val version =
-      if (meta.operators.exists(_.coordinatorState.isDefined)) MetadataV3Version
+      if (meta.operators.exists(o => o.fullyFinished || o.finishedSubtasks.nonEmpty))
+        MetadataV4Version
+      else if (meta.operators.exists(_.coordinatorState.isDefined)) MetadataV3Version
       else SavepointVersion
     val out = fs.create(mp, false) // NO_OVERWRITE
     val d = new DataOutputStream(new BufferedOutputStream(out))
@@ -158,7 +171,7 @@ object FlinkMetadataIO {
         d.writeLong(longAt(idBytes, 8))
         d.writeInt(op.parallelism)
         d.writeInt(op.maxParallelism)
-        if (version == MetadataV3Version)
+        if (version >= MetadataV3Version)
           // coordinator state replays verbatim (or null)
           op.coordinatorState match {
             case None    => d.writeByte(NullHandle)
@@ -170,11 +183,29 @@ object FlinkMetadataIO {
         val nonKeyedSubtasks = op.nonKeyed.filter { case (_, b) =>
           b.listStates.nonEmpty || b.broadcastStates.nonEmpty
         }
-        val subtasks = (keyedBySubtask.keySet ++ nonKeyedSubtasks.keySet ++
+        val statefulSubtasks = (keyedBySubtask.keySet ++ nonKeyedSubtasks.keySet ++
           op.rawOperatorState.keySet ++ op.rawKeyedState.keySet).toSeq.sorted
+        if (op.fullyFinished) {
+          // v4 sentinel: the operator completed — it must not carry any
+          // subtask state, and nothing follows the marker
+          require(statefulSubtasks.isEmpty,
+            s"operator ${op.uid} is marked fully finished but carries " +
+              s"subtask state for ${statefulSubtasks.mkString(",")}")
+          d.writeInt(-1)
+        } else {
+        val subtasks = (statefulSubtasks ++
+          op.finishedSubtasks.filterNot(statefulSubtasks.contains)).sorted
         d.writeInt(subtasks.size)
         subtasks.foreach { subtask =>
           d.writeInt(subtask)
+          val finished = op.finishedSubtasks.contains(subtask)
+          if (version == MetadataV4Version) {
+            require(!finished || !statefulSubtasks.contains(subtask),
+              s"operator ${op.uid} subtask $subtask is marked finished " +
+                "but carries state")
+            d.writeBoolean(finished)
+          }
+          if (!finished) {
           d.writeLong(-1L) // legacy duration
           d.writeInt(0)    // legacy state count
           // managed operator (non-keyed) state: PARTITIONABLE handle
@@ -257,14 +288,35 @@ object FlinkMetadataIO {
               d.writeInt(f.kgStart)
               d.writeInt(f.kgEnd - f.kgStart + 1)
               f.offsets.foreach(d.writeLong)
-              val p = resolvePath(meta.basePath, f.relativePath)
+              val rawP = new org.apache.hadoop.fs.Path(f.relativePath)
+              val pfs = resolvePath(meta.basePath, f.relativePath)
+                .getFileSystem(new org.apache.hadoop.conf.Configuration())
+              // qualify so the emitted reference is absolute even when
+              // the SOURCE savepoint was loaded from a relative path —
+              // an unqualified path would re-resolve against the NEW
+              // dir on read and dangle
+              val p = pfs.makeQualified(resolvePath(meta.basePath, f.relativePath))
               // fail fast on a missing/unreadable state file: a
               // savepoint referencing absent state must not be written
-              val size = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-                .getFileStatus(p).getLen
-              d.writeByte(FileStreamHandle)
-              d.writeLong(size)
-              d.writeUTF(p.toString)
+              val size = pfs.getFileStatus(p).getLen
+              if (version == MetadataV4Version && !rawP.isAbsolute &&
+                  rawP.toUri.getScheme == null &&
+                  // relocatability requires CO-LOCATION: only files that
+                  // actually live in the output dir may be referenced
+                  // relative to it (a carried-over handle whose file
+                  // stays in the source savepoint must stay absolute)
+                  Option(p.getParent).exists(_.toUri.getPath ==
+                    fs.makeQualified(dir).toUri.getPath)) {
+                // 1.14 savepoints are fully relocatable: in-dir state
+                // files are referenced relative to the metadata dir
+                d.writeByte(RelativeStreamHandle)
+                d.writeUTF(f.relativePath)
+                d.writeLong(size)
+              } else {
+                d.writeByte(FileStreamHandle)
+                d.writeLong(size)
+                d.writeUTF(p.toString)
+              }
           }
           // raw keyed: verbatim section replay, or null. A raw handle's
           // file references are replayed as written (real Flink 1.7
@@ -275,11 +327,13 @@ object FlinkMetadataIO {
             case None        => d.writeByte(NullHandle)
             case Some(bytes) => d.write(bytes)
           }
-          if (version == MetadataV3Version) {
+          if (version >= MetadataV3Version) {
             d.writeInt(0) // input-channel state: none (aligned)
             d.writeInt(0) // result-subpartition state: none
           }
+          } // !finished
         }
+        } // fullyFinished else
       }
       d.flush()
     } finally d.close()
@@ -301,8 +355,9 @@ object FlinkMetadataIO {
       val magic = d.readInt()
       require(magic == HeaderMagic, f"not a Flink checkpoint: magic 0x$magic%08x")
       val version = d.readInt()
-      require(version == SavepointVersion || version == MetadataV3Version,
-        s"unsupported savepoint metadata version $version (supported: 2, 3)")
+      require(version == SavepointVersion || version == MetadataV3Version ||
+        version == MetadataV4Version,
+        s"unsupported savepoint metadata version $version (supported: 2, 3, 4)")
       val checkpointId = d.readLong()
       val nMaster = d.readInt()
       val masterStates = (0 until nMaster).map { _ =>
@@ -328,14 +383,24 @@ object FlinkMetadataIO {
         val coordinator: Option[Array[Byte]] =
           if (version == SavepointVersion) { d.readInt(); None }
           else Some(capture(d)(skipStreamHandle)).filterNot(isNullSection)
-        val nSub = d.readInt()
+        // v4 sentinel -1: FLIP-147 fully-finished operator, no subtasks
+        val nSubRaw = d.readInt()
+        val fullyFinished = version == MetadataV4Version && nSubRaw == -1
+        require(nSubRaw >= 0 || fullyFinished,
+          s"operator $opId: bad subtask count $nSubRaw for version $version")
+        val nSub = if (fullyFinished) 0 else nSubRaw
         val files = scala.collection.mutable.ArrayBuffer.empty[KeyedFileHandle]
         val nonKeyed = scala.collection.mutable.Map.empty[Int, OperatorBackendState]
         val proxySources = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         val rawOp = scala.collection.mutable.Map.empty[Int, Array[Byte]]
         val rawKeyed = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+        val finishedSub = scala.collection.mutable.Set.empty[Int]
         (0 until nSub).foreach { _ =>
           val subtask = d.readInt()
+          // v4: a finished subtask is a single boolean, no state body
+          val finished = version == MetadataV4Version && d.readBoolean()
+          if (finished) finishedSub += subtask
+          else {
           d.readLong() // legacy duration
           val nLegacy = d.readInt()
           (0 until nLegacy).foreach(_ => readStreamHandle(d)) // absorb
@@ -353,8 +418,8 @@ object FlinkMetadataIO {
           // timers of a real Flink job live here)
           val rk = capture(d)(skipKeyedHandle)
           if (!isNullSection(rk)) rawKeyed(subtask) = rk
-          if (version == MetadataV3Version) {
-            // v3 channel state (unaligned checkpoints): savepoints are
+          if (version >= MetadataV3Version) {
+            // v3+ channel state (unaligned checkpoints): savepoints are
             // always aligned, so both collections are empty; reject a
             // non-empty one rather than guess its layout
             val nIn = d.readInt()
@@ -364,11 +429,13 @@ object FlinkMetadataIO {
             require(nOut == 0, "unaligned-checkpoint result-subpartition " +
               "state is not supported; take an (aligned) savepoint instead")
           }
+          }
         }
         (OperatorStateMeta(opId, opId, par, maxPar, None, Seq.empty,
           compression = false, files.toSeq, nonKeyed.toMap,
           rawOperatorState = rawOp.toMap, rawKeyedState = rawKeyed.toMap,
-          coordinatorState = coordinator),
+          coordinatorState = coordinator, fullyFinished = fullyFinished,
+          finishedSubtasks = finishedSub.toSet),
           proxySources.headOption)
       }
       // resolve codecs/compression per operator from the proxy: full

@@ -120,7 +120,15 @@ final case class OperatorStateMeta(
     // the verbatim stream-handle bytes. Read-only carry: the v2 writer
     // cannot represent it, so Flink-dialect rewrites refuse while it is
     // present rather than silently dropping it.
-    coordinatorState: Option[Array[Byte]] = None) {
+    coordinatorState: Option[Array[Byte]] = None,
+    // Flink >=1.14 (metadata v4, FLIP-147 "checkpoints after tasks
+    // finished"): a bounded operator whose every task completed
+    // snapshots as FULLY FINISHED — it has no subtask states at all —
+    // and an individual completed task snapshots as a finished subtask
+    // (index in `finishedSubtasks`, no state for that index). Either
+    // marker selects the v4 envelope on Flink-dialect writes.
+    fullyFinished: Boolean = false,
+    finishedSubtasks: Set[Int] = Set.empty) {
 
   /** True if any subtask carries raw keyed or raw operator state. */
   def hasRawState: Boolean = rawOperatorState.nonEmpty || rawKeyedState.nonEmpty

@@ -259,9 +259,14 @@ final class OperatorStateWriter(
         s"operator ${base.uid} carries raw keyed/operator state, which " +
           "is opaque and cannot be re-sharded; keep the original " +
           "parallelism or drop the raw state explicitly")
+    // v4 finished markers survive metadata-only rewrites; supplying
+    // rows "un-finishes" the operator (the new state is redistributed
+    // across ALL subtasks, so per-subtask finished-ness no longer holds)
     val newOp = OperatorStateMeta(base.uid, opId, par, maxPar,
       keyCodecId, finalStates, compression, newFiles, newNonKeyed,
-      base.rawOperatorState, base.rawKeyedState, base.coordinatorState)
+      base.rawOperatorState, base.rawKeyedState, base.coordinatorState,
+      fullyFinished = base.fullyFinished && rowsAcc.isEmpty,
+      finishedSubtasks = if (rowsAcc.isEmpty) base.finishedSubtasks else Set.empty)
     val others = savepoint.operators
       .filterNot(_.operatorId == opId)
       .map(o => o.copy(keyedFiles = o.keyedFiles.map(absolutize)))

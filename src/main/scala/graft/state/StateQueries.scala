@@ -656,6 +656,39 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // Flink >=1.14 metadata (v4, FLIP-147): a savepoint whose job
+    // contains a drained bounded source — the source operator snapshots
+    // as FULLY FINISHED (no subtask states) — written and re-read
+    // through the v4 envelope with relocatable RELATIVE state-file
+    // handles. The keyed counts must decode identically through the new
+    // envelope, and the finished marker must survive the round trip
+    // (checked with require so the oracle row only exists if it did).
+    QueryDef(
+      "sp28_v4_finished_metadata",
+      Some("""SELECT o_custkey AS key, count(*) AS cnt
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val boot = Savepoints.bootstrap("v4-agg", 4, 128)
+        val withSrc = boot.copy(operators = boot.operators :+
+          OperatorStateMeta("v4-src", Identifiers.operatorId("v4-src"),
+            4, 128, None, Seq.empty, compression = true, Seq.empty,
+            fullyFinished = true))
+        val meta = Savepoints.writer(s, withSrc, "v4-agg")
+          .withDialect(graft.core.meta.Dialect.Flink)
+          .withKeyCodec(LongCodec)
+          .createNewValueState("OrderCount", counts, LongCodec)
+          .writeAll(tmp("graft-sp28"))
+        val re = Savepoints.load(meta.basePath)
+        require(re.operator("v4-src").fullyFinished,
+          "fully-finished marker lost through the v4 envelope")
+        Savepoints.reader(s, re, "v4-agg")
+          .readValueStates[Long, Long]("OrderCount")
+          .toDF("key", "cnt")
+      }),
+
     // Savepoint validation (the reference's "validate corrupted state"
     // use case, README.md:41-44): a value + map state savepoint is
     // scanned row-by-row against its own codec declarations — key-group

@@ -526,6 +526,87 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(got === FlinkV3GoldenAssembler.Counts)
   }
 
+  test("v4 (Flink >=1.14) golden metadata loads: finished markers, " +
+    "relative handle, and keyed decode through the new envelope") {
+    import spark.implicits._
+    val dir = FlinkV3GoldenAssembler.v4MetaResourceDir
+    val tmp = Files.createTempDirectory("flink-v4meta-regen")
+    FlinkV3GoldenAssembler.writeV4MetaFixture(tmp)
+    assert(Files.readAllBytes(tmp.resolve("_metadata")).toSeq ===
+      Files.readAllBytes(dir.resolve("_metadata")).toSeq, "_metadata drift")
+    val meta = Savepoints.load(dir.toString)
+    val op = meta.operator(FlinkV3GoldenAssembler.V4Uid)
+    assert(op.finishedSubtasks === Set(1), "per-subtask finished marker")
+    assert(!op.fullyFinished)
+    val src = meta.operator(FlinkV3GoldenAssembler.V4FinishedUid)
+    assert(src.fullyFinished && src.keyedFiles.isEmpty &&
+      src.parallelism === 4, "fully-finished bounded source")
+    val got = Savepoints.reader(spark, meta, FlinkV3GoldenAssembler.V4Uid)
+      .readValueStates[Long, Long]("count").collect().toMap
+    assert(got === FlinkV3GoldenAssembler.Counts)
+  }
+
+  test("v4 finished markers survive a metadata rewrite (round-trips as " +
+    "v4) and vanish when the operator is re-bootstrapped with rows") {
+    import spark.implicits._
+    val meta = Savepoints.load(FlinkV3GoldenAssembler.v4MetaResourceDir.toString)
+    // metadata-level rewrite: markers present -> v4 envelope selected
+    val out = Files.createTempDirectory("flink-v4-rt"); Files.delete(out)
+    FlinkMetadataIO.write(out.toString, meta)
+    val written = Files.readAllBytes(Paths.get(out.toString, "_metadata"))
+    assert(java.nio.ByteBuffer.wrap(written, 4, 4).getInt === 4, "v4 envelope")
+    val re = Savepoints.load(out.toString)
+    assert(re.operator(FlinkV3GoldenAssembler.V4Uid).finishedSubtasks === Set(1))
+    assert(re.operator(FlinkV3GoldenAssembler.V4FinishedUid).fullyFinished)
+    val got = Savepoints.reader(spark, re, FlinkV3GoldenAssembler.V4Uid)
+      .readValueStates[Long, Long]("count").collect().toMap
+    assert(got === FlinkV3GoldenAssembler.Counts)
+    // supplying NEW rows un-finishes: the rewritten operator's state is
+    // redistributed across all subtasks, so the marker must clear and
+    // the file (no other markers) drops back to the v2 envelope
+    val out2 = graft.TempDirs.create("flink-v4-unfinish")
+    val meta2 = Savepoints
+      .writer(spark, re.copy(operators = re.operators
+        .filter(_.operatorId == re.operator(FlinkV3GoldenAssembler.V4Uid).operatorId)),
+        FlinkV3GoldenAssembler.V4Uid)
+      .withDialect(Dialect.Flink)
+      .withKeyCodec(Codecs.LongCodec)
+      .createNewValueState("count2",
+        spark.createDataset(Seq((1L, 10L), (2L, 20L))), Codecs.LongCodec)
+      .writeAll(out2)
+    assert(meta2.operator(FlinkV3GoldenAssembler.V4Uid).finishedSubtasks.isEmpty)
+    val written2 = Files.readAllBytes(Paths.get(out2, "_metadata"))
+    assert(java.nio.ByteBuffer.wrap(written2, 4, 4).getInt === 2, "back to v2")
+  }
+
+  test("v4 writer emits RELATIVE handles only for co-located state files") {
+    import spark.implicits._
+    // writeAll lands state files in the output dir, so a v4 write must
+    // reference them relatively (fully-relocatable 1.14 savepoint):
+    // copying the whole dir elsewhere must still load and decode
+    val boot = Savepoints.bootstrap("reloc-op", 2, 128)
+    val withFinished = boot.copy(operators = boot.operators :+
+      boot.operators.head.copy(uid = "reloc-src",
+        operatorId = Identifiers.operatorId("reloc-src"),
+        fullyFinished = true))
+    val out = graft.TempDirs.create("flink-v4-reloc")
+    Savepoints.writer(spark, withFinished, "reloc-op")
+      .withDialect(Dialect.Flink)
+      .withKeyCodec(Codecs.LongCodec)
+      .createNewValueState("n", spark.createDataset(Seq((5L, 50L), (9L, 90L))),
+        Codecs.LongCodec)
+      .writeAll(out)
+    val moved = graft.TempDirs.create("flink-v4-reloc-moved")
+    Files.list(Paths.get(out)).iterator().forEachRemaining(p =>
+      Files.copy(p, Paths.get(moved, p.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    val re = Savepoints.load(moved) // resolves relative to the NEW dir
+    assert(re.operator("reloc-src").fullyFinished)
+    val got = Savepoints.reader(spark, re, "reloc-op")
+      .readValueStates[Long, Long]("n").collect().toMap
+    assert(got === Map(5L -> 50L, 9L -> 90L))
+  }
+
   test("v3 coordinator state is staged on read and replays verbatim " +
     "through a v3 rewrite (never silently dropped)") {
     // hand-assemble a v3 _metadata whose operator carries coordinator
@@ -905,6 +986,72 @@ object FlinkV3GoldenAssembler {
     d.writeByte(0)         // raw keyed: null
     d.writeInt(0)          // input-channel state: empty
     d.writeInt(0)          // result-subpartition state: empty
+    d.flush()
+    Files.write(dir.resolve("_metadata"), bos.toByteArray)
+  }
+
+  /** Checkpoint-metadata VERSION 4 fixture (Flink >=1.14,
+    * MetadataV4Serializer / FLIP-147 "checkpoints after tasks
+    * finished"): the v3 layout plus finished-ness — operator
+    * "v4-finished-src" is a drained bounded source serialized with the
+    * fully-finished sentinel (subtask count -1, nothing after), and
+    * operator "v4-op" runs at parallelism 2 with subtask 0 live
+    * (boolean false + the ordinary v3 body, relative state handle) and
+    * subtask 1 finished (boolean true, no further bytes). Same
+    * proxy/state-file bytes as the other fixtures.
+    */
+  val V4Uid = "v4-op"
+  val V4FinishedUid = "v4-finished-src"
+
+  def v4MetaResourceDir: Path = {
+    val p = Paths.get("src/test/resources/flink-golden-v4meta")
+    if (!Files.exists(p.resolve("_metadata"))) {
+      Files.createDirectories(p)
+      writeV4MetaFixture(p)
+    }
+    p
+  }
+
+  def writeV4MetaFixture(dir: Path): Unit = {
+    val (state, offsets) = stateFileBytes()
+    Files.write(dir.resolve(StateFileName), state)
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d) // HEADER_MAGIC_NUMBER
+    d.writeInt(4)          // checkpoint metadata v4 (Flink >=1.14)
+    d.writeLong(CheckpointId)
+    d.writeInt(0)          // master states
+    d.writeInt(2)          // two operators
+    // operator 1: live keyed operator, one finished subtask
+    val id = Identifiers.operatorId(V4Uid)
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(2); d.writeInt(MaxPar)
+    d.writeByte(0)         // coordinator state: null handle
+    d.writeInt(2)          // two subtasks
+    d.writeInt(0)          // subtask index 0
+    d.writeBoolean(false)  // v4: not finished -> ordinary body follows
+    d.writeLong(-1L); d.writeInt(0)
+    d.writeInt(0)          // managed operator state: none
+    d.writeInt(0)          // raw operator state: none
+    d.writeByte(3)         // KEY_GROUPS_HANDLE
+    d.writeInt(0); d.writeInt(MaxPar)
+    offsets.foreach(d.writeLong)
+    d.writeByte(6)         // RELATIVE_STREAM_STATE_HANDLE (relocatable)
+    d.writeUTF(StateFileName)
+    d.writeLong(state.length.toLong)
+    d.writeByte(0)         // raw keyed: null
+    d.writeInt(0)          // input-channel state: empty
+    d.writeInt(0)          // result-subpartition state: empty
+    d.writeInt(1)          // subtask index 1
+    d.writeBoolean(true)   // v4: FINISHED — single boolean, no body
+    // operator 2: fully-finished bounded source
+    val fid = Identifiers.operatorId(V4FinishedUid)
+    d.writeLong(java.lang.Long.parseUnsignedLong(fid.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(fid.substring(16), 16))
+    d.writeInt(4); d.writeInt(MaxPar)
+    d.writeByte(0)         // coordinator state: null handle
+    d.writeInt(-1)         // v4 sentinel: fully finished, nothing follows
     d.flush()
     Files.write(dir.resolve("_metadata"), bos.toByteArray)
   }
