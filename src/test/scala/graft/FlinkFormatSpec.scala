@@ -579,6 +579,41 @@ class FlinkFormatSpec extends AnyFunSuite {
     assert(java.nio.ByteBuffer.wrap(written2, 4, 4).getInt === 2, "back to v2")
   }
 
+  test("v4 finished markers roundtrip for random marker sets (property)") {
+    // randomized sweep over (fullyFinished, finishedSubtasks) shapes:
+    // every metadata-only write -> load must preserve the markers and
+    // pick the v4 envelope exactly when any marker is present
+    val rnd = new scala.util.Random(4177)
+    (1 to 20).foreach { i =>
+      val nOps = 1 + rnd.nextInt(4)
+      val ops = (0 until nOps).map { j =>
+        val par = 1 + rnd.nextInt(6)
+        val fully = rnd.nextBoolean() && rnd.nextBoolean()
+        val finished =
+          if (fully) Set.empty[Int]
+          else (0 until par).filter(_ => rnd.nextBoolean()).toSet
+        OperatorStateMeta(s"prop-op-$i-$j", Identifiers.operatorId(s"prop-op-$i-$j"),
+          par, 128, None, Seq.empty, compression = false, Seq.empty,
+          fullyFinished = fully, finishedSubtasks = finished)
+      }
+      val meta = SavepointMeta(i.toLong, "", ops, Dialect.Flink)
+      val out = Files.createTempDirectory(s"flink-v4-prop$i"); Files.delete(out)
+      FlinkMetadataIO.write(out.toString, meta)
+      val written = Files.readAllBytes(Paths.get(out.toString, "_metadata"))
+      val expectV4 = ops.exists(o => o.fullyFinished || o.finishedSubtasks.nonEmpty)
+      val gotVersion = java.nio.ByteBuffer.wrap(written, 4, 4).getInt
+      assert((gotVersion == 4) == expectV4, s"case $i: version $gotVersion")
+      val re = Savepoints.load(out.toString)
+      ops.foreach { o =>
+        val ro = re.operator(o.uid)
+        assert(ro.fullyFinished == o.fullyFinished, s"case $i op ${o.uid}")
+        // markers are only representable in the v4 envelope
+        val expectFinished = if (expectV4) o.finishedSubtasks else Set.empty[Int]
+        assert(ro.finishedSubtasks == expectFinished, s"case $i op ${o.uid}")
+      }
+    }
+  }
+
   test("v4 writer emits RELATIVE handles only for co-located state files") {
     import spark.implicits._
     // writeAll lands state files in the output dir, so a v4 write must

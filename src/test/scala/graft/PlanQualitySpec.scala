@@ -312,6 +312,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("d05 simhash pigeonhole pairs join keyed with map-side partials") {
+    // the 8-bit chunk self-join must stay keyed (pigeonhole candidate
+    // generation, never all-pairs), and the per-doc simhash fold must
+    // partial-aggregate before its exchange
+    val p = plan("d05_simhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
+  test("d03 ngram jaccard joins the inverted index keyed, partial-aggregated") {
+    val p = plan("d03_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+    // the exploded shingle relation is computed once and reused (cached),
+    // not re-derived per consumer
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("g01/d02 iterative results are checkpoint-truncated: no unbounded lineage") {
+    // per-round localCheckpoint truncation is the property that keeps
+    // 5-iteration pagerank (and the memoized LSH signature family)
+    // plannable at any iteration count — the RETURNED plan must be a
+    // scan of the checkpointed result, not a 5-deep join chain
+    val pg = plan("g01_pagerank")
+    assert(pg.contains("Scan ExistingRDD"), pg)
+    assert(count(pg, "Join") == 0, pg)
+    val pd = plan("d02_minhash_lsh")
+    assert(pd.contains("Scan ExistingRDD") || pd.contains("InMemoryTableScan"), pd)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
