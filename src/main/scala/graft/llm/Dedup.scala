@@ -305,37 +305,125 @@ object Dedup {
     sh.join(candDocs, "doc_id")
   }
 
-  /** MinHash CTE chain through `p` (LSH candidate pairs with est_sim
-    * >= 0.5) — shared by the d02 oracle and the d14 estimator-quality
-    * oracle. Also defines `s` (distinct doc shingles).
+  /** MinHash CTE chain through `sig` (per-doc signatures) — the shared
+    * prefix of every LSH oracle, including the streaming-ingest one.
+    * Also defines `s` (distinct doc shingles).
     */
-  private def minhashCtes: String = {
+  private def sigCtes: String = {
     val mins = (0 until Perms)
       .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $P) AS h$j")
       .mkString(",\n    ")
-    val bandEq = (0 until Bands).map { b =>
-      "(" + (0 until 4).map(k => s"a.h${4 * b + k} = b.h${4 * b + k}")
-        .mkString(" AND ") + ")"
-    }.mkString(" OR ")
-    val matches = (0 until Perms)
-      .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END").mkString(" + ")
     s"""d AS (SELECT doc_id, $duckWords AS w FROM documents),
        |sx AS (SELECT doc_id, unnest($duckShingles) AS sh FROM d),
        |s AS (SELECT DISTINCT doc_id, sh FROM sx),
        |hs AS (SELECT doc_id, ${duckWordHash("sh")} AS h FROM s),
        |sig AS (SELECT doc_id,
        |    $mins
-       |  FROM hs GROUP BY doc_id),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
-       |p AS (SELECT doc_a, doc_b, cast($matches as double) / $Perms AS est_sim
-       |  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
-       |  WHERE cast($matches as double) / $Perms >= 0.5)""".stripMargin
+       |  FROM hs GROUP BY doc_id)""".stripMargin
   }
+
+  /** Equal-band predicate between sig aliases `a` and `b`, and the
+    * per-permutation match count between aliases `x` and `y`.
+    */
+  private def bandEqSql: String = (0 until Bands).map { b =>
+    "(" + (0 until 4).map(k => s"a.h${4 * b + k} = b.h${4 * b + k}")
+      .mkString(" AND ") + ")"
+  }.mkString(" OR ")
+  private def matchesSql: String = (0 until Perms)
+    .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** MinHash CTE chain through `p` (LSH candidate pairs with est_sim
+    * >= 0.5) — shared by the d02 oracle and the d14 estimator-quality
+    * oracle.
+    */
+  private def minhashCtes: String =
+    s"""$sigCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)),
+       |p AS (SELECT doc_a, doc_b, cast($matchesSql as double) / $Perms AS est_sim
+       |  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+       |  WHERE cast($matchesSql as double) / $Perms >= 0.5)""".stripMargin
 
   private def minhashOracle: String =
     s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, est_sim FROM p""".stripMargin
+
+  // ------------------------------------- streaming MinHash ingest dedup
+
+  /** Per-row (shuffle-free) MinHash signature: `min` is idempotent, so
+    * the per-permutation minimum over a doc's shingle hashes equals the
+    * batch groupBy-over-distinct-shingles signature — computed entirely
+    * inside the scan stage with array HOFs. This is the formulation a
+    * STREAM needs (no stateful aggregation per micro-batch) and the one
+    * a 100 TB batch wants too (zero Exchange to produce signatures).
+    * Docs with fewer than 3 words have no shingles and no signature,
+    * exactly like the batch path.
+    */
+  def minhashSignatureNarrow(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigCols = (0 until Perms).map { j =>
+      expr(s"array_min(transform(hs, h -> (${permA(j)} * h + ${permB(j)}) % $P))")
+        .as(s"h$j")
+    }
+    docs.withColumn("w", split(col("text"), " "))
+      .withColumn("hs", expr(s"transform($sparkShingles, s -> graft_polyhash32(s))"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Signature rows exploded to one (doc_id, bi, bk, h0..h15) row per
+    * LSH band — the join currency of the streaming ingest gate.
+    */
+  private def bandedSignatures(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val key = (0 until 4).map(k => s"h${4 * b + k}").mkString(", '|', ")
+      s"struct($b as bi, concat($key) as bk)"
+    }.mkString(", ")
+    sig.select(col("doc_id") +: explode(expr(s"array($bandStructs)")).as("band") +:
+        (0 until Perms).map(j => col(s"h$j")): _*)
+      .select(col("doc_id") +: col("band.bi").as("bi") +: col("band.bk").as("bk") +:
+        (0 until Perms).map(j => col(s"h$j")): _*)
+  }
+
+  /** Streaming near-dup at INGEST: arriving docs (a streaming frame)
+    * check their MinHash band keys against the static corpus index per
+    * micro-batch — a stream-static equi-join on (band, key), the LSH
+    * complement of [[incrementalDedup]]'s exact-prefix gate. Emits
+    * `(corpus_id, batch_id, est_sim)` for cross-split candidate pairs
+    * with estimated Jaccard >= 0.5. The corpus index is computed once
+    * (narrow signature + explode) and is the only persisted artifact —
+    * the arriving stream never joins itself, so state stays bounded by
+    * the per-pair dedup, exactly how a 100 TB lake LSH-gates its
+    * ingest without rescanning itself.
+    */
+  def streamingMinhashDedup(corpus: DataFrame, arriving: DataFrame): DataFrame = {
+    val corpusIdx = bandedSignatures(minhashSignatureNarrow(corpus))
+      .select(col("doc_id").as("corpus_id") +: col("bi") +: col("bk") +:
+        (0 until Perms).map(j => col(s"h$j").as(s"x$j")): _*)
+    val arrivingBands = bandedSignatures(minhashSignatureNarrow(arriving))
+      .select(col("doc_id").as("batch_id") +: col("bi") +: col("bk") +:
+        (0 until Perms).map(j => col(s"h$j").as(s"y$j")): _*)
+    val matches = (0 until Perms)
+      .map(j => s"CASE WHEN x$j = y$j THEN 1 ELSE 0 END").mkString(" + ")
+    arrivingBands.join(corpusIdx, Seq("bi", "bk"))
+      .withColumn("est_sim", expr(s"cast($matches as double) / $Perms"))
+      .filter(col("est_sim") >= 0.5)
+      .select("corpus_id", "batch_id", "est_sim")
+      // a pair agreeing in several bands arrives once per band: the
+      // streaming dedup state is the emitted pair set itself
+      .dropDuplicates("corpus_id", "batch_id")
+  }
+
+  private[graft] def streamingMinhashOracle: String = {
+    val m = (0 until Perms)
+      .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $sigCtes
+       |SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+       |  cast($m as double) / $Perms AS est_sim
+       |FROM sig a JOIN sig b
+       |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ($bandEqSql)
+       |WHERE cast($m as double) / $Perms >= 0.5""".stripMargin
+  }
 
   /** Near-dup provenance rollup: LSH candidate pairs attributed to the
     * unordered (source, source) pair of their endpoints — "where is my

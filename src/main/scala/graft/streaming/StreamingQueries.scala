@@ -499,6 +499,22 @@ object StreamingQueries {
     // defect in the streaming json source or the file tracker breaks
     // the hash gate. maxFilesPerTrigger forces MULTIPLE micro-batches,
     // so the memory-sink total proves cross-batch aggregation state.
+    // st16: streaming MinHash-LSH near-dup at ingest — the LSH
+    // complement of st12's exact-prefix gate. Arriving docs compute
+    // their signature NARROWLY (per-row array HOFs — no stateful
+    // aggregation in the stream, no Exchange to produce signatures) and
+    // stream-static join the corpus band index. Same answer as the
+    // batch formulation by oracle: streaming must not change it.
+    QueryDef(
+      "st16_stream_minhash_ingest",
+      Some(graft.llm.Dedup.streamingMinhashOracle),
+      (s, d) => runToMemorySink(s, d, "st16", "append", table = "documents") {
+        raw =>
+          graft.llm.Dedup.streamingMinhashDedup(
+            Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
+            raw.filter(col("doc_id") % 5 === 0))
+      }),
+
     QueryDef(
       "st15_stream_jsonl_ingest",
       Some(s"""SELECT lang, count(*) AS n_docs,

@@ -344,6 +344,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pd.contains("Scan ExistingRDD") || pd.contains("InMemoryTableScan"), pd)
   }
 
+  test("narrow minhash signature runs inside the scan stage: zero Exchange") {
+    // the per-row array-HOF signature (min over shingle hashes) must
+    // never shuffle — this is what lets a STREAM (and a 100 TB batch)
+    // produce signatures without a stateful aggregation
+    val p = graft.llm.Dedup.minhashSignatureNarrow(
+      Catalog.t(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(count(p, "Exchange") == 0, p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {

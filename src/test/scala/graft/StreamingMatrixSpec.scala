@@ -206,6 +206,13 @@ class StreamingMatrixSpec extends AnyFunSuite {
       Seq(("view", 6L), ("purchase", 4L), ("click", 3L)))
   }
 
+  test("st16 streaming LSH ingest flags exactly the duplicate arrival") {
+    // doc 5 (batch half) repeats doc 1's text verbatim: identical
+    // shingle sets -> identical signatures -> every band matches ->
+    // est_sim 1.0; doc 10's words are unique, so no other pair
+    assert(rows(run("st16_stream_minhash_ingest")) == Set(Seq(1L, 5L, 1.0)))
+  }
+
   test("st15 streaming JSONL ingest matches the batch per-lang hash") {
     graft.functions.GraftFunctions.register(spark)
     val stream = rows(run("st15_stream_jsonl_ingest"))
