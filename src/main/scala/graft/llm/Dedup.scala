@@ -204,28 +204,23 @@ object Dedup {
       .distinct()
 
   /** MinHash signature + banded-LSH candidate pairs with estimated
-    * Jaccard ≥ 0.5. One shuffle for signatures, one keyed self-join on
-    * exploded band keys for candidates — never all-pairs.
+    * Jaccard ≥ 0.5. Signatures are computed NARROWLY per row (see
+    * [[minhashSignatureNarrow]] — zero Exchange; the exploded shingle
+    * relation, 10-30x the corpus, never shuffles), then one keyed
+    * self-join on exploded band keys for candidates — never all-pairs.
     */
   def minhashLshPairs(docs: DataFrame): DataFrame =
-    minhashPairsWithSig(shingles(docs))._1
+    minhashPairsWithSig(docs)._1
 
-  /** Core derivation from a prepared distinct (doc_id, sh) set. Returns
-    * (pairs, sig) with `sig` cached — sig appears twice in the pairs
-    * join, so caching it halves the signature aggregation; the CALLER
-    * owns unpersisting it once pairs are materialized (the memoized
-    * gate path and d14 do; the plain public API leaves it to the
-    * session-cache note at the top of this section).
+  /** Core derivation from the docs relation. Returns (pairs, sig) with
+    * `sig` cached — sig appears twice in the pairs join, so caching it
+    * halves the signature computation; the CALLER owns unpersisting it
+    * once pairs are materialized (the memoized gate path and d14 do;
+    * the plain public API leaves it to the session-cache note at the
+    * top of this section).
     */
-  private def minhashPairsWithSig(sh: DataFrame): (DataFrame, DataFrame) = {
-    graft.functions.GraftFunctions.register(sh.sparkSession)
-    val withH = sh
-      .select(col("doc_id"), expr("graft_polyhash32(sh)").as("h"))
-    val aggs = (0 until Perms).map { j =>
-      min(expr(s"(${permA(j)} * h + ${permB(j)}) % $P")).as(s"h$j")
-    }
-    val sig = withH.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*).cache()
+  private def minhashPairsWithSig(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sig = minhashSignatureNarrow(docs).cache()
     // candidates via ONE self-join on exploded (bandIdx, bandKey) rows —
     // same idiom as d05's chunk join (one shuffle, not one per band)
     val bandStructs = (0 until Bands).map { b =>
@@ -284,7 +279,7 @@ object Dedup {
       if (cur != null && (cur._1 eq s)) cur
       else {
         val sh = corpusShingles(s, d)
-        val (pairs0, sig) = minhashPairsWithSig(sh)
+        val (pairs0, sig) = minhashPairsWithSig(Catalog.t(s, d, "documents"))
         val pairs = pairs0.localCheckpoint(true)
         sig.unpersist()
         val shc = pruneToCandidates(pairs, sh).localCheckpoint(true)
@@ -397,9 +392,14 @@ object Dedup {
     * ingest without rescanning itself.
     */
   def streamingMinhashDedup(corpus: DataFrame, arriving: DataFrame): DataFrame = {
+    // cached: the static side of a stream-static join re-executes every
+    // micro-batch — the corpus index must be computed once, not per
+    // arrival batch (same discipline as incrementalDedup's index;
+    // released by the gate's session clearCache)
     val corpusIdx = bandedSignatures(minhashSignatureNarrow(corpus))
       .select(col("doc_id").as("corpus_id") +: col("bi") +: col("bk") +:
         (0 until Perms).map(j => col(s"h$j").as(s"x$j")): _*)
+      .cache()
     val arrivingBands = bandedSignatures(minhashSignatureNarrow(arriving))
       .select(col("doc_id").as("batch_id") +: col("bi") +: col("bk") +:
         (0 until Perms).map(j => col(s"h$j").as(s"y$j")): _*)
@@ -463,7 +463,7 @@ object Dedup {
     */
   def minhashEstimateQuality(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).cache()
-    val (pairs, sig) = minhashPairsWithSig(sh)
+    val (pairs, sig) = minhashPairsWithSig(docs)
     // eagerly materialize the (small) result, then drop the corpus-sized
     // intermediates — the caller gets a lineage-free DataFrame and no
     // residual executor storage (own-the-unpersist, like GraphAlgs)
