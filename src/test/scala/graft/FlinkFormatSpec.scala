@@ -614,6 +614,37 @@ class FlinkFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("v4 grammar boundaries reject cleanly: sentinel outside v4, " +
+    "finished operator carrying state") {
+    // a -1 subtask count is ONLY meaningful under the v4 envelope — a
+    // v3 file carrying it is corrupt, not fully-finished
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(0x4960672d); d.writeInt(3)
+    d.writeLong(1L); d.writeInt(0); d.writeInt(1)
+    val id = Identifiers.operatorId("bad-op")
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(0, 16), 16))
+    d.writeLong(java.lang.Long.parseUnsignedLong(id.substring(16), 16))
+    d.writeInt(1); d.writeInt(128)
+    d.writeByte(0)  // coordinator: null
+    d.writeInt(-1)  // sentinel in a v3 file: corrupt
+    d.flush()
+    val dir = Files.createTempDirectory("flink-v3-badsentinel")
+    Files.write(dir.resolve("_metadata"), bos.toByteArray)
+    val e = intercept[IllegalArgumentException](Savepoints.load(dir.toString))
+    assert(e.getMessage.contains("bad subtask count"), e.getMessage)
+    // a fully-finished operator by definition has no subtask state: the
+    // writer must refuse the contradiction instead of emitting it
+    val meta = Savepoints.load(FlinkV3GoldenAssembler.v4MetaResourceDir.toString)
+    val live = meta.operator(FlinkV3GoldenAssembler.V4Uid)
+    val contradiction = meta.copy(operators =
+      Seq(live.copy(fullyFinished = true)))
+    val out = Files.createTempDirectory("flink-v4-contradiction"); Files.delete(out)
+    val e2 = intercept[IllegalArgumentException](
+      FlinkMetadataIO.write(out.toString, contradiction))
+    assert(e2.getMessage.contains("fully finished"), e2.getMessage)
+  }
+
   test("v4 writer emits RELATIVE handles only for co-located state files") {
     import spark.implicits._
     // writeAll lands state files in the output dir, so a v4 write must
