@@ -818,6 +818,72 @@ object Similarity {
        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM cand)
        |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $IvfTopK""".stripMargin
 
+  // ------------------------------------- streaming semantic ingest dedup
+
+  /** d06's near-dup threshold, reused for the ingest gate. */
+  private[llm] val SemIngestMinCos = 0.4
+
+  /** Streaming SEMANTIC near-dup at ingest — the embedding complement
+    * of the MinHash gate (Dedup.streamingMinhashDedup): arriving
+    * vectors assign to their nearest IVF cell with the same
+    * shuffle-free inline-centroid fold the batch path uses (the
+    * centroid set is static and collected ONCE; the stream side only
+    * gains narrow columns), then a stream-static equi-join on cell id
+    * flags cross-split pairs with cosine >= `minCos`. The cell-bucketed
+    * corpus is the only persisted artifact and is cached so
+    * micro-batches never recompute it — candidate search shuffles on
+    * cell id, never all-pairs, exactly how a 100 TB lake
+    * semantically gates its ingest.
+    */
+  def streamingSemanticDedup(corpus: DataFrame, arriving: DataFrame,
+      centroids: DataFrame, minCos: Double = SemIngestMinCos): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val corpusCells = assignCells(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
+        .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})")), cent)
+      .select(col("cid"), col("neighbor_id").as("corpus_id"), col("ca"), col("cn"))
+      .cache()
+    val arrivingCells = assignCells(
+      arriving.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
+        .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})")), cent)
+      .select(col("cid"), col("neighbor_id").as("batch_id"),
+        col("ca").as("ba"), col("cn").as("bn"))
+    arrivingCells.join(corpusCells, "cid")
+      .withColumn("cosine", expr(s"${sparkDot("ba", "ca")} / (bn * cn)"))
+      .filter(col("cosine") >= minCos)
+      .select("corpus_id", "batch_id", "cosine")
+  }
+
+  /** Gate wiring: corpus = vec_id % 5 != 0 of the static table,
+    * arrivals = vec_id % 5 == 0 of the stream, centroids every
+    * [[CentroidEvery]]-th vector (s03's deterministic set).
+    */
+  def semanticIngest(e: DataFrame, raw: DataFrame): DataFrame =
+    streamingSemanticDedup(
+      e.filter(col("vec_id") % 5 =!= 0),
+      raw.filter(col("vec_id") % 5 === 0),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+
+  private[graft] def streamingSemanticOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, vn, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1)
+       |SELECT a.vec_id AS corpus_id, b.vec_id AS batch_id,
+       |  ${duckDot("a.va", "b.va")} / (a.vn * b.vn) AS cosine
+       |FROM asg a JOIN asg b USING (cid)
+       |WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+       |  AND ${duckDot("a.va", "b.va")} / (a.vn * b.vn) >= $SemIngestMinCos""".stripMargin
+
   // ------------------------------------------------------ LSH-bucketed ANN
 
   private val NumPlanes = 16

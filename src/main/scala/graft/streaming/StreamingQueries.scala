@@ -515,6 +515,20 @@ object StreamingQueries {
             raw.filter(col("doc_id") % 5 === 0))
       }),
 
+    // st17: streaming SEMANTIC near-dup at ingest — arriving embeddings
+    // assign to their nearest IVF cell narrowly (inline centroid fold,
+    // no stateful aggregation) and stream-static join the cell-bucketed
+    // corpus; cosine >= 0.4 pairs are flagged. The embedding complement
+    // of st16's MinHash gate.
+    QueryDef(
+      "st17_stream_semantic_ingest",
+      Some(graft.llm.Similarity.streamingSemanticOracle),
+      (s, d) => runToMemorySink(s, d, "st17", "append", table = "embeddings") {
+        raw =>
+          graft.llm.Similarity.semanticIngest(
+            Catalog.t(s, d, "embeddings"), raw)
+      }),
+
     QueryDef(
       "st15_stream_jsonl_ingest",
       Some(s"""SELECT lang, count(*) AS n_docs,

@@ -92,6 +92,17 @@ class StreamingMatrixSpec extends AnyFunSuite {
       (i, t, if (i % 2 == 0) "de" else "en", s"src${i % 3}", t.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     writeSingleFile(docs, d, "documents")
+    // embeddings: two hand-placed clusters around the centroids (ids 0
+    // and 100, the vec_id % 100 == 0 set); corpus = % 5 != 0 (ids
+    // 1,2,3), arrivals = % 5 == 0 (ids 0,5,10,100)
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0.1f, 0.9f, 0f, 0f), 1), (3L, Seq(0.8f, 0.2f, 0f, 0f), 0),
+      (5L, Seq(0.95f, 0.05f, 0f, 0f), 0), (10L, Seq(0f, 0.85f, 0.1f, 0f), 1),
+      (100L, Seq(0f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    writeSingleFile(emb, d, "embeddings")
     d
   }
 
@@ -211,6 +222,17 @@ class StreamingMatrixSpec extends AnyFunSuite {
     // shingle sets -> identical signatures -> every band matches ->
     // est_sim 1.0; doc 10's words are unique, so no other pair
     assert(rows(run("st16_stream_minhash_ingest")) == Set(Seq(1L, 5L, 1.0)))
+  }
+
+  test("st17 streaming semantic ingest flags same-cell cross-split pairs") {
+    // cluster A (centroid 0): corpus 1,3 vs arrivals 0,5; cluster B
+    // (centroid 100): corpus 2 vs arrivals 10,100 — every cross-split
+    // same-cell pair clears the 0.4 cosine gate, and no cross-cluster
+    // pair is even considered (different cells)
+    val got = run("st17_stream_semantic_ingest").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 0L), (3L, 0L), (1L, 5L), (3L, 5L), (2L, 100L), (2L, 10L)))
+    assert(got.forall(_.getDouble(2) >= 0.4))
   }
 
   test("st15 streaming JSONL ingest matches the batch per-lang hash") {
