@@ -651,23 +651,29 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash over per-occurrence word hashes. The word hash runs
-    * as the codegen'd [[graft.functions.PolyHash32]] kernel — identical
-    * arithmetic to the `duckWordHash` fold in the oracle.
+  /** 32-bit SimHash over per-occurrence word hashes, computed NARROWLY
+    * per row: the per-bit ±1 sums fold over the word-hash array with
+    * nested HOFs, entirely inside the scan stage. Integer bit-sums are
+    * order-independent, so this equals the old exploded-groupBy
+    * formulation exactly — with zero Exchange (the per-occurrence hash
+    * relation never shuffles) and no stateful aggregation, so the SAME
+    * code serves batch d04/d05 and the streaming ingest gate. The word
+    * hash runs as the codegen'd [[graft.functions.PolyHash32]] kernel —
+    * identical arithmetic to the `duckWordHash` fold in the oracle.
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val bitSums = (0 until 32).map { i =>
-      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"b$i")
-    }
-    val fp = (0 until 32)
-      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
-      .mkString(" + ")
-    docs.withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr("transform(w, x -> graft_polyhash32(x))")).as("h"))
-      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), expr(s"cast($fp as bigint)").as("simhash"))
+    docs
+      .withColumn("hs", expr("transform(split(text, ' '), x -> graft_polyhash32(x))"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(hs, array_repeat(cast(0 as bigint), 32),
+          |      (acc, h) -> zip_with(acc, sequence(0, 31),
+          |        (a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1, -1))),
+          |    sequence(0, 31),
+          |    (b, i) -> IF(b > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+          |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("simhash"))
   }
 
   private def simhashCte: String = {
@@ -693,6 +699,16 @@ object Dedup {
   /** Near-dup pairs by hamming distance over 8-bit fingerprint chunks. */
   private val MaxHamming = 3
 
+  /** Fingerprints exploded to one (doc_id, simhash, ci, cv) row per
+    * 8-bit chunk — the pigeonhole join currency (batch self-join and
+    * streaming ingest gate alike).
+    */
+  private def simhashChunks(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), k -> " +
+        "struct(k as ci, shiftright(simhash, k * 8) & 255 as cv))")).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+
   /** SimHash near-dup pairs by hamming distance over 8-bit fingerprint
     * chunks (pigeonhole: hamming ≤ 3 over 4 chunks guarantees a match).
     */
@@ -701,10 +717,7 @@ object Dedup {
     // shuffle instead of four band-wise joins; cache the fingerprints so
     // the simhash pipeline isn't planned once per join side
     val fp = simhashFingerprints(docs).cache()
-    val chunked = fp.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), k -> " +
-        "struct(k as ci, shiftright(simhash, k * 8) & 255 as cv))")).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+    val chunked = simhashChunks(fp)
     val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
       col("ci"), col("cv"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
@@ -733,6 +746,46 @@ object Dedup {
     s"""WITH $simhashCandCtes
        |SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) as int) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= $MaxHamming""".stripMargin
+
+  /** Streaming SimHash near-dup at INGEST — the hamming-distance gate
+    * of the ingest trio (exact-prefix st12, MinHash st16, semantic
+    * st17): arriving docs fingerprint NARROWLY per row, explode their
+    * four 8-bit chunks, and stream-static join the corpus chunk index
+    * (pigeonhole: hamming <= 3 over 4 chunks guarantees a matching
+    * chunk, so the equi-join loses no true pair). Emits
+    * `(corpus_id, batch_id, hamming)` for cross-split pairs within the
+    * hamming bound. The cached corpus index is the only persisted
+    * artifact; candidates shuffle on chunk keys, never all-pairs.
+    */
+  def streamingSimhashDedup(corpus: DataFrame, arriving: DataFrame): DataFrame = {
+    val corpusIdx = simhashChunks(simhashFingerprints(corpus))
+      .select(col("doc_id").as("corpus_id"), col("simhash").as("sa"),
+        col("ci"), col("cv"))
+      .cache()
+    val arr = simhashChunks(simhashFingerprints(arriving))
+      .select(col("doc_id").as("batch_id"), col("simhash").as("sb"),
+        col("ci"), col("cv"))
+    arr.join(corpusIdx, Seq("ci", "cv"))
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("hamming") <= MaxHamming)
+      // a pair within the bound can match in several chunks: the
+      // emitted pair set is the streaming dedup state (hamming is a
+      // function of the pair, identical on every duplicate row)
+      .dropDuplicates("corpus_id", "batch_id")
+      .select("corpus_id", "batch_id", "hamming")
+  }
+
+  private[graft] def streamingSimhashOracle: String = {
+    val chunkEq = (0 until 4)
+      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
+      .mkString(" OR ")
+    s"""WITH $simhashCte
+       |SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+       |  cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
+       |FROM fp a JOIN fp b
+       |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ($chunkEq)
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin
+  }
 
   // ------------------------------------------- connected components (d08)
 

@@ -529,6 +529,21 @@ object StreamingQueries {
             Catalog.t(s, d, "embeddings"), raw)
       }),
 
+    // st18: streaming SimHash hamming gate at ingest — arriving docs
+    // fingerprint narrowly (per-row nested HOF fold, zero Exchange) and
+    // pigeonhole-join the corpus 8-bit-chunk index; hamming <= 3 pairs
+    // are flagged. Completes the ingest quartet: exact (st12), MinHash
+    // (st16), semantic (st17), hamming (st18).
+    QueryDef(
+      "st18_stream_simhash_ingest",
+      Some(graft.llm.Dedup.streamingSimhashOracle),
+      (s, d) => runToMemorySink(s, d, "st18", "append", table = "documents") {
+        raw =>
+          graft.llm.Dedup.streamingSimhashDedup(
+            Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
+            raw.filter(col("doc_id") % 5 === 0))
+      }),
+
     QueryDef(
       "st15_stream_jsonl_ingest",
       Some(s"""SELECT lang, count(*) AS n_docs,

@@ -235,6 +235,15 @@ class StreamingMatrixSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(2) >= 0.4))
   }
 
+  test("st18 streaming simhash gate flags exactly the verbatim duplicate") {
+    // doc 5's text repeats doc 1's verbatim -> identical fingerprint,
+    // hamming 0; the other docs' word sets differ enough that no other
+    // pair enters the hamming <= 3 bound
+    assert(run("st18_stream_simhash_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set((1L, 5L, 0)))
+  }
+
   test("st15 streaming JSONL ingest matches the batch per-lang hash") {
     graft.functions.GraftFunctions.register(spark)
     val stream = rows(run("st15_stream_jsonl_ingest"))
