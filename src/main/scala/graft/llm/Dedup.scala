@@ -723,10 +723,11 @@ object Dedup {
     val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
       col("ci"), col("cv"))
     a.join(b, Seq("ci", "cv")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb").distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
+      // hamming filters BEFORE the distinct: only near-pairs pay the
+      // dedup exchange, not every chunk-collision candidate
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
       .filter(col("hamming") <= MaxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   /** CTE chain ending in `cand` (chunk-matched candidate pairs) — shared
