@@ -70,6 +70,12 @@ object Dedup {
         Catalog.t(s, d, "documents"))),
     QueryDef("d04_simhash", Some(simhashOracle),
       (s, d) => simhashFingerprints(Catalog.t(s, d, "documents"))),
+    QueryDef("d20_ingest_report", Some(ingestReportOracle),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+        ingestReport(docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0))
+      }),
     QueryDef("d05_simhash_pairs", Some(simhashPairsOracle),
       (s, d) => simhashNearDupPairs(Catalog.t(s, d, "documents"))),
     QueryDef("d07_fuzzy_name_dedup", Some(fuzzyOracle),
@@ -774,6 +780,84 @@ object Dedup {
       // function of the pair, identical on every duplicate row)
       .dropDuplicates("corpus_id", "batch_id")
       .select("corpus_id", "batch_id", "hamming")
+  }
+
+  /** Per-document INGEST DECISION: every arriving (batch) doc flagged
+    * by all three syntactic gates at once — exact prefix fingerprint
+    * ([[incrementalDedup]]), MinHash-LSH estimated Jaccard >= 0.5
+    * ([[streamingMinhashDedup]]), SimHash hamming <= 3
+    * ([[streamingSimhashDedup]]) — plus the composed `keep` verdict
+    * (none of the gates fired). This is the report a curation pipeline
+    * actually consumes; the gates are the same batch-or-stream
+    * functions the st12/st16/st18 queries run, so batch and streaming
+    * ingests provably agree gate by gate.
+    */
+  def ingestReport(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val exact = incrementalDedup(corpus, batch)
+      .select(col("doc_id"), col("dup_in_corpus").as("exact_dup"))
+    val mh = streamingMinhashDedup(corpus, batch)
+      .select(col("batch_id").as("doc_id")).distinct()
+      .withColumn("minhash_dup", lit(true))
+    val sh = streamingSimhashDedup(corpus, batch)
+      .select(col("batch_id").as("doc_id")).distinct()
+      .withColumn("simhash_dup", lit(true))
+    exact.join(mh, Seq("doc_id"), "left").join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("minhash_dup"), lit(false)).as("minhash_dup"),
+        coalesce(col("simhash_dup"), lit(false)).as("simhash_dup"))
+      .withColumn("keep",
+        !col("exact_dup") && !col("minhash_dup") && !col("simhash_dup"))
+  }
+
+  private def ingestReportOracle: String = {
+    val mins = (0 until Perms)
+      .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $P) AS h$j")
+      .mkString(",\n    ")
+    val m = (0 until Perms)
+      .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    val bitSums = (0 until 32).map { i =>
+      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val fp32 = (0 until 32)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val chunkEq = (0 until 4)
+      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
+      .mkString(" OR ")
+    s"""WITH fing AS (SELECT doc_id,
+       |    md5(array_to_string(list_slice($duckWords, 1, $PrefixWords), ' '))
+       |      AS fingerprint
+       |  FROM documents),
+       |fidx AS (SELECT fingerprint, min(doc_id) AS corpus_id FROM fing
+       |  WHERE doc_id % 5 <> 0 GROUP BY fingerprint),
+       |ex AS (SELECT b.doc_id, fidx.corpus_id IS NOT NULL AS exact_dup
+       |  FROM fing b LEFT JOIN fidx USING (fingerprint) WHERE b.doc_id % 5 = 0),
+       |dw AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sx2 AS (SELECT doc_id, unnest($duckShingles) AS sh FROM dw),
+       |sdist AS (SELECT DISTINCT doc_id, sh FROM sx2),
+       |shash AS (SELECT doc_id, ${duckWordHash("sh")} AS h FROM sdist),
+       |msig AS (SELECT doc_id,
+       |    $mins
+       |  FROM shash GROUP BY doc_id),
+       |mh AS (SELECT DISTINCT b.doc_id FROM msig a JOIN msig b
+       |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ($bandEqSql)
+       |  WHERE cast($m as double) / $Perms >= 0.5),
+       |hx2 AS (SELECT doc_id, unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h
+       |  FROM dw),
+       |sbits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hx2 GROUP BY doc_id),
+       |sfp AS (SELECT doc_id, cast($fp32 as bigint) AS simhash FROM sbits),
+       |shm AS (SELECT DISTINCT b.doc_id FROM sfp a JOIN sfp b
+       |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ($chunkEq)
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming)
+       |SELECT ex.doc_id, ex.exact_dup,
+       |  mh.doc_id IS NOT NULL AS minhash_dup,
+       |  shm.doc_id IS NOT NULL AS simhash_dup,
+       |  NOT (ex.exact_dup OR mh.doc_id IS NOT NULL OR shm.doc_id IS NOT NULL)
+       |    AS keep
+       |FROM ex LEFT JOIN mh ON ex.doc_id = mh.doc_id
+       |  LEFT JOIN shm ON ex.doc_id = shm.doc_id""".stripMargin
   }
 
   private[graft] def streamingSimhashOracle: String = {
