@@ -344,6 +344,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pd.contains("Scan ExistingRDD") || pd.contains("InMemoryTableScan"), pd)
   }
 
+  test("d20 ingest report composes the gates keyed: no cartesian, " +
+    "narrow fingerprints") {
+    val p = plan("d20_ingest_report")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("narrow simhash fingerprint runs inside the scan stage: zero Exchange") {
+    val p = graft.llm.Dedup.simhashFingerprints(
+      Catalog.t(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(count(p, "Exchange") == 0, p)
+  }
+
   test("narrow minhash signature runs inside the scan stage: zero Exchange") {
     // the per-row array-HOF signature (min over shingle hashes) must
     // never shuffle — this is what lets a STREAM (and a 100 TB batch)
