@@ -14,6 +14,7 @@ object SparkEntry {
     relational.RelationalQueries.all ++
       relational.RelationalQueries2.all ++
       relational.RelationalQueries3.all ++
+      relational.RelationalQueries4.all ++
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
       llm.Pipeline.all ++

@@ -92,6 +92,7 @@ object Dedup {
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
     QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
+    QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1268,6 +1269,47 @@ object Dedup {
        |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
        |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
        |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
+
+  // ------------------------------------- link prediction (g06)
+
+  /** Minimum shared neighbors for a predicted link: 2 filters out the
+    * noise floor (any two docs that merely touch the same hub) and
+    * keeps the candidate set clique-shaped.
+    */
+  private val LinkPredMinCommon = 2
+
+  /** Missing-edge prediction over the tight near-dup graph: NON-adjacent
+    * document pairs whose simhash neighborhoods overlap — the pairs a
+    * curation pipeline queues for exact re-comparison because the cheap
+    * fingerprint join MISSED them (hamming just over the cut, or hash
+    * collisions split the family). Same tight subgraph as g03 so wedge
+    * work stays bounded by the template-clique structure. Algorithm in
+    * [[GraphAlgs.linkPrediction]].
+    */
+  private def linkPredSpark(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = nearDupGraph(s, d)
+    GraphAlgs.linkPrediction(edges.filter(col("hamming") <= TriMaxHamming),
+        LinkPredMinCommon)
+      .select(col("u").as("doc_a"), col("w").as("doc_b"),
+        col("common_neighbors"), col("jaccard"))
+  }
+
+  private def linkPredOracle: String =
+    s"""WITH ${edgeCtes(TriMaxHamming)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |wed AS (SELECT a.dst AS u, b.dst AS w FROM e a
+       |  JOIN e b ON a.src = b.src WHERE a.dst < b.dst),
+       |cn AS (SELECT u, w, count(*) AS cn FROM wed GROUP BY 1, 2
+       |  HAVING count(*) >= $LinkPredMinCommon),
+       |adj AS (SELECT src AS u, dst AS w FROM e WHERE src < dst),
+       |pred AS (SELECT cn.u, cn.w, cn.cn FROM cn
+       |  LEFT JOIN adj ON cn.u = adj.u AND cn.w = adj.w
+       |  WHERE adj.u IS NULL)
+       |SELECT pred.u AS doc_a, pred.w AS doc_b,
+       |  cast(cn as bigint) AS common_neighbors,
+       |  cast(cn as double) / cast(da.deg + db.deg - cn as double) AS jaccard
+       |FROM pred JOIN deg da ON pred.u = da.node
+       |JOIN deg db ON pred.w = db.node""".stripMargin
 
   /** CTE chain through `walk` — shared by the d08 components oracle and
     * the d10 cluster-keep-best oracle (both prefix `WITH RECURSIVE`).

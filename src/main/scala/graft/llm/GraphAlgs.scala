@@ -339,4 +339,43 @@ object GraphAlgs {
     e.unpersist() // deg and o are checkpointed; e's cache is no longer needed
     out
   }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair with
+    * at least `minCommon` shared neighbors, the common-neighbor count
+    * and the Jaccard similarity of the two neighbor sets
+    * (`cn / (deg(u) + deg(w) - cn)` — the endpoints are non-adjacent, so
+    * neither is in the other's neighbor set).
+    *
+    * Scale: the wedge enumeration is the SAME bounded self-join shape as
+    * [[triangleCounts]] — one join keyed on the wedge center, then a
+    * keyed count on the (u, w) pair; never an all-pairs product. Run it
+    * on a degree-bounded subgraph (the callers pass the tight
+    * hamming-filtered edge set) exactly as triangle counting does: a
+    * hub of degree h contributes O(h²) wedges and no algorithm that
+    * must SEE those candidate pairs avoids enumerating them.
+    * Already-adjacent pairs leave via one anti-join.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Int): DataFrame = {
+    val p = shufflePartitions(edges)
+    val e = undirected(edges, p)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // wedges centered at v: (v→u, v→w) with u < w — each unordered
+    // candidate pair surfaces once per shared neighbor
+    val eu = e.select(col("src").as("v"), col("dst").as("u"))
+    val ew = e.select(col("src").as("v"), col("dst").as("w"))
+    val cn = eu.join(ew, "v").filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val adj = e.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("w"))
+    val out = cn.join(adj, Seq("u", "w"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .select(col("u"), col("w"), col("cn").as("common_neighbors"),
+        expr("cast(cn as double) / cast(du + dw - cn as double)")
+          .as("jaccard"))
+    e.unpersist()
+    out
+  }
 }

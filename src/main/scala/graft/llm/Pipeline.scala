@@ -416,7 +416,69 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_mass"))
         .select(col("bucket"),
           expr("cast(pow(2, bucket) as bigint)").as("bucket_lo"),
-          col("n_docs"), col("tok_mass")))
+          col("n_docs"), col("tok_mass"))),
+
+    // ------------------------------------------------ dataset card (p17)
+    // The per-source summary a curated corpus publishes alongside its
+    // shards: document/token counts, language spread with the dominant
+    // language (deterministic mode), the DISCRETE median document length,
+    // and the short-doc rate in fixed-point. One hash shuffle on
+    // `source` for the counts; the mode and median are per-source window
+    // picks over the SAME shuffled layout, then two broadcast-sized
+    // joins stitch the card together (|sources| rows).
+    QueryDef(
+      "p17_dataset_card",
+      Some("""WITH t AS (SELECT source, lang,
+             |    len(string_split(text, ' ')) AS n, doc_id FROM documents),
+             |base AS (SELECT source, count(*) AS n_docs,
+             |    cast(sum(n) as bigint) AS n_tokens,
+             |    count(DISTINCT lang) AS n_langs,
+             |    cast(sum(CASE WHEN n < 50 THEN 1 ELSE 0 END) * 1000000
+             |      // count(*) as bigint) AS short_rate_fx
+             |  FROM t GROUP BY source),
+             |lc AS (SELECT source, lang, count(*) AS c FROM t GROUP BY 1, 2),
+             |tops AS (SELECT source, lang AS top_lang FROM (SELECT source, lang,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY c DESC, lang) AS rn FROM lc) x WHERE rn = 1),
+             |med AS (SELECT source, n AS median_len FROM (SELECT source, n,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS cnt FROM t) x
+             |  WHERE rn = (cnt + 1) // 2)
+             |SELECT base.source, cast(n_docs as bigint) AS n_docs, n_tokens,
+             |  cast(n_langs as bigint) AS n_langs, top_lang,
+             |  cast(median_len as bigint) AS median_len, short_rate_fx
+             |FROM base JOIN tops ON base.source = tops.source
+             |JOIN med ON base.source = med.source""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Catalog.t(s, d, "documents")
+          .select(col("source"), col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+        val base = t.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("cast(sum(CASE WHEN n < 50 THEN 1 ELSE 0 END) * 1000000 " +
+            "div count(*) as bigint)").as("short_rate_fx"))
+        val tops = t.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        val med = t
+          .select(col("source"), col("n"),
+            row_number().over(Window.partitionBy(col("source"))
+              .orderBy(col("n"), col("doc_id"))).as("rn"),
+            count(lit(1)).over(Window.partitionBy(col("source"))).as("cnt"))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("source"), col("n").as("median_len"))
+        base.join(tops, Seq("source")).join(med, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_langs"), col("top_lang"),
+            col("median_len"), col("short_rate_fx"))
+      })
   )
 
   private val ShuffleEpochs = 2

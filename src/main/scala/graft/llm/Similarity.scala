@@ -54,7 +54,8 @@ object Similarity {
         e.select(col("vec_id").as("neighbor_id"), col("label"), col("embedding")),
         TopK)
     }),
-    QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark)
+    QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark),
+    QueryDef("s13_range_search", Some(rangeSearchOracle), rangeSearchSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -817,6 +818,85 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM cand)
        |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $IvfTopK""".stripMargin
+
+  // --------------------------------------------- IVF range search (s13)
+
+  /** Range-search threshold: everything at least this cosine-close to a
+    * query is a neighbor — no k cap. */
+  private val RangeMinCos = 0.3
+
+  private def rangeSearchSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    ivfRangeSearch(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      NProbe, RangeMinCos)
+  }
+
+  /** Public API: IVF RANGE search — every candidate within `minCos`
+    * cosine of each query, found through the same nProbe-cell route as
+    * [[ivfAnn]] but with NO top-k window anywhere: probes join the
+    * cell-bucketed candidates (one shuffle on cell id) and a plain
+    * filter keeps the in-range rows. At 100 TB this is the cheapest
+    * neighbor operator in the family — no per-query sort state, output
+    * streams straight out of the join, and the unbounded result size is
+    * the CALLER's semantic choice (a threshold query means "give me
+    * them all"), not an operator obligation.
+    */
+  def ivfRangeSearch(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroids: DataFrame,
+      nProbe: Int,
+      minCos: Double,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val assigned = assignCells(c, cent)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = queries.select(col("query_id"), col("embedding").as("qa"))
+      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${sparkDot("qa", "cemb")} / (qn * cnrm)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qa"), col("qn"), col("cid"))
+    probes.join(assigned, "cid")
+      .filter(!lit(excludeSelf) || col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .filter(expr(s"cosine >= ${dlit(minCos)}"))
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  private def rangeSearchOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id AS neighbor_id, va AS na, vn AS nn, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |probes AS (SELECT query_id, qa, qn, cid FROM (
+       |  SELECT v.vec_id AS query_id, va AS qa, vn AS qn, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS prn
+       |  FROM v, c WHERE v.vec_id < $NumQueries) x WHERE prn <= $NProbe)
+       |SELECT query_id, neighbor_id,
+       |  ${duckDot("qa", "na")} / (qn * nn) AS cosine
+       |FROM probes JOIN asg USING (cid)
+       |WHERE query_id <> neighbor_id
+       |  AND ${duckDot("qa", "na")} / (qn * nn) >= ${dlit(RangeMinCos)}""".stripMargin
 
   // ------------------------------------- streaming semantic ingest dedup
 

@@ -592,7 +592,119 @@ object TextAnalysis {
            |    ELSE cast(tp as double) / cast(tp + fn as double) END AS rec
            |FROM x""".stripMargin
       },
-      (s, d) => classifierEval(Catalog.t(s, d, "documents")))
+      (s, d) => classifierEval(Catalog.t(s, d, "documents"))),
+
+    // ------------------------------------------------------- readability
+    // Deterministic Flesch-style reading ease per document. Sentence,
+    // word, and syllable counts are pure regex counts (syllables ≈ vowel
+    // groups — the standard cheap proxy); the closed-form score is the
+    // SAME double expression text in both engines (identical IEEE op
+    // sequence), reported fixed-point. Narrow per-row map: zero shuffle.
+    QueryDef(
+      "t26_readability",
+      Some("""WITH c AS (SELECT doc_id,
+             |    len(regexp_extract_all(text, '\S+')) AS n_words,
+             |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syll
+             |  FROM documents)
+             |SELECT doc_id, cast(n_words as bigint) AS n_words,
+             |  cast(n_sents as bigint) AS n_sents,
+             |  cast(n_syll as bigint) AS n_syll,
+             |  CASE WHEN n_words = 0 THEN NULL
+             |    ELSE cast(round(1000 * (cast(206835 as double) / 1000
+             |      - cast(1015 as double) / 1000
+             |        * (cast(n_words as double) / cast(n_sents as double))
+             |      - cast(846 as double) / 10
+             |        * (cast(n_syll as double) / cast(n_words as double))))
+             |      as bigint) END AS flesch_fx
+             |FROM c""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '\\\\S+', 0))").as("n_words"),
+          expr("greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)")
+            .as("n_sents"),
+          expr("size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))")
+            .as("n_syll"))
+        .select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_sents").cast("long").as("n_sents"),
+          col("n_syll").cast("long").as("n_syll"),
+          expr("""CASE WHEN n_words = 0 THEN NULL
+                 |  ELSE cast(round(1000 * (cast(206835 as double) / 1000
+                 |    - cast(1015 as double) / 1000
+                 |      * (cast(n_words as double) / cast(n_sents as double))
+                 |    - cast(846 as double) / 10
+                 |      * (cast(n_syll as double) / cast(n_words as double))))
+                 |    as bigint) END""".stripMargin).as("flesch_fx"))),
+
+    // ------------------------------------------------ code-vs-prose gate
+    // Symbol-density heuristic a curation pipeline uses to route
+    // documents to a code or prose pile: structural-symbol and digit
+    // densities per 1000 chars, integer-exact, with an integer threshold
+    // verdict. Narrow per-row map: zero shuffle, fully codegen.
+    QueryDef(
+      "t27_code_prose",
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_extract_all(text, '[{}();=<>\[\]#]')) as bigint)
+             |    AS n_sym,
+             |  cast(len(regexp_extract_all(text, '[0-9]')) as bigint) AS n_digit,
+             |  cast(len(regexp_extract_all(text, '[{}();=<>\[\]#]')) * 1000
+             |    // greatest(length(text), 1) as bigint) AS sym_per_k,
+             |  (len(regexp_extract_all(text, '[{}();=<>\[\]#]')) * 1000
+             |    >= 15 * greatest(length(text), 1)) AS is_code
+             |FROM documents""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '[{}();=<>\\\\[\\\\]#]', 0))")
+            .cast("long").as("n_sym"),
+          expr("size(regexp_extract_all(text, '[0-9]', 0))")
+            .cast("long").as("n_digit"),
+          expr("length(text)").as("len"))
+        .select(col("doc_id"), col("n_sym"), col("n_digit"),
+          expr("cast(n_sym * 1000 div greatest(len, 1) as bigint)")
+            .as("sym_per_k"),
+          expr("n_sym * 1000 >= 15 * greatest(len, 1)").as("is_code"))),
+
+    // --------------------------------------------- unicode script profile
+    // Character-class census per document (ASCII letters / digits /
+    // whitespace / other-ASCII / non-ASCII) plus a fixed-point ASCII
+    // ratio — the standard pre-filter for language routing and mojibake
+    // detection. Counts are codepoint-exact for BMP text (the regex
+    // classes are identical in Java and RE2). Zero shuffle.
+    QueryDef(
+      "t28_unicode_profile",
+      Some("""WITH c AS (SELECT doc_id,
+             |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             |    len(regexp_extract_all(text, '\s')) AS n_space,
+             |    len(regexp_extract_all(text, '[^\x00-\x7F]')) AS n_nonascii,
+             |    length(text) AS n FROM documents)
+             |SELECT doc_id, cast(n_alpha as bigint) AS n_alpha,
+             |  cast(n_digit as bigint) AS n_digit,
+             |  cast(n_space as bigint) AS n_space,
+             |  cast(n - n_alpha - n_digit - n_space - n_nonascii as bigint)
+             |    AS n_other_ascii,
+             |  cast(n_nonascii as bigint) AS n_nonascii,
+             |  cast(1000000 - n_nonascii * 1000000 // greatest(n, 1) as bigint)
+             |    AS ascii_ratio_fx
+             |FROM c""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(text, '[A-Za-z]', 0))").as("n_alpha"),
+          expr("size(regexp_extract_all(text, '[0-9]', 0))").as("n_digit"),
+          expr("size(regexp_extract_all(text, '\\\\s', 0))").as("n_space"),
+          expr("size(regexp_extract_all(text, '[^\\\\x00-\\\\x7F]', 0))")
+            .as("n_nonascii"),
+          expr("length(text)").as("n"))
+        .select(col("doc_id"),
+          col("n_alpha").cast("long").as("n_alpha"),
+          col("n_digit").cast("long").as("n_digit"),
+          col("n_space").cast("long").as("n_space"),
+          expr("cast(n - n_alpha - n_digit - n_space - n_nonascii as bigint)")
+            .as("n_other_ascii"),
+          col("n_nonascii").cast("long").as("n_nonascii"),
+          expr("cast(1000000 - n_nonascii * 1000000 div greatest(n, 1) as bigint)")
+            .as("ascii_ratio_fx")))
   )
 
   /** The t15 scoring chain through `px` (per-doc bigram-LM fixed-point

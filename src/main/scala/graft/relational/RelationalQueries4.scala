@@ -1,0 +1,219 @@
+package graft.relational
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth batch of relational coverage: correlated existence predicates,
+  * ordered string aggregation, deterministic mode / discrete quantiles,
+  * running distinct counts over windows, gaps-and-islands streaks, and
+  * median absolute deviation.
+  *
+  * Scale notes (100 TB stance):
+  *  - q50 runs correlated EXISTS / NOT EXISTS through the SQL surface and
+  *    lets Catalyst decorrelate them into ONE left-semi and ONE left-anti
+  *    hash join on `custkey` — never a per-row subquery probe. The plan
+  *    is pinned in PlanQualitySpec.
+  *  - q51/q52 are single hash-shuffle group-bys; the ordered string
+  *    aggregation sorts only WITHIN each group's collected set (bounded:
+  *    the priority domain is 5 values), not globally.
+  *  - q53's running-distinct state is `collect_set` over a user-ordered
+  *    frame — bounded by the event-type domain, so the window state stays
+  *    O(|domain|) per user regardless of event count.
+  *  - q54 is the gaps-and-islands idiom: one shuffle to (user, day),
+  *    arithmetic on row_number (no self-join), then a keyed re-aggregate.
+  *  - q55 reuses q36's exact fixed-point median shape twice (value, then
+  *    absolute deviation); the per-flag medians travel back as a
+  *    broadcast dimension, so the big side shuffles only on the window
+  *    partition key.
+  *
+  * Determinism: every double travels as `round(x*100)` BIGINT fixed-point
+  * until the final cast (see RelationalQueries.scala decimal notes); all
+  * ranked picks carry explicit total-order tie-breaks.
+  */
+object RelationalQueries4 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Catalog.t(s, d, n)
+
+  def all: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------- correlated EXISTS / NOT EXISTS
+    // Customers with at least one >200k order and no 'F'-status order.
+    // Catalyst decorrelates to left-semi + left-anti joins (complement to
+    // q13's explicit DataFrame-API joins and q24's scalar subquery).
+    QueryDef(
+      "q50_exists_subquery",
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o2
+             |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin),
+      (s, d) => {
+        val suffix = math.abs(d.hashCode)
+        val cv = s"cust_q50_$suffix"; val ov = s"ord_q50_$suffix"
+        t(s, d, "customer").createOrReplaceTempView(cv)
+        t(s, d, "orders").createOrReplaceTempView(ov)
+        s.sql(s"""SELECT c_custkey, c_mktsegment FROM $cv c
+                 |WHERE EXISTS (SELECT 1 FROM $ov o
+                 |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+                 |  AND NOT EXISTS (SELECT 1 FROM $ov o2
+                 |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+      }),
+
+    // ------------------------------------------- ordered string aggregation
+    // Per customer: the distinct order priorities ever used, joined in
+    // lexicographic order. `collect_set` arrives in arbitrary partition
+    // order; `array_sort` makes the join deterministic cross-engine.
+    QueryDef(
+      "q51_string_agg",
+      Some("""SELECT o_custkey,
+             |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prio_path
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+            .as("prio_path"))),
+
+    // ------------------------------- deterministic mode + discrete median
+    // Per market segment: the modal order priority (ties broken by the
+    // lexicographically smallest value) and the DISCRETE median price
+    // (the element at rank ceil(n/2) — an actual data value, not an
+    // interpolation; complement to q36's interpolable-median family).
+    QueryDef(
+      "q52_mode_quantile",
+      Some("""WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+             |    cast(round(o_totalprice * 100) as bigint) AS p100,
+             |    o_orderkey
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |m AS (SELECT seg, prio, count(*) AS cnt FROM j GROUP BY seg, prio),
+             |mr AS (SELECT seg, prio, row_number() OVER (PARTITION BY seg
+             |    ORDER BY cnt DESC, prio) AS rn FROM m),
+             |q AS (SELECT seg, p100, row_number() OVER (PARTITION BY seg
+             |    ORDER BY p100, o_orderkey) AS rn,
+             |    count(*) OVER (PARTITION BY seg) AS n FROM j)
+             |SELECT mr.seg AS c_mktsegment, mr.prio AS mode_prio,
+             |  cast(q.p100 as double) / 100 AS median_price
+             |FROM mr JOIN q ON mr.seg = q.seg
+             |WHERE mr.rn = 1 AND q.rn = (q.n + 1) // 2""".stripMargin),
+      (s, d) => {
+        val j = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            col("o_orderpriority").as("prio"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("p100"),
+            col("o_orderkey"))
+        val mode = j.groupBy(col("seg"), col("prio"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("seg")).orderBy(col("cnt").desc, col("prio"))))
+          .filter(col("rn") === 1)
+          .select(col("seg"), col("prio").as("mode_prio"))
+        val med = j
+          .select(col("seg"), col("p100"),
+            row_number().over(Window.partitionBy(col("seg"))
+              .orderBy(col("p100"), col("o_orderkey"))).as("rn"),
+            count(lit(1)).over(Window.partitionBy(col("seg"))).as("n"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("seg"), (col("p100").cast("double") / 100).as("median_price"))
+        mode.join(med, Seq("seg"))
+          .select(col("seg").as("c_mktsegment"), col("mode_prio"), col("median_price"))
+      }),
+
+    // -------------------------------------- running distinct count window
+    // Per event: how many DISTINCT event types this user has produced up
+    // to and including this event. Spark has no count(DISTINCT) window;
+    // size(collect_set) over the running frame is the idiomatic
+    // equivalent and its state is bounded by the type domain.
+    QueryDef(
+      "q53_window_distinct",
+      Some("""SELECT event_id,
+             |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS types_so_far
+             |FROM events""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_id"),
+            size(collect_set(col("event_type")).over(w)).as("types_so_far"))
+      }),
+
+    // ----------------------------------------- gaps-and-islands streaks
+    // Consecutive-day activity streaks per user: distinct active days,
+    // anchor = day - row_number (constant within a run of consecutive
+    // days), then per-user streak stats. No self-join at any point.
+    QueryDef(
+      "q54_streaks",
+      Some("""WITH days AS (SELECT DISTINCT user_id, cast(ts as date) AS day FROM events),
+             |num AS (SELECT user_id, day,
+             |    day - cast(row_number() OVER (PARTITION BY user_id ORDER BY day) as int) AS anchor
+             |  FROM days),
+             |runs AS (SELECT user_id, anchor, count(*) AS len
+             |  FROM num GROUP BY user_id, anchor)
+             |SELECT user_id, cast(count(*) as bigint) AS n_streaks,
+             |  cast(max(len) as bigint) AS max_streak
+             |FROM runs GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val num = days.withColumn("anchor",
+          date_sub(col("day"), row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("day")))))
+        num.groupBy(col("user_id"), col("anchor"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+      }),
+
+    // ------------------------------------ median absolute deviation (MAD)
+    // Per return flag: MAD of quantity — the discrete median of
+    // |q - median(q)| in exact fixed-point. The per-flag median returns
+    // as a broadcast dim; both medians use q36's rank-pick shape with
+    // full tie-breaks.
+    QueryDef(
+      "q55_mad",
+      Some("""WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+             |    cast(round(l_quantity * 100) as bigint) AS q100 FROM lineitem),
+             |med AS (SELECT l_returnflag, q100 AS med100 FROM (
+             |    SELECT l_returnflag, q100,
+             |      row_number() OVER (PARTITION BY l_returnflag
+             |        ORDER BY q100, l_orderkey, l_linenumber) AS rn,
+             |      count(*) OVER (PARTITION BY l_returnflag) AS n FROM x)
+             |  WHERE rn = (n + 1) // 2),
+             |dev AS (SELECT x.l_returnflag, abs(x.q100 - med.med100) AS d100,
+             |    x.l_orderkey, x.l_linenumber
+             |  FROM x JOIN med ON x.l_returnflag = med.l_returnflag)
+             |SELECT l_returnflag, cast(d100 as double) / 100 AS mad FROM (
+             |  SELECT l_returnflag, d100,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY d100, l_orderkey, l_linenumber) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM dev)
+             |WHERE rn = (n + 1) // 2""".stripMargin),
+      (s, d) => {
+        def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+          val wo = Window.partitionBy(col("l_returnflag"))
+            .orderBy(col(valueCol), col("l_orderkey"), col("l_linenumber"))
+          val wc = Window.partitionBy(col("l_returnflag"))
+          df.select(col("l_returnflag"), col(valueCol),
+              row_number().over(wo).as("rn"), count(lit(1)).over(wc).as("n"))
+            .filter(col("rn") === expr("(n + 1) div 2"))
+            .select(col("l_returnflag"), col(valueCol).as(out))
+        }
+        val x = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            expr("cast(round(l_quantity * 100) as bigint)").as("q100"))
+        val med = discMedian(x, "q100", "med100")
+        val dev = x.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"), abs(col("q100") - col("med100")).as("d100"),
+            col("l_orderkey"), col("l_linenumber"))
+        discMedian(dev, "d100", "mad100")
+          .select(col("l_returnflag"),
+            (col("mad100").cast("double") / 100).as("mad"))
+      })
+  )
+}

@@ -251,5 +251,53 @@ object IngestQueries {
           .filter(col("lang").isin("en", "de"))
           .groupBy("lang", "source")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      }),
+
+    // Bucketed-table co-located join: both sides pre-hashed into the
+    // SAME bucket layout on the join key at WRITE time, so the join
+    // needs no Exchange on either side at READ time — the other 100 TB
+    // layout primitive next to i03's partition pruning. A fact table
+    // written bucketed once is joined shuffle-free by every downstream
+    // consumer; `sortBy` inside buckets additionally lets the
+    // sort-merge join skip its sort when parts align. The `merge` hint
+    // pins the sort-merge path (at oracle scale AQE would otherwise
+    // broadcast the small side and hide the layout win; IngestSpec
+    // asserts the exchange-free plan).
+    QueryDef(
+      "i08_bucketed_join",
+      Some("""SELECT o_orderpriority, cast(count(*) as bigint) AS n_lines,
+             |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as double) / 100
+             |    AS revenue
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val root = tmp("graft-i08")
+        val suffix = math.abs(d.hashCode)
+        val ot = s"graft_i08_orders_$suffix"
+        val lt = s"graft_i08_lineitem_$suffix"
+        Catalog.t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/orders").saveAsTable(ot)
+        Catalog.t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/lineitem").saveAsTable(lt)
+        s.table(ot).hint("merge")
+          .join(s.table(lt), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+              .cast("double") / 100).as("revenue"))
       }))
+
+  /** The bucketed join relation of i08 without the final aggregate —
+    * used by IngestSpec to pin the exchange-free plan shape. */
+  def bucketedJoinPlanProbe(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val suffix = math.abs(d.hashCode)
+    s.table(s"graft_i08_orders_$suffix").hint("merge")
+      .join(s.table(s"graft_i08_lineitem_$suffix"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
 }

@@ -568,6 +568,42 @@ object StreamingQueries {
           .format("memory").queryName(name).start()
         try q.processAllAvailable() finally q.stop()
         s.table(name)
+      }),
+
+    // st19: streaming QUALITY gate at ingest — every arriving document
+    // scores narrowly (stopword ratio + length composite, the t02
+    // scorer inline: zero Exchange per row) and routes to keep/reject;
+    // the sink aggregates the per-(lang, verdict) admission ledger. The
+    // completion of the ingest family: after identity (st12), MinHash
+    // (st16), semantic (st17), and hamming (st18) dedup gates, this is
+    // the content-quality gate the same pipeline runs in front of them.
+    QueryDef(
+      "st19_stream_quality_gate",
+      Some {
+        import graft.llm.TextExprs._
+        val en = stopwords.toMap.apply("en")
+        s"""WITH d AS (SELECT doc_id, lang, $duckWords AS w, text FROM documents),
+           |v AS (SELECT lang, len(w) AS n_words,
+           |    ((cast(${duckStopHits(en)} as double) / greatest(len(w), 1)) * 0.5
+           |      + least(cast(len(w) as double) / 100, 1.0) * 0.5 >= 0.35
+           |     AND len(w) >= 5 AND len(w) <= 2000) AS kept
+           |  FROM d)
+           |SELECT lang, kept, count(*) AS n_docs,
+           |  cast(sum(n_words) as bigint) AS n_words
+           |FROM v GROUP BY lang, kept""".stripMargin
+      },
+      (s, d) => runToMemorySink(s, d, "st19", "complete", table = "documents") {
+        raw =>
+          import graft.llm.TextExprs._
+          val en = stopwords.toMap.apply("en")
+          raw.withColumn("w", split(col("text"), " "))
+            .select(col("lang"),
+              expr("cast(size(w) as bigint)").as("n_words"),
+              expr(s"((cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)) * 0.5" +
+                " + least(cast(size(w) as double) / 100, 1.0) * 0.5 >= 0.35" +
+                " AND size(w) >= 5 AND size(w) <= 2000)").as("kept"))
+            .groupBy(col("lang"), col("kept"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
       })
   )
 

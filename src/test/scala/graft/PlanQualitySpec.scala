@@ -77,6 +77,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("arn"), p) // the old N x C assignment window
   }
 
+  test("q50 correlated EXISTS/NOT EXISTS decorrelate to one semi + one " +
+    "anti join — no per-row subquery") {
+    val p = plan("q50_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("s13 range search is windowless on the candidate side — only the " +
+    "tiny probe ranking sorts") {
+    val p = plan("s13_range_search")
+    assert(count(p, "Window [") <= 1, p)
+  }
+
+  test("q53 running-distinct is one shuffle into one window — no join, " +
+    "no second exchange") {
+    val p = plan("q53_window_distinct")
+    assert(count(p, "Exchange") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("d11 contamination broadcasts the benchmark shingle set") {
     // the eval side must be the broadcast build side: at 100 TB the
     // training corpus never shuffles to find overlaps

@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 batch-2 specs: the new operators are each cross-checked
+  * against an INDEPENDENT reference — hand-computed fixtures for the
+  * graph/ANN operators, plain-Scala recomputations over the collected
+  * sf0.001 tables for the relational/text/pipeline queries (driver-side
+  * loops are fine here: the reference is supposed to be the dumb
+  * obviously-correct formulation, not a second Spark plan).
+  */
+class RoundEightOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ------------------------------------------------------ link prediction
+
+  test("linkPrediction on a 4-cycle predicts exactly the two diagonals " +
+    "with jaccard 1.0, and never an existing edge") {
+    val s = spark; import s.implicits._
+    // square 1-2-3-4-1: N(1)={2,4}, N(3)={2,4} — (1,3) and (2,4) are the
+    // only non-adjacent pairs with >= 2 common neighbors; both neighbor
+    // sets coincide so jaccard = 2 / (2 + 2 - 2) = 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.llm.GraphAlgs.linkPrediction(edges, minCommon = 2)
+      .select("u", "w", "common_neighbors", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("linkPrediction minCommon filters the hub noise floor") {
+    val s = spark; import s.implicits._
+    // star around 0: every leaf pair shares exactly one neighbor (the
+    // hub) — minCommon = 2 reports nothing
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(graft.llm.GraphAlgs.linkPrediction(edges, minCommon = 2).count() === 0)
+    // at minCommon = 1 all three leaf pairs surface with jaccard
+    // 1 / (1 + 1 - 1) = 1.0 — neighbor sets are both just the hub
+    val one = graft.llm.GraphAlgs.linkPrediction(edges, minCommon = 1)
+      .select("u", "w", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(one === Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+  }
+
+  // ------------------------------------------------------ IVF range search
+
+  test("ivfRangeSearch returns every candidate above the threshold in " +
+    "probed cells — no k cap, no self pairs") {
+    val s = spark; import s.implicits._
+    // two orthogonal cells; query 0 sits on the x axis. nProbe=1 probes
+    // only the x cell, so the y-cluster vectors are out of reach even
+    // though 0.3-similar ones would qualify — the IVF recall trade the
+    // caller opted into.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.05f, 0.95f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cands = vecs.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = graft.llm.Similarity
+      .ivfRangeSearch(queries, cands, cents, nProbe = 1, minCos = 0.3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L), (0L, 2L)))
+  }
+
+  // -------------------------------------- relational q51–q55 references
+
+  test("q51 ordered string_agg matches a plain-Scala recomputation") {
+    val got = run("q51_string_agg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Catalog.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).distinct.sorted.mkString("|") }
+    assert(got === exp)
+  }
+
+  test("q52 deterministic mode and discrete median match a plain-Scala " +
+    "recomputation") {
+    val got = run("q52_mode_quantile").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val joined = Catalog.t(spark, sf, "orders")
+      .join(Catalog.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderpriority", "o_totalprice", "o_orderkey")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 100), r.getLong(3)))
+    val exp = joined.groupBy(_._1).map { case (seg, rows) =>
+      val mode = rows.groupBy(_._2).map { case (p, v) => (p, v.size) }
+        .toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+      val ranked = rows.map(r => (r._3, r._4)).sortBy(identity)
+      val med = ranked((ranked.size + 1) / 2 - 1)._1 / 100.0
+      seg -> ((mode, med))
+    }
+    assert(got === exp)
+  }
+
+  test("q53 running distinct window matches a plain-Scala recomputation") {
+    val got = run("q53_window_distinct").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ev = Catalog.t(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      sorted.zipWithIndex.map { case ((_, _, id, _), i) =>
+        id -> sorted.take(i + 1).map(_._4).distinct.size
+      }
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("q54 gaps-and-islands streaks match a plain-Scala recomputation") {
+    val got = run("q54_streaks").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dayMs = 86400000L
+    val ev = Catalog.t(spark, sf, "events")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / dayMs))
+    val exp = ev.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      val runs = days.foldLeft(List.empty[List[Long]]) {
+        case (cur :: rest, d) if d == cur.head + 1 => (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }
+      u -> ((runs.size.toLong, runs.map(_.size).max.toLong))
+    }
+    assert(got === exp)
+  }
+
+  test("q55 MAD matches a plain-Scala recomputation") {
+    val got = run("q55_mad").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = Catalog.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2), r.getInt(3)))
+    def disc(rows: Seq[(Long, Long, Int)]): Long = {
+      val sorted = rows.sortBy(identity).map(_._1)
+      sorted((sorted.size + 1) / 2 - 1)
+    }
+    val exp = li.groupBy(_._1).map { case (f, rows) =>
+      val med = disc(rows.map(r => (r._2, r._3, r._4)))
+      val mad = disc(rows.map(r => (math.abs(r._2 - med), r._3, r._4)))
+      f -> mad / 100.0
+    }
+    assert(got === exp)
+  }
+
+  // ----------------------------------------- text t26–t28 references
+
+  test("t26 readability counts match java.util.regex references") {
+    val got = run("t26_readability").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Catalog.t(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def cnt(t: String, re: String): Long =
+      java.util.regex.Pattern.compile(re).matcher(t).results().count()
+    docs.foreach { case (id, t) =>
+      val (w, se, sy) = got(id)
+      assert(w === cnt(t, "\\S+"), s"doc $id words")
+      assert(se === math.max(cnt(t, "[.!?]+"), 1L), s"doc $id sents")
+      assert(sy === cnt(t, "[aeiouyAEIOUY]+"), s"doc $id syll")
+    }
+  }
+
+  test("t27/t28 class censuses match java.util.regex references and " +
+    "partition the text") {
+    def cnt(t: String, re: String): Long =
+      java.util.regex.Pattern.compile(re).matcher(t).results().count()
+    val texts = Catalog.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t27 = run("t27_code_prose").collect()
+    t27.foreach { r =>
+      val t = texts(r.getLong(0))
+      val sym = cnt(t, "[{}();=<>\\[\\]#]")
+      assert(r.getLong(1) === sym, s"doc ${r.getLong(0)} n_sym")
+      assert(r.getLong(3) === sym * 1000 / math.max(t.length, 1), "sym_per_k")
+      assert(r.getBoolean(4) === (sym * 1000 >= 15L * math.max(t.length, 1)),
+        "is_code verdict")
+    }
+    val t28 = run("t28_unicode_profile").collect()
+    val lens = Catalog.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t28.foreach { r =>
+      val total = r.getLong(1) + r.getLong(2) + r.getLong(3) +
+        r.getLong(4) + r.getLong(5)
+      assert(total === lens(r.getLong(0)),
+        s"doc ${r.getLong(0)}: classes must partition the text exactly")
+    }
+  }
+
+  // --------------------------------------------- p17 dataset card
+
+  test("p17 dataset card matches a plain-Scala recomputation") {
+    val got = run("p17_dataset_card").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val docs = Catalog.t(spark, sf, "documents")
+      .select("source", "lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ", -1).length.toLong))
+    val exp = docs.groupBy(_._1).map { case (src, rows) =>
+      val nDocs = rows.size.toLong
+      val nTok = rows.map(_._4).sum
+      val nLangs = rows.map(_._2).distinct.size.toLong
+      val top = rows.groupBy(_._2).map { case (l, v) => (l, v.size) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      val ranked = rows.map(r => (r._4, r._3)).sortBy(identity)
+      val med = ranked((ranked.size + 1) / 2 - 1)._1
+      val short = rows.count(_._4 < 50).toLong * 1000000L / nDocs
+      src -> ((nDocs, nTok, nLangs, top, med, short))
+    }
+    assert(got === exp)
+  }
+
+  // --------------------------------------------- i08 bucketed join
+
+  test("i08 bucketed join equals the plain shuffled join and plans " +
+    "exchange-free") {
+    val got = run("i08_bucketed_join").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = Catalog.t(spark, sf, "orders")
+      .join(Catalog.t(spark, sf, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .cast("double") / 100).as("rev"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === plain)
+    // the join itself (pre-aggregate) needs NO shuffle: both sides come
+    // from the bucketed layout written above by the query run
+    val probe = sources.IngestQueries.bucketedJoinPlanProbe(spark, sf)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  // --------------------------------------------- st19 quality gate
+
+  test("st19 streaming quality gate equals its batch formulation") {
+    val got = run("st19_stream_quality_gate").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    import graft.llm.TextExprs._
+    val en = stopwords.toMap.apply("en")
+    val batch = Catalog.t(spark, sf, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("lang"),
+        expr("cast(size(w) as bigint)").as("n_words"),
+        expr(s"((cast(${sparkStopHits(en)} as double) / greatest(size(w), 1)) * 0.5" +
+          " + least(cast(size(w) as double) / 100, 1.0) * 0.5 >= 0.35" +
+          " AND size(w) >= 5 AND size(w) <= 2000)").as("kept"))
+      .groupBy("lang", "kept")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === batch)
+    // both verdicts must actually occur at sf0.001 — a gate that keeps
+    // (or rejects) everything isn't gating
+    assert(got.keys.map(_._2).toSet === Set(true, false))
+  }
+}
