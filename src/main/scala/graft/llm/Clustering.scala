@@ -48,8 +48,90 @@ object Clustering {
         .select(col("vec_id"), col("embedding")), SeedK)),
     QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
     QueryDef("s08_adc_rerank", Some(rerankOracle), rerankSpark),
-    QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark)
+    QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark),
+    QueryDef("c05_silhouette", Some(silhouetteOracle), silhouetteSpark)
   )
+
+  // -------------------------------------------- silhouette score (c05)
+
+  /** Centroid-approximated silhouette per cluster: for every point,
+    * `a` = L2 distance to its ASSIGNED centroid, `b` = distance to the
+    * nearest OTHER centroid, `s = (b - a) / max(a, b)` — the standard
+    * O(N·C) silhouette surrogate (the exact pairwise silhouette is
+    * O(N²) and never runs at corpus scale). Reported per cluster as a
+    * fixed-point mean, so k/seed choices compare on separation, not
+    * just c03's inertia.
+    *
+    * Scale: assignment is the shared inline-centroid fold; distances
+    * come from ONE broadcast crossJoin (N×C narrow rows with map-side
+    * partial min), then two keyed aggregations. No window, no
+    * all-pairs.
+    */
+  private def silhouetteSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    silhouette(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  def silhouette(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val others = centroids.select(col("cid").as("ocid"),
+      col("embedding").cast("array<double>").as("cvec"))
+    assignCells(c, cent)
+      .crossJoin(broadcast(others))
+      .withColumn("sqd", expr(
+        "aggregate(zip_with(ca, cvec, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, v) -> a + v)"))
+      .groupBy(col("neighbor_id"))
+      .agg(first(col("cid")).as("cid"),
+        min(when(col("ocid") === col("cid"), col("sqd"))).as("a2"),
+        min(when(col("ocid") =!= col("cid"), col("sqd"))).as("b2"))
+      .withColumn("sil", expr(
+        """CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN cast(0 as double)
+          |  ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END""".stripMargin))
+      .withColumn("fx", expr(s"cast(round(sil * $MeanFx) as bigint)"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        expr(s"sum(fx) div count(*)").as("mean_sil_fx"))
+  }
+
+  private def silhouetteOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |d2 AS (SELECT a.vec_id, a.cid, c.cid AS ocid,
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(range(1, 65),
+       |        i -> (a.va[i] - c.ca[i]) * (a.va[i] - c.ca[i]))),
+       |      (x, y) -> x + y) AS sqd
+       |  FROM asg a, c),
+       |ab AS (SELECT vec_id, cid,
+       |    min(CASE WHEN ocid = cid THEN sqd END) AS a2,
+       |    min(CASE WHEN ocid <> cid THEN sqd END) AS b2
+       |  FROM d2 GROUP BY vec_id, cid),
+       |sil AS (SELECT cid,
+       |    cast(round((CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0
+       |      THEN cast(0 as double)
+       |      ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END)
+       |      * $MeanFx) as bigint) AS fx
+       |  FROM ab)
+       |SELECT cid, count(*) AS n_members,
+       |  cast(sum(fx) as bigint) // count(*) AS mean_sil_fx
+       |FROM sil GROUP BY cid""".stripMargin
 
   // ------------------------------------------------------ k-means step
 

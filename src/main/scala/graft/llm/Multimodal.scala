@@ -220,6 +220,44 @@ object Multimodal {
               |FROM x GROUP BY format, shard_id""".stripMargin),
       (s, d) => mediaShards(mediaDF(s, d))),
 
+    // m07: shard INTEGRITY manifest — the checksum ledger a 100 TB media
+    // lake persists next to each shard so a re-reader can detect
+    // corrupt, missing, or reordered items without re-decoding
+    // everything: per (format, shard) the item count, byte total, and an
+    // ORDER-INDEPENDENT content checksum (the exact integer sum of the
+    // per-item decode checksums — commutative, so multi-task re-reads
+    // verify without any ordering constraint). Same decode plumbing as
+    // m02, same greedy shard cut as m05.
+    QueryDef(
+      "m07_shard_integrity",
+      Some(s"""WITH m AS (SELECT doc_id,
+              |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1]
+              |      AS format,
+              |    cast(strlen(text) as bigint) AS n_bytes,
+              |    ${TextExprs.duckByteHash("text")} AS checksum
+              |  FROM documents),
+              |x AS (SELECT *,
+              |    cast((sum(n_bytes) OVER (PARTITION BY format ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) - n_bytes) // $ShardBytes as int)
+              |      AS shard_id
+              |  FROM m)
+              |SELECT format, shard_id, count(*) AS n_items,
+              |  cast(sum(n_bytes) as bigint) AS bytes,
+              |  cast(sum(checksum) as bigint) AS content_sum
+              |FROM x GROUP BY format, shard_id""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("format")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        decodeFeatures(mediaDF(s, d))
+          .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+          .withColumn("shard_id",
+            expr(s"cast((cum_bytes - n_bytes) div $ShardBytes as int)"))
+          .groupBy(col("format"), col("shard_id"))
+          .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("bytes"),
+            sum(col("checksum")).as("content_sum"))
+      }),
+
     // m06: perceptual-hash near-dup over DECODED media — the dedup
     // family extended to the binary column. A 16-bit pHash derives from
     // the codec's content features (here: the stub checksum; a real

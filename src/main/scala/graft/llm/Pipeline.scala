@@ -478,6 +478,60 @@ object Pipeline {
           .select(col("source"), col("n_docs"), col("n_tokens"),
             col("n_langs"), col("top_lang"),
             col("median_len"), col("short_rate_fx"))
+      }),
+
+    // -------------------------------- decontaminated mix assembly (p18)
+    // The end-to-end assembly composition: drop every train document
+    // that shares a 3-word shingle with the benchmark split (d11's
+    // gate), then recompute the per-source largest-remainder token
+    // allocation (p06's scheme) over the CLEAN corpus — with the
+    // per-source casualty count alongside, so the mix owner sees what
+    // decontamination cost each source. Same broadcast-shingle-set and
+    // bounded-groups scale contracts as the two parents.
+    QueryDef(
+      "p18_decontaminated_mix",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |s AS (SELECT DISTINCT doc_id, unnest($duckShingles) AS sh FROM d),
+              |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % $EvalMod = 0),
+              |bad AS (SELECT DISTINCT tr.doc_id FROM
+              |  (SELECT doc_id, sh FROM s WHERE doc_id % $EvalMod <> 0) tr
+              |  JOIN ev USING (sh)),
+              |clean AS (SELECT * FROM documents
+              |  WHERE doc_id % $EvalMod <> 0
+              |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+              |tok AS (SELECT source,
+              |    cast(sum(len(string_split(text, ' '))) as bigint) AS clean_toks
+              |  FROM clean GROUP BY source),
+              |tot AS (SELECT cast(sum(clean_toks) as bigint) AS total FROM tok),
+              |base AS (SELECT source, clean_toks,
+              |    ($MixBudget * clean_toks) // total AS base_alloc,
+              |    ($MixBudget * clean_toks) % total AS rem
+              |  FROM tok, tot),
+              |ranked AS (SELECT *,
+              |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+              |    $MixBudget - cast(sum(base_alloc) OVER () as bigint) AS leftover
+              |  FROM base),
+              |drp AS (SELECT source, count(*) AS n_dropped
+              |  FROM documents JOIN bad USING (doc_id) GROUP BY source)
+              |SELECT r.source, clean_toks,
+              |  cast(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+              |    as bigint) AS alloc,
+              |  cast(coalesce(n_dropped, 0) as bigint) AS n_dropped
+              |FROM ranked r LEFT JOIN drp ON r.source = drp.source""".stripMargin),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+        val eval0 = docs.filter(col("doc_id") % EvalMod === 0)
+        val bad = contamination(train, eval0).select("doc_id")
+        val clean = train.join(bad, Seq("doc_id"), "left_anti")
+        val dropped = train.join(bad, Seq("doc_id"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_dropped"))
+        mixAllocation(clean, col("source"),
+            size(split(col("text"), " ")).cast("long"), MixBudget)
+          .withColumnRenamed("toks", "clean_toks")
+          .join(dropped, Seq("source"), "left")
+          .select(col("source"), col("clean_toks"), col("alloc"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       })
   )
 

@@ -704,7 +704,58 @@ object TextAnalysis {
             .as("n_other_ascii"),
           col("n_nonascii").cast("long").as("n_nonascii"),
           expr("cast(1000000 - n_nonascii * 1000000 div greatest(n, 1) as bigint)")
-            .as("ascii_ratio_fx")))
+            .as("ascii_ratio_fx"))),
+
+    // ------------------------------------------------- Zipf power-law fit
+    // Least-squares slope of log2(freq) vs log2(rank) over the top-256
+    // vocabulary — the standard corpus-health check (natural text sits
+    // near slope -1; templated/spammy corpora deviate). Numeric
+    // discipline: log2 values round to millilog BIGINT fixed point, the
+    // five regression sums are EXACT integers (all < 2^53, so even the
+    // final double closed form is exact until the one division) — no
+    // order-of-summation drift, per q40's moments rule. The global
+    // ranking window runs on the 256 survivors of a top-k, never the
+    // full vocabulary.
+    QueryDef(
+      "t29_zipf_slope",
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS x FROM documents),
+             |f AS (SELECT x, count(*) AS c FROM w GROUP BY x),
+             |top AS (SELECT x, c FROM f ORDER BY c DESC, x ASC LIMIT 256),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, x ASC) AS rk
+             |  FROM top),
+             |t AS (SELECT cast(round(log2(cast(rk as double)) * 1000) as bigint) AS fx,
+             |    cast(round(log2(cast(c as double)) * 1000) as bigint) AS fy
+             |  FROM r),
+             |s AS (SELECT count(*) AS n, sum(fx) AS sx, sum(fy) AS sy,
+             |    sum(fx * fx) AS sxx, sum(fx * fy) AS sxy FROM t)
+             |SELECT cast(n as bigint) AS n_words,
+             |  (cast(n as double) * cast(sxy as double)
+             |      - cast(sx as double) * cast(sy as double))
+             |    / (cast(n as double) * cast(sxx as double)
+             |      - cast(sx as double) * cast(sx as double)) AS slope
+             |FROM s""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = Catalog.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("x").asc).limit(256)
+        top
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("c").desc, col("x").asc)))
+          .select(
+            expr("cast(round(log2(cast(rk as double)) * 1000) as bigint)").as("fx"),
+            expr("cast(round(log2(cast(c as double)) * 1000) as bigint)").as("fy"))
+          .agg(count(lit(1)).as("n"), sum(col("fx")).as("sx"),
+            sum(col("fy")).as("sy"),
+            sum(expr("fx * fx")).as("sxx"), sum(expr("fx * fy")).as("sxy"))
+          .select(col("n").cast("long").as("n_words"),
+            expr("""(cast(n as double) * cast(sxy as double)
+                   |    - cast(sx as double) * cast(sy as double))
+                   |  / (cast(n as double) * cast(sxx as double)
+                   |    - cast(sx as double) * cast(sx as double))""".stripMargin)
+              .as("slope"))
+      })
   )
 
   /** The t15 scoring chain through `px` (per-doc bigram-LM fixed-point

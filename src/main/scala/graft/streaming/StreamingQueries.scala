@@ -604,6 +604,53 @@ object StreamingQueries {
                 " AND size(w) >= 5 AND size(w) <= 2000)").as("kept"))
             .groupBy(col("lang"), col("kept"))
             .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      }),
+
+    // st20: streaming ANOMALY gate — arriving events flag against a
+    // STATIC historical profile (per-type mean/stddev derived from
+    // exact integer moments, the q40 discipline: fixed-point sums are
+    // exact bigints, the closed-form doubles are a deterministic
+    // function of them), via one broadcast stream-static join; the sink
+    // keeps the per-type admission ledger. This is the production shape
+    // for ingest-time outlier detection: the profile refreshes on a
+    // batch cadence, the gate itself is a narrow per-row compare —
+    // state-free, so it runs at any arrival rate.
+    QueryDef(
+      "st20_stream_anomaly_gate",
+      Some("""WITH e AS (SELECT event_type,
+             |    cast(round(value * 100) as bigint) AS v FROM events),
+             |p AS (SELECT event_type, count(*) AS n, sum(v) AS s,
+             |    sum(v * v) AS sxx FROM e GROUP BY event_type),
+             |f AS (SELECT e.event_type, v,
+             |    cast(s as double) / cast(n as double) AS m,
+             |    sqrt((cast(n as double) * cast(sxx as double)
+             |        - cast(s as double) * cast(s as double))
+             |      / (cast(n as double) * (cast(n as double) - 1))) AS sd
+             |  FROM e JOIN p USING (event_type))
+             |SELECT event_type, count(*) AS n_events,
+             |  cast(sum(CASE WHEN abs(cast(v as double) - m) > 2 * sd
+             |    THEN 1 ELSE 0 END) as bigint) AS n_anomalies
+             |FROM f GROUP BY event_type""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st20", "complete") { raw =>
+        val profile = Catalog.t(s, d, "events")
+          .select(col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(expr("v * v")).as("sxx"))
+          .select(col("event_type"),
+            expr("cast(s as double) / cast(n as double)").as("m"),
+            expr("""sqrt((cast(n as double) * cast(sxx as double)
+                   |    - cast(s as double) * cast(s as double))
+                   |  / (cast(n as double) * (cast(n as double) - 1)))""".stripMargin)
+              .as("sd"))
+        raw.select(col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("v"))
+          .join(broadcast(profile), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CASE WHEN abs(cast(v as double) - m) > 2 * sd " +
+              "THEN 1 ELSE 0 END")).cast("long").as("n_anomalies"))
       })
   )
 

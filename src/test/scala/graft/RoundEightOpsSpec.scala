@@ -279,4 +279,116 @@ class RoundEightOpsSpec extends AnyFunSuite {
     // (or rejects) everything isn't gating
     assert(got.keys.map(_._2).toSet === Set(true, false))
   }
+
+  // ------------------------------------------- batch-2 operator specs
+
+  test("c05 silhouette matches a plain-Scala recomputation") {
+    val got = run("c05_silhouette").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vecs = Catalog.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = vecs.filter(_._1 % 100 == 0)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def sqd(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val perPoint = vecs.map { case (id, v) =>
+      val vn = math.sqrt(dot(v, v))
+      // assignment by cosine (ties -> lowest cid), exactly assignCells
+      val cid = cents.map { case (c, cv) =>
+        (c, dot(v, cv) / (vn * math.sqrt(dot(cv, cv))))
+      }.maxBy { case (c, cos) => (cos, -c) }._1
+      val a2 = sqd(v, cents.find(_._1 == cid).get._2)
+      val b2 = cents.filter(_._1 != cid).map(c => sqd(v, c._2)).min
+      val s0 = if (math.max(math.sqrt(a2), math.sqrt(b2)) == 0) 0.0
+        else (math.sqrt(b2) - math.sqrt(a2)) /
+          math.max(math.sqrt(a2), math.sqrt(b2))
+      (cid, math.round(s0 * 1e7))
+    }
+    val exp = perPoint.groupBy(_._1).map { case (cid, xs) =>
+      cid -> ((xs.length.toLong, xs.map(_._2).sum / xs.length))
+    }
+    assert(got === exp)
+  }
+
+  test("t29 zipf slope matches a plain-Scala recomputation and sits in " +
+    "a sane power-law band") {
+    val Array(row) = run("t29_zipf_slope").collect()
+    val words = Catalog.t(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val top = words.groupBy(identity).map { case (w, v) => (w, v.size.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(256)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) / math.log(2) * 1000),
+        math.round(math.log(c.toDouble) / math.log(2) * 1000))
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) === top.size.toLong) // full vocab when < 256
+    assert(math.abs(row.getDouble(1) - slope) < 1e-9, s"got ${row.getDouble(1)} exp $slope")
+    assert(slope < 0, "zipf slope must be negative")
+  }
+
+  test("p18 decontaminated mix: allocations sum to the budget, dropped " +
+    "docs are exactly the contaminated train docs") {
+    val rows = run("p18_decontaminated_mix").collect()
+    assert(rows.map(_.getLong(2)).sum === 100000L, "largest-remainder total")
+    val docs = Catalog.t(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(_._1 % 97 == 0).flatMap(d => shingles(d._3)).toSet
+    val expDropped = docs.filter(d => d._1 % 97 != 0)
+      .filter(d => shingles(d._3).exists(evalSh))
+      .groupBy(_._2).map { case (s0, v) => s0 -> v.length.toLong }
+    val gotDropped = rows.map(r => r.getString(0) -> r.getLong(3))
+      .filter(_._2 > 0).toMap
+    assert(gotDropped === expDropped)
+  }
+
+  test("m07 shard integrity checksums match the stub codec replayed in " +
+    "plain Scala") {
+    val got = run("m07_shard_integrity").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val fmts = Array("png", "jpeg", "wav", "mp4")
+    val docs = Catalog.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val ck = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 4294967291L)
+        (fmts((id % 4).toInt), id, bytes.length.toLong, ck)
+      }
+    val exp = docs.groupBy(_._1).flatMap { case (fmt, items) =>
+      var cum = 0L
+      items.sortBy(_._2).map { case (_, _, nb, ck) =>
+        val shard = (cum / 8000L).toInt
+        cum += nb
+        (fmt, shard, nb, ck)
+      }.groupBy(x => (x._1, x._2)).map { case (k, v) =>
+        k -> ((v.length.toLong, v.map(_._3).sum, v.map(_._4).sum))
+      }
+    }
+    assert(got === exp)
+  }
+
+  test("st20 streaming anomaly gate equals its batch formulation and " +
+    "flags a nonzero, minority share") {
+    val got = run("st20_stream_anomaly_gate").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n = got.values.map(_._1).sum
+    val anom = got.values.map(_._2).sum
+    assert(n === Catalog.t(spark, sf, "events").count())
+    assert(anom > 0 && anom < n / 2,
+      s"anomaly share $anom/$n should be a nonzero minority")
+  }
 }
