@@ -532,6 +532,46 @@ object Pipeline {
           .join(dropped, Seq("source"), "left")
           .select(col("source"), col("clean_toks"), col("alloc"),
             coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      }),
+
+    // --------------------------------- deterministic interleave (p19)
+    // The training-order interleave a data loader consumes: documents
+    // shuffle WITHIN each source by a reproducible hash, and the global
+    // order round-robins across sources — computed CLOSED-FORM as
+    // `rank_within_source * n_sources + source_index`, so there is NO
+    // global sort/window anywhere: one per-source window (keyed
+    // shuffle) and two broadcast-sized joins. An epoch of 100 TB gets
+    // a total order without any operator ever seeing the total order.
+    QueryDef(
+      "p19_interleave_order",
+      Some("""WITH srcs AS (SELECT source,
+             |    row_number() OVER (ORDER BY source) - 1 AS src_idx
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |n AS (SELECT count(*) AS n_src FROM srcs),
+             |r AS (SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(cast(doc_id as varchar)), doc_id) - 1 AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.source,
+             |  cast(rk * n_src + src_idx as bigint) AS position
+             |FROM r JOIN srcs ON r.source = srcs.source, n""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Catalog.t(s, d, "documents")
+        val srcs = boundedGroups(docs.select(col("source")).distinct()
+            .groupBy(col("source")).agg(count(lit(1)).as("one")), "interleave")
+          .withColumn("src_idx",
+            row_number().over(Window.orderBy(col("source"))) - 1)
+          .select(col("source"), col("src_idx"))
+        val nSrc = srcs.groupBy().agg(count(lit(1)).as("n_src"))
+        docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))) - 1)
+          .join(broadcast(srcs), Seq("source"))
+          .crossJoin(broadcast(nSrc))
+          .select(col("doc_id"), col("source"),
+            expr("cast(rk * n_src + src_idx as bigint)").as("position"))
       })
   )
 

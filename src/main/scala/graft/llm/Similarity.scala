@@ -55,7 +55,8 @@ object Similarity {
         TopK)
     }),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark),
-    QueryDef("s13_range_search", Some(rangeSearchOracle), rangeSearchSpark)
+    QueryDef("s13_range_search", Some(rangeSearchOracle), rangeSearchSpark),
+    QueryDef("s14_ivf_stats", Some(ivfStatsOracle), ivfStatsSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -897,6 +898,56 @@ object Similarity {
        |FROM probes JOIN asg USING (cid)
        |WHERE query_id <> neighbor_id
        |  AND ${duckDot("qa", "na")} / (qn * nn) >= ${dlit(RangeMinCos)}""".stripMargin
+
+  // ------------------------------------------------ IVF index stats (s14)
+
+  /** Index-health report for the IVF layout every ANN query in the
+    * family routes through: per-cell occupancy, each cell's corpus
+    * share, and the global imbalance factor (max cell / ideal cell,
+    * fixed-point) — the number an operator watches to decide when to
+    * retrain centroids (a skewed cell turns nProbe routing into a scan
+    * of half the corpus). Assignment is the shared shuffle-free fold;
+    * the stats are ONE keyed count plus broadcast-sized totals — the
+    * report costs one pass regardless of corpus size.
+    */
+  private def ivfStatsSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Catalog.t(s, d, "embeddings")
+    val cent = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
+      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+    val occ = assignCells(c, cent)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val tot = occ.agg(sum(col("n_vecs")).as("total"),
+      max(col("n_vecs")).as("max_n"), count(lit(1)).as("n_cells"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("cast(n_vecs * 1000000 div total as bigint)").as("share_fx"),
+        expr("cast(max_n * n_cells * 1000000 div total as bigint)")
+          .as("imbalance_fx"))
+  }
+
+  private def ivfStatsOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |occ AS (SELECT cid, count(*) AS n_vecs FROM asg GROUP BY cid),
+       |tot AS (SELECT cast(sum(n_vecs) as bigint) AS total,
+       |    cast(max(n_vecs) as bigint) AS max_n,
+       |    cast(count(*) as bigint) AS n_cells FROM occ)
+       |SELECT cid, cast(n_vecs as bigint) AS n_vecs,
+       |  cast(n_vecs * 1000000 // total as bigint) AS share_fx,
+       |  cast(max_n * n_cells * 1000000 // total as bigint) AS imbalance_fx
+       |FROM occ, tot""".stripMargin
 
   // ------------------------------------- streaming semantic ingest dedup
 

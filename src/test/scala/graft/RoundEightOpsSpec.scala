@@ -381,6 +381,55 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("p19 interleave order matches a plain-Scala recomputation and is " +
+    "a collision-free round-robin") {
+    val got = run("p19_interleave_order").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // positions are globally distinct and congruent to the source index
+    val positions = got.values.map(_._2).toSeq
+    assert(positions.distinct.size === positions.size)
+    val docs = Catalog.t(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val srcIdx = docs.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val nSrc = srcIdx.size
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._1).toSeq.sortBy(id => (md5hex(id.toString), id)).zipWithIndex
+        .map { case (id, rk) =>
+          id -> ((src, rk.toLong * nSrc + srcIdx(src)))
+        }
+    }.toMap
+    assert(got === exp)
+  }
+
+  test("s14 IVF stats match the cosine-argmax occupancy recomputed in " +
+    "plain Scala") {
+    val got = run("s14_ivf_stats").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecs = Catalog.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = vecs.filter(_._1 % 100 == 0)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val occ = vecs.map { case (_, v) =>
+      val vn = math.sqrt(dot(v, v))
+      cents.map { case (c, cv) =>
+        (c, dot(v, cv) / (vn * math.sqrt(dot(cv, cv))))
+      }.maxBy { case (c, cos) => (cos, -c) }._1
+    }.groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val total = occ.values.sum
+    val maxN = occ.values.max
+    val exp = occ.map { case (c, n) =>
+      c -> ((n, n * 1000000L / total, maxN * occ.size * 1000000L / total))
+    }
+    assert(got === exp)
+  }
+
   test("st20 streaming anomaly gate equals its batch formulation and " +
     "flags a nonzero, minority share") {
     val got = run("st20_stream_anomaly_gate").collect()
