@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * the DuckDB oracle bit-for-bit.
   */
 object Clustering {
-  import Similarity.{CentroidEvery, NumQueries, PqM, assignCells, dlit, duckDot, sparkDot}
+  import Similarity.{CentroidEvery, NumQueries, PqM, assignCells, dlit, duckDot, duckNorm, sparkDot, sparkNorm}
 
   /** Fixed-point scale for centroid means: embeddings are O(1) floats,
     * so scaled-long sums stay far below 2^62 at any realistic cluster
@@ -78,10 +78,10 @@ object Clustering {
   def silhouette(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = vecs.select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val others = centroids.select(col("cid").as("ocid"),
       col("embedding").cast("array<double>").as("cvec"))
     assignCells(c, cent)
@@ -104,7 +104,7 @@ object Clustering {
 
   private def silhouetteOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -153,10 +153,10 @@ object Clustering {
   def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = vecs.select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     assignCells(c, cent)
       .select(col("cid"), posexplode(col("ca")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim").cast("long").as("dim"))
@@ -185,7 +185,7 @@ object Clustering {
     require(k >= 1, s"need at least one seed, got $k")
     val v = vecs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
-      .withColumn("vn", expr(s"sqrt(${sparkDot("va", "va")})"))
+      .withColumn("vn", expr(s"${sparkNorm("va")}"))
       .localCheckpoint(true)
     val first = v.agg(min(col("vec_id"))).as[Long].head()
     val chosen = scala.collection.mutable.ArrayBuffer(first)
@@ -225,7 +225,7 @@ object Clustering {
       .mkString("\n")
     s"""WITH v0 AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
        |  FROM embeddings),
-       |v AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS vn FROM v0),
+       |v AS (SELECT vec_id, va, ${duckNorm("va")} AS vn FROM v0),
        |seeds1 AS (SELECT vec_id, va, vn FROM v
        |  WHERE vec_id = (SELECT min(vec_id) FROM v)),
        |$rounds
@@ -235,7 +235,7 @@ object Clustering {
 
   private def kmeansOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -276,10 +276,10 @@ object Clustering {
   def clusterEval(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = vecs.select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val cvecs = centroids.select(col("cid"),
       col("embedding").cast("array<double>").as("cvec"))
     assignCells(c, cent)
@@ -296,7 +296,7 @@ object Clustering {
 
   private def clusterEvalOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -436,10 +436,10 @@ object Clustering {
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
     val q = queries.select(col("query_id"),
       col("embedding").cast("array<double>").as("qa"))
-      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
     val c = candidates.select(col("neighbor_id"),
       col("embedding").cast("array<double>").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     short.join(c, "neighbor_id")
@@ -454,7 +454,7 @@ object Clustering {
     s"""WITH $adcCtes,
        |sl AS (SELECT query_id, neighbor_id, adc_dist FROM r
        |  WHERE rn <= $RerankShortlist),
-       |vn AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v),
+       |vn AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |x AS (SELECT sl.query_id, sl.neighbor_id, sl.adc_dist,
        |    ${duckDot("q.va", "c.va")} / (q.nn * c.nn) AS cosine
        |  FROM sl JOIN vn q ON sl.query_id = q.vec_id
@@ -546,12 +546,12 @@ object Clustering {
         s""",
            |c$i AS (SELECT cid, list(cast(mean_fx as double)
            |    / cast($MeanFx as double) ORDER BY dim) AS ca FROM m$i GROUP BY cid),
-           |c${i}n AS (SELECT cid, ca, sqrt(${duckDot("ca", "ca")}) AS cn FROM c$i)""".stripMargin
+           |c${i}n AS (SELECT cid, ca, ${duckNorm("ca")} AS cn FROM c$i)""".stripMargin
       else ""
       step + assemble
     }.mkString(",\n")
     s"""WITH v AS (SELECT vec_id, $va AS va,
-       |    sqrt(${duckDot(va, va)}) AS vn FROM embeddings),
+       |    ${duckNorm(va)} AS vn FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
        |dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -591,10 +591,10 @@ object Clustering {
   def semDedup(vecs: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = vecs.select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     // cached: the assigned set feeds both sides of the in-cluster join
     val asg = assignCells(c, cent)
       .select(col("neighbor_id").as("vec_id"), col("cid"),
@@ -617,7 +617,7 @@ object Clustering {
 
   private def semDedupOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),

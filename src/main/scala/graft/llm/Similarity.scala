@@ -30,6 +30,24 @@ object Similarity {
   private[llm] def sparkDot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** The same fold in DuckDB: prepend 0.0 and list_reduce in index order. */
+  /** L2 norm with the ZERO-VECTOR GUARD: a zero embedding (real crawls
+    * deliver them — failed encoders emit all-zeros) must yield cosine 0
+    * against everything, not a DIVIDE_BY_ZERO that kills the stage
+    * under ANSI mode. `dot(x, zero) = 0` for every x, so mapping the
+    * zero norm to 1 makes every cosine involving a zero vector exactly
+    * 0 while leaving all other values bit-identical. Both engines carry
+    * the same guard so the oracle compare stays exact.
+    */
+  private[llm] def sparkNorm(x: String): String = {
+    val d = sparkDot(x, x)
+    s"(CASE WHEN $d = 0 THEN cast(1 as double) ELSE sqrt($d) END)"
+  }
+
+  private[llm] def duckNorm(x: String): String = {
+    val d = duckDot(x, x)
+    s"(CASE WHEN $d = 0 THEN cast(1 as double) ELSE sqrt($d) END)"
+  }
+
   private[llm] def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(cast(0 as double), " +
       s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
@@ -78,10 +96,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("query_id"), col("label"),
       col("embedding").as("qa"))
-      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
     val c = candidates.select(col("neighbor_id"),
       col("label").as("neg_label"), col("embedding").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val scored = broadcast(q)
       .join(c, col("label") =!= col("neg_label"))
       .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
@@ -141,10 +159,10 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS query_id, label,
        |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
        |  WHERE vec_id < $NumQueries),
-       |qn AS (SELECT query_id, label, qa, sqrt(${duckDot("qa", "qa")}) AS qn FROM q),
+       |qn AS (SELECT query_id, label, qa, ${duckNorm("qa")} AS qn FROM q),
        |c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
        |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
-       |cn AS (SELECT neighbor_id, neg_label, ca, sqrt(${duckDot("ca", "ca")}) AS cn
+       |cn AS (SELECT neighbor_id, neg_label, ca, ${duckNorm("ca")} AS cn
        |  FROM c),
        |p AS (SELECT query_id, neighbor_id, label, neg_label,
        |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
@@ -191,7 +209,7 @@ object Similarity {
       s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
     }.mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
-       |n AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v),
+       |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |k AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
@@ -256,7 +274,7 @@ object Similarity {
     val flips = (0 until NumPlanes).map(j => s"xor(bucket, ${1 << j})")
       .mkString("[bucket, ", ", ", "]")
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
-       |b AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn,
+       |b AS (SELECT vec_id, va, ${duckNorm("va")} AS nn,
        |    cast($bucketExpr as int) AS bucket FROM v),
        |qp AS (SELECT vec_id, va, nn, cast(unnest($flips) as int) AS bucket
        |  FROM b WHERE vec_id < $NumQueries),
@@ -289,10 +307,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("query_id"), col("label"),
       col("embedding").as("qa"))
-      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
     val c = candidates.select(col("neighbor_id"),
       col("label").as("clabel"), col("embedding").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(q)
@@ -317,10 +335,10 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS query_id, label,
        |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
        |  WHERE vec_id < $NumQueries),
-       |qn AS (SELECT query_id, label, qa, sqrt(${duckDot("qa", "qa")}) AS qn FROM q),
+       |qn AS (SELECT query_id, label, qa, ${duckNorm("qa")} AS qn FROM q),
        |c AS (SELECT vec_id AS neighbor_id, label AS clabel,
        |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
-       |cn AS (SELECT neighbor_id, clabel, ca, sqrt(${duckDot("ca", "ca")}) AS cn FROM c),
+       |cn AS (SELECT neighbor_id, clabel, ca, ${duckNorm("ca")} AS cn FROM c),
        |p AS (SELECT query_id, neighbor_id, label,
        |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
        |  FROM qn JOIN cn ON label = clabel AND query_id <> neighbor_id),
@@ -546,7 +564,7 @@ object Similarity {
       exact: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val e = vecs.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
+      .withColumn("nrm", expr(s"${sparkNorm("embedding")}"))
     if (exact) {
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na"))
@@ -598,7 +616,7 @@ object Similarity {
       s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
     }.mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
-       |n AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn FROM v),
+       |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |k AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id)
@@ -637,9 +655,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("query_id"), col("embedding").as("qa"))
-      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
     val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val joined =
@@ -658,10 +676,10 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS query_id,
        |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
        |  WHERE vec_id < $NumQueries),
-       |qn AS (SELECT query_id, qa, sqrt(${duckDot("qa", "qa")}) AS qn FROM q),
+       |qn AS (SELECT query_id, qa, ${duckNorm("qa")} AS qn FROM q),
        |c AS (SELECT vec_id AS neighbor_id,
        |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
-       |cn AS (SELECT neighbor_id, ca, sqrt(${duckDot("ca", "ca")}) AS cn FROM c),
+       |cn AS (SELECT neighbor_id, ca, ${duckNorm("ca")} AS cn FROM c),
        |p AS (SELECT query_id, neighbor_id,
        |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
        |  FROM qn, cn WHERE query_id <> neighbor_id),
@@ -710,9 +728,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     // Cell assignment: nearest centroid by cosine (tie -> lowest cid),
     // as a SHUFFLE-FREE narrow map: the centroid set is collected once
     // (small by contract — it was broadcast before) and inlined as an
@@ -727,7 +745,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
     val probes = queries.select(col("query_id"), col("embedding").as("qa"))
-      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", expr(s"${sparkDot("qa", "cemb")} / (qn * cnrm)"))
       .withColumn("prn", row_number().over(wProbe))
@@ -797,7 +815,7 @@ object Similarity {
 
   private def ivfOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -857,14 +875,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val assigned = assignCells(c, cent)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cid").asc)
     val probes = queries.select(col("query_id"), col("embedding").as("qa"))
-      .withColumn("qn", expr(s"sqrt(${sparkDot("qa", "qa")})"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", expr(s"${sparkDot("qa", "cemb")} / (qn * cnrm)"))
       .withColumn("prn", row_number().over(wProbe))
@@ -879,7 +897,7 @@ object Similarity {
 
   private def rangeSearchOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -915,9 +933,9 @@ object Similarity {
     val e = Catalog.t(s, d, "embeddings")
     val cent = e.filter(col("vec_id") % CentroidEvery === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
-      .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
     val occ = assignCells(c, cent)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
     val tot = occ.agg(sum(col("n_vecs")).as("total"),
@@ -931,7 +949,7 @@ object Similarity {
 
   private def ivfStatsOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -970,15 +988,15 @@ object Similarity {
       centroids: DataFrame, minCos: Double = SemIngestMinCos): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
-      .withColumn("cnrm", expr(s"sqrt(${sparkDot("cemb", "cemb")})"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
     val corpusCells = assignCells(
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
-        .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})")), cent)
+        .withColumn("cn", expr(s"${sparkNorm("ca")}")), cent)
       .select(col("cid"), col("neighbor_id").as("corpus_id"), col("ca"), col("cn"))
       .cache()
     val arrivingCells = assignCells(
       arriving.select(col("vec_id").as("neighbor_id"), col("embedding").as("ca"))
-        .withColumn("cn", expr(s"sqrt(${sparkDot("ca", "ca")})")), cent)
+        .withColumn("cn", expr(s"${sparkNorm("ca")}")), cent)
       .select(col("cid"), col("neighbor_id").as("batch_id"),
         col("ca").as("ba"), col("cn").as("bn"))
     arrivingCells.join(corpusCells, "cid")
@@ -1000,7 +1018,7 @@ object Similarity {
 
   private[graft] def streamingSemanticOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
-       |    sqrt(${duckDot("cast(embedding AS DOUBLE[])", "cast(embedding AS DOUBLE[])")}) AS vn
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
        |  FROM embeddings),
        |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
        |  WHERE vec_id % $CentroidEvery = 0),
@@ -1045,7 +1063,7 @@ object Similarity {
       s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
     df.withColumn("bucket", expr(s"cast($bucketExpr as int)"))
-      .withColumn("nrm", expr(s"sqrt(${sparkDot("embedding", "embedding")})"))
+      .withColumn("nrm", expr(s"${sparkNorm("embedding")}"))
   }
 
   /** Public API: LSH-bucketed approximate nearest neighbors — the scale
@@ -1083,7 +1101,7 @@ object Similarity {
       s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
-       |b AS (SELECT vec_id, va, sqrt(${duckDot("va", "va")}) AS nn,
+       |b AS (SELECT vec_id, va, ${duckNorm("va")} AS nn,
        |    cast($bucketExpr as int) AS bucket FROM v),
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${duckDot("q.va", "c.va")} / (q.nn * c.nn) AS cosine
