@@ -619,8 +619,10 @@ object StreamingQueries {
       "st20_stream_anomaly_gate",
       Some("""WITH e AS (SELECT event_type,
              |    cast(round(value * 100) as bigint) AS v FROM events),
-             |p AS (SELECT event_type, count(*) AS n, sum(v) AS s,
-             |    sum(v * v) AS sxx FROM e GROUP BY event_type),
+             |p AS (SELECT event_type, count(*) AS n,
+             |    sum(cast(v as hugeint)) AS s,
+             |    sum(cast(v as hugeint) * cast(v as hugeint)) AS sxx
+             |  FROM e GROUP BY event_type),
              |f AS (SELECT e.event_type, v,
              |    cast(s as double) / cast(n as double) AS m,
              |    sqrt((cast(n as double) * cast(sxx as double)
@@ -636,8 +638,15 @@ object StreamingQueries {
           .select(col("event_type"),
             expr("cast(round(value * 100) as bigint)").as("v"))
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-            sum(expr("v * v")).as("sxx"))
+          // 128-bit exact moments (decimal(38) ≙ the oracle's HUGEINT):
+          // bigint v*v overflows at |value| > ~3e7, and one extreme
+          // event must not abort the profile job. Exact and
+          // order-independent either way, so the derived doubles stay
+          // bit-identical cross-engine.
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(v as decimal(20, 0))")).as("s"),
+            sum(expr("cast(v as decimal(19, 0)) * cast(v as decimal(19, 0))"))
+              .as("sxx"))
           .select(col("event_type"),
             expr("cast(s as double) / cast(n as double)").as("m"),
             expr("""sqrt((cast(n as double) * cast(sxx as double)

@@ -107,7 +107,11 @@ class RobustnessSpec extends AnyFunSuite {
     "m01_multimodal_meta", "m02_multimodal_decode", "m05_media_shards",
     "m07_shard_integrity",
     // events surface
-    "q20_events_agg", "q53_window_distinct", "q54_streaks")
+    "q20_events_agg", "q53_window_distinct", "q54_streaks",
+    // streaming ingest gates (stream the same adversarial tables)
+    "st16_stream_minhash_ingest", "st17_stream_semantic_ingest",
+    "st18_stream_simhash_ingest", "st19_stream_quality_gate",
+    "st20_stream_anomaly_gate")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
