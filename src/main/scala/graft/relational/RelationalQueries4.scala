@@ -214,6 +214,37 @@ object RelationalQueries4 {
         discMedian(dev, "d100", "mad100")
           .select(col("l_returnflag"),
             (col("mad100").cast("double") / 100).as("mad"))
+      }),
+
+    // -------------------------------- IGNORE NULLS window navigation
+    // The forward-fill navigation family: per customer in order-date
+    // order, the FIRST big (>200k) order so far, the MOST RECENT big
+    // order so far (last_value IGNORE NULLS = the classic forward-fill
+    // idiom), and the SECOND big order so far (nth_value). One shuffle,
+    // one window; running frame, full tie-break order.
+    QueryDef(
+      "q56_ignore_nulls",
+      Some("""SELECT o_orderkey, o_custkey,
+             |  first_value(CASE WHEN o_totalprice > 200000 THEN o_orderkey END
+             |    IGNORE NULLS) OVER w AS first_big,
+             |  last_value(CASE WHEN o_totalprice > 200000 THEN o_orderkey END
+             |    IGNORE NULLS) OVER w AS latest_big,
+             |  nth_value(CASE WHEN o_totalprice > 200000 THEN o_orderkey END, 2
+             |    IGNORE NULLS) OVER w AS second_big
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val big = when(col("o_totalprice") > 200000, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(big, ignoreNulls = true).over(w).as("first_big"),
+            last(big, ignoreNulls = true).over(w).as("latest_big"),
+            nth_value(big, 2, ignoreNulls = true).over(w).as("second_big"))
       })
   )
 }

@@ -979,6 +979,76 @@ object StateQueries {
     // StringValue (len+1 prefix, 7-bit chars; 1+len for ASCII) + 1-byte
     // VoidNamespace; long value = 8 bytes; string value = 1+len — so
     // the byte LAYOUT itself (C2/C5/C11) is hash-gated, not just the
+    // Savepoint INVENTORY (sp29): the first query an operator runs
+    // against an unfamiliar snapshot — "what is in here": every state
+    // with its kind, declared serializers, namespace, TTL flag,
+    // compression, and max-parallelism from the METADATA (driver-side,
+    // no job — exactly how the reference surfaces Savepoint/
+    // OperatorState/StateMetaInfoSnapshot), joined with the per-state
+    // row count from ONE distributed raw scan. The oracle re-derives
+    // each declared fact and row count from the source relations the
+    // states were built from.
+    QueryDef(
+      "sp29_state_inventory",
+      Some("""SELECT 'Cents' AS state, 'value' AS kind,
+             |  'long' AS value_codec, '-' AS map_key_codec,
+             |  true AS compression, 128 AS max_par,
+             |  (SELECT count(*) FROM customer) AS n_rows
+             |UNION ALL
+             |SELECT 'Quantities', 'list', 'list<double>', '-', true, 128,
+             |  (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+             |UNION ALL
+             |SELECT 'StatusCounts', 'map', 'long', 'string', true, 128,
+             |  (SELECT count(*) FROM
+             |    (SELECT DISTINCT o_custkey, o_orderstatus FROM orders))""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val lc = ListCodec(DoubleCodec)
+        val cents = Catalog.t(s, d, "customer")
+          .select(col("c_custkey"),
+            expr("cast(round(c_acctbal * 100) as bigint)").as("v"))
+          .as[(Long, Long)]
+        val lists = Catalog.t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_list(col("l_quantity")).as("qs"))
+          .as[(Long, Seq[Double])]
+          .map { case (k, qs) =>
+            StateQueries.listRow("Quantities", k, lc.toBytes(qs.toList), maxPar)
+          }
+        val maps = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"))
+          .as[(Long, String, Long)]
+          .map { case (k, status, cnt) =>
+            StateQueries.mapRow("StatusCounts", k, status, cnt, maxPar)
+          }
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("inv-op", 4, maxPar), "inv-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Cents", cents, LongCodec)
+          .defineState(StateMeta("Quantities", StateKind.List, "list<double>"))
+          .addKeyedStateRows(lists)
+          .defineState(StateMeta("StatusCounts", StateKind.Map, "long", Some("string")))
+          .addKeyedStateRows(maps)
+          .writeAll(tmp("graft-sp29"))
+        val loaded = Savepoints.load(meta.basePath)
+        val op = loaded.operators.find(_.uid == "inv-op").get
+        val kindName = Map(StateKind.Value -> "value",
+          StateKind.List -> "list", StateKind.Map -> "map")
+        val metaDf = op.states.map { st =>
+          (st.name, kindName(st.kind), st.valueCodecId,
+            st.mapKeyCodecId.getOrElse("-"), op.compression,
+            op.maxParallelism)
+        }.toDF("state", "kind", "value_codec", "map_key_codec",
+          "compression", "max_par")
+        val counts = Savepoints.reader(s, loaded, "inv-op")
+          .getAllUnreadKeyedStateRows
+          .groupBy(col("stateName").as("state"))
+          .agg(count(lit(1)).as("n_rows"))
+        metaDf.join(counts, Seq("state"))
+      }),
+
     // decoded content.
     QueryDef(
       "sp12_state_sizes",

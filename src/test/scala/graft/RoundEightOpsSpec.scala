@@ -159,6 +159,30 @@ class RoundEightOpsSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("q56 IGNORE NULLS navigation matches a plain-Scala forward-fill") {
+    val got = run("q56_ignore_nulls").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    val orders = Catalog.t(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), // o_orderdate reads as TIMESTAMP_NTZ
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getLong(2), r.getDouble(3)))
+    val exp = orders.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      sorted.zipWithIndex.map { case ((_, _, key, _), i) =>
+        val bigsSoFar = sorted.take(i + 1)
+          .filter(_._4 > 200000).map(_._3)
+        key -> ((bigsSoFar.headOption, bigsSoFar.lastOption,
+          bigsSoFar.drop(1).headOption))
+      }
+    }.toMap
+    assert(got === exp)
+  }
+
   // ----------------------------------------- text t26–t28 references
 
   test("t26 readability counts match java.util.regex references") {

@@ -253,4 +253,46 @@ class StreamingMatrixSpec extends AnyFunSuite {
         sum(expr("graft_polyhash32(text)")).as("text_hash")))
     assert(stream == batch && stream.map(_.head) == Set("en", "de"))
   }
+
+  test("st19 streaming quality gate matches the scorer replayed by hand " +
+    "on the fixture docs") {
+    import graft.llm.TextExprs.stopwords
+    val en = stopwords.toMap.apply("en").toSet
+    // replay the fixture generator's texts (same rules as `dir` above)
+    def text(i: Long): String =
+      if (i == 1L || i == 5L) "alpha beta gamma delta epsilon zeta eta theta"
+      else s"doc $i words " + (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+    val exp = (1L to 10L).map { i =>
+      val w = text(i).split(" ", -1)
+      val score = (w.count(en.contains).toDouble / math.max(w.length, 1)) * 0.5 +
+        math.min(w.length.toDouble / 100, 1.0) * 0.5
+      val kept = score >= 0.35 && w.length >= 5 && w.length <= 2000
+      val lang = if (i % 2 == 0) "de" else "en"
+      (lang, kept, w.length.toLong)
+    }.groupBy(t => (t._1, t._2)).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._3).sum))
+    }
+    val got = run("st19_stream_quality_gate").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === exp)
+  }
+
+  test("st20 streaming anomaly gate matches the profile replayed by hand " +
+    "on the fixture events") {
+    // per-type integer moments from the 13-event list at the top
+    val byType = events.groupBy(_._4).map { case (t, evs) =>
+      val v = evs.map(e => math.round(e._5 * 100))
+      val n = v.size.toDouble
+      val s0 = v.sum.toDouble
+      val sxx = v.map(x => x * x).sum.toDouble
+      val m = s0 / n
+      val sd = math.sqrt((n * sxx - s0 * s0) / (n * (n - 1)))
+      val anomalies = v.count(x => math.abs(x - m) > 2 * sd)
+      t -> ((v.size.toLong, anomalies.toLong))
+    }
+    val got = run("st20_stream_anomaly_gate").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === byType)
+  }
 }
