@@ -187,6 +187,8 @@ object Clustering {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
       .withColumn("vn", expr(s"${sparkNorm("va")}"))
       .localCheckpoint(true)
+    require(!v.isEmpty,
+      "k-means++ seeding needs a non-empty vector set (got 0 vectors)")
     val first = v.agg(min(col("vec_id"))).as[Long].head()
     val chosen = scala.collection.mutable.ArrayBuffer(first)
     while (chosen.size < k) {

@@ -630,10 +630,17 @@ object Dedup {
     // true dups + ~1% false positives — pay the join. At 100 TB the
     // steady-state batch is mostly novel, so this drops nearly the
     // whole batch out of the shuffle.
+    // empty corpus: every batch row is a definite miss (a bloom built
+    // over zero rows has null bits and NPEs on probe) — short-circuit
+    // so day-one ingest against an empty lake just works
+    val fb = fp(batch)
+    if (nFp == 0L) {
+      return fb.select(col("doc_id"), col("fingerprint"),
+        lit(false).as("dup_in_corpus"), lit(null).cast("long").as("corpus_id"))
+    }
     val bf = idx.stat.bloomFilter("fingerprint", math.max(nFp, 1L), 0.01)
     val bc = batch.sparkSession.sparkContext.broadcast(bf)
     val might = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val fb = fp(batch)
     val joined = fb.filter(might(col("fingerprint")))
       .join(idx, Seq("fingerprint"), "left")
       .select(col("doc_id"), col("fingerprint"),

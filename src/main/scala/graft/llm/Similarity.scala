@@ -781,6 +781,12 @@ object Similarity {
     // count BEFORE collecting: a large centroid set must never land on
     // the driver just to discover it takes the fallback path
     val nCent = cent.count()
+    // loud contract: zero centroids would inline an untyped empty array
+    // literal and die with an inscrutable analysis error deep in the
+    // fold — fail at the API boundary instead (empty MODEL is a caller
+    // bug; empty DATA through a non-empty model is fine and tested)
+    require(nCent > 0,
+      "cell assignment needs a non-empty centroid set (got 0 centroids)")
     if (nCent <= MaxInlineCentroids) {
       val centRows = cent.select(col("cid").cast("long"),
         col("cemb").cast("array<double>"), col("cnrm")).collect()

@@ -62,12 +62,20 @@ object ScaleOps {
       smallKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
-      .join(small, big(bigKey) === small(smallKey))
+    // an EMPTY build side yields a bloom with null bits whose
+    // mightContain NPEs — and an empty small side means an empty inner
+    // join, so skip the filter entirely (one cheap isEmpty probe). An
+    // empty partition/day/shard must not abort the join job.
+    if (small.isEmpty) {
+      big.join(small, big(bigKey) === small(smallKey))
+    } else {
+      val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      val bc = big.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((k: java.lang.Long) =>
+        k != null && bc.value.mightContainLong(k))
+      big.filter(mightContain(col(bigKey)))
+        .join(small, big(bigKey) === small(smallKey))
+    }
   }
 
   /** Exact global running total of `valueCol` in `order` order WITHOUT a

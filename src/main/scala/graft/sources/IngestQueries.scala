@@ -243,11 +243,14 @@ object IngestQueries {
              |GROUP BY lang, source""".stripMargin),
       (s, d) => {
         val out = tmp("graft-i03")
-        Catalog.t(s, d, "documents")
-          .write.mode("overwrite").partitionBy("lang").parquet(out)
+        val docs = Catalog.t(s, d, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
         // Pruned read: only the lang=en / lang=de directories are opened
-        // (PartitionFilters; IngestSpec asserts the pruned scan).
-        s.read.parquet(out)
+        // (PartitionFilters; IngestSpec asserts the pruned scan). The
+        // schema is EXPLICIT — same stance as the JSONL reader: an empty
+        // lake (a day with no data) has no files to infer from, and a
+        // 100 TB lake shouldn't pay a footer-sampling pass anyway.
+        s.read.schema(docs.schema).parquet(out)
           .filter(col("lang").isin("en", "de"))
           .groupBy("lang", "source")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))

@@ -228,11 +228,27 @@ final class OperatorStateWriter(
                   outDialect, metaBytes))
           }(Encoders.product[HandleRow])
           .collect() // handles only — never rows (SURVEY §7.4 #7)
+        // Subtasks whose key-group range held NO rows never appear in
+        // the grouped job — but Flink writes one keyed stream per
+        // subtask regardless (the proxy header alone), and an operator
+        // written with zero rows must still round-trip (its serializer
+        // info lives ONLY in those per-file proxies). Fill the gaps
+        // driver-side with empty-iterator encodes: cheap (header-only
+        // files) and layout-faithful.
+        val present = handles.map(_.subtaskIndex).toSet
+        val fill = (0 until par).filterNot(present).map { opIndex =>
+          if (useRocks)
+            OperatorStateWriter.encodeSubtaskRocks(
+              outAbs, opId, opIndex, par, maxPar, Iterator.empty, stateNames)
+          else OperatorStateWriter.encodeSubtask(
+            outAbs, opId, opIndex, par, maxPar, compression,
+            Iterator.empty, outDialect, metaBytes)
+        }
         val kind =
           if (useRocks) KeyedFileHandle.RocksDbKind
           else if (outDialect == Dialect.Flink) KeyedFileHandle.FlinkStreamKind
           else KeyedFileHandle.StreamKind
-        handles.map(h => KeyedFileHandle(h.subtaskIndex, h.relativePath,
+        (handles ++ fill).map(h => KeyedFileHandle(h.subtaskIndex, h.relativePath,
           h.kgStart, h.kgEnd, h.offsets, kind)).toSeq.sortBy(_.subtaskIndex)
     }
 

@@ -339,11 +339,13 @@ object StateQueries {
         import s.implicits._
         val keys = Catalog.t(s, d, "supplier")
           .select(col("s_suppkey")).as[Long].collect().toSeq.sorted
-        val halves = keys.grouped((keys.size + 1) / 2).toSeq
+        // max(...,1): grouped(0) throws — an empty source table must
+        // still produce a valid (empty) list state per subtask
+        val halves = keys.grouped(math.max((keys.size + 1) / 2, 1)).toSeq
         val meta1 = Savepoints
           .writer(s, Savepoints.bootstrap("un-op", 2, 128), "un-op")
           .transformNonKeyedState((i, b) =>
-            BackendStates.withListState(b, "ids", halves(i),
+            BackendStates.withListState(b, "ids", halves.lift(i).getOrElse(Seq.empty),
               mode = graft.core.meta.ListStateMode.Union)(LongCodec))
           .writeAll(tmp("graft-sp21a"))
         val meta2 = Savepoints
@@ -366,11 +368,14 @@ object StateQueries {
         import s.implicits._
         val keys = Catalog.t(s, d, "supplier")
           .select(col("s_suppkey")).as[Long].collect().toSeq.sorted
-        val halves = keys.grouped((keys.size + 1) / 2).toSeq
+        // max(...,1): grouped(0) throws — an empty source table must
+        // still produce a valid (empty) list state per subtask
+        val halves = keys.grouped(math.max((keys.size + 1) / 2, 1)).toSeq
         val meta1 = Savepoints
           .writer(s, Savepoints.bootstrap("sd-op", 2, 128), "sd-op")
           .transformNonKeyedState((i, b) =>
-            BackendStates.withListState(b, "ids", halves(i))(LongCodec))
+            BackendStates.withListState(b, "ids",
+              halves.lift(i).getOrElse(Seq.empty))(LongCodec))
           .writeAll(tmp("graft-sp22a"))
         val meta2 = Savepoints
           .writer(s, Savepoints.load(meta1.basePath), "sd-op")

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Empty-input contract: at 100 TB an empty shard / day / partition is
+  * routine, not exceptional. Every operator must either succeed with a
+  * well-defined (usually empty) result, or refuse with an EXPLICIT
+  * contract message at the API boundary. What is never acceptable is an
+  * inscrutable crash from deep inside a plan (null bloom buf, untyped
+  * empty array literal, grouped(0)) — those are exactly the failures
+  * this spec's fixture exposed, all fixed at the operator level:
+  * bloom pre-drop paths short-circuit an empty build side, the lake
+  * re-read pins its schema, the savepoint writer emits header-only
+  * files for row-less subtasks (serializer info must survive an empty
+  * write — Flink layout parity), and the model-building ops
+  * (centroids/codebooks/seeds) `require` non-empty models loudly.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** All 10 driver tables, zero rows each, schemas copied from sf0.001. */
+  private lazy val dir: String = {
+    val d = TempDirs.create("graft-emptyfix")
+    Catalog.tableNames.foreach { t =>
+      val src = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-empty-part")
+      src.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file for $t"))
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(d, s"$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    d
+  }
+
+  /** The queries the empty sweep originally crashed with obscure
+    * errors — each must now complete (an empty savepoint round-trips,
+    * an empty lake reads back, an empty corpus blooms to "no dups").
+    */
+  private val mustSucceed = Seq(
+    "q42_bloom_join", "i03_partitioned_lake",
+    "d17_incremental_dedup", "d20_ingest_report", "st12_stream_ingest_dedup",
+    "sp06_flink_roundtrip", "sp09_rescale", "sp21_union_state",
+    "sp22_split_list_state", "sp23_raw_state_passthrough", "sp24_timer_state",
+    "sp25_native_rocksdb_write", "sp26_incremental_update",
+    "sp27_checkpoint_gc", "sp28_v4_finished_metadata",
+    "st08_bootstrap_from_savepoint",
+    // representatives of the families that always worked on empty
+    "q01_pricing_summary", "q53_window_distinct", "t01_lang_id",
+    "d02_minhash_lsh", "g01_pagerank", "p17_dataset_card",
+    "m07_shard_integrity", "st19_stream_quality_gate")
+
+  /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
+    * a caller bug and must refuse with the documented message — not a
+    * deep analysis error.
+    */
+  private val mustRefuse = Map(
+    "s03_ann_ivf" -> "non-empty centroid set",
+    "s13_range_search" -> "non-empty centroid set",
+    "s14_ivf_stats" -> "non-empty centroid set",
+    "c01_kmeans_step" -> "non-empty centroid set",
+    "c03_cluster_eval" -> "non-empty centroid set",
+    "c05_silhouette" -> "non-empty centroid set",
+    "d13_semdedup" -> "non-empty centroid set",
+    "c04_kmeanspp_seed" -> "non-empty vector set",
+    "s06_pq_encode" -> "non-empty codebook",
+    "s07_ivf_pq_adc" -> "non-empty codebook")
+
+  test("operators complete on fully-empty tables (empty shard/day is " +
+    "routine, not exceptional)") {
+    val failures = mustSucceed.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries died on empty input:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("model-building ops refuse an empty model with the documented " +
+    "contract message") {
+    mustRefuse.foreach { case (name, needle) =>
+      val e = intercept[Exception] {
+        SparkEntry.queries(name)(spark, dir).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains(needle)),
+        s"$name should refuse with '$needle', got: ${e.getMessage}")
+    }
+  }
+}
