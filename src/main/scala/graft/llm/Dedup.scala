@@ -93,6 +93,8 @@ object Dedup {
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
     QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
     QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
+    QueryDef("g07_degree_profile", Some(degreeProfileOracle),
+      degreeProfileSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1317,6 +1319,44 @@ object Dedup {
        |  cast(cn as double) / cast(da.deg + db.deg - cn as double) AS jaccard
        |FROM pred JOIN deg da ON pred.u = da.node
        |JOIN deg db ON pred.w = db.node""".stripMargin
+
+  // ------------------------------------- degree profile (g07)
+
+  /** Global structure summary of the FULL near-dup graph (default
+    * hamming cut, same edge set as d08's components): how many nodes
+    * participate, how dense, and whether high-degree docs attach to
+    * other high-degree docs (assortativity > 0 — template families
+    * forming cliques) or to low-degree satellites (< 0 — hub-and-spoke
+    * boilerplate). The one-row health check a curation run reads before
+    * deciding which dedup strategy the corpus needs. Algorithm in
+    * [[GraphAlgs.degreeProfile]].
+    */
+  private def degreeProfileSpark(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = nearDupGraph(s, d)
+    GraphAlgs.degreeProfile(edges)
+  }
+
+  private def degreeProfileOracle: String =
+    s"""WITH ${edgeCtes()},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |ds AS (SELECT cast(count(*) as bigint) AS n_nodes,
+       |    cast(max(deg) as bigint) AS max_degree,
+       |    cast(sum(deg) as bigint) AS sum_deg FROM deg),
+       |pr AS (SELECT a.deg AS dx, b.deg AS dy FROM e
+       |  JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node),
+       |mo AS (SELECT cast(count(*) as bigint) AS n,
+       |    cast(sum(dx) as bigint) AS sx, cast(sum(dy) as bigint) AS sy,
+       |    cast(sum(dx*dy) as bigint) AS sxy,
+       |    cast(sum(dx*dx) as bigint) AS sxx,
+       |    cast(sum(dy*dy) as bigint) AS syy FROM pr)
+       |SELECT n_nodes, sum_deg // 2 AS n_edges, max_degree,
+       |  cast(sum_deg as double) / cast(n_nodes as double) AS mean_degree,
+       |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+       |    THEN cast(0 as double)
+       |    ELSE cast(n*sxy - sx*sy as double)
+       |      / (sqrt(cast(n*sxx - sx*sx as double))
+       |         * sqrt(cast(n*syy - sy*sy as double))) END AS assortativity
+       |FROM ds, mo""".stripMargin
 
   /** CTE chain through `walk` — shared by the d08 components oracle and
     * the d10 cluster-keep-best oracle (both prefix `WITH RECURSIVE`).

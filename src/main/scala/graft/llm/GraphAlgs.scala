@@ -378,4 +378,55 @@ object GraphAlgs {
     e.unpersist()
     out
   }
+
+  /** Global degree profile of an undirected graph: node/edge counts,
+    * max and mean degree, and degree assortativity (Pearson correlation
+    * of endpoint degrees over the directed edge list — Newman 2002).
+    * Returns ONE row `(n_nodes, n_edges, max_degree, mean_degree,
+    * assortativity)`.
+    *
+    * All moments (Σdx, Σdxdy, Σdx², …) accumulate as exact int64 — the
+    * magnitudes are bounded by n·maxdeg² which stays far under 2^53 for
+    * any graph whose edge list fits a cluster — so the correlation is
+    * reproducible regardless of partial-aggregation order; the only
+    * floating-point steps are the final two sqrt/divides. A regular
+    * graph (zero degree variance) reports assortativity 0 by
+    * convention rather than 0/0.
+    *
+    * Scale: one shuffle to build degrees, one broadcast-sized join back
+    * onto the partitioned edge list (degree tables are |V| rows, tiny
+    * relative to |E|), then a single-row global aggregate — map-side
+    * partials do almost all the work.
+    */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val p = shufflePartitions(edges)
+    val e = undirected(edges, p)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"),
+      sum(col("deg")).as("sum_deg"))
+    val moments = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val out = nodeStats.crossJoin(moments).select(
+      col("n_nodes"),
+      expr("sum_deg div 2").as("n_edges"),
+      col("max_degree"),
+      expr("cast(sum_deg as double) / cast(n_nodes as double)")
+        .as("mean_degree"),
+      expr("""CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+             |  THEN cast(0 as double)
+             |  ELSE cast(n*sxy - sx*sy as double)
+             |    / (sqrt(cast(n*sxx - sx*sx as double))
+             |       * sqrt(cast(n*syy - sy*sy as double))) END""".stripMargin)
+        .as("assortativity"))
+    e.unpersist()
+    out
+  }
 }

@@ -572,8 +572,53 @@ object Pipeline {
           .crossJoin(broadcast(nSrc))
           .select(col("doc_id"), col("source"),
             expr("cast(rk * n_src + src_idx as bigint)").as("position"))
-      })
+      }),
+
+    // ------------------------------- padding efficiency report (p20)
+    // Length-bucketed batching: docs group into next-power-of-two token
+    // buckets (floor 16 — the minimum sequence length a trainer pads
+    // to), batches of 32 sequences assemble within a bucket, and every
+    // slot pads to the bucket cap. The report says what fraction of the
+    // padded token grid is real data per bucket — the number that
+    // decides whether to add bucket boundaries or re-chunk. Next-pow2
+    // runs on binary-string length (exact integers, no libm boundary
+    // risk at powers of two — p16's idiom); one narrow map + one
+    // bucket-count-sized aggregate, no window anywhere.
+    QueryDef(
+      "p20_padding_efficiency",
+      Some(s"""WITH t AS (SELECT len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |b AS (SELECT n, greatest(16,
+             |    cast(power(2, length(bin(n - 1))) as bigint)) AS cap FROM t),
+             |g AS (SELECT cap, count(*) AS n_docs,
+             |    cast(sum(n) as bigint) AS tok_sum FROM b GROUP BY cap)
+             |SELECT cap AS bucket_cap, cast(n_docs as bigint) AS n_docs,
+             |  tok_sum,
+             |  cast((n_docs + $PadBatch - 1) // $PadBatch as bigint) AS n_batches,
+             |  cast(((n_docs + $PadBatch - 1) // $PadBatch) * $PadBatch * cap
+             |    as bigint) AS padded_tokens,
+             |  cast(tok_sum * 1000000
+             |    // (((n_docs + $PadBatch - 1) // $PadBatch) * $PadBatch * cap)
+             |    as bigint) AS efficiency_fx
+             |FROM g""".stripMargin),
+      (s, d) => Catalog.t(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("cap",
+          expr("greatest(16L, cast(pow(2, length(bin(n - 1))) as bigint))"))
+        .groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_sum"))
+        .select(col("cap").as("bucket_cap"), col("n_docs"), col("tok_sum"),
+          expr(s"cast((n_docs + $PadBatch - 1) div $PadBatch as bigint)")
+            .as("n_batches"),
+          expr(s"cast(((n_docs + $PadBatch - 1) div $PadBatch) * $PadBatch" +
+            " * cap as bigint)").as("padded_tokens"),
+          expr(s"cast(tok_sum * 1000000 div (((n_docs + $PadBatch - 1)" +
+            s" div $PadBatch) * $PadBatch * cap) as bigint)")
+            .as("efficiency_fx")))
   )
+
+  /** p20 batch size (sequences per padded batch). */
+  private val PadBatch = 32
 
   private val ShuffleEpochs = 2
   private val SampleN = 100

@@ -74,7 +74,8 @@ object Similarity {
     }),
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark),
     QueryDef("s13_range_search", Some(rangeSearchOracle), rangeSearchSpark),
-    QueryDef("s14_ivf_stats", Some(ivfStatsOracle), ivfStatsSpark)
+    QueryDef("s14_ivf_stats", Some(ivfStatsOracle), ivfStatsSpark),
+    QueryDef("s15_binary_ann", Some(binaryAnnOracle), binaryAnnSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -669,6 +670,94 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "cosine", "rn")
   }
+
+  // -------------------------------------------- binary-sign ANN (s15)
+
+  /** Shortlist width for the hamming pass (then exact-cosine rerank). */
+  private val BinShortlist = 20
+
+  private def binaryAnnSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    binaryAnn(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      TopK, BinShortlist)
+  }
+
+  /** Public API: binary (sign-bit) quantized ANN. Every vector packs to
+    * ONE int64 code (bit i = dim-i sign), the shortlist pass ranks
+    * candidates by `bit_count(xor)` hamming distance — an 8-byte compare
+    * against a 256-byte float read, so the scan side shrinks 32× and the
+    * distance kernel is one xor+popcount — then the top `shortlist` per
+    * query rerank by exact cosine. The coarsest, cheapest member of the
+    * quantization family (vs s05 int8 / s06 PQ): the one a 100 TB
+    * first-pass retrieval runs entirely from memory.
+    *
+    * Ties break on neighbor_id at both stages, so results are exact and
+    * engine-independent; the zero-vector norm guard carries through the
+    * rerank like every cosine path here.
+    */
+  def binaryAnn(queries: DataFrame, candidates: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    // bits pack from the first min(dim, 64) components (one int64 code;
+    // wider embeddings would pack to ceil(dim/64) words — the gate data
+    // is exactly 64-dim)
+    // (the empty-array guard matters: sequence(0, -1) DESCENDS in Spark)
+    def code(c: String): String =
+      s"IF(size($c) = 0, cast(0 as bigint), " +
+        s"aggregate(sequence(0, least(size($c), 64) - 1), cast(0 as bigint), " +
+        s"(acc, i) -> acc | IF(element_at($c, i + 1) > 0, " +
+        s"shiftleft(cast(1 as bigint), i), cast(0 as bigint))))"
+    val q = queries.select(col("query_id"), col("embedding").as("qa"))
+      .withColumn("qcode", expr(code("qa")))
+      .withColumn("qn", expr(sparkNorm("qa")))
+    val c = candidates.select(col("neighbor_id"), col("embedding").as("ca"))
+      .withColumn("ccode", expr(code("ca")))
+      .withColumn("cn", expr(sparkNorm("ca")))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr("bit_count(qcode ^ ccode)"))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= shortlist)
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cosine"), col("rn"))
+  }
+
+  /** Oracle: hamming as the COUNT OF SIGN DISAGREEMENTS — mathematically
+    * identical to popcount(xor(packed codes)) without leaning on the
+    * dialect's int64 shift-overflow behavior at bit 63.
+    */
+  private def binaryAnnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |qn AS (SELECT query_id, qa, ${duckNorm("qa")} AS qn FROM q),
+       |c AS (SELECT vec_id AS neighbor_id,
+       |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings),
+       |cn AS (SELECT neighbor_id, ca, ${duckNorm("ca")} AS cn FROM c),
+       |h AS (SELECT query_id, neighbor_id, qa, ca, qn, cn,
+       |    cast(len(list_filter(range(1, 65),
+       |      i -> (qa[i] > 0) <> (ca[i] > 0))) as int) AS hamming
+       |  FROM qn, cn WHERE query_id <> neighbor_id),
+       |sh AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY hamming ASC, neighbor_id ASC) AS rh FROM h),
+       |re AS (SELECT query_id, neighbor_id, hamming,
+       |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
+       |  FROM sh WHERE rh <= $BinShortlist),
+       |r AS (SELECT query_id, neighbor_id, hamming, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM re)
+       |SELECT query_id, neighbor_id, hamming, cosine, rn
+       |FROM r WHERE rn <= $TopK""".stripMargin
 
   private def cosineOracle: String = cosineTopKOracle(TopK)
 

@@ -755,6 +755,42 @@ object TextAnalysis {
                    |  / (cast(n as double) * cast(sxx as double)
                    |    - cast(sx as double) * cast(sx as double))""".stripMargin)
               .as("slope"))
+      }),
+
+    // Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    // bag-of-words folded into a fixed 64-dim signed feature space —
+    // bucket from the shared polyhash, sign from an independent bit of
+    // the same hash so collisions cancel in expectation. Aggregated here
+    // per language (the hashed class prototype a lightweight classifier
+    // trains on); per-doc vectors are the same map without the rollup.
+    // Pure narrow explode + one map-side-combinable groupBy — the
+    // fixed-width representation needs no vocabulary broadcast at all,
+    // which is the whole point at 100 TB: no dictionary, no OOV, no
+    // driver state.
+    QueryDef(
+      "t30_feature_hashing",
+      Some {
+        val h = duckWordHash("x")
+        s"""WITH w AS (SELECT lang, unnest($duckWords) AS x FROM documents),
+           |b AS (SELECT lang, cast(($h) % $HashDim as int) AS bucket,
+           |    CASE WHEN (($h) // $HashDim) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+           |  FROM w)
+           |SELECT lang, bucket, cast(count(*) as bigint) AS n_tokens,
+           |  cast(sum(sgn) as bigint) AS net_weight
+           |FROM b GROUP BY lang, bucket""".stripMargin
+      },
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Catalog.t(s, d, "documents")
+          .withColumn("w", expr(sparkWords))
+          .select(col("lang"), explode(col("w")).as("x"))
+          .select(col("lang"),
+            expr(s"cast((graft_polyhash32(x)) % $HashDim as int)").as("bucket"),
+            expr(s"CASE WHEN ((graft_polyhash32(x)) div $HashDim) % 2 = 0" +
+              " THEN 1 ELSE -1 END").as("sgn"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("sgn")).cast("long").as("net_weight"))
       })
   )
 

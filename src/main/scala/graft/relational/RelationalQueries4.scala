@@ -245,6 +245,52 @@ object RelationalQueries4 {
             first(big, ignoreNulls = true).over(w).as("first_big"),
             last(big, ignoreNulls = true).over(w).as("latest_big"),
             nth_value(big, 2, ignoreNulls = true).over(w).as("second_big"))
+      }),
+
+    // ------------------------------------ time-weighted average (j04)
+    // The temporal-join family's aggregation counterpart: treat each
+    // (user, event_type) series as a step function — a reading holds
+    // until that user's next reading of the same type — and compute the
+    // time-weighted mean of `value` per event_type. The integral runs in
+    // exact integers (cents x held-milliseconds) so shuffle order cannot
+    // perturb it; the single double division happens once per group.
+    //
+    // Scale shape: the hold-duration window partitions by
+    // (user_id, event_type) — high cardinality, skew-free — NOT by the
+    // 5-value event_type domain; the per-type rollup is then an ordinary
+    // map-side-combinable keyed aggregate. Closing interval (last
+    // reading per series) has no duration and is excluded, the standard
+    // right-open convention.
+    QueryDef(
+      "j04_time_weighted_avg",
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ms,
+             |    cast(round(value * 100) as bigint) AS cents FROM events),
+             |h AS (SELECT event_type, cents, ms,
+             |    lead(ms) OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ms, event_id) AS nms FROM e)
+             |SELECT event_type,
+             |  cast(count(*) as bigint) AS n_holds,
+             |  cast(sum(nms - ms) as bigint) AS total_ms,
+             |  cast(sum(cents * (nms - ms)) as double)
+             |    / (100.0 * cast(sum(nms - ms) as double)) AS twa
+             |FROM h WHERE nms IS NOT NULL
+             |GROUP BY event_type""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ms"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_millis(col("ts")).as("ms"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .withColumn("nms", lead(col("ms"), 1).over(w))
+          .filter(col("nms").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_holds"),
+            sum(col("nms") - col("ms")).as("total_ms"),
+            (sum(col("cents") * (col("nms") - col("ms"))).cast("double")
+              / (lit(100.0) * sum(col("nms") - col("ms")).cast("double")))
+              .as("twa"))
       })
   )
 }
