@@ -292,7 +292,98 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_lines"),
             (sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
               .cast("double") / 100).as("revenue"))
+      }),
+
+    // Zone-map file skipping: lineitem laid out range-partitioned and
+    // sorted on ship time, a per-file (min, max) manifest built from
+    // PARQUET FOOTER STATISTICS ONLY (no data pages are read — the
+    // manifest costs one footer fetch per file), and a one-year
+    // predicate planned against the manifest so non-overlapping files
+    // are never opened. This is the high-cardinality counterpart to
+    // i03's directory pruning — the min/max skipping that Iceberg/Delta
+    // manifests and ORC/parquet row-group indexes all implement — and
+    // the layout primitive that turns a 100 TB time-range query into a
+    // handful-of-files read. The residual filter stays on the pruned
+    // scan (zone maps admit false positives at file edges, never false
+    // negatives). Manifest size is bounded by file count, the same
+    // contract as compaction's listing.
+    QueryDef(
+      "i09_zone_map_skipping",
+      Some(s"""WITH t AS (SELECT l_returnflag,
+             |    epoch_ms(cast(l_shipdate as timestamp)) AS ms,
+             |    cast(round(l_extendedprice * 100) as bigint) AS ep100
+             |  FROM lineitem)
+             |SELECT l_returnflag, count(*) AS n_rows,
+             |  cast(sum(ep100) as bigint) AS sum_ep100
+             |FROM t WHERE ms >= $ZmLo AND ms < $ZmHi
+             |GROUP BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val out = tmp("graft-i09")
+        Catalog.t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr("unix_millis(cast(l_shipdate as timestamp))").as("ms"),
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("ep100"))
+          .repartitionByRange(8, col("ms"))
+          .sortWithinPartitions(col("ms"))
+          .write.mode("overwrite").parquet(out)
+        val manifest = zoneMapManifest(s, out, "ms")
+        val kept = manifest.collect {
+          case (path, mn, mx) if mx >= ZmLo && mn < ZmHi => path
+        }
+        val schema = StructType(Seq(
+          StructField("l_returnflag", StringType),
+          StructField("ms", LongType), StructField("ep100", LongType)))
+        val pruned =
+          if (kept.isEmpty) s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else s.read.schema(schema).parquet(kept: _*)
+        pruned
+          .filter(col("ms") >= ZmLo && col("ms") < ZmHi)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), sum("ep100").as("sum_ep100"))
       }))
+
+  /** i09 predicate window: [1996-01-01, 1997-01-01) as epoch millis. */
+  private val ZmLo: Long =
+    java.time.LocalDate.of(1996, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+  private val ZmHi: Long =
+    java.time.LocalDate.of(1997, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+
+  /** Per-file (path, min, max) zone map for an int64 column, from
+    * parquet FOOTER metadata only — no row groups are decoded. Bounded
+    * by file count (the write parallelism), like compaction's listing;
+    * at lake scale this manifest is itself a table maintained
+    * incrementally at write time, but its construction cost per file is
+    * identical: one footer.
+    */
+  def zoneMapManifest(s: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try {
+          val stats = rd.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+          }
+          val mins = stats.map(_.genericGetMin.asInstanceOf[Long])
+          val maxs = stats.map(_.genericGetMax.asInstanceOf[Long])
+          (st.getPath.toString,
+            if (mins.isEmpty) Long.MaxValue else mins.min,
+            if (maxs.isEmpty) Long.MinValue else maxs.max)
+        } finally rd.close()
+      }
+  }
 
   /** The bucketed join relation of i08 without the final aggregate —
     * used by IngestSpec to pin the exchange-free plan shape. */

@@ -286,6 +286,36 @@ object StateMaintenance {
     SavepointGcReport(deleted.toSeq.sorted, retained.toSeq.sorted,
       skipped.toSeq.sorted)
   }
+
+  /** Rescale PLAN: before actually rescaling (sp09/sp18), the
+    * redistribution bill — for every (old subtask, new subtask) pair
+    * whose key-group ranges intersect, the shared [kg_lo, kg_hi] span,
+    * its group count, and whether those groups change owner. Both range
+    * endpoints come from Flink's closed-form assignment
+    * ([[graft.core.codec.KeyGroups.keyGroupRange]]), so the plan is
+    * pure integer arithmetic over parallelism x maxParallelism — no
+    * state is read. An operator-scheduling layer uses this to size the
+    * transfer (and to prefer new parallelisms that keep ranges aligned:
+    * divisors/multiples move nothing for the aligned spans).
+    */
+  def rescalePlan(spark: SparkSession, maxParallelism: Int,
+      oldParallelism: Int, newParallelism: Int): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      o <- 0 until oldParallelism
+      n <- 0 until newParallelism
+      (oLo, oHi) = graft.core.codec.KeyGroups
+        .keyGroupRange(maxParallelism, oldParallelism, o)
+      (nLo, nHi) = graft.core.codec.KeyGroups
+        .keyGroupRange(maxParallelism, newParallelism, n)
+      lo = math.max(oLo, nLo)
+      hi = math.min(oHi, nHi)
+      if lo <= hi
+    } yield (o.toLong, n.toLong, lo.toLong, hi.toLong,
+      (hi - lo + 1).toLong, o != n)
+    rows.toDF("old_subtask", "new_subtask", "kg_lo", "kg_hi",
+      "n_keygroups", "moves")
+  }
 }
 
 /** Shuffle row for [[StateMaintenance.incrementalUpdate]]'s one delta

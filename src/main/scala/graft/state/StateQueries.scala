@@ -1054,6 +1054,42 @@ object StateQueries {
         metaDf.join(counts, Seq("state"))
       }),
 
+    // Rescale plan: the redistribution bill of taking a real savepoint
+    // (written at parallelism 4, maxParallelism 128) to parallelism 6 —
+    // which key-group spans each new subtask pulls from each old one,
+    // and which spans change owner. Parallelism/maxParallelism come
+    // from the LOADED metadata (the plan is what an operator console
+    // shows before committing to the sp09 rewrite); the range
+    // arithmetic is Flink's closed-form assignment, which the oracle
+    // re-derives independently from integer division.
+    QueryDef(
+      "sp30_rescale_plan",
+      Some("""WITH o AS (SELECT unnest(range(0, 4)) AS old_subtask),
+             |n AS (SELECT unnest(range(0, 6)) AS new_subtask),
+             |r AS (SELECT old_subtask, new_subtask,
+             |    greatest((old_subtask * 128 + 3) // 4,
+             |             (new_subtask * 128 + 5) // 6) AS kg_lo,
+             |    least(((old_subtask + 1) * 128 - 1) // 4,
+             |          ((new_subtask + 1) * 128 - 1) // 6) AS kg_hi
+             |  FROM o, n)
+             |SELECT old_subtask, new_subtask, kg_lo, kg_hi,
+             |  kg_hi - kg_lo + 1 AS n_keygroups,
+             |  old_subtask <> new_subtask AS moves
+             |FROM r WHERE kg_lo <= kg_hi""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val meta = Savepoints
+          .writer(s, Savepoints.bootstrap("plan-op", 4, 128), "plan-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp30"))
+        val op = Savepoints.load(meta.basePath).operator("plan-op")
+        StateMaintenance.rescalePlan(s, op.maxParallelism,
+          op.parallelism, newParallelism = 6)
+      }),
+
     // decoded content.
     QueryDef(
       "sp12_state_sizes",

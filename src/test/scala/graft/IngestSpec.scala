@@ -91,4 +91,63 @@ class IngestSpec extends AnyFunSuite {
     val back = spark.read.schema(schema).json(dir)
     assert(back.filter(col("doc_id").isNotNull).count() === 10)
   }
+
+  test("i09 zone-map manifest comes from footers, prunes files, and the " +
+    "pruned read equals the full-scan filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zm").toString
+    val li = Catalog.t(spark, sf, "lineitem")
+      .select(expr("unix_millis(cast(l_shipdate as timestamp))").as("ms"),
+        col("l_orderkey"))
+    li.repartitionByRange(8, col("ms")).sortWithinPartitions(col("ms"))
+      .write.mode("overwrite").parquet(out)
+    val manifest = graft.sources.IngestQueries.zoneMapManifest(spark, out, "ms")
+    assert(manifest.size === 8)
+    // range layout: per-file spans are disjoint once sorted
+    val spans = manifest.map(m => (m._2, m._3)).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    // a one-year window must actually skip files on 7 years of data
+    val lo = java.time.LocalDate.of(1996, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val hi = java.time.LocalDate.of(1997, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val kept = manifest.collect {
+      case (p, mn, mx) if mx >= lo && mn < hi => p
+    }
+    assert(kept.nonEmpty && kept.size < manifest.size,
+      s"expected real pruning, kept ${kept.size}/${manifest.size}")
+    val schema = StructType(Seq(
+      StructField("ms", LongType), StructField("l_orderkey", LongType)))
+    val pruned = spark.read.schema(schema).parquet(kept: _*)
+      .filter(col("ms") >= lo && col("ms") < hi)
+      .agg(count(lit(1)), sum("l_orderkey")).head
+    val full = li.filter(col("ms") >= lo && col("ms") < hi)
+      .agg(count(lit(1)), sum("l_orderkey")).head
+    assert(pruned === full)
+  }
+
+  test("rescalePlan spans partition every key-group exactly once and " +
+    "agree with the closed-form owner function") {
+    import graft.core.codec.KeyGroups
+    val plan = graft.state.StateMaintenance
+      .rescalePlan(spark, 128, 4, 6).collect()
+    assert(plan.map(_.getLong(4)).sum === 128)
+    // each kg appears in exactly one span, owned by the right new subtask
+    val owned = plan.flatMap { r =>
+      (r.getLong(2) to r.getLong(3)).map { kg =>
+        assert(KeyGroups.operatorIndexForKeyGroup(128, 6, kg.toInt)
+          === r.getLong(1).toInt, s"kg $kg owner")
+        assert(KeyGroups.operatorIndexForKeyGroup(128, 4, kg.toInt)
+          === r.getLong(0).toInt, s"kg $kg old owner")
+        kg
+      }
+    }
+    assert(owned.sorted.toSeq === (0L until 128L))
+    // identity rescale moves nothing
+    val same = graft.state.StateMaintenance
+      .rescalePlan(spark, 128, 4, 4).collect()
+    assert(same.length === 4 && same.forall(!_.getBoolean(5)))
+  }
 }
