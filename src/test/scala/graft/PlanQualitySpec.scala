@@ -388,6 +388,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 0, p)
   }
 
+  test("j04 time-weighted avg shuffles on (user, type) then one keyed " +
+    "re-aggregate — the type domain is never the window key") {
+    val p = plan("j04_time_weighted_avg")
+    // window Exchange is hashpartitioning(user_id, event_type); rollup
+    // Exchange is hashpartitioning(event_type) with map-side partials
+    assert(count(p, "Exchange") == 2, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t30 feature hashing is one map-side-combinable shuffle, no " +
+    "vocabulary join anywhere") {
+    val p = plan("t30_feature_hashing")
+    assert(count(p, "Exchange") == 1, p)
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("p20 padding report is one shuffle, zero windows") {
+    val p = plan("p20_padding_efficiency")
+    assert(count(p, "Exchange") == 1, p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("s15 binary ANN broadcasts the query codes; candidates never " +
+    "shuffle before the shortlist window") {
+    val p = plan("s15_binary_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // exactly the two per-query ranking windows (shortlist + rerank)
+    assert(count(p, "Window") <= 2 + count(p, "WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
