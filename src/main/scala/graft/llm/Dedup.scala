@@ -1351,11 +1351,13 @@ object Dedup {
        |    cast(sum(dy*dy) as bigint) AS syy FROM pr)
        |SELECT n_nodes, sum_deg // 2 AS n_edges, max_degree,
        |  cast(sum_deg as double) / cast(n_nodes as double) AS mean_degree,
-       |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+       |  CASE WHEN cast(n as hugeint)*sxx - cast(sx as hugeint)*sx = 0
+       |      OR cast(n as hugeint)*syy - cast(sy as hugeint)*sy = 0
        |    THEN cast(0 as double)
-       |    ELSE cast(n*sxy - sx*sy as double)
-       |      / (sqrt(cast(n*sxx - sx*sx as double))
-       |         * sqrt(cast(n*syy - sy*sy as double))) END AS assortativity
+       |    ELSE cast(cast(n as hugeint)*sxy - cast(sx as hugeint)*sy as double)
+       |      / (sqrt(cast(cast(n as hugeint)*sxx - cast(sx as hugeint)*sx as double))
+       |         * sqrt(cast(cast(n as hugeint)*syy - cast(sy as hugeint)*sy as double))) END
+       |    AS assortativity
        |FROM ds, mo""".stripMargin
 
   /** CTE chain through `walk` — shared by the d08 components oracle and

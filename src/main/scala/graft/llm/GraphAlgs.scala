@@ -385,11 +385,14 @@ object GraphAlgs {
     * Returns ONE row `(n_nodes, n_edges, max_degree, mean_degree,
     * assortativity)`.
     *
-    * All moments (Σdx, Σdxdy, Σdx², …) accumulate as exact int64 — the
-    * magnitudes are bounded by n·maxdeg² which stays far under 2^53 for
-    * any graph whose edge list fits a cluster — so the correlation is
-    * reproducible regardless of partial-aggregation order; the only
-    * floating-point steps are the final two sqrt/divides. A regular
+    * All moments (Σdx, Σdxdy, Σdx², …) accumulate as exact int64
+    * (envelope: Σdx² ≤ |E|·maxdeg², exact to ~9.2e18 — e.g. 1e10 edges
+    * at max degree 3e4); the Pearson PRODUCTS of those moments reach
+    * ~8.5e37 worst-case and therefore run in decimal(38,0) (int128 on
+    * the oracle side) — a clique-heavy graph overflows n·Σdx² in int64
+    * already at sf0.1. Everything stays an exact integer up to the
+    * final two sqrt/divides, so the correlation is reproducible
+    * regardless of partial-aggregation order. A regular
     * graph (zero degree variance) reports assortativity 0 by
     * convention rather than 0/0.
     *
@@ -420,11 +423,17 @@ object GraphAlgs {
       col("max_degree"),
       expr("cast(sum_deg as double) / cast(n_nodes as double)")
         .as("mean_degree"),
-      expr("""CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0
+      // products of two int64 moments reach ~8.5e37 worst-case — always
+      // representable in decimal(38,0), never in int64 (a clique-heavy
+      // graph overflows n*sxx already at sf0.1); DuckDB mirrors with
+      // int128. The variance/covariance differences stay EXACT integers
+      // up to the single final double cast.
+      expr("""CASE WHEN cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx = 0
+             |    OR cast(n as decimal(38,0))*syy - cast(sy as decimal(38,0))*sy = 0
              |  THEN cast(0 as double)
-             |  ELSE cast(n*sxy - sx*sy as double)
-             |    / (sqrt(cast(n*sxx - sx*sx as double))
-             |       * sqrt(cast(n*syy - sy*sy as double))) END""".stripMargin)
+             |  ELSE cast(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy as double)
+             |    / (sqrt(cast(cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx as double))
+             |       * sqrt(cast(cast(n as decimal(38,0))*syy - cast(sy as decimal(38,0))*sy as double))) END""".stripMargin)
         .as("assortativity"))
     e.unpersist()
     out

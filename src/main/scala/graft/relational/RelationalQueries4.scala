@@ -288,7 +288,12 @@ object RelationalQueries4 {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_holds"),
             sum(col("nms") - col("ms")).as("total_ms"),
-            (sum(col("cents") * (col("nms") - col("ms"))).cast("double")
+            // the integral accumulates in decimal(38,0): per-row products
+            // fit int64 easily, but their SUM is ~1.6e16 at sf0.1 and
+            // scales linearly with corpus time x rows — int64 would
+            // overflow around sf50 (DuckDB's sum is already int128)
+            (sum((col("cents") * (col("nms") - col("ms")))
+              .cast("decimal(38,0)")).cast("double")
               / (lit(100.0) * sum(col("nms") - col("ms")).cast("double")))
               .as("twa"))
       })
