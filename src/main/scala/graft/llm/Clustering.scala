@@ -49,8 +49,107 @@ object Clustering {
     QueryDef("s07_ivf_pq_adc", Some(adcOracle), adcSpark),
     QueryDef("s08_adc_rerank", Some(rerankOracle), rerankSpark),
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark),
-    QueryDef("c05_silhouette", Some(silhouetteOracle), silhouetteSpark)
+    QueryDef("c05_silhouette", Some(silhouetteOracle), silhouetteSpark),
+    QueryDef("c06_bisect_split", Some(bisectOracle), bisectSpark)
   )
+
+  // ------------------------------------------ bisecting split (c06)
+
+  private def bisectSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    bisectLargest(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  /** Public API: one bisecting-k-means split — the top-down refinement
+    * step (Steinbach et al. 2000) a curation pipeline applies when one
+    * cell of the coarse model is too big: pick the LARGEST cluster
+    * (count desc, cid tie-break), seed two children deterministically
+    * (child 0 = the member with minimum vec_id, child 1 = the member
+    * LEAST cosine-similar to it — the maximin spread pick), assign the
+    * cluster's members to the nearer child (ties to child 0), and
+    * return the two replacement centroids in c01's fixed-point
+    * per-dimension shape, tagged with the parent cid.
+    *
+    * Scale: assignment is the shared inline-centroid fold; the split
+    * touches ONLY the target cluster's members (cached once, three
+    * narrow passes); both seed picks are 1-row TakeOrdered collects, so
+    * nothing corpus-sized approaches the driver and nothing shuffles
+    * except the final per-dimension aggregate.
+    */
+  def bisectLargest(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+    val asg = Similarity.assignCells(c, cent)
+    val target = asg.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cid").asc).limit(1)
+      .select(col("cid")).collect()(0).getLong(0)
+    val m = asg.filter(col("cid") === target)
+      .select(col("neighbor_id"), col("ca"), col("cn")).cache()
+    def seedLit(r: org.apache.spark.sql.Row): (String, String) = {
+      val emb = r.getSeq[Double](1)
+      (s"array(${emb.map(Similarity.dlit).mkString(",")})",
+        Similarity.dlit(r.getDouble(2)))
+    }
+    val (aa, an) = seedLit(
+      m.orderBy(col("neighbor_id").asc).limit(1).collect()(0))
+    val cosA = s"${sparkDot("ca", aa)} / (cn * $an)"
+    val (ba, bn) = seedLit(
+      m.withColumn("cosa", expr(cosA))
+        .orderBy(col("cosa").asc, col("neighbor_id").asc)
+        .limit(1).collect()(0))
+    val out = m
+      .withColumn("sub_id",
+        expr(s"IF($cosA >= ${sparkDot("ca", ba)} / (cn * $bn), " +
+          "cast(0 as bigint), cast(1 as bigint))"))
+      .select(col("sub_id"), posexplode(col("ca")).as(Seq("dim", "x")))
+      .groupBy(col("sub_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr(s"cast(round(x * $MeanFx) as bigint)")).as("sum_fx"))
+      .select(lit(target).as("parent_cid"), col("sub_id"), col("dim"),
+        col("n_members"), expr("sum_fx div n_members").as("mean_fx"))
+    m.unpersist()
+    out
+  }
+
+  private def bisectOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, vn, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |tgt AS (SELECT cid FROM asg GROUP BY cid
+       |  ORDER BY count(*) DESC, cid ASC LIMIT 1),
+       |m AS (SELECT vec_id, va, vn FROM asg JOIN tgt USING (cid)),
+       |sa AS (SELECT va AS aa, vn AS an FROM m
+       |  WHERE vec_id = (SELECT min(vec_id) FROM m)),
+       |sb AS (SELECT va AS ba, vn AS bn FROM m, sa
+       |  ORDER BY ${duckDot("va", "aa")} / (vn * an) ASC, vec_id ASC
+       |  LIMIT 1),
+       |sub AS (SELECT m.vec_id, m.va,
+       |    CASE WHEN ${duckDot("va", "aa")} / (vn * an)
+       |        >= ${duckDot("va", "ba")} / (vn * bn)
+       |      THEN 0 ELSE 1 END AS sub_id
+       |  FROM m, sa, sb),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |px AS (SELECT sub_id, cast(i - 1 as bigint) AS dim,
+       |    cast(round(va[i] * $MeanFx) as bigint) AS fx
+       |  FROM sub, dims)
+       |SELECT (SELECT cid FROM tgt) AS parent_cid,
+       |  cast(sub_id as bigint) AS sub_id, dim, count(*) AS n_members,
+       |  cast(sum(fx) as bigint) // count(*) AS mean_fx
+       |FROM px GROUP BY sub_id, dim""".stripMargin
 
   // -------------------------------------------- silhouette score (c05)
 

@@ -103,6 +103,29 @@ object Dedup {
     QueryDef("d19_dup_span_ranges", Some(dupSpanRangesOracle),
       (s, d) => dupSpanRangesFrom(spanWindows(s, d))),
 
+    // Bag-of-words fingerprint dedup: documents grouped by the md5 of
+    // their SORTED DISTINCT token set — order-free content identity, the
+    // cheap middle ground between d01's byte-exact hash (misses any
+    // reordering) and the MinHash family (pays signatures for
+    // threshold-similarity it doesn't need here). Catches shuffled
+    // boilerplate, templated re-orderings, and scrambled scrapes in ONE
+    // hash shuffle; `n_exact_variants` counts how many distinct byte
+    // forms collapsed into each bag (the reorder evidence). The
+    // canonical 100 TB shape: narrow per-row normalize + one
+    // map-side-combinable groupBy, nothing pairwise anywhere.
+    QueryDef(
+      "d21_bag_dedup",
+      Some("""WITH b AS (SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split(text, ' '))), ' ')) AS bag_hash,
+             |    md5(text) AS th
+             |  FROM documents)
+             |SELECT bag_hash, count(*) AS n_docs,
+             |  min(doc_id) AS canonical_id,
+             |  cast(count(DISTINCT th) as bigint) AS n_exact_variants
+             |FROM b GROUP BY bag_hash""".stripMargin),
+      (s, d) => bagDedup(Catalog.t(s, d, "documents"))),
+
     // Canonical selection: within each exact-duplicate group keep the
     // "best" copy (longest text, doc_id tie-break) — the keep-one step
     // that follows duplicate detection in a cleaning pipeline. One
@@ -137,6 +160,19 @@ object Dedup {
   def exactDuplicates(docs: DataFrame): DataFrame = docs
     .groupBy(md5(col("text").cast("binary")).as("text_hash"))
     .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
+  /** Order-free duplicate groups (d21): md5 of the sorted distinct token
+    * set → copy count, canonical id, and the number of distinct exact
+    * byte forms that collapsed into the bag.
+    */
+  def bagDedup(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      md5(expr("cast(array_join(array_sort(array_distinct(" +
+        "split(text, ' '))), ' ') as binary)")).as("bag_hash"),
+      md5(col("text").cast("binary")).as("th"))
+    .groupBy(col("bag_hash"))
+    .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"),
+      countDistinct(col("th")).as("n_exact_variants"))
 
   /** One row per `groupCol` group: the member with max n_chars (doc_id
     * tie-break), plus the group size as `countName`. Shared by the

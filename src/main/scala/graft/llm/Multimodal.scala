@@ -278,7 +278,51 @@ object Multimodal {
               |    ON a.doc_id < b.doc_id AND (a.hi = b.hi OR a.lo = b.lo))
               |SELECT doc_a, doc_b, cast(bit_count(xor(pa, pb)) as int) AS hamming
               |FROM cand WHERE bit_count(xor(pa, pb)) <= 1""".stripMargin),
-      (s, d) => perceptualNearDups(mediaDF(s, d)))
+      (s, d) => perceptualNearDups(mediaDF(s, d))),
+
+    // m08: modality mix report — the media lake's dataset card: per
+    // format, item/byte/frame totals, byte share of the whole corpus in
+    // fixed-point, and the mean item size. What a multimodal training
+    // mix is budgeted against (video dominates bytes long before it
+    // dominates items — exactly the number this surfaces). One keyed
+    // aggregate over the decoded features plus a broadcast 1-row total;
+    // all ratios are exact integer fixed-point.
+    QueryDef(
+      "m08_modality_mix",
+      Some(s"""WITH c AS (SELECT doc_id,
+              |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1]
+              |      AS format,
+              |    cast(strlen(text) as bigint) AS n_bytes,
+              |    ${TextExprs.duckByteHash("text")} AS checksum
+              |  FROM documents),
+              |f AS (SELECT format, n_bytes,
+              |    CASE WHEN format = 'mp4' THEN 1 + n_bytes // 100 ELSE 1 END
+              |      AS n_frames FROM c),
+              |g AS (SELECT format, count(*) AS n_items,
+              |    cast(sum(n_bytes) as bigint) AS total_bytes,
+              |    cast(sum(n_frames) as bigint) AS frames_total FROM f
+              |  GROUP BY format),
+              |t AS (SELECT cast(sum(total_bytes) as bigint) AS tb FROM g)
+              |SELECT format, n_items, total_bytes,
+              |  cast(total_bytes * 1000000 // tb as bigint) AS byte_share_fx,
+              |  cast(total_bytes // n_items as bigint) AS mean_item_bytes,
+              |  frames_total
+              |FROM g, t""".stripMargin),
+      (s, d) => {
+        val g = decodeFeatures(mediaDF(s, d))
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("n_frames").cast("long")).as("frames_total"))
+        val t = g.agg(sum(col("total_bytes")).as("tb"))
+        g.crossJoin(broadcast(t))
+          .select(col("format"), col("n_items"), col("total_bytes"),
+            expr("cast(total_bytes * 1000000 div tb as bigint)")
+              .as("byte_share_fx"),
+            expr("cast(total_bytes div n_items as bigint)")
+              .as("mean_item_bytes"),
+            col("frames_total"))
+      })
   )
 
   /** Public API: perceptual-hash near-duplicate pairs over decoded

@@ -296,6 +296,82 @@ object RelationalQueries4 {
               .cast("decimal(38,0)")).cast("double")
               / (lit(100.0) * sum(col("nms") - col("ms")).cast("double")))
               .as("twa"))
+      }),
+
+    // ----------------------------------- nearest-direction as-of (j05)
+    // merge_asof(direction='nearest'): each event matches the SAME
+    // user's temporally closest order-day representative in EITHER
+    // direction (j01 is backward-only, j03 forward-only); equidistant
+    // ties resolve backward, the pandas convention. Both directional
+    // candidates come from the j01 union-merge idiom — one ascending
+    // and one descending running last(IGNORE NULLS) over the SAME
+    // (user-keyed, time-ordered) shuffled layout, so the second
+    // direction costs a sort, not a second Exchange — and the pick is
+    // a narrow per-row compare. No probe join, nothing quadratic.
+    QueryDef(
+      "j05_asof_nearest",
+      Some("""WITH reps AS (SELECT o_custkey, max(o_orderkey) AS order_key,
+             |    epoch_ms(o_orderdate) AS order_ms
+             |  FROM orders GROUP BY o_custkey, o_orderdate),
+             |e AS (SELECT event_id, user_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ts_ms FROM events),
+             |b AS (SELECT e.event_id, r.order_key AS bk, r.order_ms AS bm
+             |  FROM e ASOF LEFT JOIN reps r
+             |    ON e.user_id = r.o_custkey AND e.ts_ms >= r.order_ms),
+             |f AS (SELECT e.event_id, r.order_key AS fk, r.order_ms AS fm
+             |  FROM e ASOF LEFT JOIN reps r
+             |    ON e.user_id = r.o_custkey AND e.ts_ms <= r.order_ms)
+             |SELECT e.event_id, e.user_id, e.ts_ms,
+             |  CASE WHEN bk IS NOT NULL AND (fk IS NULL
+             |           OR e.ts_ms - bm <= fm - e.ts_ms)
+             |       THEN bk ELSE fk END AS order_key,
+             |  CASE WHEN bk IS NOT NULL AND (fk IS NULL
+             |           OR e.ts_ms - bm <= fm - e.ts_ms)
+             |       THEN bm ELSE fm END AS order_ms,
+             |  CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+             |       WHEN bk IS NOT NULL AND (fk IS NULL
+             |           OR e.ts_ms - bm <= fm - e.ts_ms)
+             |       THEN 'back' ELSE 'fwd' END AS direction
+             |FROM e JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin),
+      (s, d) => {
+        val reps = t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("order_key"))
+          .withColumn("oms", expr("unix_millis(cast(o_orderdate as timestamp))"))
+          .select(col("o_custkey").as("user_id"), col("oms").as("tm"),
+            lit(1).as("src"), col("order_key"), col("oms").as("order_ms"),
+            lit(null).cast("long").as("event_id"))
+        val ev = t(s, d, "events").select(col("user_id"),
+          unix_millis(col("ts")).as("tm"),
+          lit(0).as("src"), lit(null).cast("long").as("order_key"),
+          lit(null).cast("long").as("order_ms"), col("event_id"))
+        // ascending scan: orders first at equal time (<= semantics)
+        val wB = Window.partitionBy(col("user_id"))
+          .orderBy(col("tm").asc, col("src").desc,
+            col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // descending scan over the SAME layout: nearest following order
+        val wF = Window.partitionBy(col("user_id"))
+          .orderBy(col("tm").desc, col("src").desc,
+            col("event_id").desc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        reps.unionByName(ev)
+          .withColumn("bk", last(col("order_key"), ignoreNulls = true).over(wB))
+          .withColumn("bm", last(col("order_ms"), ignoreNulls = true).over(wB))
+          .withColumn("fk", last(col("order_key"), ignoreNulls = true).over(wF))
+          .withColumn("fm", last(col("order_ms"), ignoreNulls = true).over(wF))
+          .filter(col("src") === 0)
+          .select(col("event_id"), col("user_id"), col("tm").as("ts_ms"),
+            expr("""CASE WHEN bk IS NOT NULL AND (fk IS NULL
+                   |    OR tm - bm <= fm - tm) THEN bk ELSE fk END"""
+              .stripMargin).as("order_key"),
+            expr("""CASE WHEN bk IS NOT NULL AND (fk IS NULL
+                   |    OR tm - bm <= fm - tm) THEN bm ELSE fm END"""
+              .stripMargin).as("order_ms"),
+            expr("""CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+                   |  WHEN bk IS NOT NULL AND (fk IS NULL
+                   |    OR tm - bm <= fm - tm) THEN 'back'
+                   |  ELSE 'fwd' END""".stripMargin).as("direction"))
       })
   )
 }
