@@ -113,6 +113,9 @@ object Dedup {
     // forms collapsed into each bag (the reorder evidence). The
     // canonical 100 TB shape: narrow per-row normalize + one
     // map-side-combinable groupBy, nothing pairwise anywhere.
+    QueryDef("d22_lsh_tuning", Some(lshTuningOracle),
+      (s, d) => lshTuning(Catalog.t(s, d, "documents"))),
+
     QueryDef(
       "d21_bag_dedup",
       Some("""WITH b AS (SELECT doc_id,
@@ -360,6 +363,83 @@ object Dedup {
        |sig AS (SELECT doc_id,
        |    $mins
        |  FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  // --------------------------------------- LSH band tuning (d22)
+
+  /** (bands, rows-per-band) sweeps over the 16-permutation signature:
+    * the operating points of the S-curve P(candidate) = 1-(1-s^r)^b.
+    */
+  private val TuneConfigs = Seq((2, 8), (4, 4), (8, 2))
+
+  /** Public API: the LSH parameter sweep a pipeline runs BEFORE
+    * committing to a banding — for each (b, r) split of the SAME
+    * signature bits, the candidate-pair volume, how many candidates the
+    * estimator confirms at the 0.5 threshold, and the resulting
+    * fixed-point precision. More bands -> higher recall, more
+    * candidates to verify; this report prices that trade on the actual
+    * corpus. One signature computation (narrow, shuffle-free) feeds all
+    * configs; per config one exploded band self-join — the d02 shape —
+    * never all-pairs.
+    */
+  def lshTuning(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatureNarrow(docs).cache()
+    val matches = (0 until Perms)
+      .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
+    val per = TuneConfigs.map { case (nb, r) =>
+      val bandStructs = (0 until nb).map { bi =>
+        val key = (0 until r).map(k => s"h${r * bi + k}").mkString(", '|', ")
+        s"struct($bi as bi, concat($key) as bk)"
+      }.mkString("array(", ", ", ")")
+      val bands = sig
+        .select(col("doc_id"), explode(expr(bandStructs)).as("band"))
+        .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(expr(s"cast(($matches) as double) / $Perms").as("est"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("est") >= 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("n_est_dups"))
+        .select(lit(s"b${nb}r$r").as("config"),
+          col("n_candidates"), col("n_est_dups"),
+          expr("CASE WHEN n_candidates = 0 THEN cast(0 as bigint) " +
+            "ELSE n_est_dups * 1000000 div n_candidates END")
+            .as("precision_fx"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
+  private def lshTuningOracle: String = {
+    val per = TuneConfigs.zipWithIndex.map { case ((nb, r), i) =>
+      val bandEq = (0 until nb).map { bi =>
+        "(" + (0 until r).map(k => s"a.h${r * bi + k} = b.h${r * bi + k}")
+          .mkString(" AND ") + ")"
+      }.mkString(" OR ")
+      val m = (0 until Perms)
+        .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      (s"""cand$i AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+          |sc$i AS (SELECT cast(($m) as double) / $Perms AS est
+          |  FROM cand$i JOIN sig x ON doc_a = x.doc_id
+          |  JOIN sig y ON doc_b = y.doc_id),
+          |g$i AS (SELECT count(*) AS n_candidates,
+          |  coalesce(cast(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END)
+          |    as bigint), 0) AS n_est_dups FROM sc$i)""".stripMargin,
+        s"""SELECT 'b${nb}r$r' AS config, n_candidates, n_est_dups,
+           |  CASE WHEN n_candidates = 0 THEN cast(0 as bigint)
+           |    ELSE n_est_dups * 1000000 // n_candidates END AS precision_fx
+           |FROM g$i""".stripMargin)
+    }
+    s"""WITH $sigCtes,
+       |${per.map(_._1).mkString(",\n")}
+       |${per.map(_._2).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** Equal-band predicate between sig aliases `a` and `b`, and the

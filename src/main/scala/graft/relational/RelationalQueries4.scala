@@ -372,6 +372,67 @@ object RelationalQueries4 {
                    |  WHEN bk IS NOT NULL AND (fk IS NULL
                    |    OR tm - bm <= fm - tm) THEN 'back'
                    |  ELSE 'fwd' END""".stripMargin).as("direction"))
+      }),
+
+    // ---------------------------- continuous percentiles (q57)
+    // Interpolated (PERCENTILE_CONT) quartiles per return flag — the
+    // continuous counterpart to q36/q52's rank-pick DISCRETE quantiles.
+    // The interpolation position runs in exact integer hundredths:
+    // pos = (n-1)*p, idx = pos div 100, rem = pos mod 100, and the
+    // interpolated value is the EXACT integer (lo*100 + (hi-lo)*rem) in
+    // ten-thousandths of a unit, divided once to double — so both
+    // engines produce bit-identical quartiles with no libm in sight.
+    // One ranking window + a broadcast (flag x 3) position dim probing
+    // exactly <= 2 ranked rows per quartile.
+    QueryDef(
+      "q57_percentile_cont",
+      Some("""WITH x AS (SELECT l_returnflag,
+             |    cast(round(l_quantity * 100) as bigint) AS q100,
+             |    l_orderkey, l_linenumber FROM lineitem),
+             |r AS (SELECT l_returnflag, q100,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY q100, l_orderkey, l_linenumber) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM x),
+             |ps AS (SELECT unnest([25, 50, 75]) AS p),
+             |tgt AS (SELECT l_returnflag, p,
+             |    ((n - 1) * p) // 100 AS idx, ((n - 1) * p) % 100 AS rem, n
+             |  FROM (SELECT DISTINCT l_returnflag, n FROM r), ps),
+             |j AS (SELECT t.l_returnflag, t.p, t.rem,
+             |    max(CASE WHEN rn = idx + 1 THEN q100 END) AS lo,
+             |    max(CASE WHEN rn = least(idx + 2, t.n) THEN q100 END) AS hi
+             |  FROM tgt t JOIN r ON r.l_returnflag = t.l_returnflag
+             |    AND (rn = idx + 1 OR rn = least(idx + 2, t.n))
+             |  GROUP BY t.l_returnflag, t.p, t.rem)
+             |SELECT l_returnflag, cast(p as int) AS p,
+             |  cast(lo * 100 + (hi - lo) * rem as double) / 10000.0 AS pc
+             |FROM j""".stripMargin),
+      (s, d) => {
+        val wo = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("q100"), col("l_orderkey"), col("l_linenumber"))
+        val wc = Window.partitionBy(col("l_returnflag"))
+        val r = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr("cast(round(l_quantity * 100) as bigint)").as("q100"),
+            col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_returnflag"), col("q100"),
+            row_number().over(wo).as("rn"), count(lit(1)).over(wc).as("n"))
+        import s.implicits._
+        val tgt = r.select(col("l_returnflag").as("tf"), col("n")).distinct()
+          .crossJoin(Seq(25, 50, 75).toDF("p"))
+          .select(col("tf"), col("p"),
+            expr("((n - 1) * p) div 100").as("idx"),
+            expr("((n - 1) * p) % 100").as("rem"), col("n").as("nn"))
+        r.join(broadcast(tgt),
+            col("l_returnflag") === col("tf") &&
+              (col("rn") === col("idx") + 1 ||
+                col("rn") === least(col("idx") + 2, col("nn"))))
+          .groupBy(col("tf"), col("p"), col("rem"))
+          .agg(max(when(col("rn") === col("idx") + 1, col("q100"))).as("lo"),
+            max(when(col("rn") === least(col("idx") + 2, col("nn")),
+              col("q100"))).as("hi"))
+          .select(col("tf").as("l_returnflag"), col("p").cast("int").as("p"),
+            (expr("cast(lo * 100 + (hi - lo) * rem as double)") / 10000.0)
+              .as("pc"))
       })
   )
 }

@@ -341,6 +341,43 @@ object IngestQueries {
           .filter(col("ms") >= ZmLo && col("ms") < ZmHi)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_rows"), sum("ep100").as("sum_ep100"))
+      }),
+
+    // Malformed-record audit: a real crawl delivery always contains
+    // broken lines, and the ingest contract is ACCOUNT, don't abort —
+    // PERMISSIVE mode parses what it can, quarantines the rest into the
+    // corrupt-record column, and this report says how much of each
+    // shipment was lost. The corpus roundtrips through JSONL with a
+    // deterministically-injected corrupt part file (3 broken lines);
+    // corrupt rows surface with NULL fields and a populated
+    // `_corrupt_record`, grouped here as the NULL-lang bucket. Explicit
+    // schema as always — inference over a corrupt shipment is both a
+    // wasted pass and a crash risk.
+    QueryDef(
+      "i10_malformed_audit",
+      Some("""SELECT lang, count(*) AS n_rows, cast(0 as bigint) AS n_corrupt
+             |FROM documents GROUP BY lang
+             |UNION ALL
+             |SELECT NULL, 3, 3""".stripMargin),
+      (s, d) => {
+        val out = tmp("graft-i10")
+        Catalog.t(s, d, "documents").select("doc_id", "lang", "text")
+          .write.mode("overwrite").json(out)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "part-corrupt.json"),
+          "{broken\n[not, a, doc\n{\"doc_id\": }\n")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("text", StringType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"))
       }))
 
   /** i09 predicate window: [1996-01-01, 1997-01-01) as epoch millis. */
