@@ -95,6 +95,7 @@ object Dedup {
     QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
     QueryDef("g07_degree_profile", Some(degreeProfileOracle),
       degreeProfileSpark),
+    QueryDef("g08_modularity", Some(modularityOracle), modularitySpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1333,7 +1334,10 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("community"))
   }
 
-  private def lpaOracle: String = {
+  /** The LPA fixed-round CTE chain (l0 → l<rounds>) — shared by the g02
+    * oracle and the g08 modularity oracle.
+    */
+  private def lpaRoundCtes: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""n$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
          |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
@@ -1343,11 +1347,50 @@ object Dedup {
          |l$i AS (SELECT l${i - 1}.node, coalesce(a$i.label, l${i - 1}.label) AS label
          |  FROM l${i - 1} LEFT JOIN a$i USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${edgeCtes()},
-       |l0 AS (SELECT doc_id AS node, doc_id AS label FROM fp),
-       |$rounds
-       |SELECT node AS doc_id, label AS community FROM l$LpaRounds""".stripMargin
+    s"""l0 AS (SELECT doc_id AS node, doc_id AS label FROM fp),
+       |$rounds""".stripMargin
   }
+
+  private def lpaOracle: String =
+    s"""WITH ${edgeCtes()},
+       |$lpaRoundCtes
+       |SELECT node AS doc_id, label AS community FROM l$LpaRounds""".stripMargin
+
+  // ----------------------------------------- modularity (g08)
+
+  /** Newman modularity of the LPA communities, per community — the
+    * clustering-evaluation operator: did label propagation find
+    * denser-than-chance structure, and which communities carry it.
+    * Masses are exact counts; the Pearson-style products run
+    * decimal(38,0)/int128 (g07's lesson). Algorithm in
+    * [[GraphAlgs.modularity]].
+    */
+  private def modularitySpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    val labels = GraphAlgs.labelPropagation(nodes, edges, LpaRounds)
+      .select(col("id"), col("label").as("community"))
+    GraphAlgs.modularity(labels, edges)
+  }
+
+  private def modularityOracle: String =
+    s"""WITH ${edgeCtes()},
+       |$lpaRoundCtes,
+       |com AS (SELECT node, label AS community FROM l$LpaRounds),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |m2t AS (SELECT count(*) AS m2 FROM e),
+       |dc AS (SELECT community, cast(count(*) as bigint) AS n_members,
+       |    cast(sum(coalesce(deg, 0)) as bigint) AS degree_sum
+       |  FROM com LEFT JOIN deg USING (node) GROUP BY 1),
+       |ia AS (SELECT ca.community, count(*) AS intra2 FROM e
+       |  JOIN com ca ON e.src = ca.node JOIN com cb ON e.dst = cb.node
+       |  WHERE ca.community = cb.community GROUP BY 1)
+       |SELECT dc.community, n_members,
+       |  cast(coalesce(intra2, 0) // 2 as bigint) AS intra_edges,
+       |  degree_sum,
+       |  cast(cast(m2 as hugeint) * coalesce(intra2, 0)
+       |      - cast(degree_sum as hugeint) * degree_sum as double)
+       |    / cast(cast(m2 as hugeint) * m2 as double) AS contribution
+       |FROM dc LEFT JOIN ia ON dc.community = ia.community, m2t""".stripMargin
 
   // ----------------------------------------- triangle counting (g03)
 

@@ -379,6 +379,50 @@ object GraphAlgs {
     out
   }
 
+  /** Newman modularity of a community assignment, reported PER
+    * community: member count, intra-edge count, degree mass, and the
+    * community's additive contribution to Q
+    * (`(2m·2L_c − D_c²) / (2m)²` — their sum IS the modularity). The
+    * evaluation operator for whatever clustering the pipeline produced
+    * (LPA, components, semantic clusters): positive-contribution
+    * communities are denser than chance, ~zero ones are noise.
+    *
+    * Exactness: all masses are int64 counts; the per-community products
+    * run in decimal(38,0) (int128 oracle-side) like [[degreeProfile]],
+    * so the single double division per community is the only float op.
+    * Scale: one degree count, one two-sided label join on the
+    * partitioned edge list, one broadcast 1-row edge total — no
+    * all-pairs, no window.
+    */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val p = shufflePartitions(edges)
+    val e = undirected(edges, p)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    val com = labels.select(col("id"), col("community"))
+    val dc = com.join(deg, com("id") === deg("node"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    val intra = e
+      .join(com.select(col("id").as("src"), col("community").as("ca")), "src")
+      .join(com.select(col("id").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra2"))
+    val out = dc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_members"),
+        expr("coalesce(intra2, cast(0 as bigint)) div 2").as("intra_edges"),
+        col("degree_sum"),
+        expr("""cast(cast(m2 as decimal(38,0)) * coalesce(intra2, 0)
+               |    - cast(degree_sum as decimal(38,0)) * degree_sum as double)
+               |  / cast(cast(m2 as decimal(38,0)) * m2 as double)"""
+          .stripMargin).as("contribution"))
+    e.unpersist()
+    out
+  }
+
   /** Global degree profile of an undirected graph: node/edge counts,
     * max and mean degree, and degree assortativity (Pearson correlation
     * of endpoint degrees over the directed edge list — Newman 2002).

@@ -433,6 +433,58 @@ object RelationalQueries4 {
           .select(col("tf").as("l_returnflag"), col("p").cast("int").as("p"),
             (expr("cast(lo * 100 + (hi - lo) * rem as double)") / 10000.0)
               .as("pc"))
+      }),
+
+    // ------------------------------- event-time lateness profile (q58)
+    // The watermark-sizing report: per event, how far BEHIND the
+    // already-ingested maximum event time it arrived (arrival order =
+    // the monotone ingest id), bucketed into power-of-2 second bands
+    // (-1 = in order). THE question to answer before choosing
+    // `withWatermark` bounds — a watermark of W seconds drops exactly
+    // the mass in buckets >= log2(W). Per-user running max keeps the
+    // window partitioned on a high-cardinality key; the histogram is a
+    // dozen-row aggregate.
+    QueryDef(
+      "q58_lateness_profile",
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+             |w AS (SELECT user_id, ms,
+             |    max(ms) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prevmax FROM e),
+             |l AS (SELECT greatest(0, coalesce(prevmax - ms, 0)) AS late
+             |  FROM w),
+             |b AS (SELECT late, CASE WHEN late = 0 THEN -1
+             |    ELSE cast(length(bin(greatest(late // 1000, 1))) - 1 as int)
+             |    END AS bucket FROM l),
+             |t AS (SELECT count(*) AS total FROM b),
+             |g AS (SELECT bucket, count(*) AS n_events,
+             |    cast(max(late) as bigint) AS max_lateness_ms
+             |  FROM b GROUP BY bucket)
+             |SELECT bucket, n_events, max_lateness_ms,
+             |  cast(n_events * 1000000 // total as bigint) AS share_fx
+             |FROM g, t""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val b = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("prevmax", max(col("ms")).over(w))
+          .select(greatest(lit(0L),
+            coalesce(col("prevmax") - col("ms"), lit(0L))).as("late"))
+          .withColumn("bucket",
+            expr("""CASE WHEN late = 0 THEN -1
+                   |  ELSE cast(length(bin(greatest(late div 1000, 1))) - 1
+                   |    as int) END""".stripMargin))
+        val total = b.agg(count(lit(1)).as("total"))
+        b.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("late")).as("max_lateness_ms"))
+          .crossJoin(broadcast(total))
+          .select(col("bucket"), col("n_events"), col("max_lateness_ms"),
+            expr("cast(n_events * 1000000 div total as bigint)")
+              .as("share_fx"))
       })
   )
 }
