@@ -54,7 +54,15 @@ class EmptyInputSpec extends AnyFunSuite {
     // representatives of the families that always worked on empty
     "q01_pricing_summary", "q53_window_distinct", "t01_lang_id",
     "d02_minhash_lsh", "g01_pagerank", "p17_dataset_card",
-    "m07_shard_integrity", "st19_stream_quality_gate")
+    "m07_shard_integrity", "st19_stream_quality_gate",
+    // round-8 batches 9-13: every new operator is empty-safe by
+    // construction (zone-map prune of an empty lake, empty graph
+    // moments, empty LSH sweep, corrupt-only malformed audit, ...)
+    "j04_time_weighted_avg", "j05_asof_nearest", "g07_degree_profile",
+    "g08_modularity", "t30_feature_hashing", "p20_padding_efficiency",
+    "s15_binary_ann", "d21_bag_dedup", "d22_lsh_tuning",
+    "q57_percentile_cont", "q58_lateness_profile", "m08_modality_mix",
+    "i09_zone_map_skipping", "i10_malformed_audit", "sp30_rescale_plan")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a
@@ -69,6 +77,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "c05_silhouette" -> "non-empty centroid set",
     "d13_semdedup" -> "non-empty centroid set",
     "c04_kmeanspp_seed" -> "non-empty vector set",
+    "c06_bisect_split" -> "non-empty centroid set",
     "s06_pq_encode" -> "non-empty codebook",
     "s07_ivf_pq_adc" -> "non-empty codebook")
 
