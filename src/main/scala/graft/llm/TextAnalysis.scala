@@ -791,6 +791,51 @@ object TextAnalysis {
           .groupBy(col("lang"), col("bucket"))
           .agg(count(lit(1)).as("n_tokens"),
             sum(col("sgn")).cast("long").as("net_weight"))
+      }),
+
+    // Term burstiness: variance-to-mean ratio (index of dispersion) of
+    // per-document counts for the top-32 corpus terms. VMR ~ 1 means
+    // Poisson scatter (function words); VMR >> 1 means the term clumps
+    // into few documents (topical/template words) — the corpus-
+    // linguistics signal that separates grammar from content, and the
+    // feature that catches template spam a frequency rank alone misses.
+    // Moments are exact integers (zero-docs contribute nothing to s/ss
+    // but DO enter N); products run decimal(38,0)/int128 so the single
+    // division is the only float op. Two keyed aggregates + a bounded
+    // top-32.
+    QueryDef(
+      "t31_burstiness",
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+             |  FROM documents),
+             |pd AS (SELECT x, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+             |tot AS (SELECT x, cast(sum(c) as bigint) AS s,
+             |    cast(sum(c * c) as bigint) AS ss,
+             |    cast(count(*) as bigint) AS nd
+             |  FROM pd GROUP BY x),
+             |top AS (SELECT * FROM tot ORDER BY s DESC, x ASC LIMIT 32),
+             |n AS (SELECT count(*) AS nn FROM documents)
+             |SELECT x AS word, s AS total, nd AS n_docs_with,
+             |  cast(cast(nn as hugeint) * ss - cast(s as hugeint) * s
+             |      as double)
+             |    / cast(cast(nn as hugeint) * s as double) AS vmr
+             |FROM top, n""".stripMargin),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+        val tot = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
+          .groupBy(col("x"), col("doc_id")).agg(count(lit(1)).as("c"))
+          .groupBy(col("x"))
+          .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"),
+            count(lit(1)).as("nd"))
+        val top = tot.orderBy(col("s").desc, col("x").asc).limit(32)
+        val n = docs.agg(count(lit(1)).as("nn"))
+        top.crossJoin(broadcast(n))
+          .select(col("x").as("word"), col("s").as("total"),
+            col("nd").as("n_docs_with"),
+            expr("""cast(cast(nn as decimal(38,0)) * ss
+                   |    - cast(s as decimal(38,0)) * s as double)
+                   |  / cast(cast(nn as decimal(38,0)) * s as double)"""
+              .stripMargin).as("vmr"))
       })
   )
 

@@ -1090,6 +1090,73 @@ object StateQueries {
           op.parallelism, newParallelism = 6)
       }),
 
+    // State growth trend: a CHAIN of three snapshots of the same
+    // operator (a growing per-customer order-count state) diffed
+    // step-over-step — the per-checkpoint added/removed/changed/same
+    // ledger an operations console plots to catch unbounded state
+    // growth before it pages anyone. Each step is one full-outer keyed
+    // diff (sp07's machinery) reduced to four counters.
+    QueryDef(
+      "sp31_state_growth_trend",
+      Some("""WITH s1 AS (SELECT o_custkey AS key, count(*) AS v FROM orders
+             |  WHERE o_orderkey % 3 = 0 GROUP BY 1),
+             |s2 AS (SELECT o_custkey AS key, count(*) AS v FROM orders
+             |  WHERE o_orderkey % 3 <= 1 GROUP BY 1),
+             |s3 AS (SELECT o_custkey AS key, count(*) AS v FROM orders
+             |  GROUP BY 1),
+             |d1 AS (SELECT CASE WHEN a.key IS NULL THEN 'added'
+             |    WHEN b.key IS NULL THEN 'removed'
+             |    WHEN a.v = b.v THEN 'same' ELSE 'changed' END AS st
+             |  FROM s1 a FULL OUTER JOIN s2 b ON a.key = b.key),
+             |d2 AS (SELECT CASE WHEN a.key IS NULL THEN 'added'
+             |    WHEN b.key IS NULL THEN 'removed'
+             |    WHEN a.v = b.v THEN 'same' ELSE 'changed' END AS st
+             |  FROM s2 a FULL OUTER JOIN s3 b ON a.key = b.key)
+             |SELECT 1 AS step,
+             |  cast(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) as bigint) AS n_added,
+             |  cast(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) as bigint) AS n_removed,
+             |  cast(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) as bigint) AS n_changed,
+             |  cast(sum(CASE WHEN st = 'same' THEN 1 ELSE 0 END) as bigint) AS n_same
+             |FROM d1
+             |UNION ALL
+             |SELECT 2,
+             |  cast(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) as bigint),
+             |  cast(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) as bigint),
+             |  cast(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) as bigint),
+             |  cast(sum(CASE WHEN st = 'same' THEN 1 ELSE 0 END) as bigint)
+             |FROM d2""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        def snapshot(pred: org.apache.spark.sql.Column, tag: String) =
+          Savepoints
+            .writer(s, Savepoints.bootstrap("trend-op", 4, 128), "trend-op")
+            .withKeyCodec(LongCodec)
+            .createNewValueState("Count",
+              Catalog.t(s, d, "orders").filter(pred)
+                .groupBy(col("o_custkey")).count().as[(Long, Long)],
+              LongCodec)
+            .writeAll(tmp(s"graft-sp31-$tag"))
+        val c1 = snapshot(col("o_orderkey") % 3 === 0, "a")
+        val c2 = snapshot(col("o_orderkey") % 3 <= 1, "b")
+        val c3 = snapshot(lit(true), "c")
+        def stepCounts(before: SavepointMeta, after: SavepointMeta,
+            step: Int) =
+          StateDiff.valueStates[Long, Long](s, before, after,
+              "trend-op", "Count")
+            .agg(
+              sum(when(col("status") === "added", 1L).otherwise(0L))
+                .as("n_added"),
+              sum(when(col("status") === "removed", 1L).otherwise(0L))
+                .as("n_removed"),
+              sum(when(col("status") === "changed", 1L).otherwise(0L))
+                .as("n_changed"),
+              sum(when(col("status") === "same", 1L).otherwise(0L))
+                .as("n_same"))
+            .select(lit(step).as("step"), col("n_added"), col("n_removed"),
+              col("n_changed"), col("n_same"))
+        stepCounts(c1, c2, 1).unionByName(stepCounts(c2, c3, 2))
+      }),
+
     // decoded content.
     QueryDef(
       "sp12_state_sizes",

@@ -660,8 +660,79 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n_events"),
             sum(expr("CASE WHEN abs(cast(v as double) - m) > 2 * sd " +
               "THEN 1 ELSE 0 END")).cast("long").as("n_anomalies"))
+      }),
+
+    // st21: streaming lateness profile — q58's watermark-sizing report
+    // computed BY THE STREAM ITSELF: the per-user running event-time
+    // maximum rides in GroupState (correct across micro-batches, unlike
+    // a windowed formulation), each arriving event emits its lateness
+    // in append mode, and the power-of-2 histogram rolls up on the
+    // sink. This is the feedback loop a deployment runs to pick its
+    // own `withWatermark` bound — measured on the live stream, not on a
+    // batch sample. Oracle: identical to q58 (stream ≡ batch).
+    QueryDef(
+      "st21_stream_lateness",
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+             |w AS (SELECT user_id, ms,
+             |    max(ms) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prevmax FROM e),
+             |l AS (SELECT greatest(0, coalesce(prevmax - ms, 0)) AS late
+             |  FROM w),
+             |b AS (SELECT late, CASE WHEN late = 0 THEN -1
+             |    ELSE cast(length(bin(greatest(late // 1000, 1))) - 1 as int)
+             |    END AS bucket FROM l),
+             |t AS (SELECT count(*) AS total FROM b),
+             |g AS (SELECT bucket, count(*) AS n_events,
+             |    cast(max(late) as bigint) AS max_lateness_ms
+             |  FROM b GROUP BY bucket)
+             |SELECT bucket, n_events, max_lateness_ms,
+             |  cast(n_events * 1000000 // total as bigint) AS share_fx
+             |FROM g, t""".stripMargin),
+      (s, d) => {
+        val emitted = runToMemorySink(s, d, "st21", "append") { raw =>
+          import s.implicits._
+          raw.select(col("user_id"), col("event_id"),
+              unix_millis(col("ts")).as("ts_ms"))
+            .as[SessEvent]
+            .groupByKey(_.user_id)
+            .flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.NoTimeout())(StreamingQueries.latenessPerKey)
+            .toDF("user_id", "event_id", "late")
+        }
+        val b = emitted.withColumn("bucket",
+          expr("""CASE WHEN late = 0 THEN -1
+                 |  ELSE cast(length(bin(greatest(late div 1000, 1))) - 1
+                 |    as int) END""".stripMargin))
+        val total = b.agg(count(lit(1)).as("total"))
+        b.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("late")).as("max_lateness_ms"))
+          .crossJoin(broadcast(total))
+          .select(col("bucket"), col("n_events"), col("max_lateness_ms"),
+            expr("cast(n_events * 1000000 div total as bigint)")
+              .as("share_fx"))
       })
   )
+
+  /** Per-user arrival-lateness emitter (st21): events of the micro-batch
+    * sort by ingest id; each emits `max(0, runningMax - ts)`; the
+    * running maximum survives in GroupState so a key split across
+    * micro-batches keeps measuring against its true high-water mark.
+    */
+  private[graft] def latenessPerKey(user: Long, rows: Iterator[SessEvent],
+      state: GroupState[Long]): Iterator[(Long, Long, Long)] = {
+    val sorted = rows.toArray.sortBy(_.event_id)
+    var mx = state.getOption.getOrElse(Long.MinValue)
+    val out = sorted.map { e =>
+      val late = if (mx == Long.MinValue) 0L else math.max(0L, mx - e.ts_ms)
+      mx = math.max(mx, e.ts_ms)
+      (user, e.event_id, late)
+    }
+    state.update(mx)
+    out.iterator
+  }
 
   /** Per-user sessionizer: sort the micro-batch's events, split on >30min
     * gaps. This demo formulation assumes ALL of a user's events arrive in
