@@ -423,6 +423,59 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j05 nearest as-of: both directional windows ride ONE user " +
+    "Exchange — the second direction costs a sort, never a shuffle") {
+    val p = plan("j05_asof_nearest")
+    assert(count(p, "Exchange hashpartitioning") == 2, p) // reps dedup + window
+    assert(count(p, "hashpartitioning(user_id") == 1, p)
+    assert(count(p, "Window") == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q57 percentile_cont probes the ranked relation with a broadcast " +
+    "position dim — no shuffle join") {
+    val p = plan("q57_percentile_cont")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("q58 lateness window partitions by user, never a single " +
+    "partition for the event mass") {
+    val p = plan("q58_lateness_profile")
+    assert(count(p, "hashpartitioning(user_id") == 1, p)
+    // the only SinglePartition stage is the 1-row total count
+    assert(count(p, "Exchange SinglePartition") <= 1, p)
+  }
+
+  test("d21 bag dedup is the two-phase distinct aggregate with map-side " +
+    "partials, joinless") {
+    val p = plan("d21_bag_dedup")
+    assert(count(p, "Exchange") == 2, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d22 LSH sweep joins only on band keys: no cartesian at any " +
+    "config") {
+    val p = plan("d22_lsh_tuning")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t31 burstiness plans the bounded top-32 as TakeOrdered, " +
+    "windowless") {
+    val p = plan("t31_burstiness")
+    assert(p.contains("TakeOrderedAndProject(limit=32"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("g08 modularity: keyed label joins only, no cartesian, no window") {
+    val p = plan("g08_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
