@@ -75,7 +75,8 @@ object Similarity {
     QueryDef("d06_embedding_neardup", Some(nearDupOracle), nearDupSpark),
     QueryDef("s13_range_search", Some(rangeSearchOracle), rangeSearchSpark),
     QueryDef("s14_ivf_stats", Some(ivfStatsOracle), ivfStatsSpark),
-    QueryDef("s15_binary_ann", Some(binaryAnnOracle), binaryAnnSpark)
+    QueryDef("s15_binary_ann", Some(binaryAnnOracle), binaryAnnSpark),
+    QueryDef("s16_recall_curve", Some(recallCurveOracle), recallCurveSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -1190,7 +1191,9 @@ object Similarity {
     * list literals and the bucket assignment + in-bucket top-k reproduce
     * exactly (identical IEEE fold order for every dot product).
     */
-  private def annLshOracle: String = {
+  private def annLshOracle: String = annLshOracleK(3)
+
+  private def annLshOracleK(k: Int): String = {
     val planeLits = planes.map(_.mkString("[", ", ", "]"))
     val bucketExpr = planeLits.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
@@ -1205,6 +1208,49 @@ object Similarity {
        |r AS (SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
-       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= 3""".stripMargin
+       |SELECT query_id, neighbor_id, cosine, rn FROM r WHERE rn <= $k""".stripMargin
   }
+
+  // ------------------------------------------- recall curve (s16)
+
+  /** Recall@k sweep of the LSH index against the exact top-5 ground
+    * truth — d22's operating-curve idea applied to ANN: the index is
+    * priced at several k cut-offs in ONE pass (both rankings computed
+    * once at k=5, each smaller k is a rank filter). The acceptance
+    * report an index rollout reads before routing production traffic.
+    */
+  private def recallCurveSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val exact = cosineTopK(q, c, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("er"))
+    val lsh = lshAnn(q, c, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("lr"))
+    val j = exact.join(lsh, Seq("query_id", "neighbor_id"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
+    import s.implicits._
+    val ks = Seq(1, 3, 5).toDF("k")
+    ks.join(j, col("er") <= col("k") && col("lr") <= col("k"), "left")
+      .groupBy(col("k")).agg(count(col("er")).as("n_matches"))
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_matches"),
+        expr("cast(n_matches * 1000000 div (nq * k) as bigint)")
+          .as("recall_fx"))
+  }
+
+  private def recallCurveOracle: String =
+    s"""WITH exact AS (${cosineTopKOracle(5)}),
+       |lshq AS (${annLshOracleK(5)}),
+       |j AS (SELECT e.query_id, e.rn AS er, l.rn AS lr FROM exact e
+       |  JOIN lshq l ON e.query_id = l.query_id
+       |    AND e.neighbor_id = l.neighbor_id),
+       |nq AS (SELECT count(DISTINCT query_id) AS nq FROM exact),
+       |ks AS (SELECT unnest([1, 3, 5]) AS k),
+       |m AS (SELECT ks.k, count(j.er) AS n_matches FROM ks
+       |  LEFT JOIN j ON j.er <= ks.k AND j.lr <= ks.k GROUP BY ks.k)
+       |SELECT k, cast(n_matches as bigint) AS n_matches,
+       |  cast(n_matches * 1000000 // (nq * k) as bigint) AS recall_fx
+       |FROM m, nq""".stripMargin
 }

@@ -1157,6 +1157,52 @@ object StateQueries {
         stepCounts(c1, c2, 1).unionByName(stepCounts(c2, c3, 2))
       }),
 
+    // Cross-operator state join: ONE savepoint holding TWO operators
+    // (per-customer order counts; per-customer balance cents), read
+    // back and joined by key into the enriched per-customer row — the
+    // savepoint-as-database query: correlate state ACROSS operators of
+    // a snapshot without touching the live job. Both reads are
+    // independent pushed-down scans; the join keys on the decoded
+    // customer key.
+    QueryDef(
+      "sp32_cross_operator_join",
+      Some("""WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
+             |  FROM orders GROUP BY o_custkey),
+             |b AS (SELECT c_custkey AS key,
+             |    cast(round(c_acctbal * 100) as bigint) AS cents
+             |  FROM customer)
+             |SELECT c.key, c.cnt, b.cents
+             |FROM c JOIN b ON c.key = b.key""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("op-counts", 4, 128), "op-counts")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp32a"))
+        val opB = graft.core.meta.OperatorStateMeta("op-balances",
+          Identifiers.operatorId("op-balances"), 4, 128, None, Seq.empty,
+          compression = true, Seq.empty)
+        val balances = Catalog.t(s, d, "customer")
+          .select(col("c_custkey"),
+            expr("cast(round(c_acctbal * 100) as bigint)"))
+          .as[(Long, Long)]
+        val meta2 = Savepoints
+          .writer(s, meta1.copy(operators = meta1.operators :+ opB),
+            "op-balances")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Cents", balances, LongCodec)
+          .writeAll(tmp("graft-sp32b"))
+        val loaded = Savepoints.load(meta2.basePath)
+        val cnt = Savepoints.reader(s, loaded, "op-counts")
+          .readValueStates[Long, Long]("Count").toDF("key", "cnt")
+        val cents = Savepoints.reader(s, loaded, "op-balances")
+          .readValueStates[Long, Long]("Cents").toDF("key", "cents")
+        cnt.join(cents, Seq("key"))
+      }),
+
     // decoded content.
     QueryDef(
       "sp12_state_sizes",
