@@ -50,8 +50,72 @@ object Clustering {
     QueryDef("s08_adc_rerank", Some(rerankOracle), rerankSpark),
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark),
     QueryDef("c05_silhouette", Some(silhouetteOracle), silhouetteSpark),
-    QueryDef("c06_bisect_split", Some(bisectOracle), bisectSpark)
+    QueryDef("c06_bisect_split", Some(bisectOracle), bisectSpark),
+    QueryDef("c07_cluster_purity", Some(purityOracle), puritySpark)
   )
+
+  // ------------------------------------------ cluster purity (c07)
+
+  /** External clustering validation against the ground-truth `label`
+    * column: per IVF cell, the member count, majority label (count
+    * desc, label asc tie-break), how many members carry it, and the
+    * purity in fixed-point. The supervised complement to c03's inertia
+    * and c05's silhouette — the one metric that says whether the cells
+    * mean anything. Assignment is the shared inline-centroid fold; the
+    * majority pick is one per-cell window over the (cell, label)
+    * aggregate (rows bounded by cells × labels, never corpus-wide).
+    */
+  private def puritySpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    clusterPurity(
+      e.select(col("vec_id"), col("label"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  def clusterPurity(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+    val asg = Similarity.assignCells(c.drop("label"), cent)
+      .join(c.select(col("neighbor_id"), col("label")), "neighbor_id")
+    val cl = asg.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("n").desc, col("label").asc)
+    cl.withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        sum(col("n")).over(Window.partitionBy(col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_members"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        expr("cast(n * 1000000 div n_members as bigint)").as("purity_fx"))
+  }
+
+  private def purityOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, label, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |cl AS (SELECT cid, label, count(*) AS n FROM asg GROUP BY 1, 2),
+       |r AS (SELECT cid, label, n,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY n DESC, label ASC) AS rn,
+       |    sum(n) OVER (PARTITION BY cid) AS n_members FROM cl)
+       |SELECT cid, cast(n_members as bigint) AS n_members,
+       |  label AS majority_label, cast(n as bigint) AS n_majority,
+       |  cast(n * 1000000 // n_members as bigint) AS purity_fx
+       |FROM r WHERE rn = 1""".stripMargin
 
   // ------------------------------------------ bisecting split (c06)
 

@@ -614,11 +614,82 @@ object Pipeline {
             " * cap as bigint)").as("padded_tokens"),
           expr(s"cast(tok_sum * 1000000 div (((n_docs + $PadBatch - 1)" +
             s" div $PadBatch) * $PadBatch * cap) as bigint)")
-            .as("efficiency_fx")))
+            .as("efficiency_fx"))),
+
+    // ----------------------------- loader worker assignment (p21)
+    // p19's deterministic global order dealt round-robin to 8 loader
+    // workers, rolled up per worker: document/token mass and the
+    // dominant-source share. The check a multi-worker training job runs
+    // before an epoch — a worker that got a source-skewed or
+    // token-heavy slice stalls every synchronous step. Round-robin over
+    // the interleaved order is balanced BY CONSTRUCTION; this report
+    // proves it (and would flag any future interleave regression).
+    QueryDef(
+      "p21_loader_shards",
+      Some(s"""WITH srcs AS (SELECT source,
+             |    row_number() OVER (ORDER BY source) - 1 AS src_idx
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |n AS (SELECT count(*) AS n_src FROM srcs),
+             |r AS (SELECT doc_id, source,
+             |    cast(len(string_split(text, ' ')) as bigint) AS toks,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(cast(doc_id as varchar)), doc_id) - 1 AS rk
+             |  FROM documents),
+             |p AS (SELECT r.source, toks,
+             |    cast((rk * n_src + src_idx) % $LoaderWorkers as int) AS worker
+             |  FROM r JOIN srcs ON r.source = srcs.source, n),
+             |g AS (SELECT worker, count(*) AS n_docs,
+             |    cast(sum(toks) as bigint) AS n_tokens FROM p GROUP BY worker),
+             |sb AS (SELECT worker, source, count(*) AS c FROM p GROUP BY 1, 2),
+             |dom AS (SELECT worker, source AS top_source, c FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY worker
+             |      ORDER BY c DESC, source ASC) AS rn FROM sb) x WHERE rn = 1)
+             |SELECT g.worker, cast(n_docs as bigint) AS n_docs, n_tokens,
+             |  top_source,
+             |  cast(dom.c * 1000000 // n_docs as bigint) AS top_source_share_fx
+             |FROM g JOIN dom ON g.worker = dom.worker""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Catalog.t(s, d, "documents")
+        val srcs = boundedGroups(docs.select(col("source")).distinct()
+            .groupBy(col("source")).agg(count(lit(1)).as("one")), "loader")
+          .withColumn("src_idx",
+            row_number().over(Window.orderBy(col("source"))) - 1)
+          .select(col("source"), col("src_idx"))
+        val nSrc = srcs.groupBy().agg(count(lit(1)).as("n_src"))
+        val p = docs
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))) - 1)
+          .join(broadcast(srcs), Seq("source"))
+          .crossJoin(broadcast(nSrc))
+          .select(col("source"), col("toks"),
+            expr(s"cast((rk * n_src + src_idx) % $LoaderWorkers as int)")
+              .as("worker"))
+        val g = p.groupBy(col("worker"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        val dom = p.groupBy(col("worker"), col("source"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("worker"))
+              .orderBy(col("c").desc, col("source").asc)))
+          .filter(col("rn") === 1)
+          .select(col("worker"), col("source").as("top_source"), col("c"))
+        g.join(dom, Seq("worker"))
+          .select(col("worker"), col("n_docs"), col("n_tokens"),
+            col("top_source"),
+            expr("cast(c * 1000000 div n_docs as bigint)")
+              .as("top_source_share_fx"))
+      })
   )
 
   /** p20 batch size (sequences per padded batch). */
   private val PadBatch = 32
+
+  /** p21 data-loader worker count. */
+  private val LoaderWorkers = 8
 
   private val ShuffleEpochs = 2
   private val SampleN = 100
