@@ -51,8 +51,77 @@ object Clustering {
     QueryDef("d13_semdedup", Some(semDedupOracle), semDedupSpark),
     QueryDef("c05_silhouette", Some(silhouetteOracle), silhouetteSpark),
     QueryDef("c06_bisect_split", Some(bisectOracle), bisectSpark),
-    QueryDef("c07_cluster_purity", Some(purityOracle), puritySpark)
+    QueryDef("c07_cluster_purity", Some(purityOracle), puritySpark),
+    QueryDef("c08_elbow", Some(elbowOracle), elbowSpark)
   )
+
+  // ----------------------------------------------- elbow curve (c08)
+
+  /** k values priced by the elbow sweep. NESTED seed sets (vec_id < k)
+    * make the curve provably monotone: every larger k only ADDS
+    * centroids, so each vector's best cosine can only improve and
+    * inertia never rises — a law the spec pins.
+    */
+  private[llm] val ElbowKs = Seq(2, 4, 8, 16)
+
+  /** Inertia-vs-k model-selection sweep (the "elbow" report): for each
+    * candidate k, assign every vector to its nearest seed centroid
+    * (cosine, zero-norm-guarded) and total the cosine distances in
+    * fixed point. All four candidate centroid SETS ride ONE broadcast
+    * (2+4+8+16 = 30 rows) against ONE candidate scan — the sweep costs
+    * one pass over the corpus regardless of how many k values are
+    * priced, which is the whole point at 100 TB (vs re-running c01 per
+    * k). Per-(k, vector) min-distance is an order-independent `max`
+    * aggregate; the only float ops are per-row expressions; sums are
+    * exact scaled longs (c01's MeanFx discipline).
+    */
+  def elbowCurve(vecs: DataFrame, ks: Seq[Int]): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val s = vecs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("vn", expr(s"${sparkNorm("va")}"))
+    val cents = v.filter(col("vec_id") < ks.max)
+      .crossJoin(ks.toDF("k")).filter(col("vec_id") < col("k"))
+      .select(col("k"), col("vec_id").as("cid"),
+        col("va").as("ca"), col("vn").as("cn"))
+    val best = v.crossJoin(broadcast(cents))
+      .withColumn("cosine", expr(s"${sparkDot("va", "ca")} / (vn * cn)"))
+      .groupBy(col("k"), col("vec_id")).agg(max(col("cosine")).as("best_cos"))
+    val inertia = best
+      .withColumn("fx",
+        expr(s"cast(round((1 - best_cos) * $MeanFx) as bigint)"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_vectors"),
+        sum(col("fx")).as("inertia_fx"))
+    inertia
+      .withColumn("delta_fx",
+        lag(col("inertia_fx"), 1).over(Window.orderBy(col("k")))
+          - col("inertia_fx"))
+      .select(col("k"), col("n_vectors"), col("inertia_fx"), col("delta_fx"))
+  }
+
+  private def elbowSpark(s: SparkSession, d: String): DataFrame =
+    elbowCurve(Catalog.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")), ElbowKs)
+
+  private def elbowOracle: String =
+    s"""WITH ks AS (SELECT unnest([${ElbowKs.mkString(", ")}]) AS k),
+       |v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn FROM embeddings),
+       |c AS (SELECT k, vec_id AS cid, va AS ca, vn AS cn FROM v, ks
+       |  WHERE vec_id < k),
+       |best AS (SELECT c.k, v.vec_id,
+       |    max(${duckDot("va", "ca")} / (vn * cn)) AS best_cos
+       |  FROM v, c GROUP BY c.k, v.vec_id),
+       |i AS (SELECT k, cast(count(*) as bigint) AS n_vectors,
+       |    cast(sum(cast(round((1 - best_cos) * $MeanFx) as bigint))
+       |      as bigint) AS inertia_fx
+       |  FROM best GROUP BY k)
+       |SELECT k, n_vectors, inertia_fx,
+       |  lag(inertia_fx) OVER (ORDER BY k) - inertia_fx AS delta_fx
+       |FROM i""".stripMargin
 
   // ------------------------------------------ cluster purity (c07)
 

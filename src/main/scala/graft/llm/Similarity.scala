@@ -76,7 +76,9 @@ object Similarity {
     QueryDef("s13_range_search", Some(rangeSearchOracle), rangeSearchSpark),
     QueryDef("s14_ivf_stats", Some(ivfStatsOracle), ivfStatsSpark),
     QueryDef("s15_binary_ann", Some(binaryAnnOracle), binaryAnnSpark),
-    QueryDef("s16_recall_curve", Some(recallCurveOracle), recallCurveSpark)
+    QueryDef("s16_recall_curve", Some(recallCurveOracle), recallCurveSpark),
+    QueryDef("s17_truncated_recall", Some(truncatedRecallOracle),
+      truncatedRecallSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -1253,4 +1255,87 @@ object Similarity {
        |SELECT k, cast(n_matches as bigint) AS n_matches,
        |  cast(n_matches * 1000000 // (nq * k) as bigint) AS recall_fx
        |FROM m, nq""".stripMargin
+
+  // --------------------------------- truncated-dimension recall (s17)
+
+  /** Prefix lengths priced by the s17 acceptance report. */
+  private[llm] val TruncDims = Seq(8, 16, 32)
+
+  /** Matryoshka-style dimension-truncation acceptance: recall@5 of
+    * cosine search over the first `dim` coordinates against the exact
+    * full-width top-5, for dim in {8, 16, 32}. THE report behind the
+    * "can we store/search a prefix of the embedding" decision — a d-dim
+    * prefix cuts index bytes and dot-product work by 64/d at 100 TB,
+    * and this query prices exactly what that costs in retrieval
+    * quality. Ground truth is computed ONCE; every truncated pass is
+    * the same broadcast-queries × candidates scan shape as s01 (the
+    * candidate side streams embarrassingly parallel and is never
+    * re-shuffled); recall is fixed-point integer arithmetic.
+    */
+  def truncatedRecall(vecs: DataFrame, dims: Seq[Int], k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val q = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val exact = cosineTopK(q, c, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
+    val trunc = dims.map { dm =>
+      cosineTopK(
+          q.withColumn("embedding", expr(s"slice(embedding, 1, $dm)")),
+          c.withColumn("embedding", expr(s"slice(embedding, 1, $dm)")), k)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("dim", lit(dm))
+    }.reduce(_ unionAll _)
+    val j = exact.join(trunc, Seq("query_id", "neighbor_id"))
+    dims.toDF("dim").join(j, Seq("dim"), "left")
+      .groupBy(col("dim")).agg(count(col("query_id")).as("n_matches"))
+      .crossJoin(broadcast(nq))
+      .select(col("dim"), col("n_matches"),
+        // nq = 0 guard: an empty corpus prices to recall 0, not a
+        // divide-by-zero under ANSI mode (empty-input contract)
+        expr(s"cast(CASE WHEN nq = 0 THEN 0 " +
+          s"ELSE n_matches * 1000000 div (nq * $k) END as bigint)")
+          .as("recall_fx"))
+  }
+
+  private def truncatedRecallSpark(s: SparkSession, d: String): DataFrame =
+    truncatedRecall(Catalog.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")), TruncDims, 5)
+
+  /** cosineTopKOracle over the first `dm` coordinates only. */
+  private def truncTopKOracle(dm: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id,
+       |    (cast(embedding AS DOUBLE[]))[1:$dm] AS qa FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |qn AS (SELECT query_id, qa, ${duckNorm("qa")} AS qn FROM q),
+       |c AS (SELECT vec_id AS neighbor_id,
+       |    (cast(embedding AS DOUBLE[]))[1:$dm] AS ca FROM embeddings),
+       |cn AS (SELECT neighbor_id, ca, ${duckNorm("ca")} AS cn FROM c),
+       |p AS (SELECT query_id, neighbor_id,
+       |    ${duckDot("qa", "ca")} / (qn * cn) AS cosine
+       |  FROM qn, cn WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM p)
+       |SELECT query_id, neighbor_id FROM r WHERE rn <= $k""".stripMargin
+
+  private def truncatedRecallOracle: String = {
+    val tt = TruncDims.map(dm =>
+      s"SELECT $dm AS dim, query_id, neighbor_id FROM (${truncTopKOracle(dm, 5)})")
+      .mkString("\n  UNION ALL ")
+    s"""WITH exact AS (${cosineTopKOracle(5)}),
+       |tt AS ($tt),
+       |j AS (SELECT tt.dim, tt.query_id FROM exact e JOIN tt
+       |  ON e.query_id = tt.query_id AND e.neighbor_id = tt.neighbor_id),
+       |nq AS (SELECT count(DISTINCT query_id) AS nq FROM exact),
+       |dims AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS dim),
+       |m AS (SELECT dims.dim, count(j.query_id) AS n_matches FROM dims
+       |  LEFT JOIN j ON j.dim = dims.dim GROUP BY dims.dim)
+       |SELECT dim, cast(n_matches as bigint) AS n_matches,
+       |  cast(CASE WHEN nq = 0 THEN 0
+       |       ELSE n_matches * 1000000 // (nq * 5) END as bigint) AS recall_fx
+       |FROM m, nq""".stripMargin
+  }
 }

@@ -836,8 +836,102 @@ object TextAnalysis {
                    |    - cast(s as decimal(38,0)) * s as double)
                    |  / cast(cast(nn as decimal(38,0)) * s as double)"""
               .stripMargin).as("vmr"))
-      })
+      }),
+
+    // BM25 retrieval: the ranking function behind every lexical search
+    // stack (Robertson-Sparck Jones IDF, Okapi tf saturation, document
+    // length normalization; k1=1.2, b=0.75), scoring a fixed 3-term
+    // query against the corpus and returning the top 10. The 100 TB
+    // shape: the term filter runs BEFORE the (doc, term) shuffle so the
+    // exploded relation shrinks to matching postings immediately; df and
+    // the corpus length stats are tiny broadcast dims; per-term partial
+    // scores pivot into fixed columns so the final sum is one ordered
+    // expression (float determinism — no order-dependent double sum);
+    // the global top-10 is a TakeOrdered, never a full sort. t10's
+    // TF-IDF is the raw weighting; this is the production scorer built
+    // on it.
+    QueryDef(
+      "t32_bm25",
+      Some {
+        val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+        val pivot = Bm25Terms.map(t =>
+          s"max(CASE WHEN x = '$t' THEN s END) AS s_$t").mkString(",\n    ")
+        val scoreSum = Bm25Terms
+          .map(t => s"coalesce(s_$t, cast(0 as double))").mkString(" + ")
+        s"""WITH dl AS (SELECT doc_id, cast(len($duckWords) as bigint) AS dl
+           |  FROM documents),
+           |st AS (SELECT cast(sum(dl) as bigint) AS sum_dl,
+           |    cast(count(*) as bigint) AS n FROM dl),
+           |w AS (SELECT doc_id, unnest($duckWords) AS x FROM documents),
+           |tf AS (SELECT doc_id, x, cast(count(*) as bigint) AS tf FROM w
+           |  WHERE x IN $terms GROUP BY 1, 2),
+           |df AS (SELECT x, cast(count(*) as bigint) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id, x,
+           |    ln(1 + (cast(n - df as double) + 0.5)
+           |        / (cast(df as double) + 0.5))
+           |      * (cast(tf as double) * 2.2)
+           |      / (cast(tf as double) + 1.2 * (0.25 + 0.75
+           |          * (cast(dl as double)
+           |             / (cast(sum_dl as double) / cast(n as double))))) AS s
+           |  FROM tf JOIN df USING (x) JOIN dl USING (doc_id), st),
+           |p AS (SELECT doc_id,
+           |    $pivot
+           |  FROM sc GROUP BY doc_id),
+           |r AS (SELECT doc_id, ${Bm25Terms.map(t => s"s_$t").mkString(", ")},
+           |    $scoreSum AS score FROM p)
+           |SELECT doc_id, ${Bm25Terms.map(t => s"s_$t").mkString(", ")}, score,
+           |  cast(row_number() OVER (ORDER BY score DESC, doc_id ASC) as int)
+           |    AS rank
+           |FROM r ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+      },
+      (s, d) => bm25TopK(Catalog.t(s, d, "documents"), Bm25Terms, 10))
   )
+
+  /** The fixed retrieval query for the t32 gate (all three terms occur
+    * in the synthetic vocabulary).
+    */
+  private[llm] val Bm25Terms = Seq("spark", "window", "merge")
+
+  /** BM25 top-k over a `documents(doc_id, text)` relation for a fixed
+    * term set. k1 = 1.2, b = 0.75; IDF = ln(1 + (N - df + .5)/(df + .5)).
+    * Per-term partial scores pivot into one column per term and the
+    * final score adds them in FIXED textual order, so the only float
+    * operations are per-row expressions both engines evaluate
+    * identically — no order-dependent double aggregation anywhere.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val st = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
+      .filter(col("x").isin(terms: _*))
+      .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(df), "x").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("s", expr(
+        """ln(1 + (cast(n - df as double) + 0.5)
+          |    / (cast(df as double) + 0.5))
+          |  * (cast(tf as double) * 2.2)
+          |  / (cast(tf as double) + 1.2 * (0.25 + 0.75
+          |      * (cast(dl as double)
+          |         / (cast(sum_dl as double) / cast(n as double)))))"""
+          .stripMargin))
+    val perTerm = terms.map(t =>
+      max(when(col("x") === t, col("s"))).as(s"s_$t"))
+    val pivoted = sc.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", expr(terms
+        .map(t => s"coalesce(s_$t, cast(0 as double))").mkString(" + ")))
+    val top = pivoted
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id") +: terms.map(t => col(s"s_$t")) :+
+        col("score") :+ col("rank"): _*)
+  }
 
   /** The t15 scoring chain through `px` (per-doc bigram-LM fixed-point
     * scores, zero-filled for short docs) — shared by the t15 oracle and

@@ -378,7 +378,100 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
               .as("n_corrupt"))
+      }),
+
+    // SCD2 dimension merge (the lakehouse MERGE INTO pattern): apply a
+    // derived updates batch to the customer dimension with
+    // slowly-changing-dimension type-2 semantics — a changed attribute
+    // CLOSES the current version (valid_to = batch date) and OPENS a
+    // new one; unchanged rows carry through. The merged dimension then
+    // roundtrips through a parquet write + re-read (no coalesce: a
+    // 100 TB dimension rewrite streams from every task) so the gate
+    // proves the full sink→source path, not just the join. Plan shape:
+    // ONE co-keyed shuffle join (both sides large at scale — no
+    // broadcast assumption), narrow classification, and a two-row
+    // explode for changed keys; zero windows. The updates batch here is
+    // itself derived (order-count tier per customer) so the whole query
+    // is oracle-checkable from the source tables.
+    QueryDef(
+      "i11_scd2_merge",
+      Some("""WITH upd AS (SELECT o_custkey AS c_custkey,
+             |    CASE WHEN count(*) >= 10 THEN 'BULK' ELSE 'ACTIVE' END
+             |      AS new_segment
+             |  FROM orders GROUP BY 1),
+             |j AS (SELECT c.c_custkey, c.c_mktsegment, u.new_segment
+             |  FROM customer c LEFT JOIN upd u USING (c_custkey)),
+             |carry AS (SELECT c_custkey, c_mktsegment AS segment,
+             |    TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             |    TIMESTAMP '9999-12-31 00:00:00' AS valid_to, true AS is_current,
+             |    'carry' AS action
+             |  FROM j WHERE new_segment IS NULL
+             |    OR new_segment = c_mktsegment),
+             |closed AS (SELECT c_custkey, c_mktsegment AS segment,
+             |    TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             |    TIMESTAMP '2026-01-01 00:00:00' AS valid_to, false AS is_current,
+             |    'close' AS action
+             |  FROM j WHERE new_segment IS NOT NULL
+             |    AND new_segment <> c_mktsegment),
+             |opened AS (SELECT c_custkey, new_segment AS segment,
+             |    TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+             |    TIMESTAMP '9999-12-31 00:00:00' AS valid_to, true AS is_current,
+             |    'open' AS action
+             |  FROM j WHERE new_segment IS NOT NULL
+             |    AND new_segment <> c_mktsegment)
+             |SELECT * FROM carry UNION ALL SELECT * FROM closed
+             |UNION ALL SELECT * FROM opened""".stripMargin),
+      (s, d) => {
+        val out = tmp("graft-i11")
+        val merged = scd2Merge(
+          Catalog.t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          Catalog.t(s, d, "orders")
+            .groupBy(col("o_custkey").as("c_custkey"))
+            .agg(count(lit(1)).as("n_orders"))
+            .select(col("c_custkey"),
+              when(col("n_orders") >= 10, "BULK").otherwise("ACTIVE")
+                .as("new_segment")))
+        merged.write.mode("overwrite").parquet(out)
+        // explicit schema: an empty dimension writes no part files and a
+        // 100 TB re-read shouldn't footer-sample anyway (i03's stance)
+        s.read.schema(merged.schema).parquet(out)
       }))
+
+  /** SCD2 type-2 merge of `updates(c_custkey, new_segment)` into
+    * `base(c_custkey, c_mktsegment)`: changed keys emit a closed old
+    * version + an open new one, everything else carries through
+    * current. Epoch/batch dates are fixed so the output is a pure
+    * function of its inputs.
+    */
+  def scd2Merge(base: org.apache.spark.sql.DataFrame,
+      updates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val j = base.join(updates, Seq("c_custkey"), "left")
+    val changed = col("new_segment").isNotNull &&
+      col("new_segment") =!= col("c_mktsegment")
+    // Each row expands to its SCD2 version rows in one narrow
+    // explode-of-struct-array — no second pass over the join.
+    j.select(col("c_custkey"), explode(when(changed, expr(
+        """array(
+          |  named_struct('segment', c_mktsegment,
+          |    'valid_from', TIMESTAMP '2020-01-01 00:00:00',
+          |    'valid_to', TIMESTAMP '2026-01-01 00:00:00',
+          |    'is_current', false, 'action', 'close'),
+          |  named_struct('segment', new_segment,
+          |    'valid_from', TIMESTAMP '2026-01-01 00:00:00',
+          |    'valid_to', TIMESTAMP '9999-12-31 00:00:00',
+          |    'is_current', true, 'action', 'open'))""".stripMargin))
+      .otherwise(expr(
+        """array(named_struct('segment', c_mktsegment,
+          |  'valid_from', TIMESTAMP '2020-01-01 00:00:00',
+          |  'valid_to', TIMESTAMP '9999-12-31 00:00:00',
+          |  'is_current', true, 'action', 'carry'))""".stripMargin)))
+      .as("v"))
+      .select(col("c_custkey"), col("v.segment").as("segment"),
+        col("v.valid_from").as("valid_from"),
+        col("v.valid_to").as("valid_to"),
+        col("v.is_current").as("is_current"), col("v.action").as("action"))
+  }
 
   /** i09 predicate window: [1996-01-01, 1997-01-01) as epoch millis. */
   private val ZmLo: Long =

@@ -62,7 +62,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "g08_modularity", "t30_feature_hashing", "p20_padding_efficiency",
     "s15_binary_ann", "d21_bag_dedup", "d22_lsh_tuning",
     "q57_percentile_cont", "q58_lateness_profile", "m08_modality_mix",
-    "i09_zone_map_skipping", "i10_malformed_audit", "sp30_rescale_plan")
+    "i09_zone_map_skipping", "i10_malformed_audit", "sp30_rescale_plan",
+    // batch 17: empty corpus -> empty BM25 postings / zero-recall
+    // report / empty elbow sweep / empty dimension merge (schema-pinned
+    // re-read)
+    "t32_bm25", "s17_truncated_recall", "c08_elbow", "i11_scd2_merge")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -476,6 +476,52 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("t32 BM25 filters postings before the shuffle and plans the " +
+    "top-10 as TakeOrdered; df and corpus stats ride broadcasts") {
+    val p = plan("t32_bm25")
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    // the only window ranks the 10 surviving rows
+    assert(count(p, "Window") <= 1 + count(p, "WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the term IN-filter runs in the scan stage, below every Exchange
+    val preShuffle = p.substring(p.indexOf("Exchange"))
+    assert(preShuffle.contains("spark") && preShuffle.contains("merge"), p)
+  }
+
+  test("s17 truncated recall: every pass keeps queries broadcast; " +
+    "candidates never cartesian") {
+    val p = plan("s17_truncated_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c08 elbow prices all k values in ONE broadcast pass: no " +
+    "sort-merge join, single-partition stage only for the 4-row lag") {
+    val p = plan("c08_elbow")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange SinglePartition") <= 1, p)
+  }
+
+  test("i11 SCD2 merge is one keyed join + narrow explode: no window, " +
+    "no cartesian") {
+    val merged = graft.sources.IngestQueries.scd2Merge(
+      Catalog.t(spark, sf, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Catalog.t(spark, sf, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+        .select(col("c_custkey"),
+          org.apache.spark.sql.functions.when(col("n_orders") >= 10, "BULK")
+            .otherwise("ACTIVE").as("new_segment")))
+    val p = merged.queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Generate") == 1, p) // the single explode pass
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
