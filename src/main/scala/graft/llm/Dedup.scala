@@ -96,6 +96,7 @@ object Dedup {
     QueryDef("g07_degree_profile", Some(degreeProfileOracle),
       degreeProfileSpark),
     QueryDef("g08_modularity", Some(modularityOracle), modularitySpark),
+    QueryDef("g09_kcore_peel", Some(kCoreOracle), kCoreSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1391,6 +1392,49 @@ object Dedup {
        |      - cast(degree_sum as hugeint) * degree_sum as double)
        |    / cast(cast(m2 as hugeint) * m2 as double) AS contribution
        |FROM dc LEFT JOIN ia ON dc.community = ia.community, m2t""".stripMargin
+
+  // --------------------------------------------- k-core peeling (g09)
+
+  /** Peel threshold and fixed round count: k = 3 keeps clique-shaped
+    * template mass (a clique survives iff it has >= k+1 members) while
+    * chains, stars, and isolated docs peel off; 3 rounds is where the
+    * near-dup graph's profile flattens, and a FIXED count (LPA's
+    * lesson) keeps the oracle exactly unrollable.
+    */
+  private val PeelK = 3
+  private val PeelRounds = 3
+
+  /** Density audit of the near-dup graph: how much of the corpus is
+    * peelable fringe (low-degree attachments, per round) vs durable
+    * k-core template mass. Algorithm in [[GraphAlgs.kCorePeelProfile]].
+    */
+  private def kCoreSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    GraphAlgs.kCorePeelProfile(nodes, edges, PeelK, PeelRounds,
+      checkpointDir = graphCheckpointDir(s))
+  }
+
+  private def kCoreOracle: String = {
+    val roundCtes = (1 to PeelRounds).map { i =>
+      s"""d$i AS (SELECT e.src AS node, count(*) AS deg FROM e
+         |  JOIN r${i - 1} a ON e.src = a.node
+         |  JOIN r${i - 1} b ON e.dst = b.node GROUP BY 1),
+         |r$i AS (SELECT r${i - 1}.node FROM r${i - 1}
+         |  LEFT JOIN d$i USING (node) WHERE coalesce(deg, 0) >= $PeelK)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to PeelRounds).map { i =>
+      s"""SELECT $i AS round,
+         |  cast((SELECT count(*) FROM r${i - 1})
+         |    - (SELECT count(*) FROM r$i) as bigint) AS n_removed,
+         |  cast((SELECT count(*) FROM r$i) as bigint) AS n_remaining"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${edgeCtes()},
+       |r0 AS (SELECT doc_id AS node FROM fp),
+       |$roundCtes
+       |$rows""".stripMargin
+  }
 
   // ----------------------------------------- triangle counting (g03)
 

@@ -394,6 +394,55 @@ object GraphAlgs {
     * partitioned edge list, one broadcast 1-row edge total — no
     * all-pairs, no window.
     */
+  /** k-core peeling profile: `rounds` fixed iterations of "drop every
+    * node whose degree WITHIN the remaining subgraph is < k", reporting
+    * per round how many nodes fell and how many survive. The density
+    * audit that separates core template mass from peelable fringe — and
+    * the fixed round count (like LPA's) keeps the result reproducible
+    * and the SQL oracle exactly unrollable, instead of depending on a
+    * convergence test. Scale shape: the symmetrized edge list is
+    * hash-partitioned once and cached; each round is two keyed
+    * semi-joins against the shrinking node set plus one degree
+    * aggregate — work decreases monotonically as nodes peel. The only
+    * driver-side values are the per-round COUNTS (bounded by `rounds`),
+    * never node data.
+    */
+  def kCorePeelProfile(
+      nodes: DataFrame,
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k-core peel needs k >= 1, rounds >= 1")
+    val spark = nodes.sparkSession
+    val rd = new Rounds(spark, checkpointDir)
+    val p = shufflePartitions(nodes)
+    val e = undirected(edges, p)
+    var remaining = rd.truncate(nodes.select(col("id")).distinct())
+    var nRem = remaining.count()
+    val profile = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val deg = e
+        .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val next = rd.truncate(
+        remaining.join(deg, Seq("id"), "left")
+          .filter(coalesce(col("deg"), lit(0L)) >= k)
+          .select(col("id")))
+      val nNext = next.count()
+      profile += ((r, nRem - nNext, nNext))
+      remaining = next
+      nRem = nNext
+      debug(s"[kcore] round $r remaining=$nRem")
+    }
+    e.unpersist()
+    import spark.implicits._
+    profile.toSeq.toDF("round", "n_removed", "n_remaining")
+  }
+
   def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
     val p = shufflePartitions(edges)
     val e = undirected(edges, p)

@@ -884,7 +884,71 @@ object TextAnalysis {
            |    AS rank
            |FROM r ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
       },
-      (s, d) => bm25TopK(Catalog.t(s, d, "documents"), Bm25Terms, 10))
+      (s, d) => bm25TopK(Catalog.t(s, d, "documents"), Bm25Terms, 10)),
+
+    // Kneser-Ney smoothed bigram LM (absolute discount D = 0.75 with
+    // continuation-probability backoff) — the estimator that actually
+    // ships in n-gram LMs, vs t11's raw MLE: the backoff weights rare
+    // continuations by HOW MANY contexts a word follows, not how often.
+    // Per head word, the argmax next word under P_KN with its exact
+    // count evidence. Every statistic is an integer count (bigram
+    // counts, left/right continuation type counts, total bigram types);
+    // the probability is one fixed per-row double expression, so
+    // cross-engine determinism holds without fixed-point. Scale shape:
+    // the bigram count relation is built once with map-side combine;
+    // tot/right-types are w1-keyed re-aggregates of it, left-types is
+    // w2-keyed, total types is a 1-row broadcast — two keyed shuffles
+    // total, no window until the 1-per-head argmax.
+    QueryDef(
+      "t33_kneser_ney",
+      Some(s"""WITH d AS (SELECT doc_id, $duckWords AS w FROM documents),
+              |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+              |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true) FROM d),
+              |c AS (SELECT w1, w2, cast(count(*) as bigint) AS cnt
+              |  FROM bg GROUP BY 1, 2),
+              |tot AS (SELECT w1, cast(sum(cnt) as bigint) AS tot,
+              |    cast(count(*) as bigint) AS rtypes FROM c GROUP BY 1),
+              |lt AS (SELECT w2, cast(count(*) as bigint) AS ltypes
+              |  FROM c GROUP BY 1),
+              |tt AS (SELECT cast(count(*) as bigint) AS ttypes FROM c),
+              |p AS (SELECT c.w1, c.w2, cnt,
+              |    greatest(cast(cnt as double) - 0.75, 0) / cast(tot as double)
+              |      + (0.75 * cast(rtypes as double) / cast(tot as double))
+              |        * (cast(ltypes as double) / cast(ttypes as double))
+              |      AS p_kn
+              |  FROM c JOIN tot USING (w1) JOIN lt USING (w2), tt),
+              |r AS (SELECT w1, w2, cnt, p_kn,
+              |    row_number() OVER (PARTITION BY w1
+              |      ORDER BY p_kn DESC, w2 ASC) AS rn FROM p)
+              |SELECT w1, w2, cnt, p_kn FROM r WHERE rn = 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bg = Catalog.t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .select(explode(expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+              "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2)) " +
+              "ELSE cast(array() as array<struct<w1: string, w2: string>>) END"))
+            .as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = c.groupBy(col("w1"))
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("rtypes"))
+        val lt = c.groupBy(col("w2")).agg(count(lit(1)).as("ltypes"))
+        val tt = c.agg(count(lit(1)).as("ttypes"))
+        val w = Window.partitionBy(col("w1"))
+          .orderBy(col("p_kn").desc, col("w2").asc)
+        c.join(tot, "w1").join(lt, "w2").crossJoin(broadcast(tt))
+          .withColumn("p_kn", expr(
+            """greatest(cast(cnt as double) - 0.75, 0) / cast(tot as double)
+              |  + (0.75 * cast(rtypes as double) / cast(tot as double))
+              |    * (cast(ltypes as double) / cast(ttypes as double))"""
+              .stripMargin))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("w1", "w2", "cnt", "p_kn")
+      })
   )
 
   /** The fixed retrieval query for the t32 gate (all three terms occur

@@ -485,6 +485,72 @@ object RelationalQueries4 {
           .select(col("bucket"), col("n_events"), col("max_lateness_ms"),
             expr("cast(n_events * 1000000 div total as bigint)")
               .as("share_fx"))
+      }),
+
+    // ---------------------------------------- first-touch attribution
+    // Which entry channel converts: sessionize (q47's exact 30-min gap
+    // semantics), tag each session with its FIRST event's type, flag
+    // sessions containing a purchase, roll up conversion per entry
+    // type. The entry pick is min(struct(ms, event_id, event_type)) —
+    // ONE aggregate over the already-windowed relation, equivalent to
+    // the oracle's rn=1 window because event_id is unique — so the
+    // whole query rides a single user-keyed Exchange plus one keyed
+    // rollup; the final per-channel report is 5 rows.
+    QueryDef(
+      "q59_attribution",
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+              |x AS (SELECT user_id, event_id, event_type, ms,
+              |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+              |        ORDER BY ms, event_id) > $GapMs THEN 1 ELSE 0 END AS brk
+              |  FROM e),
+              |s AS (SELECT user_id, event_id, event_type, ms,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              |      ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+              |  FROM x),
+              |f AS (SELECT user_id, session_id, event_type AS entry_type
+              |  FROM (SELECT user_id, session_id, event_type,
+              |      row_number() OVER (PARTITION BY user_id, session_id
+              |        ORDER BY ms, event_id) AS rn FROM s) z WHERE rn = 1),
+              |cv AS (SELECT user_id, session_id,
+              |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |      AS conv
+              |  FROM s GROUP BY 1, 2),
+              |a AS (SELECT entry_type, count(*) AS n_sessions,
+              |    cast(sum(conv) as bigint) AS n_converted
+              |  FROM f JOIN cv USING (user_id, session_id) GROUP BY 1)
+              |SELECT entry_type, n_sessions, n_converted,
+              |  cast(n_converted * 1000000 // n_sessions as bigint) AS conv_fx
+              |FROM a""".stripMargin),
+      (s, d) => {
+        val ord = Seq(col("ms"), col("event_id"))
+        val wl = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        val wc = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("brk",
+            when(col("ms") - lag(col("ms"), 1).over(wl) > GapMs, 1)
+              .otherwise(0))
+          .withColumn("session_id", (sum(col("brk")).over(wc) + 1).cast("int"))
+        sess.groupBy(col("user_id"), col("session_id"))
+          .agg(min(struct(col("ms"), col("event_id"), col("event_type")))
+              .as("fe"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0))
+              .as("conv"))
+          .select(col("fe.event_type").as("entry_type"), col("conv"))
+          .groupBy(col("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("conv")).cast("long").as("n_converted"))
+          .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+            expr("cast(n_converted * 1000000 div n_sessions as bigint)")
+              .as("conv_fx"))
       })
   )
+
+  /** q47/st02's session gap (30 min) — the attribution report must
+    * sessionize identically to the session inventory it complements.
+    */
+  private val GapMs = 1800000L
 }

@@ -436,6 +436,29 @@ object IngestQueries {
         // explicit schema: an empty dimension writes no part files and a
         // 100 TB re-read shouldn't footer-sample anyway (i03's stance)
         s.read.schema(merged.schema).parquet(out)
+      }),
+
+    // Gzip-compressed JSONL: how compressed web-corpus deliveries
+    // actually arrive. gzip parts are NOT line-splittable, so read
+    // parallelism is capped at ONE TASK PER FILE — the contract is
+    // therefore "many bounded-size .json.gz parts" (here: the write
+    // parallelism of the source relation), and a delivery arriving as
+    // one giant .gz is re-sharded at ingest before anything else runs.
+    // Same explicit-schema + fidelity-hash gate as i01: compression
+    // must change bytes on disk, never the relation.
+    QueryDef(
+      "i12_gzip_jsonl",
+      Some(fidelityOracle),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val out = tmp("graft-i12")
+        Catalog.t(s, d, "documents").write.mode("overwrite")
+          .option("compression", "gzip").json(out)
+        s.read.schema(docSchema).json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
       }))
 
   /** SCD2 type-2 merge of `updates(c_custkey, new_segment)` into

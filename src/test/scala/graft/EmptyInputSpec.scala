@@ -66,7 +66,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // batch 17: empty corpus -> empty BM25 postings / zero-recall
     // report / empty elbow sweep / empty dimension merge (schema-pinned
     // re-read)
-    "t32_bm25", "s17_truncated_recall", "c08_elbow", "i11_scd2_merge")
+    "t32_bm25", "s17_truncated_recall", "c08_elbow", "i11_scd2_merge",
+    // batch 18: empty graph peels to zeros, empty LM/attribution/gzip
+    // corpus -> empty reports
+    "g09_kcore_peel", "t33_kneser_ney", "q59_attribution",
+    "i12_gzip_jsonl")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

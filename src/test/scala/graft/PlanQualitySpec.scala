@@ -522,6 +522,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "Generate") == 1, p) // the single explode pass
   }
 
+  test("q59 attribution rides ONE user Exchange end-to-end and is " +
+    "joinless: the entry pick is an aggregate, not a join-back") {
+    val p = plan("q59_attribution")
+    assert(count(p, "hashpartitioning(user_id") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("t33 Kneser-Ney joins only on bigram keys: no cartesian, the " +
+    "type total rides a 1-row broadcast") {
+    val p = plan("t33_kneser_ney")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
