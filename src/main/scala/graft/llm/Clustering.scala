@@ -52,7 +52,8 @@ object Clustering {
     QueryDef("c05_silhouette", Some(silhouetteOracle), silhouetteSpark),
     QueryDef("c06_bisect_split", Some(bisectOracle), bisectSpark),
     QueryDef("c07_cluster_purity", Some(purityOracle), puritySpark),
-    QueryDef("c08_elbow", Some(elbowOracle), elbowSpark)
+    QueryDef("c08_elbow", Some(elbowOracle), elbowSpark),
+    QueryDef("c09_davies_bouldin", Some(dbOracle), dbSpark)
   )
 
   // ----------------------------------------------- elbow curve (c08)
@@ -905,5 +906,104 @@ object Clustering {
        |r AS (SELECT query_id, neighbor_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist ASC, neighbor_id ASC) AS rn FROM adc)""".stripMargin
+  }
+
+  // ------------------------------------------ Davies–Bouldin (c09)
+
+  /** Davies–Bouldin cluster-validity index — the separation-aware
+    * complement to c03's inertia and c05's silhouette surrogate: per
+    * cluster i, scatter S_i = mean L2 distance of members to their
+    * centroid; for every other cluster j, R_ij = (S_i + S_j) / M_ij
+    * with M_ij the centroid L2 distance; DB_i = max_j R_ij (lower is
+    * better — tight clusters far apart). Reported per cluster so a bad
+    * cluster is locatable, not averaged away.
+    *
+    * Scale: assignment is the shared inline-centroid fold; the scatter
+    * is ONE keyed aggregation of per-row fixed-point distances (exact
+    * integer sums — a double mean's partial order is not
+    * reproducible); everything after runs on C-row relations (C =
+    * cluster count), so the pairwise R matrix is C², never N². Degenerate
+    * coincident centroids (M_ij rounds to 0) are excluded from the max
+    * on both engines rather than dividing by zero.
+    */
+  private def dbSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    daviesBouldin(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  def daviesBouldin(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
+    val c = vecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+    def l2(a: String, b: String): String =
+      s"sqrt(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        s"cast(0 as double), (acc, v) -> acc + v))"
+    val cvec = centroids.select(col("cid").as("jcid"),
+      col("embedding").cast("array<double>").as("cvec"))
+    val scatter = assignCells(c, cent)
+      .join(broadcast(cvec), col("cid") === col("jcid"))
+      .withColumn("fx",
+        expr(s"cast(round(${l2("ca", "cvec")} * $MeanFx) as bigint)"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(fx) div count(*)").as("scatter_fx"))
+    val ci = centroids.select(col("cid").as("i"),
+      col("embedding").cast("array<double>").as("ia"))
+    val cj = centroids.select(col("cid").as("j"),
+      col("embedding").cast("array<double>").as("ja"))
+    val m = ci.crossJoin(broadcast(cj))
+      .filter(col("i") =!= col("j"))
+      .withColumn("m_fx",
+        expr(s"cast(round(${l2("ia", "ja")} * $MeanFx) as bigint)"))
+      .filter(col("m_fx") > 0)
+      .select(col("i"), col("j"), col("m_fx"))
+    val si = scatter.select(col("cid").as("i"), col("scatter_fx").as("s_i"))
+    val sj = scatter.select(col("cid").as("j"), col("scatter_fx").as("s_j"))
+    val ratios = m.join(si, "i").join(sj, "j")
+      .select(col("i"),
+        expr("cast((s_i + s_j) * 1000000 div m_fx as bigint)").as("r_fx"))
+      .groupBy(col("i")).agg(max(col("r_fx")).as("db_fx"))
+    scatter.join(ratios, col("cid") === col("i"))
+      .select(col("cid"), col("n_members"), col("scatter_fx"), col("db_fx"))
+  }
+
+  private def dbOracle: String = {
+    def l2(a: String, b: String): String =
+      s"""sqrt(list_reduce(list_prepend(cast(0 as double),
+         |      list_transform(range(1, 65),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (acc, v) -> acc + v))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |sc AS (SELECT a.cid,
+       |    cast(round(${l2("a.va", "c.ca")} * $MeanFx) as bigint) AS fx
+       |  FROM asg a JOIN c ON a.cid = c.cid),
+       |g AS (SELECT cid, count(*) AS n_members,
+       |    cast(sum(fx) as bigint) // count(*) AS scatter_fx
+       |  FROM sc GROUP BY cid),
+       |m AS (SELECT a.cid AS i, b.cid AS j,
+       |    cast(round(${l2("a.ca", "b.ca")} * $MeanFx) as bigint) AS m_fx
+       |  FROM c a, c b WHERE a.cid <> b.cid),
+       |r AS (SELECT m.i,
+       |    max(cast((gi.scatter_fx + gj.scatter_fx) * 1000000 // m.m_fx
+       |      as bigint)) AS db_fx
+       |  FROM m JOIN g gi ON gi.cid = m.i JOIN g gj ON gj.cid = m.j
+       |  WHERE m.m_fx > 0 GROUP BY m.i)
+       |SELECT g.cid, g.n_members, g.scatter_fx, r.db_fx
+       |FROM g JOIN r ON r.i = g.cid""".stripMargin
   }
 }

@@ -78,7 +78,8 @@ object Similarity {
     QueryDef("s15_binary_ann", Some(binaryAnnOracle), binaryAnnSpark),
     QueryDef("s16_recall_curve", Some(recallCurveOracle), recallCurveSpark),
     QueryDef("s17_truncated_recall", Some(truncatedRecallOracle),
-      truncatedRecallSpark)
+      truncatedRecallSpark),
+    QueryDef("s18_mmr_rerank", Some(mmrOracle), mmrSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -1337,5 +1338,161 @@ object Similarity {
        |  cast(CASE WHEN nq = 0 THEN 0
        |       ELSE n_matches * 1000000 // (nq * 5) END as bigint) AS recall_fx
        |FROM m, nq""".stripMargin
+  }
+
+  // -------------------------------- MMR diversified rerank (s18)
+
+  /** MMR depth, shortlist width, relevance/diversity mix. λ = 0.7 is
+    * carried in integer tenths (score = 7·rel − 3·maxsim) so the greedy
+    * argmax never touches a float comparison. */
+  private val MmrK = 5
+  private val MmrShortlist = 20
+  private[llm] val MmrFx = 10000000L
+
+  private def mmrSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    mmrRerank(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      MmrK, MmrShortlist)
+  }
+
+  /** Maximal-marginal-relevance rerank: greedy top-k where round r
+    * picks argmax(7·rel − 3·max-sim-to-already-picked) — the standard
+    * retrieval diversifier (Carbonell & Goldstein '98) that keeps a
+    * RAG context window from filling with five copies of the same
+    * passage.
+    *
+    * Scale: the corpus-sized work is EXACTLY s01's broadcast top-k —
+    * one streamed pass shortlists `shortlistN` candidates per query.
+    * Everything greedy then runs on |Q|·shortlist rows: the pairwise
+    * sim matrix is |Q|·shortlist² (computed once, memoized), and each
+    * of the k−1 rounds is a bounded join + argmax over that cached
+    * relation. The greedy loop's selected sets are eager 1-row-per-
+    * query checkpoints, so round plans stay flat instead of nesting
+    * exponentially. All scores are fixed-point bigints with
+    * neighbor-id tie-breaks — bit-stable across engines and retries.
+    */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, k: Int,
+      shortlistN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qa"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
+    val c = candidates.select(col("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_fx").desc, col("neighbor_id").asc)
+    val short = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel_fx", expr(
+        s"cast(round(${sparkDot("qa", "ca")} / (qn * cn) * $MmrFx) as bigint)"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlistN)
+      .select(col("query_id"), col("neighbor_id"), col("rel_fx"),
+        col("ca"), col("cn"))
+      .localCheckpoint()
+    val ps = short
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("ca").as("aa"), col("cn").as("an"))
+      .join(short.select(col("query_id"), col("neighbor_id").as("sel_id"),
+        col("ca").as("ba"), col("cn").as("bn")), Seq("query_id"))
+      .filter(col("cand_id") =!= col("sel_id"))
+      .withColumn("sim_fx", expr(
+        s"cast(round(${sparkDot("aa", "ba")} / (an * bn) * $MmrFx) as bigint)"))
+      .select(col("query_id"), col("cand_id"), col("sel_id"), col("sim_fx"))
+      .localCheckpoint()
+    val slim = short.select(col("query_id"), col("neighbor_id"), col("rel_fx"))
+    val p1 = slim
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel_fx"),
+        expr("7 * rel_fx").as("score_fx"), lit(1).as("rank"))
+      .localCheckpoint()
+    var picks = Vector(p1)
+    var sel = p1
+    for (r <- 2 to k) {
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fx").desc, col("cand_id").asc)
+      val p = slim
+        .join(sel.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .withColumnRenamed("neighbor_id", "cand_id")
+        .join(sel.select(col("query_id"), col("neighbor_id").as("sel_id")),
+          Seq("query_id"))
+        .join(ps, Seq("query_id", "cand_id", "sel_id"))
+        .groupBy(col("query_id"), col("cand_id"), col("rel_fx"))
+        .agg(max(col("sim_fx")).as("msim"))
+        .withColumn("score_fx", expr("7 * rel_fx - 3 * msim"))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id").as("neighbor_id"),
+          col("rel_fx"), col("score_fx"), lit(r).as("rank"))
+        .localCheckpoint()
+      picks = picks :+ p
+      sel = sel.union(p)
+    }
+    picks.reduce(_ union _)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("score_fx"))
+  }
+
+  private def mmrOracle: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""cand$r AS (SELECT s.query_id, s.neighbor_id AS cand_id, s.rel_fx,
+         |    max(p.sim_fx) AS msim
+         |  FROM short s
+         |  JOIN sel${r - 1} t ON t.query_id = s.query_id
+         |  JOIN ps p ON p.query_id = s.query_id
+         |    AND p.cand_id = s.neighbor_id AND p.sel_id = t.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+         |    WHERE z.query_id = s.query_id
+         |      AND z.neighbor_id = s.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |p$r AS (SELECT query_id, cand_id AS neighbor_id, rel_fx,
+         |    score_fx, $r AS rank FROM (
+         |  SELECT *, 7 * rel_fx - 3 * msim AS score_fx,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (7 * rel_fx - 3 * msim) DESC, cand_id ASC) AS rn
+         |  FROM cand$r) x WHERE rn = 1),
+         |sel$r AS (SELECT query_id, neighbor_id FROM sel${r - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to MmrK).map(r =>
+      s"SELECT query_id, rank, neighbor_id, score_fx FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, va AS qa, vn AS qn FROM v
+       |  WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS neighbor_id, va AS ca, vn AS cn FROM v),
+       |rel AS (SELECT query_id, neighbor_id,
+       |    cast(round(${duckDot("qa", "ca")} / (qn * cn) * $MmrFx)
+       |      as bigint) AS rel_fx
+       |  FROM q, c WHERE query_id <> neighbor_id),
+       |short AS (SELECT query_id, neighbor_id, rel_fx FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel_fx DESC, neighbor_id ASC) AS srn FROM rel) x
+       |  WHERE srn <= $MmrShortlist),
+       |ps AS (SELECT s1.query_id, s1.neighbor_id AS cand_id,
+       |    s2.neighbor_id AS sel_id,
+       |    cast(round(${duckDot("c1.ca", "c2.ca")} / (c1.cn * c2.cn)
+       |      * $MmrFx) as bigint) AS sim_fx
+       |  FROM short s1
+       |  JOIN short s2 ON s1.query_id = s2.query_id
+       |    AND s1.neighbor_id <> s2.neighbor_id
+       |  JOIN c c1 ON c1.neighbor_id = s1.neighbor_id
+       |  JOIN c c2 ON c2.neighbor_id = s2.neighbor_id),
+       |p1 AS (SELECT query_id, neighbor_id, rel_fx,
+       |    7 * rel_fx AS score_fx, 1 AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel_fx DESC, neighbor_id ASC) AS rn FROM short) x
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM p1),
+       |$rounds
+       |SELECT query_id, cast(rank as int) AS rank, neighbor_id, score_fx
+       |FROM ($finalSel) u""".stripMargin
   }
 }

@@ -546,6 +546,103 @@ object RelationalQueries4 {
           .select(col("entry_type"), col("n_sessions"), col("n_converted"),
             expr("cast(n_converted * 1000000 div n_sessions as bigint)")
               .as("conv_fx"))
+      }),
+
+    // ------------------------------------ behavior Markov chain (q60)
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next event type | current type). The per-user
+    // ordering rides ONE user-keyed Exchange (high-cardinality,
+    // skew-free) and `lead`; the transition rollup is a 25-row
+    // aggregate over the 5x5 type domain with map-side partials, and
+    // the per-source totals ride a window over that 25-row relation —
+    // nothing after the first shuffle scales with |events|.
+    QueryDef(
+      "q60_markov_transitions",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+             |p AS (SELECT event_type AS cur_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ms, event_id) AS next_type FROM e),
+             |c AS (SELECT cur_type, next_type, count(*) AS n_trans
+             |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT *, sum(n_trans) OVER (PARTITION BY cur_type)
+             |    AS total FROM c)
+             |SELECT cur_type, next_type, n_trans,
+             |  cast(n_trans * 1000000 // total as bigint) AS p_fx
+             |FROM t""".stripMargin),
+      (s, d) => {
+        val wl = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val wt = Window.partitionBy(col("cur_type"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+          .select(col("event_type").as("cur_type"),
+            lead(col("event_type"), 1).over(wl).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("cur_type"), col("next_type"))
+          .agg(count(lit(1)).as("n_trans"))
+          .withColumn("total", sum(col("n_trans")).over(wt))
+          .select(col("cur_type"), col("next_type"), col("n_trans"),
+            expr("cast(n_trans * 1000000 div total as bigint)").as("p_fx"))
+      }),
+
+    // --------------------------------------- RFM segmentation (q61)
+    // Classic marketing RFM: per customer recency (days since last
+    // order, against the corpus-wide max order date), frequency
+    // (order count) and monetary (exact cents), each cut into
+    // quartiles by `ntile(4)` with a custkey tie-break so the cuts are
+    // total-ordered and bit-deterministic; report the 64-cell segment
+    // grid. Orders collapse to customer grain FIRST (one keyed
+    // Exchange with map-side partials), so the three ntile sorts run
+    // over |customers| rows, not |orders|; the anchor date is a 1-row
+    // broadcast. Monetary stays integer cents end-to-end.
+    QueryDef(
+      "q61_rfm_segments",
+      Some("""WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+             |cg AS (SELECT o_custkey,
+             |    date_diff('day', max(o_orderdate),
+             |      (SELECT anchor FROM a)) AS rec_days,
+             |    count(*) AS freq,
+             |    sum(cast(round(o_totalprice * 100) as bigint)) AS cents
+             |  FROM orders GROUP BY 1),
+             |q AS (SELECT o_custkey, rec_days, freq, cents,
+             |    cast(ntile(4) OVER (ORDER BY rec_days ASC, o_custkey ASC)
+             |      as int) AS r_q,
+             |    cast(ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC)
+             |      as int) AS f_q,
+             |    cast(ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC)
+             |      as int) AS m_q
+             |  FROM cg)
+             |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+             |  cast(sum(cents) as bigint) AS seg_cents,
+             |  cast(min(o_custkey) as bigint) AS sample_custkey
+             |FROM q GROUP BY 1, 2, 3""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+        val cg = o
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("freq"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("cents"))
+          .crossJoin(broadcast(anchor))
+          .select(col("o_custkey"),
+            datediff(col("anchor"), col("last_order")).cast("long")
+              .as("rec_days"),
+            col("freq"), col("cents"))
+        cg
+          .withColumn("r_q", ntile(4).over(
+            Window.orderBy(col("rec_days").asc, col("o_custkey").asc)))
+          .withColumn("f_q", ntile(4).over(
+            Window.orderBy(col("freq").desc, col("o_custkey").asc)))
+          .withColumn("m_q", ntile(4).over(
+            Window.orderBy(col("cents").desc, col("o_custkey").asc)))
+          .groupBy(col("r_q"), col("f_q"), col("m_q"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).cast("long").as("seg_cents"),
+            min(col("o_custkey")).cast("long").as("sample_custkey"))
       })
   )
 

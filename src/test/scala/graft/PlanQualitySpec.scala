@@ -537,6 +537,22 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q60 Markov transitions is joinless: one user-keyed window " +
+    "Exchange does all the |events|-sized work") {
+    val p = plan("q60_markov_transitions")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "hashpartitioning(user_id") == 1, p)
+  }
+
+  test("q61 RFM collapses orders to customer grain before any sort: " +
+    "one o_custkey Exchange, no shuffle-side join") {
+    val p = plan("q61_rfm_segments")
+    assert(count(p, "hashpartitioning(o_custkey") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the max-orderdate anchor rides a 1-row broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
