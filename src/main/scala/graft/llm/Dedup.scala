@@ -97,6 +97,7 @@ object Dedup {
       degreeProfileSpark),
     QueryDef("g08_modularity", Some(modularityOracle), modularitySpark),
     QueryDef("g09_kcore_peel", Some(kCoreOracle), kCoreSpark),
+    QueryDef("g10_two_hop", Some(twoHopOracle), twoHopSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1481,6 +1482,36 @@ object Dedup {
        |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
        |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
        |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
+
+  // ------------------------------------- two-hop reach (g10)
+
+  /** Distinct friend-of-friend count per document over the tight
+    * near-dup graph (same hamming<=1 subgraph as g03/g06): the
+    * chain-vs-clique expansion audit — a family whose two-hop shell
+    * dwarfs its degree is a CHAIN that transitive closure would
+    * over-merge; an empty shell means a closed clique, safe to
+    * collapse. Algorithm in [[GraphAlgs.twoHopReach]].
+    */
+  private def twoHopSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    GraphAlgs.twoHopReach(nodes,
+        edges.filter(col("hamming") <= TriMaxHamming))
+      .select(col("id").as("doc_id"), col("degree"), col("two_hop"))
+  }
+
+  private def twoHopOracle: String =
+    s"""WITH ${edgeCtes(TriMaxHamming)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |wed AS (SELECT DISTINCT a.src AS u, b.dst AS w FROM e a
+       |  JOIN e b ON a.dst = b.src WHERE b.dst <> a.src),
+       |nh AS (SELECT wed.u, wed.w FROM wed
+       |  LEFT JOIN e adj ON wed.u = adj.src AND wed.w = adj.dst
+       |  WHERE adj.src IS NULL),
+       |th AS (SELECT u, count(*) AS two_hop FROM nh GROUP BY 1)
+       |SELECT fp.doc_id, cast(coalesce(deg.deg, 0) as bigint) AS degree,
+       |  cast(coalesce(th.two_hop, 0) as bigint) AS two_hop
+       |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
+       |LEFT JOIN th ON fp.doc_id = th.u""".stripMargin
 
   // ------------------------------------- link prediction (g06)
 

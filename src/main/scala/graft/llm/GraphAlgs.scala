@@ -340,6 +340,41 @@ object GraphAlgs {
     out
   }
 
+  /** Two-hop reach (friend-of-friend audit): for every node, how many
+    * DISTINCT nodes sit at graph distance exactly 2 — reachable through
+    * a neighbor, not the node itself, and not directly adjacent. The
+    * expansion report a dedup pipeline reads next to the degree: a
+    * near-dup family whose two-hop shell dwarfs its degree is a chain
+    * (transitive closure will over-merge); one whose shell is empty is
+    * a clique (safe to collapse).
+    *
+    * Scale: the wedge enumeration is [[triangleCounts]]' bounded
+    * self-join keyed on the middle vertex — Σ deg(v)² work, never
+    * all-pairs — then a distinct on (u, w) and a left-anti against the
+    * adjacency. Callers pass a degree-bounded subgraph (the tight
+    * hamming cut) exactly as triangle counting does.
+    */
+  def twoHopReach(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val p = shufflePartitions(nodes)
+    val e = undirected(edges, p)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val ab = e.select(col("src").as("u"), col("dst").as("v"))
+    val bc = e.select(col("src").as("v"), col("dst").as("w"))
+    val wed = ab.join(bc, "v").filter(col("w") =!= col("u"))
+      .select(col("u"), col("w")).distinct()
+    val adj = e.select(col("src").as("u"), col("dst").as("w"))
+    val reach = wed.join(adj, Seq("u", "w"), "left_anti")
+      .groupBy(col("u")).agg(count(lit(1)).as("two_hop"))
+    val out = nodes.select(col("id"))
+      .join(deg.select(col("node").as("id"), col("deg")), Seq("id"), "left")
+      .join(reach.select(col("u").as("id"), col("two_hop")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("two_hop"), lit(0L)).as("two_hop"))
+    out
+  }
+
   /** Common-neighbor link prediction: for every NON-adjacent pair with
     * at least `minCommon` shared neighbors, the common-neighbor count
     * and the Jaccard similarity of the two neighbor sets

@@ -322,8 +322,88 @@ object Multimodal {
             expr("cast(total_bytes div n_items as bigint)")
               .as("mean_item_bytes"),
             col("frames_total"))
-      })
+      }),
+
+    // m09: subtitle/caption alignment — an as-of join INSIDE the
+    // multimodal family: m03's sampled video frames (25 fps → frame
+    // time = idx·40 ms) land on the latest caption segment that started
+    // at or before them. Caption segments come from the same doc's
+    // transcript: per-word durations (200 ms + 10 ms/char — the stub's
+    // deterministic stand-in for a forced aligner), 8-word segments,
+    // segment start = prefix sum of prior word durations. The reported
+    // lag is the within-segment offset a subtitle renderer needs.
+    // Scale: words/segments are a narrow explode + ONE doc-keyed window
+    // (prefix sums), the frame↔segment match is a co-keyed join on
+    // doc_id with an order-free max(struct) as-of pick (j01's
+    // discipline) — segments per doc are bounded, so the fan-in is too.
+    QueryDef(
+      "m09_caption_align",
+      Some("""WITH f0 AS (SELECT doc_id,
+             |    1 + cast(strlen(text) // 100 as int) AS n_frames
+             |  FROM documents WHERE doc_id % 4 = 3),
+             |fr AS (SELECT doc_id,
+             |    cast(unnest(range(0, n_frames, 4)) as int) AS frame_idx
+             |  FROM f0),
+             |wz AS (SELECT doc_id, unnest(list_transform(
+             |      range(1, len(w) + 1), i -> {'i0': i - 1, 'word': w[i]}),
+             |      recursive := true)
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+             |    FROM documents WHERE doc_id % 4 = 3) z),
+             |wd AS (SELECT doc_id, i0,
+             |    cast(200 + 10 * strlen(word) as bigint) AS dur FROM wz),
+             |wc AS (SELECT doc_id, i0,
+             |    coalesce(sum(dur) OVER (PARTITION BY doc_id ORDER BY i0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS start,
+             |    cast(i0 // 8 as int) AS seg_idx FROM wd),
+             |sg AS (SELECT doc_id, seg_idx, min(start) AS seg_start_ms
+             |  FROM wc GROUP BY 1, 2),
+             |fm AS (SELECT doc_id, frame_idx,
+             |    cast(frame_idx * 40 as bigint) AS frame_ms FROM fr),
+             |pick AS (SELECT fm.doc_id, fm.frame_idx, fm.frame_ms,
+             |    sg.seg_idx, sg.seg_start_ms,
+             |    row_number() OVER (PARTITION BY fm.doc_id, fm.frame_idx
+             |      ORDER BY sg.seg_start_ms DESC) AS rn
+             |  FROM fm JOIN sg ON fm.doc_id = sg.doc_id
+             |  WHERE sg.seg_start_ms <= fm.frame_ms)
+             |SELECT doc_id, frame_idx, seg_idx,
+             |  cast(seg_start_ms as bigint) AS seg_start_ms,
+             |  cast(frame_ms - seg_start_ms as bigint) AS lag_ms
+             |FROM pick WHERE rn = 1""".stripMargin),
+      (s, d) => captionAlign(frameSample(mediaDF(s, d)),
+        Catalog.t(s, d, "documents").filter(col("doc_id") % 4 === 3)))
   )
+
+  /** Public API: align sampled frames `(doc_id, frame_idx)` to caption
+    * segments derived from the docs' transcripts (m09). See the m09
+    * QueryDef comment for semantics; the as-of pick is an order-free
+    * `max(struct(seg_start, seg_idx))` aggregation, never a per-row
+    * subquery.
+    */
+  def captionAlign(frames: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "word")))
+      .withColumn("dur", expr("cast(200 + 10 * length(word) as bigint)"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("i0"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segs = words
+      .withColumn("start", coalesce(sum(col("dur")).over(wp), lit(0L)))
+      .withColumn("seg_idx", expr("cast(i0 div 8 as int)"))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(min(col("start")).as("seg_start_ms"))
+    frames
+      .withColumn("frame_ms", (col("frame_idx") * 40).cast("long"))
+      .join(segs, Seq("doc_id"))
+      .filter(col("seg_start_ms") <= col("frame_ms"))
+      .groupBy(col("doc_id"), col("frame_idx"), col("frame_ms"))
+      .agg(max(struct(col("seg_start_ms"), col("seg_idx"))).as("s"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("s.seg_idx").as("seg_idx"),
+        col("s.seg_start_ms").as("seg_start_ms"),
+        (col("frame_ms") - col("s.seg_start_ms")).as("lag_ms"))
+  }
 
   /** Public API: perceptual-hash near-duplicate pairs over decoded
     * media (m06). The 16-bit pHash comes from the codec's features;

@@ -34,6 +34,40 @@ object Pipeline {
 
   def all: Seq[QueryDef] = Seq(
 
+    // Preference-pair mining (p22): DPO/RLHF-style (chosen, rejected)
+    // document pairs — within each (lang, power-of-2 length bucket),
+    // rank docs by a deterministic quality proxy (type-token ratio in
+    // fixed point) and pair the k-th best with the k-th worst, keeping
+    // only pairs with a strictly positive margin. Matching on length
+    // bucket keeps the preference signal about QUALITY, not length
+    // (the classic DPO confound). One (lang, bucket) Exchange feeds
+    // both rankings; the pairing is a co-partitioned equi-join on
+    // (lang, bucket, k) — no cross join anywhere.
+    QueryDef(
+      "p22_preference_pairs",
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+              |    cast(len($duckWords) as bigint) AS n_tokens,
+              |    cast(len(list_distinct($duckWords)) * 1000000
+              |      // len($duckWords) as bigint) AS score_fx
+              |  FROM documents),
+              |b AS (SELECT *, cast(length(bin(greatest(n_tokens, 1))) - 1
+              |    as int) AS bucket FROM d),
+              |r AS (SELECT *,
+              |    row_number() OVER (PARTITION BY lang, bucket
+              |      ORDER BY score_fx DESC, doc_id ASC) AS rn_best,
+              |    row_number() OVER (PARTITION BY lang, bucket
+              |      ORDER BY score_fx ASC, doc_id DESC) AS rn_worst,
+              |    count(*) OVER (PARTITION BY lang, bucket) AS n
+              |  FROM b)
+              |SELECT c.lang, c.bucket, cast(c.rn_best as bigint) AS pair_k,
+              |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+              |  c.score_fx - j.score_fx AS margin_fx
+              |FROM r c JOIN r j ON c.lang = j.lang AND c.bucket = j.bucket
+              |  AND c.rn_best = j.rn_worst
+              |WHERE c.rn_best <= c.n // 2
+              |  AND c.score_fx > j.score_fx""".stripMargin),
+      (s, d) => preferencePairs(Catalog.t(s, d, "documents"))),
+
     // GPT-style concatenate-and-chunk packing: within each language
     // shard, documents concatenate in doc_id order and slice into
     // PackBudget-token windows; each doc reports its bin, offset, and
@@ -1102,5 +1136,52 @@ object Pipeline {
       .withColumn("pick", row_number().over(w).cast("long"))
       .filter(col("pick") <= k)
       .select(col("doc_id"), byCol, col("pick"))
+  }
+
+  // ------------------------------------ preference pairs (p22)
+
+  /** Mine (chosen, rejected) preference pairs from `documents(doc_id,
+    * lang, text)`: quality proxy = fixed-point type-token ratio,
+    * stratified by (lang, ⌊log2(tokens)⌋ bucket), k-th best paired
+    * with k-th worst inside each stratum, zero-margin pairs dropped.
+    *
+    * Scale: the per-doc score is a narrow map; ONE (lang, bucket)
+    * Exchange carries both row_number rankings and the stratum count
+    * (three windows over the same partitioning — Spark plans one
+    * Exchange plus re-sorts); the best↔worst pairing is an equi-join
+    * on (lang, bucket, k) between two row-number slices of the SAME
+    * shuffled relation, so it stays co-partitioned. Strata are
+    * |lang|·|buckets| — skew-free by construction since buckets are
+    * log-scaled.
+    */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"cast(size($sparkWords) as bigint)").as("n_tokens"),
+        expr(s"cast(size(array_distinct($sparkWords)) * 1000000 " +
+          s"div size($sparkWords) as bigint)").as("score_fx"))
+      .withColumn("bucket",
+        expr("cast(length(bin(greatest(n_tokens, 1))) - 1 as int)"))
+    val wb = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("score_fx").desc, col("doc_id").asc)
+    val ww = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("score_fx").asc, col("doc_id").desc)
+    val wc = Window.partitionBy(col("lang"), col("bucket"))
+    val r = scored
+      .withColumn("rn_best", row_number().over(wb))
+      .withColumn("rn_worst", row_number().over(ww))
+      .withColumn("n", count(lit(1)).over(wc))
+    val chosen = r.select(col("lang"), col("bucket"),
+      col("rn_best").as("k"), col("doc_id").as("chosen_id"),
+      col("score_fx").as("cs"), col("n"))
+    val rejected = r.select(col("lang"), col("bucket"),
+      col("rn_worst").as("k"), col("doc_id").as("rejected_id"),
+      col("score_fx").as("rs"))
+    chosen.join(rejected, Seq("lang", "bucket", "k"))
+      .filter(col("k") <= expr("n div 2") && col("cs") > col("rs"))
+      .select(col("lang"), col("bucket"), col("k").cast("long").as("pair_k"),
+        col("chosen_id"), col("rejected_id"),
+        (col("cs") - col("rs")).as("margin_fx"))
   }
 }

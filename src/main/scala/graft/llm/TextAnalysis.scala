@@ -948,7 +948,19 @@ object TextAnalysis {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("w1", "w2", "cnt", "p_kn")
-      })
+      }),
+
+    // TextRank keyword extraction (t34): weighted PageRank over the
+    // per-language word co-occurrence graph (adjacent-word edges,
+    // symmetrized, weight = co-occurrence count), fixed 3 damped
+    // iterations in exact integer fixed point, top-10 keywords per
+    // language — the unsupervised keyword report (Mihalcea & Tarau
+    // '04) a corpus card leads with. Implementation and scale notes in
+    // [[textRankKeywords]]; the oracle unrolls the same integer
+    // recursion in a recursive CTE (g01's discipline).
+    QueryDef("t34_textrank", Some(textRankOracle),
+      (s, d) => textRankKeywords(Catalog.t(s, d, "documents"),
+        TrIters, TrTopK))
   )
 
   /** The fixed retrieval query for the t32 gate (all three terms occur
@@ -1600,4 +1612,110 @@ object TextAnalysis {
       .withColumn("vocab_cum", sum(col("new_words")).over(w))
       .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
   }
+
+  // ------------------------------------------------ TextRank (t34)
+
+  /** TextRank fixed point scale, iteration count, report width. Integer
+    * envelope: node mass is bounded by TrScale (1e9) and edge weights
+    * by the corpus bigram count, so `val * wgt` stays under 2^62 up to
+    * ~1e9 co-occurrences of a single pair; past that, pre-scale the
+    * weights (they only enter as a ratio to wdeg).
+    */
+  private[llm] val TrScale = 1000000000L
+  private[llm] val TrIters = 3
+  private[llm] val TrTopK = 10
+
+  /** TextRank keyword extraction over `documents(lang, text)`: build
+    * the per-language co-occurrence graph (adjacent word pairs,
+    * symmetrized, weighted by count, self-pairs dropped), run `iters`
+    * damped weighted-PageRank rounds in exact integer arithmetic
+    * (d=0.85; S ← base + 85%·Σ (S(u)·w(u,v) div wdeg(u))), report the
+    * top-k words per language by final rank.
+    *
+    * Scale: the only |corpus|-sized work is the bigram explode + ONE
+    * (lang, w1, w2) count shuffle with map-side partials — everything
+    * after runs on vocabulary-sized relations. The weighted degree is
+    * loop-invariant and baked onto the edge list once (g01's
+    * discipline); each round is one edge join + a keyed partial-agg
+    * sum, eagerly checkpointed so the iteration lineage stays flat.
+    * Every quantity is an integer (floor divisions mirror the oracle's
+    * `//`), so ranks are bit-identical across engines and retries.
+    */
+  def textRankKeywords(docs: DataFrame, iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs
+      .withColumn("w", split(col("text"), " "))
+      // sequence(1, 0) DESCENDS in Spark — guard single-word docs
+      .select(col("lang"), explode(expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2)) " +
+          "ELSE cast(array() as array<struct<w1: string, w2: string>>) END"))
+        .as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val bp = bg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val e0 = bp.select(col("lang"), col("w1").as("u"), col("w2").as("v"),
+        col("cnt"))
+      .union(bp.select(col("lang"), col("w2").as("u"), col("w1").as("v"),
+        col("cnt")))
+      .groupBy(col("lang"), col("u"), col("v")).agg(sum(col("cnt")).as("wgt"))
+    val wdeg = e0.groupBy(col("lang"), col("u")).agg(sum(col("wgt")).as("wdeg"))
+    val e = e0.join(wdeg, Seq("lang", "u")).localCheckpoint(true)
+    val nv = wdeg.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+    val nodes = wdeg.select(col("lang"), col("u"))
+      .join(nv, "lang")
+      .withColumn("init", expr(s"$TrScale div nv"))
+      .withColumn("base", expr("(15 * init) div 100"))
+      .localCheckpoint(true)
+    var tr = nodes.select(col("lang"), col("u"), col("init").as("val"))
+    for (_ <- 1 to iters) {
+      val contrib = tr.join(e, Seq("lang", "u"))
+        .groupBy(col("lang"), col("v"))
+        .agg(sum(expr("(val * wgt) div wdeg")).as("msum"))
+      tr = nodes.select(col("lang"), col("u"), col("base"))
+        .join(contrib.withColumnRenamed("v", "u"), Seq("lang", "u"), "left")
+        .select(col("lang"), col("u"),
+          (col("base") + expr("(85 * coalesce(msum, 0L)) div 100"))
+            .as("val"))
+        .localCheckpoint(true)
+    }
+    val wtop = Window.partitionBy(col("lang"))
+      .orderBy(col("val").desc, col("u").asc)
+    tr.withColumn("rn", row_number().over(wtop)).filter(col("rn") <= k)
+      .select(col("lang"), col("u").as("word"), col("val").as("rank_fx"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  private def textRankOracle: String =
+    s"""WITH RECURSIVE d AS (SELECT lang, $duckWords AS w FROM documents),
+       |bg AS (SELECT lang, unnest(list_transform(range(1, len(w)),
+       |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true) FROM d),
+       |bp AS (SELECT lang, w1, w2, count(*) AS cnt FROM bg
+       |  WHERE w1 <> w2 GROUP BY 1, 2, 3),
+       |e AS (SELECT lang, u, v, cast(sum(cnt) as bigint) AS wgt FROM (
+       |    SELECT lang, w1 AS u, w2 AS v, cnt FROM bp
+       |    UNION ALL SELECT lang, w2, w1, cnt FROM bp) x GROUP BY 1, 2, 3),
+       |wd AS (SELECT lang, u, cast(sum(wgt) as bigint) AS wdeg
+       |  FROM e GROUP BY 1, 2),
+       |n AS (SELECT lang, cast(count(*) as bigint) AS nv FROM wd GROUP BY 1),
+       |tr(iter, lang, node, val) AS (
+       |  SELECT 0, wd.lang, wd.u, $TrScale // n.nv
+       |  FROM wd JOIN n ON wd.lang = n.lang
+       |  UNION ALL
+       |  SELECT t.iter + 1, e.lang, e.v,
+       |    (15 * ($TrScale // n.nv)) // 100
+       |      + (85 * sum((t.val * e.wgt) // wd.wdeg)) // 100
+       |  FROM tr t
+       |  JOIN e ON t.lang = e.lang AND t.node = e.u
+       |  JOIN wd ON wd.lang = e.lang AND wd.u = e.u
+       |  JOIN n ON n.lang = e.lang
+       |  WHERE t.iter < $TrIters
+       |  GROUP BY t.iter, e.lang, e.v, n.nv),
+       |r AS (SELECT lang, node AS word, val,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY val DESC, node ASC) AS rn
+       |  FROM tr WHERE iter = $TrIters)
+       |SELECT lang, word, cast(val as bigint) AS rank_fx, cast(rn as int) AS rn
+       |FROM r WHERE rn <= $TrTopK""".stripMargin
 }

@@ -553,6 +553,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t34 TextRank's post-iteration report is one lang-keyed window " +
+    "over the checkpointed ranks — iteration cost never re-enters") {
+    val p = plan("t34_textrank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange") == 1, p)
+  }
+
+  test("p22 preference pairs shuffle on the stratum key only: no " +
+    "cartesian, both rankings ride (lang, bucket) partitioning") {
+    val p = plan("p22_preference_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "hashpartitioning(lang") >= 1, p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
