@@ -960,7 +960,52 @@ object TextAnalysis {
     // recursion in a recursive CTE (g01's discipline).
     QueryDef("t34_textrank", Some(textRankOracle),
       (s, d) => textRankKeywords(Catalog.t(s, d, "documents"),
-        TrIters, TrTopK))
+        TrIters, TrTopK)),
+
+    // Lexical-density profile (t35): per (lang, source) stratum —
+    // token mass, vocabulary, hapax legomena (words occurring once in
+    // the stratum) with their share of the vocabulary, and mean word
+    // length; the corpus-health panel read next to t16's Heaps curve
+    // and t29's Zipf slope (a crawl slice whose hapax share collapses
+    // is template spam; one whose mean word length spikes is
+    // concatenation garbage). All integer fixed point. Two keyed
+    // shuffles: the corpus-sized (lang, source, word) count with
+    // map-side partials, then a stratum-count-sized rollup.
+    QueryDef(
+      "t35_lexical_profile",
+      Some(s"""WITH tok AS (SELECT lang, source, unnest($duckWords) AS word
+              |  FROM documents),
+              |wc AS (SELECT lang, source, word, count(*) AS cnt
+              |  FROM tok GROUP BY 1, 2, 3),
+              |g AS (SELECT lang, source,
+              |    cast(sum(cnt) as bigint) AS n_tokens,
+              |    cast(count(*) as bigint) AS vocab,
+              |    cast(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) as bigint)
+              |      AS hapax,
+              |    cast(sum(cnt * strlen(word)) as bigint) AS chars
+              |  FROM wc GROUP BY 1, 2)
+              |SELECT lang, source, n_tokens, vocab, hapax,
+              |  cast(hapax * 1000000 // vocab as bigint) AS hapax_share_fx,
+              |  cast(chars * 1000000 // n_tokens as bigint) AS mean_wlen_fx
+              |FROM g""".stripMargin),
+      (s, d) => {
+        val wc = Catalog.t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("lang"), col("source"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        wc.groupBy(col("lang"), col("source"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(col("cnt") * length(col("word"))).as("chars"))
+          .select(col("lang"), col("source"), col("n_tokens"), col("vocab"),
+            col("hapax"),
+            expr("cast(hapax * 1000000 div vocab as bigint)")
+              .as("hapax_share_fx"),
+            expr("cast(chars * 1000000 div n_tokens as bigint)")
+              .as("mean_wlen_fx"))
+      })
   )
 
   /** The fixed retrieval query for the t32 gate (all three terms occur

@@ -459,6 +459,62 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").as("sum_chars"),
             sum(expr("graft_polyhash32(text)")).as("text_hash"))
+      }),
+
+    // i13: CDC changelog apply — the type-1 counterpart to i11's SCD2:
+    // a derived upsert/delete batch (per active customer: version =
+    // order count, new balance = exact order cents; every 7th key a
+    // tombstone) lands as a JSONL delivery (explicit schema, i01's
+    // contract) and merges into the base dimension. Apply = ONE
+    // co-keyed left join: tombstones drop, upserts replace balance and
+    // stamp their version, untouched keys carry version 0. No window,
+    // no second pass; at lake scale this is the MERGE a Delta/Iceberg
+    // writer compiles to.
+    QueryDef(
+      "i13_cdc_apply",
+      Some("""WITH ch AS (SELECT o_custkey AS key,
+             |    cast(count(*) as bigint) AS version,
+             |    CASE WHEN o_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             |    cast(sum(cast(round(o_totalprice * 100) as bigint))
+             |      as bigint) AS new_cents
+             |  FROM orders GROUP BY 1)
+             |SELECT c.c_custkey,
+             |  coalesce(ch.version, 0) AS version,
+             |  CASE WHEN ch.key IS NULL
+             |    THEN cast(round(c.c_acctbal * 100) as bigint)
+             |    ELSE ch.new_cents END AS balance_cents,
+             |  CASE WHEN ch.key IS NULL THEN 'kept'
+             |    ELSE 'updated' END AS action
+             |FROM customer c LEFT JOIN ch ON c.c_custkey = ch.key
+             |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin),
+      (s, d) => {
+        val changes = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey").as("key"))
+          .agg(count(lit(1)).as("version"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("new_cents"))
+          .withColumn("op",
+            when(col("key") % 7 === 0, "D").otherwise("U"))
+        // the changelog is a real file delivery: JSONL out, explicit
+        // schema back in (schema inference is a full extra corpus pass)
+        val out = tmp("graft-i13")
+        changes.write.mode("overwrite").json(out)
+        val chSchema = StructType(Seq(
+          StructField("key", LongType),
+          StructField("version", LongType),
+          StructField("new_cents", LongType),
+          StructField("op", StringType)))
+        val ch = s.read.schema(chSchema).json(out)
+        Catalog.t(s, d, "customer")
+          .join(ch, col("c_custkey") === col("key"), "left")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("c_custkey"),
+            coalesce(col("version"), lit(0L)).as("version"),
+            when(col("key").isNull,
+              expr("cast(round(c_acctbal * 100) as bigint)"))
+              .otherwise(col("new_cents")).as("balance_cents"),
+            when(col("key").isNull, "kept").otherwise("updated")
+              .as("action"))
       }))
 
   /** SCD2 type-2 merge of `updates(c_custkey, new_segment)` into

@@ -850,6 +850,45 @@ object StateQueries {
           .toDF("key", "label")
       }),
 
+    // KEY migration (sp33): the migration axis sp20 doesn't cover —
+    // the key SERIALIZER changes (long custkey → zero-padded string
+    // uid), which moves every row to a different key group
+    // (assignToKeyGroup hashes the NEW key bytes), so the writer's
+    // exact-subtask repartition re-shards the whole state; the rescale
+    // (par 4→8, maxPar 128→256) rides along the same write. The
+    // re-read through the new key codec must decode the identical
+    // relation under the new identifiers — proving reads route through
+    // the recomputed key-group index, not the old layout.
+    QueryDef(
+      "sp33_key_migration",
+      Some("""SELECT 'u:' || lpad(cast(o_custkey as varchar), 8, '0')
+             |    AS key,
+             |  cast(count(*) as bigint) AS cnt
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("key-op", 4, 128), "key-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Cnt", counts, LongCodec)
+          .writeAll(tmp("graft-sp33a"))
+        val migrated = Savepoints
+          .reader(s, Savepoints.load(meta1.basePath), "key-op")
+          .readValueStates[Long, Long]("Cnt")
+          .map { case (k, v) => (f"u:$k%08d", v) }
+        val meta2 = Savepoints
+          .writer(s, Savepoints.bootstrap("key-op", 8, 256), "key-op")
+          .withKeyCodec(StringCodec)
+          .createNewValueState("Cnt", migrated, LongCodec)
+          .writeAll(tmp("graft-sp33b"))
+        Savepoints.reader(s, Savepoints.load(meta2.basePath), "key-op")
+          .readValueStates[String, Long]("Cnt")
+          .toDF("key", "cnt")
+      }),
+
     // P7 through the hash gate: a WINDOW operator's accumulated state —
     // "window-contents" rows whose namespace bytes are real Flink
     // TimeWindow (start, end) pairs — written, reloaded, and read back

@@ -713,6 +713,33 @@ object StreamingQueries {
           .select(col("bucket"), col("n_events"), col("max_lateness_ms"),
             expr("cast(n_events * 1000000 div total as bigint)")
               .as("share_fx"))
+      }),
+
+    // st22: SLIDING event-time windows — 2-hour windows every 30
+    // minutes, so each event lands in exactly 4 overlapping windows
+    // (the smoothed-rate view a monitoring dashboard reads; tumbling
+    // st01 is the slide == length special case). Spark expands the
+    // window set inside the scan stage (narrow), then ONE keyed
+    // shuffle into the windowed aggregate; state is bounded by open
+    // windows × types. The oracle replays the expansion arithmetic
+    // with an explicit k = 0..3 explode: window_start =
+    // (⌊ms/slide⌋ − k)·slide, always within [ms − len, ms].
+    QueryDef(
+      "st22_sliding_windows",
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+             |x AS (SELECT event_type,
+             |    (ms // 1800000 - k) * 1800000 AS window_start_ms
+             |  FROM e, (SELECT unnest(range(0, 4)) AS k) ks)
+             |SELECT window_start_ms, event_type, count(*) AS n
+             |FROM x GROUP BY 1, 2""".stripMargin),
+      (s, d) => runToMemorySink(s, d, "st22", "complete") { raw =>
+        raw
+          .groupBy(window(col("ts"), "2 hours", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("window.start")).as("window_start_ms"),
+            col("event_type"), col("n"))
       })
   )
 
