@@ -53,7 +53,8 @@ object Clustering {
     QueryDef("c06_bisect_split", Some(bisectOracle), bisectSpark),
     QueryDef("c07_cluster_purity", Some(purityOracle), puritySpark),
     QueryDef("c08_elbow", Some(elbowOracle), elbowSpark),
-    QueryDef("c09_davies_bouldin", Some(dbOracle), dbSpark)
+    QueryDef("c09_davies_bouldin", Some(dbOracle), dbSpark),
+    QueryDef("c10_rand_index", Some(randOracle), randSpark)
   )
 
   // ----------------------------------------------- elbow curve (c08)
@@ -1005,5 +1006,98 @@ object Clustering {
        |  WHERE m.m_fx > 0 GROUP BY m.i)
        |SELECT g.cid, g.n_members, g.scatter_fx, r.db_fx
        |FROM g JOIN r ON r.i = g.cid""".stripMargin
+  }
+
+  // ---------------------------------------- Rand index (c10)
+
+  /** Offset for the second (perturbed) centroid seed set. */
+  private val RandSeedOffset = 50L
+
+  /** Clustering STABILITY via the Rand index: assign every vector
+    * under two different centroid seed sets (vec_id ≡ 0 and ≡ 50 mod
+    * CentroidEvery) and measure pairwise agreement — the fraction of
+    * vector pairs both clusterings place together or both place apart.
+    * A clustering that dissolves under a seed change (RI → chance)
+    * is not structure, it's noise; this is the model-selection
+    * stability check run next to c08's elbow.
+    *
+    * Scale: both assignments are the shuffle-free inline-centroid
+    * fold; ONE id-keyed join pairs them; everything after runs on the
+    * |cellsA|×|cellsB| contingency table. All pair counts are exact
+    * integers (C(n,2) arithmetic), so the index is bit-identical.
+    */
+  private def randSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    randIndex(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === RandSeedOffset)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  def randIndex(vecs: DataFrame, centroidsA: DataFrame,
+      centroidsB: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    def assign(cents: DataFrame, out: String): DataFrame = {
+      val cent = cents.select(col("cid"), col("embedding").as("cemb"))
+        .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
+      val c = vecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ca"))
+        .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+      assignCells(c, cent)
+        .select(col("neighbor_id"), col("cid").as(out))
+    }
+    val cont = assign(centroidsA, "ca_cid")
+      .join(assign(centroidsB, "cb_cid"), "neighbor_id")
+      .groupBy(col("ca_cid"), col("cb_cid"))
+      .agg(count(lit(1)).as("nij"))
+    val m = cont.agg(
+      expr("sum((nij * (nij - 1)) div 2)").as("sum_nij2"),
+      sum(col("nij")).as("n_points"),
+      countDistinct(col("ca_cid")).as("cells_a"),
+      countDistinct(col("cb_cid")).as("cells_b"))
+    val sa = cont.groupBy(col("ca_cid")).agg(sum(col("nij")).as("ai"))
+      .agg(expr("sum((ai * (ai - 1)) div 2)").as("sum_ai2"))
+    val sb = cont.groupBy(col("cb_cid")).agg(sum(col("nij")).as("bj"))
+      .agg(expr("sum((bj * (bj - 1)) div 2)").as("sum_bj2"))
+    m.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n_points"), col("cells_a"), col("cells_b"),
+        col("sum_nij2"), col("sum_ai2"), col("sum_bj2"),
+        expr("""cast((((n_points * (n_points - 1)) div 2)
+               |  + 2 * sum_nij2 - sum_ai2 - sum_bj2) * 1000000
+               |  div ((n_points * (n_points - 1)) div 2) as bigint)"""
+          .stripMargin).as("ri_fx"))
+  }
+
+  private def randOracle: String = {
+    def asg(filt: String, alias: String): String =
+      s"""$alias AS (SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC)
+         |      AS arn
+         |  FROM v, (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+         |    WHERE $filt) c) x WHERE arn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |${asg(s"vec_id % $CentroidEvery = 0", "asga")},
+       |${asg(s"vec_id % $CentroidEvery = $RandSeedOffset", "asgb")},
+       |ct AS (SELECT a.cid AS ca, b.cid AS cb, count(*) AS nij
+       |  FROM asga a JOIN asgb b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |m AS (SELECT cast(sum(nij * (nij - 1) // 2) as bigint) AS sum_nij2,
+       |    cast(sum(nij) as bigint) AS n_points,
+       |    cast(count(DISTINCT ca) as bigint) AS cells_a,
+       |    cast(count(DISTINCT cb) as bigint) AS cells_b FROM ct),
+       |ra AS (SELECT cast(sum(ai * (ai - 1) // 2) as bigint) AS sum_ai2
+       |  FROM (SELECT sum(nij) AS ai FROM ct GROUP BY ca) z),
+       |rb AS (SELECT cast(sum(bj * (bj - 1) // 2) as bigint) AS sum_bj2
+       |  FROM (SELECT sum(nij) AS bj FROM ct GROUP BY cb) z)
+       |SELECT n_points, cells_a, cells_b, sum_nij2, sum_ai2, sum_bj2,
+       |  cast(((n_points * (n_points - 1) // 2)
+       |    + 2 * sum_nij2 - sum_ai2 - sum_bj2) * 1000000
+       |    // (n_points * (n_points - 1) // 2) as bigint) AS ri_fx
+       |FROM m, ra, rb""".stripMargin
   }
 }

@@ -371,8 +371,63 @@ object Multimodal {
              |  cast(frame_ms - seg_start_ms as bigint) AS lag_ms
              |FROM pick WHERE rn = 1""".stripMargin),
       (s, d) => captionAlign(frameSample(mediaDF(s, d)),
-        Catalog.t(s, d, "documents").filter(col("doc_id") % 4 === 3)))
+        Catalog.t(s, d, "documents").filter(col("doc_id") % 4 === 3))),
+
+    // m10: keyframe selection — per video, keep only sampled frames
+    // whose (stub) content hash jumps by >= the cut threshold from the
+    // previous sampled frame, plus the first frame; the shot-boundary
+    // pass that decides which frames a vision encoder actually sees
+    // (4-25× decode reduction downstream). The per-frame hash is the
+    // codec checksum folded with the frame index — the deterministic
+    // stand-in for a real perceptual frame hash, swapped at the same
+    // MediaCodec seam as m02. One doc-keyed join (frames ↔ checksum)
+    // and one doc-keyed window; both bounded by frames/doc.
+    QueryDef(
+      "m10_keyframes",
+      Some(s"""WITH c AS (SELECT doc_id,
+              |    cast(strlen(text) as bigint) AS n_bytes,
+              |    ${graft.llm.TextExprs.duckByteHash("text")} AS checksum
+              |  FROM documents WHERE doc_id % 4 = 3),
+              |f AS (SELECT doc_id, checksum,
+              |    1 + cast(n_bytes // 100 as int) AS n_frames FROM c),
+              |fr AS (SELECT doc_id, checksum,
+              |    cast(unnest(range(0, n_frames, 4)) as int) AS frame_idx
+              |  FROM f),
+              |h AS (SELECT doc_id, frame_idx,
+              |    (checksum * (frame_idx + 1)) % 1000003 AS fhash FROM fr),
+              |k AS (SELECT *, lag(fhash) OVER (PARTITION BY doc_id
+              |    ORDER BY frame_idx) AS prev FROM h),
+              |kk AS (SELECT doc_id, frame_idx, fhash FROM k
+              |  WHERE prev IS NULL OR abs(fhash - prev) >= $KeyframeDelta)
+              |SELECT doc_id, frame_idx, cast(fhash as bigint) AS fhash,
+              |  cast(row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY frame_idx) as int) AS key_rank
+              |FROM kk""".stripMargin),
+      (s, d) => keyframes(frameSample(mediaDF(s, d)),
+        decodeFeatures(mediaDF(s, d))))
   )
+
+  /** Hash-jump threshold below which a sampled frame is considered the
+    * same shot as its predecessor (m10). */
+  private val KeyframeDelta = 500000L
+
+  /** Public API: keyframe selection over sampled frames (m10). `frames`
+    * is m03's `(doc_id, frame_idx)`; `features` supplies the per-doc
+    * codec checksum the stub frame hash folds with. See the m10
+    * QueryDef comment.
+    */
+  def keyframes(frames: DataFrame, features: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .join(features.select(col("doc_id"), col("checksum")), Seq("doc_id"))
+      .withColumn("fhash", expr("(checksum * (frame_idx + 1)) % 1000003"))
+      .withColumn("prev", lag(col("fhash"), 1).over(w))
+      .filter(col("prev").isNull ||
+        abs(col("fhash") - col("prev")) >= KeyframeDelta)
+      .withColumn("key_rank", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("frame_idx"), col("fhash"), col("key_rank"))
+  }
 
   /** Public API: align sampled frames `(doc_id, frame_idx)` to caption
     * segments derived from the docs' transcripts (m09). See the m09

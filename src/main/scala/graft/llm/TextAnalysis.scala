@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Catalog, QueryDef}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM data pipelines over the `documents`
@@ -1005,6 +1005,98 @@ object TextAnalysis {
               .as("hapax_share_fx"),
             expr("cast(chars * 1000000 div n_tokens as bigint)")
               .as("mean_wlen_fx"))
+      }),
+
+    // Held-out Kneser–Ney perplexity (t36): train t33's KN bigram
+    // estimator on 90% of the corpus (doc_id % 10 != 9), price the
+    // held-out 10% per language as mean negative log-likelihood — the
+    // model-selection metric that actually decides between smoothing
+    // schemes (t15 prices the MLE; this prices the estimator that
+    // ships). Unseen-history bigrams (w1 not in training, or zero
+    // continuation mass) are counted, not scored — the same exclusion
+    // contract as t15's n_unseen. Per-bigram NLL rounds to fx BEFORE
+    // the sum (order-free integer mean, the magnitude-envelope rule).
+    // Two keyed train shuffles + three left joins from the (small)
+    // eval side; the type total rides a 1-row broadcast.
+    QueryDef(
+      "t36_kn_heldout",
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+              |tb AS (SELECT unnest(list_transform(range(1, len(w)),
+              |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true)
+              |  FROM d WHERE doc_id % 10 != 9),
+              |c AS (SELECT w1, w2, cast(count(*) as bigint) AS cnt
+              |  FROM tb GROUP BY 1, 2),
+              |tot AS (SELECT w1, cast(sum(cnt) as bigint) AS tot,
+              |    cast(count(*) as bigint) AS rtypes FROM c GROUP BY 1),
+              |lt AS (SELECT w2, cast(count(*) as bigint) AS ltypes
+              |  FROM c GROUP BY 1),
+              |tt AS (SELECT cast(count(*) as bigint) AS ttypes FROM c),
+              |eb AS (SELECT lang, unnest(list_transform(range(1, len(w)),
+              |    i -> {'w1': w[i], 'w2': w[i + 1]}), recursive := true)
+              |  FROM d WHERE doc_id % 10 = 9),
+              |p AS (SELECT eb.lang,
+              |    CASE WHEN tot.w1 IS NULL THEN NULL
+              |         WHEN lt.w2 IS NULL AND c.cnt IS NULL THEN NULL
+              |         ELSE greatest(cast(coalesce(c.cnt, 0) as double) - 0.75,
+              |             cast(0 as double)) / cast(tot.tot as double)
+              |           + (0.75 * cast(tot.rtypes as double)
+              |               / cast(tot.tot as double))
+              |             * (cast(coalesce(lt.ltypes, 0) as double)
+              |               / cast(tt.ttypes as double))
+              |    END AS p
+              |  FROM eb
+              |  LEFT JOIN c ON eb.w1 = c.w1 AND eb.w2 = c.w2
+              |  LEFT JOIN tot ON eb.w1 = tot.w1
+              |  LEFT JOIN lt ON eb.w2 = lt.w2
+              |  CROSS JOIN tt)
+              |SELECT lang,
+              |  cast(count(CASE WHEN p IS NOT NULL THEN 1 END) as bigint)
+              |    AS n_bigrams,
+              |  cast(count(CASE WHEN p IS NULL THEN 1 END) as bigint)
+              |    AS n_unseen,
+              |  cast(sum(CASE WHEN p IS NOT NULL
+              |      THEN cast(round(-ln(p) * 1000000) as bigint) END)
+              |    // greatest(count(CASE WHEN p IS NOT NULL THEN 1 END), 1)
+              |    as bigint) AS mean_nll_fx
+              |FROM p GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+          .withColumn("w", split(col("text"), " "))
+        def bigrams(df: DataFrame, keep: Column*): DataFrame = df
+          .select(keep :+ explode(expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+              "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2)) " +
+              "ELSE cast(array() as array<struct<w1: string, w2: string>>) END"))
+            .as("b"): _*)
+          .select(keep :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+        val c = bigrams(docs.filter(col("doc_id") % 10 =!= 9))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        val tot = c.groupBy(col("w1"))
+          .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("rtypes"))
+        val lt = c.groupBy(col("w2")).agg(count(lit(1)).as("ltypes"))
+        val tt = c.agg(count(lit(1)).as("ttypes"))
+        bigrams(docs.filter(col("doc_id") % 10 === 9), col("lang"))
+          .join(c, Seq("w1", "w2"), "left")
+          .join(tot, Seq("w1"), "left")
+          .join(lt, Seq("w2"), "left")
+          .crossJoin(broadcast(tt))
+          .withColumn("p", expr(
+            """CASE WHEN tot IS NULL THEN NULL
+              |     WHEN ltypes IS NULL AND cnt IS NULL THEN NULL
+              |     ELSE greatest(cast(coalesce(cnt, 0) as double) - 0.75,
+              |         cast(0 as double)) / cast(tot as double)
+              |       + (0.75 * cast(rtypes as double) / cast(tot as double))
+              |         * (cast(coalesce(ltypes, 0) as double)
+              |           / cast(ttypes as double))
+              |END""".stripMargin))
+          .groupBy(col("lang"))
+          .agg(
+            count(when(col("p").isNotNull, 1)).as("n_bigrams"),
+            count(when(col("p").isNull, 1)).as("n_unseen"),
+            expr("""cast(sum(CASE WHEN p IS NOT NULL
+                   |    THEN cast(round(-ln(p) * 1000000) as bigint) END)
+                   |  div greatest(count(CASE WHEN p IS NOT NULL THEN 1 END), 1)
+                   |  as bigint)""".stripMargin).as("mean_nll_fx"))
       })
   )
 

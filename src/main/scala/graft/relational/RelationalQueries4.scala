@@ -548,6 +548,86 @@ object RelationalQueries4 {
               .as("conv_fx"))
       }),
 
+    // ----------------------------- interval overlap join (j06)
+    // Sessions (q47's exact 30-min-gap semantics, half-open
+    // [start, end+1) so point sessions have length 1) overlap-joined
+    // against "incident windows" — hours with >= 5 error events. Per
+    // overlapping session: window count and total overlapped ms. The
+    // interval join never runs as a theta join: sessions EXPLODE to
+    // their covered hour buckets (bounded by session span) and meet
+    // the hour-keyed incident table in an ordinary equi-join; incident
+    // hours are disjoint, so the per-session rollup is a plain sum, no
+    // pair dedup. This grid-bucket rewrite is THE scalable plan for
+    // interval overlap at 100 TB — j02's value-range join uses the
+    // same discipline. An incident hour is one with STRICTLY more
+    // errors than the hourly mean (integer cross-multiply, no
+    // division) — scale-free, so the report is non-trivial at every
+    // sf.
+    QueryDef(
+      "j06_incident_overlap",
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+              |x AS (SELECT user_id, event_id, ms,
+              |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+              |        ORDER BY ms, event_id) > $GapMs THEN 1 ELSE 0 END AS brk
+              |  FROM e),
+              |s AS (SELECT user_id, ms,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              |      ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+              |  FROM x),
+              |sess AS (SELECT user_id, cast(session_id as int) AS session_id,
+              |    min(ms) AS start_ms, max(ms) AS end_ms
+              |  FROM s GROUP BY 1, 2),
+              |eh0 AS (SELECT ms // 3600000 AS h, count(*) AS c FROM e
+              |  WHERE event_type = 'error' GROUP BY 1),
+              |et AS (SELECT cast(sum(c) as bigint) AS total,
+              |    cast(count(*) as bigint) AS nh FROM eh0),
+              |eh AS (SELECT h FROM eh0, et WHERE c * nh > total),
+              |ov AS (SELECT user_id, session_id,
+              |    least(end_ms + 1, (h + 1) * 3600000)
+              |      - greatest(start_ms, h * 3600000) AS ov
+              |  FROM sess JOIN eh
+              |    ON h BETWEEN start_ms // 3600000 AND end_ms // 3600000)
+              |SELECT user_id, session_id, count(*) AS n_win,
+              |  cast(sum(ov) as bigint) AS overlap_ms
+              |FROM ov GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val ord = Seq(col("ms"), col("event_id"))
+        val wl = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        val wc = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val sess = e
+          .withColumn("brk",
+            when(col("ms") - lag(col("ms"), 1).over(wl) > GapMs, 1)
+              .otherwise(0))
+          .withColumn("session_id", (sum(col("brk")).over(wc) + 1).cast("int"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+        val errHours = e.filter(col("event_type") === "error")
+          .groupBy(expr("ms div 3600000").as("h"))
+          .agg(count(lit(1)).as("n_err"))
+        val errTotals = errHours.agg(sum(col("n_err")).as("total"),
+          count(lit(1)).as("nh"))
+        val incidents = errHours.crossJoin(broadcast(errTotals))
+          .filter(col("n_err") * col("nh") > col("total"))
+          .select(col("h"))
+        sess
+          .select(col("user_id"), col("session_id"), col("start_ms"),
+            col("end_ms"), explode(expr(
+              "sequence(start_ms div 3600000, end_ms div 3600000)"))
+              .as("h"))
+          .join(incidents, Seq("h"))
+          .select(col("user_id"), col("session_id"),
+            (least(col("end_ms") + 1, (col("h") + 1) * 3600000L)
+              - greatest(col("start_ms"), col("h") * 3600000L)).as("ov"))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_win"),
+            sum(col("ov")).cast("long").as("overlap_ms"))
+      }),
+
     // ------------------------------------ behavior Markov chain (q60)
     // First-order Markov transition matrix over per-user event
     // sequences: P(next event type | current type). The per-user
