@@ -54,7 +54,8 @@ object Clustering {
     QueryDef("c07_cluster_purity", Some(purityOracle), puritySpark),
     QueryDef("c08_elbow", Some(elbowOracle), elbowSpark),
     QueryDef("c09_davies_bouldin", Some(dbOracle), dbSpark),
-    QueryDef("c10_rand_index", Some(randOracle), randSpark)
+    QueryDef("c10_rand_index", Some(randOracle), randSpark),
+    QueryDef("s19_centroid_drift", Some(driftOracle), driftSpark)
   )
 
   // ----------------------------------------------- elbow curve (c08)
@@ -1069,6 +1070,76 @@ object Clustering {
                |  div ((n_points * (n_points - 1)) div 2) as bigint)"""
           .stripMargin).as("ri_fx"))
   }
+
+  // ------------------------------------- centroid drift (s19)
+
+  /** Per-centroid movement under one Lloyd step — the convergence
+    * monitor an index-training loop reads between c01 iterations:
+    * L2 drift (in MeanFx fixed point) and the largest single-dimension
+    * shift per centroid. A near-zero drift means the index is trained;
+    * one runaway centroid means a cell is absorbing a drifting cluster
+    * and the index needs re-seeding. All deltas are exact integers
+    * (mean_fx − round(init·fx)); the only float op is the final sqrt
+    * over an exact integer sum, so the report is bit-identical.
+    *
+    * Scale: c01's assignment/re-estimation shuffle + a join against
+    * the (centroid × dim)-sized init explode — nothing new touches the
+    * corpus.
+    */
+  private def driftSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    centroidDrift(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  def centroidDrift(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val stepped = kmeansStep(vecs, centroids)
+    val init = centroids
+      .select(col("cid"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select(col("cid"), col("dim").cast("long").as("dim"),
+        expr(s"cast(round(x * $MeanFx) as bigint)").as("init_fx"))
+    stepped.join(init, Seq("cid", "dim"))
+      .select(col("cid"), col("n_members"),
+        (col("mean_fx") - col("init_fx")).as("delta"))
+      .groupBy(col("cid"))
+      .agg(min(col("n_members")).as("n_members"),
+        count(lit(1)).as("n_dims"),
+        expr("cast(round(sqrt(cast(sum(delta * delta) as double))) as bigint)")
+          .as("drift_fx"),
+        max(abs(col("delta"))).as("max_dim_shift"))
+  }
+
+  private def driftOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, va, cid FROM (
+       |  SELECT v.*, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC) AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |px AS (SELECT cid, cast(i - 1 as bigint) AS dim,
+       |    cast(round(va[i] * $MeanFx) as bigint) AS fx
+       |  FROM asg, dims),
+       |st AS (SELECT cid, dim, count(*) AS n_members,
+       |    cast(sum(fx) as bigint) // count(*) AS mean_fx
+       |  FROM px GROUP BY 1, 2),
+       |ini AS (SELECT cid, cast(i - 1 as bigint) AS dim,
+       |    cast(round(ca[i] * $MeanFx) as bigint) AS init_fx FROM c, dims),
+       |dl AS (SELECT st.cid, n_members, mean_fx - init_fx AS delta
+       |  FROM st JOIN ini ON st.cid = ini.cid AND st.dim = ini.dim)
+       |SELECT cid, cast(min(n_members) as bigint) AS n_members,
+       |  count(*) AS n_dims,
+       |  cast(round(sqrt(cast(sum(delta * delta) as double))) as bigint)
+       |    AS drift_fx,
+       |  cast(max(abs(delta)) as bigint) AS max_dim_shift
+       |FROM dl GROUP BY cid""".stripMargin
 
   private def randOracle: String = {
     def asg(filt: String, alias: String): String =

@@ -98,6 +98,7 @@ object Dedup {
     QueryDef("g08_modularity", Some(modularityOracle), modularitySpark),
     QueryDef("g09_kcore_peel", Some(kCoreOracle), kCoreSpark),
     QueryDef("g10_two_hop", Some(twoHopOracle), twoHopSpark),
+    QueryDef("g12_incremental_components", Some(incCompOracle), incCompSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1482,6 +1483,70 @@ object Dedup {
        |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
        |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
        |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
+
+  // ------------------------- incremental components (g12)
+
+  /** Incremental connected-components maintenance: treat docs with
+    * doc_id % 10 == 0 as TODAY'S ARRIVALS, everything else as the
+    * existing corpus. Components are computed on the base subgraph
+    * only; each arrival then reports which base components its edges
+    * touch — `n_base_comps >= 2` means this single new doc MERGES
+    * existing near-dup families (the transitive-closure hazard d17's
+    * incremental dedup must re-check), `= 1` means it joins one, and
+    * arrivals absent from the report attach to nothing. This is the
+    * daily-batch CC maintenance plan: never recompute the full graph,
+    * label only the delta's neighborhood.
+    *
+    * Scale: base CC is [[GraphAlgs.connectedComponents]] on the
+    * (filtered) cached edge list; the arrival audit is ONE keyed join
+    * from the (small) arrival-edge set onto the label table.
+    */
+  private def incCompSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    val baseEdges = edges
+      .filter(col("src") % 10 =!= 0 && col("dst") % 10 =!= 0)
+    val labels = GraphAlgs.connectedComponents(
+        nodes.filter(col("id") % 10 =!= 0), baseEdges,
+        checkpointDir = graphCheckpointDir(s))
+      .select(col("id").as("base_id"), col("component"))
+    val arrivalLinks = edges
+      .filter((col("src") % 10 === 0) =!= (col("dst") % 10 === 0))
+      .select(
+        when(col("src") % 10 === 0, col("src")).otherwise(col("dst"))
+          .as("new_id"),
+        when(col("src") % 10 === 0, col("dst")).otherwise(col("src"))
+          .as("base_id"))
+    arrivalLinks.join(labels, "base_id")
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("component")).as("n_base_comps"),
+        min(col("component")).as("merged_into"))
+      .select(col("new_id").as("doc_id"), col("n_links"),
+        col("n_base_comps"), col("merged_into"))
+  }
+
+  private def incCompOracle: String =
+    s"""WITH RECURSIVE $simhashCandCtes,
+       |pe AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |bp AS (SELECT doc_a, doc_b FROM pe
+       |  WHERE doc_a % 10 != 0 AND doc_b % 10 != 0),
+       |be AS (SELECT doc_a AS src, doc_b AS dst FROM bp
+       |  UNION ALL SELECT doc_b, doc_a FROM bp),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM fp WHERE doc_id % 10 != 0
+       |  UNION
+       |  SELECT be.dst, w.label FROM walk w JOIN be ON w.node = be.src),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY 1),
+       |nl AS (SELECT
+       |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+       |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS base_id
+       |  FROM pe WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0))
+       |SELECT nl.new_id AS doc_id, count(*) AS n_links,
+       |  cast(count(DISTINCT comp.component) as bigint) AS n_base_comps,
+       |  cast(min(comp.component) as bigint) AS merged_into
+       |FROM nl JOIN comp ON nl.base_id = comp.node
+       |GROUP BY 1""".stripMargin
 
   // ------------------------------------- two-hop reach (g10)
 

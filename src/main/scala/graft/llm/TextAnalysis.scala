@@ -1097,6 +1097,45 @@ object TextAnalysis {
                    |    THEN cast(round(-ln(p) * 1000000) as bigint) END)
                    |  div greatest(count(CASE WHEN p IS NOT NULL THEN 1 END), 1)
                    |  as bigint)""".stripMargin).as("mean_nll_fx"))
+      }),
+
+    // Tokenizer fertility (t37): BPE tokens per whitespace word, per
+    // language, under t17's trained segmentation — the multilingual
+    // tokenizer-fairness metric (a language whose fertility is 2× pays
+    // 2× the context budget for the same text; mixes and packing
+    // should price that in). Every corpus word is in the trained
+    // vocabulary by construction (BPE trains from the full corpus
+    // vocab), so the join is total; fertility is an exact integer
+    // ratio. One vocab-keyed join + a 5-row rollup on top of the
+    // memoized BPE training pass.
+    QueryDef(
+      "t37_tokenizer_fertility",
+      Some(s"""WITH $bpeCtes,
+              |v AS (SELECT replace(repr, ' ', '') AS word,
+              |    cast(len(string_split(repr, ' ')) as bigint) AS n_syms
+              |  FROM r$BpeRounds),
+              |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+              |  FROM documents),
+              |dwf AS (SELECT lang, word FROM dw WHERE length(word) >= 1)
+              |SELECT lang, count(*) AS n_words,
+              |  cast(sum(n_syms) as bigint) AS n_bpe_tokens,
+              |  cast(sum(n_syms) * 1000000 // count(*) as bigint)
+              |    AS fertility_fx
+              |FROM dwf JOIN v USING (word)
+              |GROUP BY lang""".stripMargin),
+      (s, d) => {
+        val vocab = bpeShared(s, d)._2.select(col("word"),
+          expr("cast(size(split(repr, ' ')) as bigint)").as("n_syms"))
+        Catalog.t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 1)
+          .join(vocab, "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_bpe_tokens"))
+          .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+            expr("cast(n_bpe_tokens * 1000000 div n_words as bigint)")
+              .as("fertility_fx"))
       })
   )
 

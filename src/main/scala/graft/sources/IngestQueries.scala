@@ -515,6 +515,40 @@ object IngestQueries {
               .otherwise(col("new_cents")).as("balance_cents"),
             when(col("key").isNull, "kept").otherwise("updated")
               .as("action"))
+      }),
+
+    // i14: partition-layout evolution — the lake starts day-partitioned
+    // (ingest granularity), then rewrites to month partitions (query
+    // granularity) when small files accumulate; the aggregate over the
+    // EVOLVED lake must match the source exactly, proving no rows were
+    // lost or duplicated across the two layout rewrites. Month comes
+    // back as a partition-directory string, so the final scan prunes on
+    // it for free (i03's PartitionFilters contract); at 100 TB the
+    // evolution is a one-time rewrite that turns thousands of daily
+    // dirs into dozens of monthly ones and every downstream monthly
+    // report into a pruned scan.
+    QueryDef(
+      "i14_partition_evolution",
+      Some("""SELECT strftime(cast(ts as timestamp), '%Y-%m') AS month,
+             |  count(*) AS n_rows,
+             |  cast(sum(cast(round(value * 100) as bigint)) as bigint)
+             |    AS value_cents
+             |FROM events GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val e = Catalog.t(s, d, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        val daily = tmp("graft-i14-daily")
+        e.write.mode("overwrite").partitionBy("day").parquet(daily)
+        val monthly = tmp("graft-i14-monthly")
+        s.read.parquet(daily)
+          .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+          .drop("day")
+          .write.mode("overwrite").partitionBy("month").parquet(monthly)
+        s.read.parquet(monthly)
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("cast(round(value * 100) as bigint)"))
+              .cast("long").as("value_cents"))
       }))
 
   /** SCD2 type-2 merge of `updates(c_custkey, new_segment)` into
