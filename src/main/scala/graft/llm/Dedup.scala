@@ -99,6 +99,7 @@ object Dedup {
     QueryDef("g09_kcore_peel", Some(kCoreOracle), kCoreSpark),
     QueryDef("g10_two_hop", Some(twoHopOracle), twoHopSpark),
     QueryDef("g12_incremental_components", Some(incCompOracle), incCompSpark),
+    QueryDef("d26_method_agreement", Some(agreementOracle), agreementSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1483,6 +1484,77 @@ object Dedup {
        |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
        |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
        |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
+
+  // ------------------------- dedup-method agreement (d26)
+
+  /** Cross-method agreement audit: the pair sets MinHash-LSH (d02,
+    * est_sim >= 0.5) and SimHash (d05, hamming <= 3) each flag,
+    * intersected — the method-selection report a curation run reads
+    * before committing to one cheap fingerprint family. Low Jaccard
+    * between the two pair sets means the corpus's duplication style
+    * (shingle overlap vs bag-of-words similarity) favors one method;
+    * the disagreement sets are exactly the pairs to spot-check with
+    * the exact d03 measure. Both inputs are the MEMOIZED pair
+    * relations (zero extra fingerprint work); the audit itself is one
+    * keyed union-aggregate over pair keys.
+    */
+  private def agreementSpark(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashShared(s, d)._1
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("m"), lit(0L).as("sh"))
+    val sh = nearDupGraph(s, d)._2
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        lit(0L).as("m"), lit(1L).as("sh"))
+    mh.union(sh)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("m")).as("m"), max(col("sh")).as("s2"))
+      .agg(sum(expr("m * s2")).cast("long").as("n_both"),
+        sum(expr("m * (1 - s2)")).cast("long").as("n_minhash_only"),
+        sum(expr("(1 - m) * s2")).cast("long").as("n_simhash_only"),
+        expr("cast(sum(m * s2) * 1000000 div count(*) as bigint)")
+          .as("jaccard_fx"))
+  }
+
+  private def agreementOracle: String = {
+    val chunkEq = (0 until 4)
+      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
+      .mkString(" OR ")
+    val bitSums = (0 until 32).map { i =>
+      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val fpExpr = (0 until 32)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    // sigCtes supplies the shared `d` (doc words); the simhash chain is
+    // inlined minus its own `d` so the two fingerprint families share
+    // one WITH clause without CTE-name collisions
+    s"""WITH $sigCtes,
+       |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEqSql)),
+       |mp AS (SELECT doc_a, doc_b FROM mcand
+       |  JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+       |  WHERE cast($matchesSql as double) / $Perms >= 0.5),
+       |hx AS (SELECT doc_id,
+       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h
+       |  FROM d),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hx GROUP BY doc_id),
+       |fp AS (SELECT doc_id, cast($fpExpr as bigint) AS simhash FROM bits),
+       |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq)),
+       |sp2 AS (SELECT doc_a, doc_b FROM scand
+       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |u AS (SELECT doc_a, doc_b, max(m) AS m, max(sh) AS s2 FROM (
+       |    SELECT doc_a, doc_b, 1 AS m, 0 AS sh FROM mp
+       |    UNION ALL SELECT doc_a, doc_b, 0, 1 FROM sp2) z
+       |  GROUP BY 1, 2)
+       |SELECT cast(sum(m * s2) as bigint) AS n_both,
+       |  cast(sum(m * (1 - s2)) as bigint) AS n_minhash_only,
+       |  cast(sum((1 - m) * s2) as bigint) AS n_simhash_only,
+       |  cast(sum(m * s2) * 1000000 // count(*) as bigint) AS jaccard_fx
+       |FROM u""".stripMargin
+  }
 
   // ------------------------- incremental components (g12)
 

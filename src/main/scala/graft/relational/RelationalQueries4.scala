@@ -723,6 +723,118 @@ object RelationalQueries4 {
           .agg(count(lit(1)).as("n_customers"),
             sum(col("cents")).cast("long").as("seg_cents"),
             min(col("o_custkey")).cast("long").as("sample_custkey"))
+      }),
+
+    // ----------------------------------- ABC / Pareto analysis (q62)
+    // Classify parts into A/B/C revenue classes by cumulative share
+    // (A: first 70% of revenue, B: to 90%, C: tail) — the inventory
+    // 80/20 report. All share math is integer cross-multiplication
+    // against exact cents (cum*10 <= total*7), no percentage floats.
+    // Lineitems collapse to part grain first (one keyed Exchange with
+    // map-side partials); the cumulative window sorts |parts| rows,
+    // not |lineitems|, and the final report is 3 rows.
+    QueryDef(
+      "q62_abc_analysis",
+      Some("""WITH pr AS (SELECT l_partkey,
+             |    cast(sum(cast(round(l_extendedprice * 100) as bigint))
+             |      as bigint) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT cast(sum(cents) as bigint) AS total FROM pr),
+             |c AS (SELECT l_partkey, cents,
+             |    sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM pr),
+             |k AS (SELECT l_partkey, cents,
+             |    CASE WHEN cum * 10 <= total * 7 THEN 'A'
+             |         WHEN cum * 10 <= total * 9 THEN 'B'
+             |         ELSE 'C' END AS cls
+             |  FROM c, t)
+             |SELECT cls, count(*) AS n_parts,
+             |  cast(sum(cents) as bigint) AS class_cents,
+             |  cast(sum(cents) * 1000000 // (SELECT total FROM t)
+             |    as bigint) AS share_fx
+             |FROM k GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val pr = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("cents"))
+        val total = pr.agg(sum(col("cents")).as("total"))
+        val wcum = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pr.withColumn("cum", sum(col("cents")).over(wcum))
+          .crossJoin(broadcast(total))
+          .withColumn("cls", expr(
+            """CASE WHEN cum * 10 <= total * 7 THEN 'A'
+              |     WHEN cum * 10 <= total * 9 THEN 'B'
+              |     ELSE 'C' END""".stripMargin))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("cents")).cast("long").as("class_cents"),
+            expr("cast(sum(cents) * 1000000 div min(total) as bigint)")
+              .as("share_fx"))
+      }),
+
+    // ----------------------------------- basket affinity (q63)
+    // Market-basket association: part pairs co-ordered in the same
+    // order, with support and LIFT (how much more often than chance)
+    // in integer fixed point; top-20 by support. The pair explode is
+    // bounded by order width (distinct parts per order ~ lines/order),
+    // never an all-pairs product over the part dimension; per-part
+    // supports ride back as two keyed joins on the (small) pair
+    // relation.
+    QueryDef(
+      "q63_basket_affinity",
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |n AS (SELECT cast(count(DISTINCT l_orderkey) as bigint)
+             |    AS n_orders FROM op),
+             |ps AS (SELECT l_partkey, count(*) AS supp FROM op GROUP BY 1),
+             |pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    count(*) AS supp_ab
+             |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |r AS (SELECT part_a, part_b, supp_ab,
+             |    sa.supp AS supp_a, sb.supp AS supp_b,
+             |    cast(n_orders * supp_ab * 1000000 // (sa.supp * sb.supp)
+             |      as bigint) AS lift_fx,
+             |    row_number() OVER (ORDER BY supp_ab DESC, part_a ASC,
+             |      part_b ASC) AS rn
+             |  FROM pp JOIN ps sa ON pp.part_a = sa.l_partkey
+             |  JOIN ps sb ON pp.part_b = sb.l_partkey
+             |  CROSS JOIN n)
+             |SELECT part_a, part_b, cast(supp_ab as bigint) AS supp_ab,
+             |  cast(supp_a as bigint) AS supp_a,
+             |  cast(supp_b as bigint) AS supp_b, lift_fx,
+             |  cast(rn as int) AS rn
+             |FROM r WHERE rn <= 20""".stripMargin),
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val ps = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+        val pp = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 2)
+        val wr = Window.orderBy(col("supp_ab").desc, col("part_a").asc,
+          col("part_b").asc)
+        pp
+          .join(ps.select(col("l_partkey").as("part_a"),
+            col("supp").as("supp_a")), Seq("part_a"))
+          .join(ps.select(col("l_partkey").as("part_b"),
+            col("supp").as("supp_b")), Seq("part_b"))
+          .crossJoin(broadcast(n))
+          .withColumn("lift_fx", expr(
+            "cast(n_orders * supp_ab * 1000000 div (supp_a * supp_b) as bigint)"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 20)
+          .select(col("part_a"), col("part_b"), col("supp_ab"),
+            col("supp_a"), col("supp_b"), col("lift_fx"),
+            col("rn").cast("int").as("rn"))
       })
   )
 

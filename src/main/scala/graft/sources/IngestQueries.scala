@@ -540,11 +540,14 @@ object IngestQueries {
         val daily = tmp("graft-i14-daily")
         e.write.mode("overwrite").partitionBy("day").parquet(daily)
         val monthly = tmp("graft-i14-monthly")
-        s.read.parquet(daily)
+        // explicit schemas on both re-reads: an empty day/lake writes
+        // zero partition dirs and schema inference would die (i01's
+        // pinned-schema contract)
+        val monthlyDf = s.read.schema(e.schema).parquet(daily)
           .withColumn("month", date_format(col("ts"), "yyyy-MM"))
           .drop("day")
-          .write.mode("overwrite").partitionBy("month").parquet(monthly)
-        s.read.parquet(monthly)
+        monthlyDf.write.mode("overwrite").partitionBy("month").parquet(monthly)
+        s.read.schema(monthlyDf.schema).parquet(monthly)
           .groupBy(col("month"))
           .agg(count(lit(1)).as("n_rows"),
             sum(expr("cast(round(value * 100) as bigint)"))

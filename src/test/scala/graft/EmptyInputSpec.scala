@@ -70,7 +70,18 @@ class EmptyInputSpec extends AnyFunSuite {
     // batch 18: empty graph peels to zeros, empty LM/attribution/gzip
     // corpus -> empty reports
     "g09_kcore_peel", "t33_kneser_ney", "q59_attribution",
-    "i12_gzip_jsonl")
+    "i12_gzip_jsonl",
+    // batches 19-24: empty events/orders/corpus -> empty reports; the
+    // MMR/TextRank iterations run on empty checkpointed relations; the
+    // evolved lake re-reads through pinned schemas; an empty savepoint
+    // key-migrates (header-only files both writes)
+    "q60_markov_transitions", "q61_rfm_segments", "j06_incident_overlap",
+    "q62_abc_analysis", "q63_basket_affinity", "s18_mmr_rerank",
+    "t34_textrank", "t35_lexical_profile", "t36_kn_heldout",
+    "p22_preference_pairs", "g10_two_hop", "g12_incremental_components",
+    "d26_method_agreement", "m09_caption_align", "m10_keyframes",
+    "i13_cdc_apply", "i14_partition_evolution", "sp33_key_migration",
+    "st22_sliding_windows")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a
@@ -87,7 +98,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "c04_kmeanspp_seed" -> "non-empty vector set",
     "c06_bisect_split" -> "non-empty centroid set",
     "s06_pq_encode" -> "non-empty codebook",
-    "s07_ivf_pq_adc" -> "non-empty codebook")
+    "s07_ivf_pq_adc" -> "non-empty codebook",
+    // batches 19-23 model-building ops share the same contract
+    "c09_davies_bouldin" -> "non-empty centroid set",
+    "c10_rand_index" -> "non-empty centroid set",
+    "s19_centroid_drift" -> "non-empty centroid set")
 
   test("operators complete on fully-empty tables (empty shard/day is " +
     "routine, not exceptional)") {
