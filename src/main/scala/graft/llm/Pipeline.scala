@@ -68,6 +68,59 @@ object Pipeline {
               |  AND c.score_fx > j.score_fx""".stripMargin),
       (s, d) => preferencePairs(Catalog.t(s, d, "documents"))),
 
+    // Post-dedup mix card (p24): the training mix AFTER d09's exact
+    // keep-best dedup — per (lang, source): raw docs, kept docs (this
+    // stratum's keep-best winners), kept token mass, the stratum's
+    // share of the DEDUPED corpus, and its duplicate rate. The two
+    // numbers every mix decision actually needs side by side: a
+    // stratum whose dup_rate is high contributes far less post-dedup
+    // than its raw size suggests (the classic over-weighting bug when
+    // mixes are planned on raw counts). One md5-keyed window Exchange
+    // (d09's shape) + one stratum rollup + a 1-row total broadcast.
+    QueryDef(
+      "p24_post_dedup_mix",
+      Some("""WITH g AS (SELECT lang, source, doc_id, n_chars,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    md5(text) AS th FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY th
+             |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM g),
+             |k AS (SELECT lang, source, count(*) AS n_raw,
+             |    cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) as bigint)
+             |      AS n_kept,
+             |    cast(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)
+             |      as bigint) AS tokens_kept
+             |  FROM r GROUP BY 1, 2),
+             |t AS (SELECT cast(sum(tokens_kept) as bigint) AS total FROM k)
+             |SELECT lang, source, n_raw, n_kept, tokens_kept,
+             |  cast(tokens_kept * 1000000 // total as bigint)
+             |    AS kept_share_fx,
+             |  cast((n_raw - n_kept) * 1000000 // n_raw as bigint)
+             |    AS dup_rate_fx
+             |FROM k, t""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("th"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val k = Catalog.t(s, d, "documents")
+          .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+            expr("size(split(text, ' '))").as("n_tokens"),
+            md5(col("text").cast("binary")).as("th"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L))
+              .cast("long").as("tokens_kept"))
+        val total = k.agg(sum(col("tokens_kept")).as("total"))
+        k.crossJoin(broadcast(total))
+          .select(col("lang"), col("source"), col("n_raw"), col("n_kept"),
+            col("tokens_kept"),
+            expr("cast(tokens_kept * 1000000 div total as bigint)")
+              .as("kept_share_fx"),
+            expr("cast((n_raw - n_kept) * 1000000 div n_raw as bigint)")
+              .as("dup_rate_fx"))
+      }),
+
     // GPT-style concatenate-and-chunk packing: within each language
     // shard, documents concatenate in doc_id order and slice into
     // PackBudget-token windows; each doc reports its bin, offset, and

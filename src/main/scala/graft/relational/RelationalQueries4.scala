@@ -835,6 +835,79 @@ object RelationalQueries4 {
           .select(col("part_a"), col("part_b"), col("supp_ab"),
             col("supp_a"), col("supp_b"), col("lift_fx"),
             col("rn").cast("int").as("rn"))
+      }),
+
+    // ------------------------------- conversion-time profile (q64)
+    // Per entry channel (q59's exact session semantics): how long a
+    // converting session takes from first event to first purchase —
+    // count, DISCRETE median (q36's rank-pick, fully tie-broken), and
+    // max. The funnel-latency report product teams read next to q59's
+    // conversion rates. One user-keyed Exchange sessionizes; converting
+    // sessions then shuffle once on the 5-value entry type ONLY for
+    // the median window (bounded relation: converting sessions, not
+    // events).
+    QueryDef(
+      "q64_conversion_time",
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+              |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+              |x AS (SELECT user_id, event_id, event_type, ms,
+              |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
+              |        ORDER BY ms, event_id) > $GapMs THEN 1 ELSE 0 END AS brk
+              |  FROM e),
+              |s AS (SELECT user_id, event_id, event_type, ms,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              |      ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+              |  FROM x),
+              |f AS (SELECT user_id, session_id, event_type AS entry_type
+              |  FROM (SELECT user_id, session_id, event_type,
+              |      row_number() OVER (PARTITION BY user_id, session_id
+              |        ORDER BY ms, event_id) AS rn FROM s) z WHERE rn = 1),
+              |cv AS (SELECT user_id, session_id, min(ms) AS start_ms,
+              |    min(CASE WHEN event_type = 'purchase' THEN ms END) AS fp
+              |  FROM s GROUP BY 1, 2),
+              |tt AS (SELECT f.entry_type, cv.user_id, cv.session_id,
+              |    cv.fp - cv.start_ms AS ttc
+              |  FROM cv JOIN f ON cv.user_id = f.user_id
+              |    AND cv.session_id = f.session_id
+              |  WHERE cv.fp IS NOT NULL),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY entry_type
+              |    ORDER BY ttc ASC, user_id ASC, session_id ASC) AS rn,
+              |    count(*) OVER (PARTITION BY entry_type) AS n FROM tt)
+              |SELECT entry_type, cast(max(n) as bigint) AS n_converted,
+              |  cast(max(CASE WHEN rn = (n + 1) // 2 THEN ttc END)
+              |    as bigint) AS median_ttc_ms,
+              |  cast(max(ttc) as bigint) AS max_ttc_ms
+              |FROM r GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val ord = Seq(col("ms"), col("event_id"))
+        val wl = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        val wc = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("brk",
+            when(col("ms") - lag(col("ms"), 1).over(wl) > GapMs, 1)
+              .otherwise(0))
+          .withColumn("session_id", (sum(col("brk")).over(wc) + 1).cast("int"))
+        val tt = sess.groupBy(col("user_id"), col("session_id"))
+          .agg(min(struct(col("ms"), col("event_id"), col("event_type")))
+              .as("fe"),
+            min(col("ms")).as("start_ms"),
+            min(when(col("event_type") === "purchase", col("ms"))).as("fp"))
+          .filter(col("fp").isNotNull)
+          .select(col("fe.event_type").as("entry_type"), col("user_id"),
+            col("session_id"), (col("fp") - col("start_ms")).as("ttc"))
+        val wm = Window.partitionBy(col("entry_type"))
+          .orderBy(col("ttc").asc, col("user_id").asc, col("session_id").asc)
+        val wn = Window.partitionBy(col("entry_type"))
+        tt.withColumn("rn", row_number().over(wm))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy(col("entry_type"))
+          .agg(max(col("n")).cast("long").as("n_converted"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("ttc")))
+              .cast("long").as("median_ttc_ms"),
+            max(col("ttc")).cast("long").as("max_ttc_ms"))
       })
   )
 

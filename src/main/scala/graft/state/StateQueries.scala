@@ -850,6 +850,53 @@ object StateQueries {
           .toDF("key", "label")
       }),
 
+    // Operator RENAME (sp34): a job refactor changes an operator's uid
+    // and the savepoint must follow — a METADATA-ONLY rewrite: the new
+    // `_metadata` carries the renamed uid + recomputed operator id but
+    // points at the ORIGINAL state files verbatim (handles are stored
+    // absolute, so no byte of keyed state is copied or re-encoded).
+    // The reloaded savepoint must serve the state under the NEW uid —
+    // proving reader lookup routes through uid/operator-id resolution,
+    // not file paths. The cheapest migration in the toolbox (O(1) vs
+    // sp33's full re-shard), and the one users reach for first.
+    QueryDef(
+      "sp34_operator_rename",
+      Some("""SELECT o_custkey AS key, count(*) AS cnt
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("ren-old", 4, 128), "ren-old")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Cnt", counts, LongCodec)
+          .writeAll(tmp("graft-sp34a"))
+        val loaded = Savepoints.load(meta1.basePath)
+        // handles are stored savepoint-relative; pin them to the source
+        // directory so the renamed `_metadata` (written elsewhere)
+        // keeps referencing the ORIGINAL state files byte-for-byte
+        def abs(f: KeyedFileHandle): KeyedFileHandle = {
+          val p = new org.apache.hadoop.fs.Path(f.relativePath)
+          if (p.isAbsolute) f
+          else f.copy(relativePath = new org.apache.hadoop.fs.Path(
+            loaded.basePath, f.relativePath).toString)
+        }
+        val renamed = loaded.copy(operators = loaded.operators.map { o =>
+          if (o.uid == "ren-old")
+            o.copy(uid = "ren-new",
+              operatorId = Identifiers.operatorId("ren-new"),
+              keyedFiles = o.keyedFiles.map(abs))
+          else o
+        })
+        val dir2 = tmp("graft-sp34b")
+        MetadataIO.write(dir2, renamed)
+        Savepoints.reader(s, Savepoints.load(dir2), "ren-new")
+          .readValueStates[Long, Long]("Cnt")
+          .toDF("key", "cnt")
+      }),
+
     // KEY migration (sp33): the migration axis sp20 doesn't cover —
     // the key SERIALIZER changes (long custkey → zero-padded string
     // uid), which moves every row to a different key group
