@@ -100,6 +100,7 @@ object Dedup {
     QueryDef("g10_two_hop", Some(twoHopOracle), twoHopSpark),
     QueryDef("g12_incremental_components", Some(incCompOracle), incCompSpark),
     QueryDef("d26_method_agreement", Some(agreementOracle), agreementSpark),
+    QueryDef("d27_template_extraction", Some(templateOracle), templateSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1484,6 +1485,75 @@ object Dedup {
        |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
        |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
        |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
+
+  // ------------------------- template extraction (d27)
+
+  /** Per near-dup family (d08's component labels, size >= 2): the
+    * shared character PREFIX and SUFFIX lengths across ALL members —
+    * the boilerplate template signature (page chrome, license headers,
+    * footer junk) a scrubbing pass would strip before training. Uses
+    * the classic set-LCP identity: the common prefix of a SET of
+    * strings equals the common prefix of its lexicographic MIN and MAX
+    * members — so the whole family collapses through one order-free
+    * min/max aggregate and the character scan runs on exactly TWO
+    * strings per family, regardless of family size. The suffix is the
+    * same identity over reversed strings. First-mismatch position is
+    * found with an array scan (no struct-accumulator folds — DuckDB
+    * 1.0 list_reduce can't thread one).
+    */
+  private def templateSpark(s: SparkSession, d: String): DataFrame = {
+    val labels = componentsSpark(s, d)
+    val docs = Catalog.t(s, d, "documents").select(col("doc_id"), col("text"))
+    templateSignatures(labels, docs)
+  }
+
+  def templateSignatures(labels: DataFrame, docs: DataFrame): DataFrame = {
+    // array_position returns 0 (not NULL) on a full match — nullif
+    // routes that case to the "entire shorter string" fallback
+    def lcpExpr(a: String, b: String): String =
+      s"""CASE WHEN least(length($a), length($b)) = 0 THEN 0L ELSE
+         |  coalesce(cast(
+         |    nullif(array_position(transform(
+         |      sequence(1, least(length($a), length($b))),
+         |      i -> substring($a, i, 1) = substring($b, i, 1)), false), 0) - 1
+         |    as bigint),
+         |    cast(least(length($a), length($b)) as bigint))
+         |END""".stripMargin
+    labels.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("text")).as("lo"), max(col("text")).as("hi"),
+        min(reverse(col("text"))).as("rlo"), max(reverse(col("text"))).as("rhi"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"),
+        expr(lcpExpr("lo", "hi")).as("prefix_chars"),
+        expr(lcpExpr("rlo", "rhi")).as("suffix_chars"))
+  }
+
+  private def templateOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY node),
+       |j AS (SELECT comp.cluster_id, dd.text, reverse(dd.text) AS rtext
+       |  FROM comp JOIN documents dd ON comp.doc_id = dd.doc_id),
+       |g AS (SELECT cluster_id, count(*) AS n_members,
+       |    min(text) AS lo, max(text) AS hi,
+       |    min(rtext) AS rlo, max(rtext) AS rhi
+       |  FROM j GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT cluster_id, n_members,
+       |  CASE WHEN least(strlen(lo), strlen(hi)) = 0 THEN 0
+       |    ELSE coalesce(cast(nullif(list_position(list_transform(
+       |        range(1, least(strlen(lo), strlen(hi)) + 1),
+       |        i -> lo[i] = hi[i]), false), 0) - 1 as bigint),
+       |      cast(least(strlen(lo), strlen(hi)) as bigint))
+       |  END AS prefix_chars,
+       |  CASE WHEN least(strlen(rlo), strlen(rhi)) = 0 THEN 0
+       |    ELSE coalesce(cast(nullif(list_position(list_transform(
+       |        range(1, least(strlen(rlo), strlen(rhi)) + 1),
+       |        i -> rlo[i] = rhi[i]), false), 0) - 1 as bigint),
+       |      cast(least(strlen(rlo), strlen(rhi)) as bigint))
+       |  END AS suffix_chars
+       |FROM g""".stripMargin
 
   // ------------------------- dedup-method agreement (d26)
 

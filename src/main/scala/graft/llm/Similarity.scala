@@ -79,7 +79,8 @@ object Similarity {
     QueryDef("s16_recall_curve", Some(recallCurveOracle), recallCurveSpark),
     QueryDef("s17_truncated_recall", Some(truncatedRecallOracle),
       truncatedRecallSpark),
-    QueryDef("s18_mmr_rerank", Some(mmrOracle), mmrSpark)
+    QueryDef("s18_mmr_rerank", Some(mmrOracle), mmrSpark),
+    QueryDef("s20_nprobe_sweep", Some(nprobeSweepOracle), nprobeSweepSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -1338,6 +1339,120 @@ object Similarity {
        |  cast(CASE WHEN nq = 0 THEN 0
        |       ELSE n_matches * 1000000 // (nq * 5) END as bigint) AS recall_fx
        |FROM m, nq""".stripMargin
+  }
+
+  // -------------------------------- nProbe recall sweep (s20)
+
+  /** Probe widths priced by the sweep (s16 sweeps k; this sweeps the
+    * OTHER IVF tuning axis). */
+  private val SweepProbes = Seq(1, 2, 4)
+  private val SweepK = 5
+
+  private def nprobeSweepSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    nprobeSweep(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")),
+      SweepProbes, SweepK)
+  }
+
+  /** Recall@k of IVF search as a function of nProbe — the acceptance
+    * curve that picks the probe width before production traffic (the
+    * cost axis: each probe widens the candidate scan linearly, so the
+    * knee of this curve IS the operating point). Computed in ONE scan
+    * pass: candidates score once against the widest probe set with
+    * their cell's probe rank attached, and every narrower width is a
+    * rank FILTER over that memoized relation — the sweep costs one
+    * IVF search regardless of how many widths are priced (s16's
+    * one-pass discipline on the other axis). Ground truth is the
+    * exact brute-force top-k, computed once and memoized.
+    */
+  def nprobeSweep(queries: DataFrame, candidates: DataFrame,
+      centroids: DataFrame, probes: Seq[Int], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val exact = cosineTopK(queries, candidates, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nq = queries.count() // broadcast-side by contract (s01's shape)
+    val cent = centroids.select(col("cid"), col("embedding").as("cemb"))
+      .withColumn("cnrm", expr(s"${sparkNorm("cemb")}"))
+    val c = candidates.select(col("neighbor_id"),
+      col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+    val assigned = assignCells(c, cent)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val scored = queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("qa"))
+      .withColumn("qn", expr(s"${sparkNorm("qa")}"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${sparkDot("qa", "cemb")} / (qn * cnrm)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= probes.max)
+      .select(col("query_id"), col("qa"), col("qn"), col("cid"), col("prn"))
+      .join(assigned, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", expr(s"${sparkDot("qa", "ca")} / (qn * cn)"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("prn"))
+      .localCheckpoint()
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.map { np =>
+      scored.filter(col("prn") <= np)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= k)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .select(lit(np).as("nprobe"), col("n_matches"),
+          expr(s"cast(n_matches * 1000000 div ($nq * $k) as bigint)")
+            .as("recall_fx"))
+    }.reduce(_ union _)
+  }
+
+  private def nprobeSweepOracle: String = {
+    val perNp = SweepProbes.map { np =>
+      s"""t$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM cand WHERE prn <= $np) x WHERE rn <= $SweepK),
+         |m$np AS (SELECT cast(count(*) as bigint) AS n FROM exact e
+         |  JOIN t$np USING (query_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = SweepProbes.map(np =>
+      s"""SELECT $np AS nprobe, n AS n_matches,
+         |  cast(n * 1000000 // (nq * $SweepK) as bigint) AS recall_fx
+         |FROM m$np, q0""".stripMargin).mkString("\nUNION ALL ")
+    s"""WITH exact AS (${cosineTopKOracle(SweepK)}),
+       |v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |ctr AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id AS neighbor_id, va AS na, vn AS nn, cid FROM (
+       |  SELECT v.*, ctr.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, ctr.cid ASC)
+       |      AS arn
+       |  FROM v, ctr) x WHERE arn = 1),
+       |pr AS (SELECT query_id, qa, qn, cid, prn FROM (
+       |  SELECT v.vec_id AS query_id, va AS qa, vn AS qn, ctr.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, ctr.cid ASC)
+       |      AS prn
+       |  FROM v, ctr WHERE v.vec_id < $NumQueries) x
+       |  WHERE prn <= ${SweepProbes.max}),
+       |cand AS (SELECT query_id, neighbor_id,
+       |    ${duckDot("qa", "na")} / (qn * nn) AS cosine, prn
+       |  FROM pr JOIN asg USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |q0 AS (SELECT cast(count(DISTINCT query_id) as bigint) AS nq
+       |  FROM exact),
+       |$perNp
+       |$rows""".stripMargin
   }
 
   // -------------------------------- MMR diversified rerank (s18)

@@ -1126,6 +1126,51 @@ object TextAnalysis {
       (s, d) => {
         val vocab = bpeShared(s, d)._2.select(col("word"),
           expr("cast(size(split(repr, ' ')) as bigint)").as("n_syms"))
+        fertilityBody(s, d, vocab)
+      }),
+
+    // Language-ID confusion matrix (t39): t01's stopword classifier
+    // evaluated against the ground-truth lang column as a full
+    // (actual, predicted) matrix with per-actual row shares — the
+    // error-ANATOMY report t01's per-doc is_correct flag can't give
+    // (which languages bleed into which). Narrow per-doc scoring (zero
+    // Exchange — t01's shape), one <=25-row rollup, one window over
+    // that rollup.
+    QueryDef(
+      "t39_lang_confusion",
+      Some {
+        val scores = stopwords
+          .map { case (l, ws) => s"${duckStopHits(ws)} AS s_$l" }
+          .mkString(",\n    ")
+        s"""WITH d AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |    $scores
+           |  FROM d),
+           |p AS (SELECT lang, $predLangCase AS pred_lang FROM sc),
+           |m AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+           |t AS (SELECT lang, cast(sum(n) as bigint) AS n_actual
+           |  FROM m GROUP BY 1)
+           |SELECT m.lang, m.pred_lang, m.n,
+           |  cast(n * 1000000 // n_actual as bigint) AS row_share_fx,
+           |  (m.lang = m.pred_lang) AS is_diag
+           |FROM m JOIN t ON m.lang = t.lang""".stripMargin
+      },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wa = Window.partitionBy(col("lang"))
+        langId(Catalog.t(s, d, "documents"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("n_actual", sum(col("n")).over(wa))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            expr("cast(n * 1000000 div n_actual as bigint)")
+              .as("row_share_fx"),
+            (col("lang") === col("pred_lang")).as("is_diag"))
+      })
+  )
+
+  private def fertilityBody(s: SparkSession, d: String,
+      vocab: DataFrame): DataFrame = {
         Catalog.t(s, d, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 1)
@@ -1136,8 +1181,7 @@ object TextAnalysis {
           .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
             expr("cast(n_bpe_tokens * 1000000 div n_words as bigint)")
               .as("fertility_fx"))
-      })
-  )
+  }
 
   /** The fixed retrieval query for the t32 gate (all three terms occur
     * in the synthetic vocabulary).

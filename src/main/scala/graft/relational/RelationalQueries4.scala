@@ -908,6 +908,57 @@ object RelationalQueries4 {
             max(when(col("rn") === expr("(n + 1) div 2"), col("ttc")))
               .cast("long").as("median_ttc_ms"),
             max(col("ttc")).cast("long").as("max_ttc_ms"))
+      }),
+
+    // ---------------------------- supplier concentration / HHI (q65)
+    // Herfindahl–Hirschman concentration of supplier revenue per
+    // nation: Σ share² over the nation's suppliers, in integer fixed
+    // point (share_fx = cents·1e6 // nation total; hhi_fx =
+    // Σ share_fx² // 1e6) — the market-concentration report (10000+
+    // suppliers each tiny → hhi→0; one supplier → 1e6). Lineitems
+    // collapse to (supplier) grain first; the supplier dim broadcasts;
+    // everything after the one revenue Exchange runs on supplier-count
+    // rows.
+    QueryDef(
+      "q65_supplier_hhi",
+      Some("""WITH sr AS (SELECT l_suppkey,
+             |    cast(sum(cast(round(l_extendedprice * 100) as bigint))
+             |      as bigint) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT n.n_name AS nation, sr.l_suppkey, sr.cents
+             |  FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+             |t AS (SELECT nation, cast(sum(cents) as bigint) AS total
+             |  FROM j GROUP BY 1),
+             |sh AS (SELECT j.nation, j.cents,
+             |    cast(j.cents * 1000000 // t.total as bigint) AS share_fx
+             |  FROM j JOIN t ON j.nation = t.nation)
+             |SELECT nation, count(*) AS n_suppliers,
+             |  cast(sum(cents) as bigint) AS nation_cents,
+             |  cast(sum(share_fx * share_fx) // 1000000 as bigint) AS hhi_fx,
+             |  cast(max(share_fx) as bigint) AS top_share_fx
+             |FROM sh GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val sr = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("cents"))
+        val dim = t(s, d, "supplier")
+          .join(t(s, d, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation"))
+        val j = sr.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        val total = j.groupBy(col("nation"))
+          .agg(sum(col("cents")).as("total"))
+        j.join(broadcast(total), "nation")
+          .withColumn("share_fx",
+            expr("cast(cents * 1000000 div total as bigint)"))
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("cents")).cast("long").as("nation_cents"),
+            expr("cast(sum(share_fx * share_fx) div 1000000 as bigint)")
+              .as("hhi_fx"),
+            max(col("share_fx")).as("top_share_fx"))
       })
   )
 
