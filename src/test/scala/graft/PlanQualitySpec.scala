@@ -568,6 +568,61 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(p, "hashpartitioning(lang") >= 1, p)
   }
 
+  test("j06 interval overlap never plans a theta join: sessions meet " +
+    "incidents in an equi-join on the hour bucket") {
+    val p = plan("j06_incident_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      // the 1-row totals broadcast is the only nested-loop allowed
+      count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(count(p, "hashpartitioning(user_id") >= 1, p)
+  }
+
+  test("q62 ABC collapses lineitems to part grain before the single " +
+    "cumulative window") {
+    val p = plan("q62_abc_analysis")
+    // the part-grain aggregate and its 1-row total branch each keep a
+    // part-keyed Exchange; what matters is that the window sorts the
+    // REDUCED relation and no join shuffles
+    assert(count(p, "hashpartitioning(l_partkey") <= 2, p)
+    assert(count(p, "hashpartitioning(l_partkey") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q63 basket pairs self-join keyed on the order, never on the " +
+    "part dimension") {
+    val p = plan("q63_basket_affinity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("l_orderkey"), p)
+  }
+
+  test("q64 conversion-time runs its median window on the reduced " +
+    "session relation, sessionizing on ONE user Exchange") {
+    val p = plan("q64_conversion_time")
+    assert(count(p, "hashpartitioning(user_id") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q65 HHI broadcasts the supplier dim and the nation totals — " +
+    "no shuffle-side join after the revenue Exchange") {
+    val p = plan("q65_supplier_hhi")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // revenue grain + its totals branch each carry a supplier Exchange
+    assert(count(p, "hashpartitioning(l_suppkey") <= 2, p)
+    assert(count(p, "hashpartitioning(l_suppkey") >= 1, p)
+  }
+
+  test("d27 template families collapse through one keyed min/max " +
+    "aggregate: no pairwise join over members") {
+    val p = plan("d27_template_extraction")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-family scan is a narrow projection over TWO strings:
+    // no window operator anywhere
+    assert(!p.contains("RunningWindowFunction") &&
+      count(p, "Window") == 0, p)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen spans only for the final (executed) plan
     def executedPlan(name: String): String = {
