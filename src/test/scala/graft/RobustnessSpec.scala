@@ -111,7 +111,26 @@ class RobustnessSpec extends AnyFunSuite {
     // streaming ingest gates (stream the same adversarial tables)
     "st16_stream_minhash_ingest", "st17_stream_semantic_ingest",
     "st18_stream_simhash_ingest", "st19_stream_quality_gate",
-    "st20_stream_anomaly_gate")
+    "st20_stream_anomaly_gate",
+    // round-8 batch 19-27 additions over the same adversarial tables:
+    // empty/unicode/20k-token docs through TextRank, lexical density,
+    // KN held-out, fertility, confusion, preference pairs, post-dedup
+    // mix, templates, method agreement, two-hop, events through the
+    // Markov/overlap/conversion reports, embeddings (zero vectors!)
+    // through MMR, DB-index, Rand, drift, nprobe sweep
+    "t34_textrank", "t35_lexical_profile", "t36_kn_heldout",
+    "t37_tokenizer_fertility", "t39_lang_confusion",
+    "p22_preference_pairs", "p24_post_dedup_mix",
+    "d26_method_agreement", "d27_template_extraction", "g10_two_hop",
+    "q60_markov_transitions", "j06_incident_overlap",
+    "q64_conversion_time",
+    // (c10 is absent: this fixture has no vec_id ≡ 50 (mod 100), so
+    // its PERTURBED seed set is empty and the documented non-empty-
+    // centroid refusal fires — the contract, not a crash; EmptyInputSpec
+    // pins that message.)
+    "s18_mmr_rerank", "s20_nprobe_sweep", "c09_davies_bouldin",
+    "s19_centroid_drift",
+    "m09_caption_align", "m10_keyframes")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
