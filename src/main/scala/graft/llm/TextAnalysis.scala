@@ -1166,6 +1166,43 @@ object TextAnalysis {
             expr("cast(n * 1000000 div n_actual as bigint)")
               .as("row_share_fx"),
             (col("lang") === col("pred_lang")).as("is_diag"))
+      }),
+
+    // Vocabulary coverage / OOV rate (t40): per language, the token
+    // mass of the held-out split (doc_id % 10 == 9, t36's split) whose
+    // WORD never occurs in the training split — the coverage report
+    // that decides whether a word-level vocabulary (or a tokenizer's
+    // special-token budget) transfers to fresh data. One distinct over
+    // the train vocabulary (corpus-sized shuffle with map-side
+    // partials), one left-anti-shaped join from the (small) eval
+    // token stream, 5-row rollup.
+    QueryDef(
+      "t40_oov_rate",
+      Some(s"""WITH tr AS (SELECT DISTINCT unnest($duckWords) AS word
+              |  FROM documents WHERE doc_id % 10 != 9),
+              |ev AS (SELECT lang, unnest($duckWords) AS word
+              |  FROM documents WHERE doc_id % 10 = 9),
+              |j AS (SELECT ev.lang, ev.word,
+              |    CASE WHEN tr.word IS NULL THEN 1 ELSE 0 END AS oov
+              |  FROM ev LEFT JOIN tr ON ev.word = tr.word)
+              |SELECT lang, count(*) AS n_tokens,
+              |  cast(sum(oov) as bigint) AS n_oov,
+              |  cast(sum(oov) * 1000000 // count(*) as bigint) AS oov_fx
+              |FROM j GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 10 =!= 9)
+          .select(explode(split(col("text"), " ")).as("word")).distinct()
+          .withColumn("seen", lit(1))
+        docs.filter(col("doc_id") % 10 === 9)
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .join(train, Seq("word"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("lang"), col("n_tokens"), col("n_oov"),
+            expr("cast(n_oov * 1000000 div n_tokens as bigint)")
+              .as("oov_fx"))
       })
   )
 

@@ -959,6 +959,39 @@ object RelationalQueries4 {
             expr("cast(sum(share_fx * share_fx) div 1000000 as bigint)")
               .as("hhi_fx"),
             max(col("share_fx")).as("top_share_fx"))
+      }),
+
+    // -------------------------------- activity-gap profile (q66)
+    // Per user: the LONGEST silent gap between consecutive events and
+    // how many gaps exceeded one hour — the complement to q58 (which
+    // measures ARRIVAL lateness; this measures EVENT-TIME silence),
+    // the profile that sizes session timeouts and liveness alerts.
+    // Users with a single event have no gaps and report zeros. One
+    // user-keyed window Exchange; the report is user-grain, joinless.
+    QueryDef(
+      "q66_activity_gaps",
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+             |g AS (SELECT user_id,
+             |    ms - lag(ms) OVER (PARTITION BY user_id
+             |      ORDER BY ms, event_id) AS gap FROM e)
+             |SELECT user_id, count(*) AS n_events,
+             |  cast(coalesce(max(gap), 0) as bigint) AS max_gap_ms,
+             |  cast(sum(CASE WHEN gap > 3600000 THEN 1 ELSE 0 END)
+             |    as bigint) AS n_long_gaps
+             |FROM g GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val wl = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("gap", col("ms") - lag(col("ms"), 1).over(wl))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            coalesce(max(col("gap")), lit(0L)).as("max_gap_ms"),
+            sum(when(col("gap") > 3600000L, 1L).otherwise(0L))
+              .cast("long").as("n_long_gaps"))
       })
   )
 
