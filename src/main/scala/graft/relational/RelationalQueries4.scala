@@ -992,6 +992,49 @@ object RelationalQueries4 {
             coalesce(max(col("gap")), lit(0L)).as("max_gap_ms"),
             sum(when(col("gap") > 3600000L, 1L).otherwise(0L))
               .cast("long").as("n_long_gaps"))
+      }),
+
+    // -------------------------- new vs returning revenue (q67)
+    // Per order month: how many DISTINCT customers were NEW (their
+    // first-ever order falls in this month) vs returning, and the
+    // exact cents each cohort spent — the growth-vs-retention revenue
+    // split every monthly business review opens with (q45's cohort
+    // matrix is the long-form; this is the headline row). First-order
+    // months ride one custkey Exchange; the classification is a
+    // co-keyed join back (AQE broadcasts the customer-grain side);
+    // the report is |months|×2 rows.
+    QueryDef(
+      "q67_new_vs_returning",
+      Some("""WITH fo AS (SELECT o_custkey,
+             |    min(date_trunc('month', o_orderdate)) AS first_month
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT o.o_custkey,
+             |    date_trunc('month', o.o_orderdate) AS month,
+             |    cast(round(o.o_totalprice * 100) as bigint) AS cents,
+             |    CASE WHEN date_trunc('month', o.o_orderdate)
+             |      = fo.first_month THEN 'new' ELSE 'returning' END AS cohort
+             |  FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey)
+             |SELECT month, cohort,
+             |  cast(count(DISTINCT o_custkey) as bigint) AS n_customers,
+             |  count(*) AS n_orders,
+             |  cast(sum(cents) as bigint) AS revenue_cents
+             |FROM m GROUP BY 1, 2""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val fo = o.groupBy(col("o_custkey"))
+          .agg(min(date_trunc("month", col("o_orderdate")))
+            .as("first_month"))
+        o.select(col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).as("month"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+          .join(fo, "o_custkey")
+          .withColumn("cohort",
+            when(col("month") === col("first_month"), "new")
+              .otherwise("returning"))
+          .groupBy(col("month"), col("cohort"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            sum(col("cents")).cast("long").as("revenue_cents"))
       })
   )
 

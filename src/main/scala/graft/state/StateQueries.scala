@@ -850,6 +850,50 @@ object StateQueries {
           .toDF("key", "label")
       }),
 
+    // Savepoint RELOCATION (sp35): the whole savepoint moves to a new
+    // directory (backup/restore, bucket migration, DR copy) and must
+    // load from the new location untouched — the case RELATIVE handles
+    // exist for (Flink ≥1.11 made savepoints self-contained for exactly
+    // this; sp34 is the opposite trick, absolute pinning). State files
+    // copy byte-for-byte; the metadata written alongside them keeps
+    // plain file-name handles, so the reader resolves them against
+    // wherever the `_metadata` actually lives. No re-encode, no
+    // re-shard — relocation is an opaque directory copy.
+    QueryDef(
+      "sp35_savepoint_relocate",
+      Some("""SELECT o_custkey AS key, count(*) AS cnt
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count()
+          .as[(Long, Long)]
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("reloc-op", 4, 128), "reloc-op")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Cnt", counts, LongCodec)
+          .writeAll(tmp("graft-sp35a"))
+        // relocate: byte-for-byte copy of the WHOLE savepoint tree
+        // (metadata included, handles untouched) — a valid savepoint
+        // must load from wherever the tree lands, because its handles
+        // are stored savepoint-relative
+        val src = java.nio.file.Paths.get(meta1.basePath)
+        val dst = java.nio.file.Paths.get(tmp("graft-sp35b"))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+          val rel = src.relativize(p)
+          val target = dst.resolve(rel.toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(target)
+          else
+            java.nio.file.Files.copy(p, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        Savepoints.reader(s, Savepoints.load(dst.toString), "reloc-op")
+          .readValueStates[Long, Long]("Cnt")
+          .toDF("key", "cnt")
+      }),
+
     // Operator RENAME (sp34): a job refactor changes an operator's uid
     // and the savepoint must follow — a METADATA-ONLY rewrite: the new
     // `_metadata` carries the renamed uid + recomputed operator id but
