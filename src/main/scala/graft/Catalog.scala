@@ -34,7 +34,14 @@ object Catalog {
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // Write parquet timestamps as INT64 microseconds, never INT96
+    // (deprecated) nanos: the SCD2 "open" sentinel 9999-12-31 overflows
+    // int64 NANOSECONDS and wraps to 1816-03-29 on the INT96 path, so
+    // any engine-written dimension that roundtrips through parquet
+    // (i11) silently corrupts far-future event-horizon timestamps.
+    // Micros hold every representable Spark timestamp exactly.
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
 
   /** Normalize a `ts` event-time column to TimestampType regardless of
     * how the driver's parquet encoded it. Schema-aware, so batch reads

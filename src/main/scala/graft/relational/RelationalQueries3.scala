@@ -556,8 +556,11 @@ object RelationalQueries3 {
              |FROM m GROUP BY 1, 2""".stripMargin),
       (s, d) => {
         val o = t(s, d, "orders")
+        // trunc() (not date_trunc) keeps DATE type — the oracle's
+        // date_trunc over DATE stays DATE, and a timestamp here is a
+        // cross-engine schema drift the ns-safe gate rejects
         val fo = o.groupBy(col("o_custkey"))
-          .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort"))
+          .agg(min(trunc(col("o_orderdate"), "month")).as("cohort"))
         o.join(fo, "o_custkey")
           .select(col("o_custkey"), col("cohort"),
             ((year(col("o_orderdate")) - year(col("cohort"))) * 12

@@ -1021,11 +1021,13 @@ object RelationalQueries4 {
              |FROM m GROUP BY 1, 2""".stripMargin),
       (s, d) => {
         val o = t(s, d, "orders")
+        // trunc() keeps DATE type to match the oracle's date_trunc-over-
+        // DATE output exactly (see q45)
         val fo = o.groupBy(col("o_custkey"))
-          .agg(min(date_trunc("month", col("o_orderdate")))
+          .agg(min(trunc(col("o_orderdate"), "month"))
             .as("first_month"))
         o.select(col("o_custkey"),
-            date_trunc("month", col("o_orderdate")).as("month"),
+            trunc(col("o_orderdate"), "month").as("month"),
             expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
           .join(fo, "o_custkey")
           .withColumn("cohort",

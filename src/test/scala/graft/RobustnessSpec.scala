@@ -167,4 +167,50 @@ class RobustnessSpec extends AnyFunSuite {
       .map(_.getLong(2))
     assert(pos.distinct.length === pos.length)
   }
+
+  test("event-horizon timestamps survive the engine's parquet sink") {
+    // The SCD2 "open-ended" sentinel TIMESTAMP '9999-12-31' cost
+    // i11_scd2_merge its oracle hash in round 8: Spark's deprecated
+    // INT96 parquet encoding stores Julian-day + nanos-of-day (so Spark
+    // itself roundtrips it fine), but every arrow-based reader — the
+    // driver's pandas compare included — converts INT96 to int64
+    // NANOSECONDS, and 9999-12-31 wraps to 1816-03-29. Law: under
+    // Catalog.sessionConfs the engine writes INT64 TIMESTAMP(MICROS)
+    // parquet (checked in the physical footer, not just the conf), and
+    // far-future/far-past values roundtrip exactly.
+    assert(Catalog.sessionConfs.get("spark.sql.parquet.outputTimestampType")
+      .contains("TIMESTAMP_MICROS"),
+      "engine sessions must pin INT64-microsecond parquet timestamps")
+    val s = spark
+    import s.implicits._
+    val horizon = Seq(
+      (1L, java.sql.Timestamp.valueOf("9999-12-31 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("9999-12-31 23:59:59.999999")),
+      (3L, java.sql.Timestamp.valueOf("0001-01-01 00:00:00")),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 12:34:56.789012")))
+      .toDF("k", "valid_to")
+    val out = TempDirs.create("graft-horizon")
+    horizon.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val want = horizon.collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(back === want,
+      s"parquet sink wrapped a timestamp: wrote $want, read $back")
+    // Pin the PHYSICAL encoding: any arrow reader sees INT64 micros,
+    // which cannot ns-wrap until year 2262 reads, and pyarrow keeps
+    // micros as timestamp[us] anyway. INT96 here = driver hash-fail.
+    val file = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath))
+    val col = footer.getFileMetaData.getSchema.getColumns.asScala
+      .find(_.getPath.mkString(".") == "valid_to").get
+    assert(col.getPrimitiveType.getPrimitiveTypeName.toString == "INT64",
+      s"valid_to must be INT64, was ${col.getPrimitiveType}")
+    val logical = col.getPrimitiveType.getLogicalTypeAnnotation.toString
+    assert(logical.contains("MICROS"),
+      s"valid_to must be TIMESTAMP(MICROS), was $logical")
+  }
 }

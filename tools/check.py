@@ -9,6 +9,22 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
+
+
+def read_engine(f):
+    # timestamp_as_object keeps timestamps as python datetimes instead of
+    # datetime64[ns]: pandas ns-conversion WRAPS out-of-range values
+    # (9999-12-31 -> 1816-03-29) on BOTH engine and oracle sides, which
+    # masked the i11 INT96 write bug locally while the driver (which
+    # hashes stringified values) failed it. Never let ns-wrap touch the
+    # compare.
+    return pq.read_table(f).to_pandas(timestamp_as_object=True)
+
+
+def fetch_oracle(con, sql):
+    return con.execute(sql).fetch_arrow_table().to_pandas(
+        timestamp_as_object=True)
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -35,13 +51,13 @@ def main(sf_dir, out_dir, only=None):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).fetchdf()
+            exp = fetch_oracle(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_bad += 1; continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no engine output"); n_bad += 1; continue
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        got = pd.concat([read_engine(f) for f in sorted(files)])
         if sorted(got.columns) != sorted(exp.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} vs oracle {sorted(exp.columns)}")
             n_bad += 1; continue
