@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *  - Jaccard: inverted-index self-join with a document-frequency cap on
   *    shingles (drops stop-shingles — bounds the worst-case quadratic
   *    blowup of hot keys, the standard frequency-cap trick).
-  *  - SimHash: fingerprint is a narrow map + one groupBy; near-dup pairs
-  *    join on 8-bit fingerprint chunks (pigeonhole: hamming<=3 over 4
-  *    chunks guarantees a matching chunk).
+  *  - SimHash: 64-bit fingerprint as one narrow codegen'd kernel;
+  *    near-dup pairs join on 16-bit fingerprint chunks (pigeonhole:
+  *    hamming<=3 over 4 chunks guarantees a matching chunk; 262144
+  *    join keys keep per-bucket candidate mass sub-quadratic at
+  *    corpus scale).
   *  - Fuzzy (edit distance): blocking on (brand, type) bounds the
   *    quadratic verify to within-block pairs; block sizes are
   *    catalog-bounded (brands x types), independent of corpus growth.
@@ -789,65 +791,91 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash over per-occurrence word hashes, computed NARROWLY
-    * per row: the per-bit ±1 sums fold over the word-hash array with
-    * nested HOFs, entirely inside the scan stage. Integer bit-sums are
-    * order-independent, so this equals the old exploded-groupBy
-    * formulation exactly — with zero Exchange (the per-occurrence hash
-    * relation never shuffles) and no stateful aggregation, so the SAME
-    * code serves batch d04/d05 and the streaming ingest gate. The word
-    * hash runs as the codegen'd [[graft.functions.PolyHash32]] kernel —
-    * identical arithmetic to the `duckWordHash` fold in the oracle.
+  /** 64-bit SimHash, computed NARROWLY per row as ONE codegen'd kernel
+    * ([[graft.functions.SimHash64]]): a single char-loop pass per
+    * document — split on spaces, two independent 32-bit polynomial
+    * hash folds per word (mult 31 mod 4294967291 → bits 0–31, mult 37
+    * mod 4294967279 → bits 32–63), 64 ±1 bit sums, strict `> 0` sign.
+    * Zero Exchange, zero HOF-interpreter lanes, and the SAME code
+    * serves batch d04/d05 and the streaming ingest gate. 64 bits (vs
+    * the earlier 32) is what makes the hamming pigeonhole join's chunk
+    * currency 16-bit — 262144 join keys instead of 1024, the
+    * difference between a scale-safe candidate join and one that goes
+    * quadratic-within-bucket at corpus scale.
+    *
+    * The fingerprint is SIGNED (bit 63 = two's-complement sign) so the
+    * identical value assembles in overflow-checked SQL engines as
+    * `hiSigned * 2^32 + lo`, never leaving int64; arithmetic shift +
+    * mask recovers chunks identically everywhere.
     */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .withColumn("hs", expr("transform(split(text, ' '), x -> graft_polyhash32(x))"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  zip_with(
-          |    aggregate(hs, array_repeat(cast(0 as bigint), 32),
-          |      (acc, h) -> zip_with(acc, sequence(0, 31),
-          |        (a, i) -> a + IF((shiftright(h, i) & 1) = 1, 1, -1))),
-          |    sequence(0, 31),
-          |    (b, i) -> IF(b > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-          |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("simhash"))
+    docs.select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
   }
 
-  private def simhashCte: String = {
-    val bitSums = (0 until 32).map { i =>
-      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
-    }.mkString(",\n    ")
-    val fp = (0 until 32)
+  /** The 64 per-bit ±1 sums over word-hash columns `h1`/`h2` (SQL). */
+  private def simhashBitSums: String = {
+    val lo = (0 until 32).map { i =>
+      s"sum(CASE WHEN ((h1 >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }
+    val hi = (0 until 32).map { i =>
+      s"sum(CASE WHEN ((h2 >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b${32 + i}"
+    }
+    (lo ++ hi).mkString(",\n    ")
+  }
+
+  /** Signed-64 fingerprint assembly from the b0..b63 sums: bit 63 maps
+    * to -2^31 inside the high half so `hi * 2^32 + lo` stays in int64
+    * in overflow-checked engines — identical to the Java wrap-free
+    * arithmetic in [[graft.functions.SimHash64.fingerprint]].
+    */
+  private def simhashAssemble: String = {
+    val lo = (0 until 32)
       .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
+    val hi = (0 until 31)
+      .map(i => s"CASE WHEN b${32 + i} > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ") + " + CASE WHEN b63 > 0 THEN -2147483648 ELSE 0 END"
+    s"cast(($hi) * 4294967296 + ($lo) as bigint)"
+  }
+
+  /** The `(simhash >> 16k) & 65535` 16-bit chunk-equality disjunction
+    * between relations `a`/`b` — the shared oracle-side pigeonhole.
+    */
+  private def simhashChunkEq(a: String = "a", b: String = "b"): String =
+    (0 until 4)
+      .map(k => s"(($a.simhash >> ${16 * k}) & 65535) = (($b.simhash >> ${16 * k}) & 65535)")
+      .mkString(" OR ")
+
+  private def simhashCte: String =
     s"""d AS (SELECT doc_id, $duckWords AS w FROM documents),
        |hx AS (SELECT doc_id,
-       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h
+       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h1,
+       |    unnest(list_transform(w, x -> ${duckWordHash2("x")})) AS h2
        |  FROM d),
        |bits AS (SELECT doc_id,
-       |    $bitSums
+       |    $simhashBitSums
        |  FROM hx GROUP BY doc_id),
-       |fp AS (SELECT doc_id, cast($fp as bigint) AS simhash FROM bits)""".stripMargin
-  }
+       |fp AS (SELECT doc_id, $simhashAssemble AS simhash FROM bits)""".stripMargin
 
   private def simhashOracle: String =
     s"WITH ${simhashCte}\nSELECT doc_id, simhash FROM fp"
 
-  /** Near-dup pairs by hamming distance over 8-bit fingerprint chunks. */
+  /** Near-dup pairs by hamming distance over 16-bit fingerprint chunks. */
   private val MaxHamming = 3
 
   /** Fingerprints exploded to one (doc_id, simhash, ci, cv) row per
-    * 8-bit chunk — the pigeonhole join currency (batch self-join and
-    * streaming ingest gate alike).
+    * 16-bit chunk — the pigeonhole join currency (batch self-join and
+    * streaming ingest gate alike). Arithmetic shift + 65535 mask makes
+    * the top chunk sign-safe.
     */
   private def simhashChunks(fp: DataFrame): DataFrame =
     fp.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), k -> " +
-        "struct(k as ci, shiftright(simhash, k * 8) & 255 as cv))")).as("c"))
+        "struct(k as ci, shiftright(simhash, k * 16) & 65535 as cv))")).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
 
-  /** SimHash near-dup pairs by hamming distance over 8-bit fingerprint
+  /** SimHash near-dup pairs by hamming distance over 16-bit fingerprint
     * chunks (pigeonhole: hamming ≤ 3 over 4 chunks guarantees a match).
     */
   def simhashNearDupPairs(docs: DataFrame): DataFrame = {
@@ -871,15 +899,11 @@ object Dedup {
   /** CTE chain ending in `cand` (chunk-matched candidate pairs) — shared
     * by the d05 pairs oracle and the d08 connected-components oracle.
     */
-  private def simhashCandCtes: String = {
-    val chunkEq = (0 until 4)
-      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
-      .mkString(" OR ")
+  private def simhashCandCtes: String =
     s"""${simhashCte},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sa, b.simhash AS sb
-       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq))""".stripMargin
-  }
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND (${simhashChunkEq()}))""".stripMargin
 
   private def simhashPairsOracle: String =
     s"""WITH $simhashCandCtes
@@ -889,7 +913,7 @@ object Dedup {
   /** Streaming SimHash near-dup at INGEST — the hamming-distance gate
     * of the ingest trio (exact-prefix st12, MinHash st16, semantic
     * st17): arriving docs fingerprint NARROWLY per row, explode their
-    * four 8-bit chunks, and stream-static join the corpus chunk index
+    * four 16-bit chunks, and stream-static join the corpus chunk index
     * (pigeonhole: hamming <= 3 over 4 chunks guarantees a matching
     * chunk, so the equi-join loses no true pair). Emits
     * `(corpus_id, batch_id, hamming)` for cross-split pairs within the
@@ -947,15 +971,6 @@ object Dedup {
       .mkString(",\n    ")
     val m = (0 until Perms)
       .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString(" + ")
-    val bitSums = (0 until 32).map { i =>
-      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
-    }.mkString(",\n    ")
-    val fp32 = (0 until 32)
-      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
-      .mkString(" + ")
-    val chunkEq = (0 until 4)
-      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
-      .mkString(" OR ")
     s"""WITH fing AS (SELECT doc_id,
        |    md5(array_to_string(list_slice($duckWords, 1, $PrefixWords), ' '))
        |      AS fingerprint
@@ -974,14 +989,16 @@ object Dedup {
        |mh AS (SELECT DISTINCT b.doc_id FROM msig a JOIN msig b
        |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ($bandEqSql)
        |  WHERE cast($m as double) / $Perms >= 0.5),
-       |hx2 AS (SELECT doc_id, unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h
+       |hx2 AS (SELECT doc_id,
+       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h1,
+       |    unnest(list_transform(w, x -> ${duckWordHash2("x")})) AS h2
        |  FROM dw),
        |sbits AS (SELECT doc_id,
-       |    $bitSums
+       |    $simhashBitSums
        |  FROM hx2 GROUP BY doc_id),
-       |sfp AS (SELECT doc_id, cast($fp32 as bigint) AS simhash FROM sbits),
+       |sfp AS (SELECT doc_id, $simhashAssemble AS simhash FROM sbits),
        |shm AS (SELECT DISTINCT b.doc_id FROM sfp a JOIN sfp b
-       |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND ($chunkEq)
+       |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 AND (${simhashChunkEq()})
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming)
        |SELECT ex.doc_id, ex.exact_dup,
        |  mh.doc_id IS NOT NULL AS minhash_dup,
@@ -993,9 +1010,7 @@ object Dedup {
   }
 
   private[graft] def streamingSimhashOracle: String = {
-    val chunkEq = (0 until 4)
-      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
-      .mkString(" OR ")
+    val chunkEq = simhashChunkEq()
     s"""WITH $simhashCte
        |SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
        |  cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
@@ -1585,15 +1600,6 @@ object Dedup {
   }
 
   private def agreementOracle: String = {
-    val chunkEq = (0 until 4)
-      .map(k => s"((a.simhash >> ${8 * k}) & 255) = ((b.simhash >> ${8 * k}) & 255)")
-      .mkString(" OR ")
-    val bitSums = (0 until 32).map { i =>
-      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
-    }.mkString(",\n    ")
-    val fpExpr = (0 until 32)
-      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
-      .mkString(" + ")
     // sigCtes supplies the shared `d` (doc words); the simhash chain is
     // inlined minus its own `d` so the two fingerprint families share
     // one WITH clause without CTE-name collisions
@@ -1604,15 +1610,16 @@ object Dedup {
        |  JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
        |  WHERE cast($matchesSql as double) / $Perms >= 0.5),
        |hx AS (SELECT doc_id,
-       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h
+       |    unnest(list_transform(w, x -> ${duckWordHash("x")})) AS h1,
+       |    unnest(list_transform(w, x -> ${duckWordHash2("x")})) AS h2
        |  FROM d),
        |bits AS (SELECT doc_id,
-       |    $bitSums
+       |    $simhashBitSums
        |  FROM hx GROUP BY doc_id),
-       |fp AS (SELECT doc_id, cast($fpExpr as bigint) AS simhash FROM bits),
+       |fp AS (SELECT doc_id, $simhashAssemble AS simhash FROM bits),
        |scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sa, b.simhash AS sb
-       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ($chunkEq)),
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND (${simhashChunkEq()})),
        |sp2 AS (SELECT doc_a, doc_b FROM scand
        |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
        |u AS (SELECT doc_a, doc_b, max(m) AS m, max(sh) AS s2 FROM (

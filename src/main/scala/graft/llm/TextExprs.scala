@@ -43,6 +43,17 @@ object TextExprs {
       s"list_transform(range(1, length($x) + 1), i -> cast(ascii($x[i]) as bigint))), " +
       s"(a, b) -> (a * 31 + b) % $PolyMod)"
 
+  /** Independent second 32-bit hash family (multiplier 37, next prime
+    * modulus down): drives bits 32–63 of the 64-bit SimHash — the
+    * oracle mirror of the `h2` fold in
+    * [[graft.functions.SimHash64.fingerprint]].
+    */
+  val PolyMod2 = 4294967279L
+  def duckWordHash2(x: String): String =
+    s"list_reduce(list_prepend(cast(0 as bigint), " +
+      s"list_transform(range(1, length($x) + 1), i -> cast(ascii($x[i]) as bigint))), " +
+      s"(a, b) -> (a * 37 + b) % $PolyMod2)"
+
   /** BYTE-exact polynomial hash over the UTF-8 encoding of `x`: the
     * oracle mirror of the Spark-side fold over the `encode(x, 'UTF-8')`
     * payload (m-series decode stub, unsigned bytes). Bytes are recovered

@@ -24,15 +24,29 @@ class NarrowSignatureSpec extends AnyFunSuite {
   private def permB(j: Int): Long = (69069L * (j + 7) + 1L) % P
 
   private def refSimhash(text: String): Long = {
+    // independent 64-bit reference: bits 0-31 from the PolyHash32 fold,
+    // bits 32-63 from the (mult 37, mod 4294967279) fold; signed
+    // assembly hi*2^32+lo with bit 63 as -2^31 inside the high half.
     // Spark's split(str, regex) keeps trailing empty strings (limit -1)
-    val hs = text.split(" ", -1).map(PolyHash32.hash)
-    val bits = Array.fill(32)(0L)
-    hs.foreach { h =>
+    def hash2(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = (h * 37L + c) % 4294967279L)
+      h
+    }
+    val words = text.split(" ", -1)
+    val bits = Array.fill(64)(0L)
+    words.foreach { w =>
+      val h1 = PolyHash32.hash(w)
+      val h2 = hash2(w)
       (0 until 32).foreach { i =>
-        bits(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+        bits(i) += (if (((h1 >> i) & 1L) == 1L) 1L else -1L)
+        bits(32 + i) += (if (((h2 >> i) & 1L) == 1L) 1L else -1L)
       }
     }
-    (0 until 32).map(i => if (bits(i) > 0) 1L << i else 0L).sum
+    val lo = (0 until 32).map(i => if (bits(i) > 0) 1L << i else 0L).sum
+    val hi = (0 until 31).map(i => if (bits(32 + i) > 0) 1L << i else 0L).sum +
+      (if (bits(63) > 0) -2147483648L else 0L)
+    hi * 4294967296L + lo
   }
 
   private def refMinhash(text: String): Option[Seq[Long]] = {

@@ -333,13 +333,17 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("d05 simhash pigeonhole pairs join keyed with map-side partials") {
-    // the 8-bit chunk self-join must stay keyed (pigeonhole candidate
-    // generation, never all-pairs), and the per-doc simhash fold must
-    // partial-aggregate before its exchange
+    // the chunk self-join must stay keyed (pigeonhole candidate
+    // generation, never all-pairs), and the chunk currency must be the
+    // 16-BIT width (262144 join keys): an 8-bit regression (mask 255 =
+    // 1024 keys) makes per-bucket candidate mass quadratic at corpus
+    // scale
     val p = plan("d05_simhash_pairs")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(count(p, "HashAggregate") >= 2, p)
+    assert(p.contains("65535"), p)
+    assert(!p.contains("& 255)"), p)
   }
 
   test("d03 ngram jaccard joins the inverted index keyed, partial-aggregated") {
