@@ -19,6 +19,16 @@ def read_engine(f):
     # masked the i11 INT96 write bug locally while the driver (which
     # hashes stringified values) failed it. Never let ns-wrap touch the
     # compare.
+    meta = pq.read_metadata(f)
+    # engine-wide event-horizon guard: no dumped file may carry INT96
+    # timestamps — arrow converts INT96 to int64 NANOS, which wraps
+    # far-future sentinels before any value compare can see them
+    for i in range(meta.num_columns):
+        col = meta.schema.column(i)
+        if col.physical_type == "INT96":
+            raise AssertionError(
+                f"{f}: column '{col.name}' is INT96 — engine parquet "
+                "must be INT64 TIMESTAMP_MICROS (Catalog.sessionConfs)")
     return pq.read_table(f).to_pandas(timestamp_as_object=True)
 
 
@@ -57,7 +67,10 @@ def main(sf_dir, out_dir, only=None):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no engine output"); n_bad += 1; continue
-        got = pd.concat([read_engine(f) for f in sorted(files)])
+        try:
+            got = pd.concat([read_engine(f) for f in sorted(files)])
+        except AssertionError as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
         if sorted(got.columns) != sorted(exp.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} vs oracle {sorted(exp.columns)}")
             n_bad += 1; continue
