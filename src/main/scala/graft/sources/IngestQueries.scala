@@ -552,6 +552,55 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum(expr("cast(round(value * 100) as bigint)"))
               .cast("long").as("value_cents"))
+      }),
+
+    // Avro: the standard row-oriented lake/streaming interchange format
+    // (Kafka payloads, schema-registry pipelines). Spark 4 bundles the
+    // `avro` datasource in spark-sql, so this is the same
+    // write-read-aggregate fidelity contract as i01/i02/i04 — the
+    // per-lang polynomial text hash shifts on any encode defect. Avro is
+    // row-major (no column pruning / predicate pushdown at the scan),
+    // which is exactly why the i03/i06 lake paths keep parquet for
+    // analytic reads and this op exists only as the INTERCHANGE
+    // roundtrip.
+    QueryDef(
+      "i15_avro_roundtrip",
+      Some(fidelityOracle),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val out = tmp("graft-i15")
+        // the short alias "avro" is reserved for the external module by
+        // Spark's lookup even though the format classes ship inside
+        // spark-sql — the fully-qualified FileFormat name loads them
+        val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+        Catalog.t(s, d, "documents").write.mode("overwrite")
+          .format(avro).save(out)
+        s.read.schema(docSchema).format(avro).load(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
+      }),
+
+    // XML: the legacy-corpus interchange format (Wikipedia dumps, feed
+    // archives, library/OCR metadata). Spark 4 bundles spark-xml as a
+    // built-in FileFormat; escaping (&, <, quotes inside text) is the
+    // fidelity hazard the polynomial hash contract catches — a CDATA or
+    // entity defect shifts text_hash for the affected lang group.
+    QueryDef(
+      "i16_xml_roundtrip",
+      Some(fidelityOracle),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val out = tmp("graft-i16")
+        Catalog.t(s, d, "documents").write.mode("overwrite")
+          .option("rowTag", "doc").format("xml").save(out)
+        s.read.schema(docSchema).option("rowTag", "doc")
+          .format("xml").load(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
       }))
 
   /** SCD2 type-2 merge of `updates(c_custkey, new_segment)` into

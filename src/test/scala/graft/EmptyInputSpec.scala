@@ -81,7 +81,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "p22_preference_pairs", "g10_two_hop", "g12_incremental_components",
     "d26_method_agreement", "m09_caption_align", "m10_keyframes",
     "i13_cdc_apply", "i14_partition_evolution", "sp33_key_migration",
-    "st22_sliding_windows")
+    "st22_sliding_windows",
+    // round 9: empty corpus -> header-only avro/xml files, empty
+    // re-read through the pinned schema, empty fidelity report
+    "i15_avro_roundtrip", "i16_xml_roundtrip")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

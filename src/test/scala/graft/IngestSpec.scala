@@ -46,6 +46,38 @@ class IngestSpec extends AnyFunSuite {
     assert(back === want)
   }
 
+  test("avro and xml roundtrips survive hostile field values " +
+    "(entities, markup, unicode, empties)") {
+    import spark.implicits._
+    // XML's hazard set: entity chars and markup-looking text; avro's:
+    // raw binary-ish unicode. One hostile corpus exercises both.
+    val hostile = Seq(
+      (1L, "a & b < c > d"),
+      (2L, "<doc>not a row</doc>"),
+      (3L, "]]> cdata terminator"),
+      (4L, "quote \" apos ' backslash \\"),
+      (5L, "中文 und ümlaut émoji"),
+      (6L, "")).toDF("id", "v")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val want = hostile.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val avroDir = java.nio.file.Files.createTempDirectory("graft-ingest-avro").toString
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    hostile.write.mode("overwrite").format(avro).save(avroDir)
+    val backAvro = spark.read.schema(schema).format(avro).load(avroDir)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(backAvro === want)
+
+    val xmlDir = java.nio.file.Files.createTempDirectory("graft-ingest-xml").toString
+    hostile.write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(xmlDir)
+    val backXml = spark.read.schema(schema).option("rowTag", "doc")
+      .format("xml").load(xmlDir)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(backXml === want)
+  }
+
   test("gzip JSONL reads back identically (per-file tasks, documented non-splittable)") {
     val docs = Catalog.t(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-gz").toString

@@ -130,7 +130,10 @@ class RobustnessSpec extends AnyFunSuite {
     // pins that message.)
     "s18_mmr_rerank", "s20_nprobe_sweep", "c09_davies_bouldin",
     "s19_centroid_drift",
-    "m09_caption_align", "m10_keyframes")
+    "m09_caption_align", "m10_keyframes",
+    // round 9: the avro/xml interchange roundtrips over the adversarial
+    // corpus — escaping (& < > ]]> quotes) must preserve the text hash
+    "i15_avro_roundtrip", "i16_xml_roundtrip")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
