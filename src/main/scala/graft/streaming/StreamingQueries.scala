@@ -530,10 +530,10 @@ object StreamingQueries {
       }),
 
     // st18: streaming SimHash hamming gate at ingest — arriving docs
-    // fingerprint narrowly (per-row nested HOF fold, zero Exchange) and
-    // pigeonhole-join the corpus 8-bit-chunk index; hamming <= 3 pairs
-    // are flagged. Completes the ingest quartet: exact (st12), MinHash
-    // (st16), semantic (st17), hamming (st18).
+    // fingerprint narrowly (one codegen'd graft_simhash64 pass, zero
+    // Exchange) and pigeonhole-join the corpus 16-bit-chunk index;
+    // hamming <= 3 pairs are flagged. Completes the ingest quartet:
+    // exact (st12), MinHash (st16), semantic (st17), hamming (st18).
     QueryDef(
       "st18_stream_simhash_ingest",
       Some(graft.llm.Dedup.streamingSimhashOracle),
@@ -740,6 +740,62 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n"))
           .select(unix_millis(col("window.start")).as("window_start_ms"),
             col("event_type"), col("n"))
+      }),
+
+    // st23: streaming DISTRIBUTION-DRIFT gate — the third leg of the
+    // ingest-monitoring trio (st19 per-doc quality, st20 per-event
+    // anomaly, st23 population drift): arriving documents histogram by
+    // token-length bucket inside the stream (one complete-mode keyed
+    // count — ≤10 state rows regardless of arrival volume), and the
+    // tiny report derives shares against the static corpus profile at
+    // read time. Shares are exact integer parts-per-million (count ×
+    // 1e6 div total), so the per-bucket |ref − arriving| drift is
+    // bit-deterministic; a curation pipeline alerts when any bucket's
+    // drift_ppm crosses its threshold. This is the production shape
+    // for detecting upstream scraper/source changes at ingest.
+    QueryDef(
+      "st23_stream_dist_drift",
+      Some("""WITH d AS (SELECT doc_id,
+             |    len(string_split(text, ' ')) AS nw FROM documents),
+             |b AS (SELECT doc_id,
+             |    cast(least(nw // 50, 9) as int) AS bucket FROM d),
+             |r AS (SELECT bucket, count(*) AS ref_n FROM b
+             |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+             |a AS (SELECT bucket, count(*) AS arr_n FROM b
+             |  WHERE doc_id % 5 = 0 GROUP BY 1),
+             |t AS (SELECT (SELECT sum(ref_n) FROM r) AS rt,
+             |    (SELECT sum(arr_n) FROM a) AS at2)
+             |SELECT bucket,
+             |  cast(coalesce(ref_n, 0) as bigint) AS ref_n,
+             |  cast(coalesce(arr_n, 0) as bigint) AS arr_n,
+             |  cast(coalesce(ref_n, 0) * 1000000 // rt as bigint) AS ref_ppm,
+             |  cast(coalesce(arr_n, 0) * 1000000 // at2 as bigint) AS arr_ppm,
+             |  cast(abs(coalesce(ref_n, 0) * 1000000 // rt
+             |    - coalesce(arr_n, 0) * 1000000 // at2) as bigint) AS drift_ppm
+             |FROM r FULL JOIN a USING (bucket) CROSS JOIN t""".stripMargin),
+      (s, d) => {
+        def buckets(df: DataFrame): DataFrame = df.select(
+          least(expr("size(split(text, ' ')) div 50"), lit(9))
+            .cast("int").as("bucket"))
+        val arr = runToMemorySink(s, d, "st23", "complete",
+          table = "documents") { raw =>
+          buckets(raw.filter(col("doc_id") % 5 === 0))
+            .groupBy("bucket").agg(count(lit(1)).as("arr_n"))
+        }
+        val ref = buckets(
+          Catalog.t(s, d, "documents").filter(col("doc_id") % 5 =!= 0))
+          .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+        // share/drift math over the ≤10-row profiles at read time:
+        // exact integer ppm, both totals from the profile rows
+        ref.join(arr, Seq("bucket"), "full_outer")
+          .na.fill(0L, Seq("ref_n", "arr_n"))
+          .crossJoin(ref.agg(sum("ref_n").as("rt"))
+            .crossJoin(arr.agg(sum("arr_n").as("at2"))))
+          .select(col("bucket"), col("ref_n"), col("arr_n"),
+            expr("ref_n * 1000000 div rt").as("ref_ppm"),
+            expr("arr_n * 1000000 div at2").as("arr_ppm"),
+            expr("abs(ref_n * 1000000 div rt - arr_n * 1000000 div at2)")
+              .as("drift_ppm"))
       })
   )
 

@@ -83,8 +83,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "i13_cdc_apply", "i14_partition_evolution", "sp33_key_migration",
     "st22_sliding_windows",
     // round 9: empty corpus -> header-only avro/xml files, empty
-    // re-read through the pinned schema, empty fidelity report
-    "i15_avro_roundtrip", "i16_xml_roundtrip")
+    // re-read through the pinned schema, empty fidelity report; empty
+    // drift profiles join to an empty report
+    "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -132,8 +132,9 @@ class RobustnessSpec extends AnyFunSuite {
     "s19_centroid_drift",
     "m09_caption_align", "m10_keyframes",
     // round 9: the avro/xml interchange roundtrips over the adversarial
-    // corpus — escaping (& < > ]]> quotes) must preserve the text hash
-    "i15_avro_roundtrip", "i16_xml_roundtrip")
+    // corpus — escaping (& < > ]]> quotes) must preserve the text hash —
+    // and the drift gate's integer-ppm histograms over hostile lengths
+    "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

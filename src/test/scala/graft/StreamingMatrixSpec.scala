@@ -244,6 +244,17 @@ class StreamingMatrixSpec extends AnyFunSuite {
       Set((1L, 5L, 0)))
   }
 
+  test("st23 drift gate: single-bucket fixture reports exact ppm, zero drift") {
+    // every fixture doc has 8 or 15 words -> token-length bucket 0 on
+    // both splits; shares are exactly 1e6 ppm each side, drift 0
+    val got = run("st23_stream_dist_drift").collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getInt(0) == 0 && r.getLong(1) == 8L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L &&
+      r.getLong(5) == 0L)
+  }
+
   test("st15 streaming JSONL ingest matches the batch per-lang hash") {
     graft.functions.GraftFunctions.register(spark)
     val stream = rows(run("st15_stream_jsonl_ingest"))
