@@ -1037,6 +1037,57 @@ object RelationalQueries4 {
           .agg(countDistinct(col("o_custkey")).as("n_customers"),
             count(lit(1)).as("n_orders"),
             sum(col("cents")).cast("long").as("revenue_cents"))
+      }),
+
+    // Referential-integrity audit — the lake-governance report a data
+    // platform runs before promoting a snapshot: orphan facts (lineitem
+    // rows whose order is missing), childless parents (orders with zero
+    // lineitems), dangling foreign keys (order custkeys absent from
+    // customer), plus the per-order fan-out profile. One full-outer key
+    // reconciliation between orders and the lineitem-per-order rollup
+    // (both sides arrive pre-aggregated or key-projected, so the join
+    // is keyed and partial-aggregated) + one anti-join against the
+    // customer dimension; the report is a single row of exact counts.
+    QueryDef(
+      "q68_integrity_audit",
+      Some("""WITH lc AS (SELECT l_orderkey, count(*) AS n_lines
+             |  FROM lineitem GROUP BY 1),
+             |rec AS (SELECT o.o_orderkey AS ok, o.o_custkey,
+             |    lc.l_orderkey AS lk, lc.n_lines
+             |  FROM orders o FULL JOIN lc ON o.o_orderkey = lc.l_orderkey),
+             |ck AS (SELECT count(*) AS n_dangling_cust FROM (
+             |  SELECT DISTINCT o_custkey FROM orders
+             |  EXCEPT SELECT c_custkey FROM customer) z)
+             |SELECT
+             |  cast(count(ok) as bigint) AS n_orders,
+             |  cast(coalesce(sum(n_lines), 0) as bigint) AS n_lineitems,
+             |  cast(coalesce(sum(CASE WHEN ok IS NULL THEN n_lines END), 0)
+             |    as bigint) AS n_orphan_lines,
+             |  cast(sum(CASE WHEN ok IS NOT NULL AND lk IS NULL
+             |    THEN 1 ELSE 0 END) as bigint) AS n_empty_orders,
+             |  cast(max(n_lines) as bigint) AS max_lines_per_order,
+             |  (SELECT n_dangling_cust FROM ck) AS n_dangling_cust
+             |FROM rec""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        val lc = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"))
+        val rec = o.join(lc, o("o_orderkey") === lc("l_orderkey"),
+          "full_outer")
+        val audit = rec.agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("n_lines")), lit(0L)).cast("long")
+            .as("n_lineitems"),
+          coalesce(sum(when(col("o_orderkey").isNull, col("n_lines"))),
+            lit(0L)).cast("long").as("n_orphan_lines"),
+          sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNull,
+            1L).otherwise(0L)).cast("long").as("n_empty_orders"),
+          max(col("n_lines")).cast("long").as("max_lines_per_order"))
+        val dangling = o.select(col("o_custkey")).distinct()
+          .join(t(s, d, "customer").select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_dangling_cust"))
+        audit.crossJoin(dangling)
       })
   )
 
