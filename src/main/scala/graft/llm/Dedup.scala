@@ -151,7 +151,37 @@ object Dedup {
              |SELECT doc_id AS keep_id, cast(n_copies as bigint) AS n_copies,
              |  text_hash
              |FROM r WHERE rn = 1""".stripMargin),
-      (s, d) => keepBest(Catalog.t(s, d, "documents")))
+      (s, d) => keepBest(Catalog.t(s, d, "documents"))),
+
+    // Boilerplate-prefix dedup: documents that open with the same
+    // normalized 80-char prefix (whitespace collapsed, lowercased) are
+    // template/boilerplate families — the scraped-header pattern exact
+    // dedup (d01) misses because the bodies diverge after the shared
+    // opening. ONE hash shuffle on the prefix key (the prefix is cut
+    // BEFORE the shuffle, so the exchange carries 80 chars per doc, not
+    // the document body); report = the multi-doc groups with their
+    // canonical member and source spread. Complements d27 (which mines
+    // high-support 5-gram templates anywhere in the body) with the
+    // cheap position-anchored variant a crawler pipeline runs first.
+    QueryDef(
+      "d23_prefix_dup",
+      Some("""WITH p AS (SELECT doc_id, source,
+             |    substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+             |      1, 80) AS prefix
+             |  FROM documents)
+             |SELECT prefix, count(*) AS n_docs, min(doc_id) AS canonical_id,
+             |  cast(count(DISTINCT source) as bigint) AS n_sources
+             |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+      (s, d) =>
+        Catalog.t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            substring(regexp_replace(lower(col("text")), "\\s+", " "),
+              1, 80).as("prefix"))
+          .groupBy(col("prefix"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("canonical_id"),
+            countDistinct(col("source")).cast("long").as("n_sources"))
+          .filter(col("n_docs") >= 2))
   )
 
   // ------------------------------------------- public pipeline surface

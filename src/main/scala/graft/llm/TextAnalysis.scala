@@ -1203,6 +1203,52 @@ object TextAnalysis {
           .select(col("lang"), col("n_tokens"), col("n_oov"),
             expr("cast(n_oov * 1000000 div n_tokens as bigint)")
               .as("oov_fx"))
+      }),
+
+    // Cross-source vocabulary overlap — the corpus-diversity diagnostic
+    // a mixture designer reads before weighting sources: pairwise
+    // Jaccard of the DISTINCT token vocabularies, computed through an
+    // inverted token→source index self-join, never a source×source
+    // cartesian over raw text. Per token the join fan-out is bounded by
+    // the number of sources carrying it (≤ |sources| — the source list,
+    // not the corpus, is the small dimension), so candidate mass is
+    // Σ_token n_sources(token)², independent of document count; the
+    // per-source vocabulary sizes arrive as a broadcast dimension.
+    // Exact integer ppm; pairs ordered src_a < src_b once.
+    QueryDef(
+      "t41_source_vocab_overlap",
+      Some("""WITH v AS (SELECT DISTINCT source,
+             |    unnest(string_split(text, ' ')) AS w FROM documents),
+             |n AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+             |x AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    count(*) AS inter
+             |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, cast(inter as bigint) AS n_shared,
+             |  cast(inter * 1000000 // (na.nv + nb.nv - inter) as bigint)
+             |    AS jaccard_ppm
+             |FROM x JOIN n na ON na.source = x.src_a
+             |JOIN n nb ON nb.source = x.src_b""".stripMargin),
+      (s, d) => {
+        val v = Catalog.t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        val n = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+        val pairs = v.as("a")
+          .join(v.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(n.select(col("source").as("src_a"),
+            col("nv").as("nva"))), Seq("src_a"))
+          .join(broadcast(n.select(col("source").as("src_b"),
+            col("nv").as("nvb"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"),
+            col("inter").cast("long").as("n_shared"),
+            expr("cast(inter * 1000000 div (nva + nvb - inter) as bigint)")
+              .as("jaccard_ppm"))
       })
   )
 

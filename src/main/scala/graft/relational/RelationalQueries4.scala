@@ -1088,6 +1088,58 @@ object RelationalQueries4 {
             col("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).cast("long").as("n_dangling_cust"))
         audit.crossJoin(dangling)
+      }),
+
+    // Customer-value decile lift (gain chart) — "the top 10% of
+    // customers carry X% of revenue", the concentration report behind
+    // every retention budget. Exact global ranks come from
+    // ScaleOps.globalPrefixSum (range-partition + per-partition prefix +
+    // broadcast offsets), NOT a single-reducer row_number window, so the
+    // customer-grain rank assignment scales to any width; the decile is
+    // pure rank arithmetic (`1 + (rk-1)*10 div n` — identical allocation
+    // in both engines, no ntile boundary-tie ambiguity), and only the
+    // 10-row decile report ever sees an unpartitioned window. Revenue
+    // travels as exact cents; the cumulative share is integer ppm.
+    QueryDef(
+      "q69_decile_lift",
+      Some("""WITH c AS (SELECT o_custkey, cast(sum(cast(round(o_totalprice
+             |    * 100) as bigint)) as bigint) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents, row_number() OVER (ORDER BY cents DESC,
+             |    o_custkey) AS rk FROM c),
+             |d AS (SELECT cast(1 + (rk - 1) * 10 // (SELECT count(*)
+             |    FROM c) as int) AS decile, cents FROM r),
+             |a AS (SELECT decile, count(*) AS n_customers,
+             |    cast(sum(cents) as bigint) AS revenue_cents
+             |  FROM d GROUP BY 1)
+             |SELECT decile, n_customers, revenue_cents,
+             |  cast(sum(revenue_cents) OVER (ORDER BY decile
+             |      ROWS UNBOUNDED PRECEDING) * 1000000
+             |    // sum(revenue_cents) OVER () as bigint) AS cum_revenue_ppm
+             |FROM a""".stripMargin),
+      (s, d) => {
+        val cust = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("long").as("cents"))
+        val (ranked, n) = ScaleOps.globalPrefixSumWithTotal(cust,
+          Seq(col("cents").desc, col("o_custkey").asc), lit(1), "rk")
+        val agg = ranked
+          .withColumn("decile",
+            expr(s"cast(1 + (rk - 1) * 10 div ${n}L as int)"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).cast("long").as("revenue_cents"))
+        // the remaining windows see exactly 10 rows — bounded report math
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        agg
+          .withColumn("__cum", sum(col("revenue_cents")).over(wCum))
+          .withColumn("__tot", sum(col("revenue_cents")).over(wAll))
+          .withColumn("cum_revenue_ppm",
+            expr("cast(__cum * 1000000L div __tot as bigint)"))
+          .drop("__cum", "__tot")
       })
   )
 

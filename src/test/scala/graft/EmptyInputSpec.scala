@@ -85,7 +85,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // round 9: empty corpus -> header-only avro/xml files, empty
     // re-read through the pinned schema, empty fidelity report; empty
     // drift profiles join to an empty report
-    "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift")
+    "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift",
+    // round-9 batch 2: empty orders -> empty decile report (the rank
+    // prefix-sum and div-by-total never evaluate on zero rows); empty
+    // corpus -> no prefix groups / no vocabulary pairs
+    "q69_decile_lift", "d23_prefix_dup", "t41_source_vocab_overlap")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

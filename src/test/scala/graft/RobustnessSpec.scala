@@ -134,7 +134,10 @@ class RobustnessSpec extends AnyFunSuite {
     // round 9: the avro/xml interchange roundtrips over the adversarial
     // corpus — escaping (& < > ]]> quotes) must preserve the text hash —
     // and the drift gate's integer-ppm histograms over hostile lengths
-    "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift")
+    "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift",
+    // round-9 batch 2: hostile unicode/whitespace through the prefix
+    // normalizer and the token-vocabulary self-join
+    "d23_prefix_dup", "t41_source_vocab_overlap")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
