@@ -601,6 +601,67 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").as("sum_chars"),
             sum(expr("graft_polyhash32(text)")).as("text_hash"))
+      }),
+
+    // i17: fixed-width records — the mainframe/COBOL-era interchange
+    // layout financial and government feeds still arrive in. No
+    // delimiters to escape: every field is a byte range, so the writer
+    // is one format_string projection and the reader is substring +
+    // cast over a line-splittable text scan (byte-range parallelism,
+    // like JSONL). The roundtrip proves zero-padded numerics and the
+    // 1-char status survive; the aggregate must equal the source
+    // table's exactly.
+    QueryDef(
+      "i17_fixed_width",
+      Some("""SELECT o_orderstatus AS status, count(*) AS n_orders,
+             |  cast(sum(o_custkey) as bigint) AS custkey_sum,
+             |  cast(sum(cast(round(o_totalprice * 100) as bigint))
+             |    as bigint) AS sum_cents
+             |FROM orders GROUP BY 1""".stripMargin),
+      (s, d) => {
+        val out = tmp("graft-i17")
+        Catalog.t(s, d, "orders")
+          .select(format_string("%012d%012d%s%014d%s",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            expr("cast(round(o_totalprice * 100) as bigint)"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(substring(col("value"), 13, 12).cast("long")
+              .as("o_custkey"),
+            substring(col("value"), 25, 1).as("status"),
+            substring(col("value"), 26, 14).cast("long").as("cents"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).cast("long").as("custkey_sum"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+      }),
+
+    // i18: JSON-ARRAY shards — the REST bulk-export payload shape (one
+    // JSON array document per shard), as opposed to i01's
+    // line-delimited JSONL. `multiLine=true` is the forced read mode:
+    // a whole-file parse, ONE task per shard — which is exactly why the
+    // writer controls shard count (partitionBy on the shard key, one
+    // bounded array per directory) and why a 100 TB pipeline converts
+    // this format to JSONL/parquet at the lake boundary instead of
+    // scanning it repeatedly. Same fidelity-hash contract as i01: any
+    // escaping defect in the array assembly shifts text_hash.
+    QueryDef(
+      "i18_json_array_roundtrip",
+      Some(fidelityOracle),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val out = tmp("graft-i18")
+        Catalog.t(s, d, "documents")
+          .groupBy((col("doc_id") % 16).as("shard"))
+          .agg(to_json(collect_list(struct(col("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))).as("value"))
+          .write.partitionBy("shard").mode("overwrite").text(out)
+        s.read.schema(docSchema).option("multiLine", "true").json(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(expr("graft_polyhash32(text)")).as("text_hash"))
       }))
 
   /** SCD2 type-2 merge of `updates(c_custkey, new_segment)` into

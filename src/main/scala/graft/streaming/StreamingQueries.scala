@@ -5,6 +5,7 @@ import graft.{Catalog, QueryDef}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.mutable.ListBuffer
@@ -796,8 +797,109 @@ object StreamingQueries {
             expr("arr_n * 1000000 div at2").as("arr_ppm"),
             expr("abs(ref_n * 1000000 div rt - arr_n * 1000000 div at2)")
               .as("drift_ppm"))
+      }),
+
+    // st24: streaming UPSERT snapshot sink — the "materialized keyed
+    // table maintained by a stream" pattern (a Delta/Hudi MERGE sink
+    // without the table format): each micro-batch pre-aggregates to
+    // per-key partial state (count + argmax-by-(ts, event_id) last row
+    // — both ASSOCIATIVE, so the result is independent of how the
+    // arrivals split into batches), then full-outer merges into the
+    // previous snapshot version and writes snapshot v<batchId>. The
+    // version chain keys on batchId alone (v_b is a pure function of
+    // v_{b-1} + batch b), so a replayed batch rebuilds the SAME
+    // version — exactly-once without a transactional sink. At 100 TB
+    // the merge is one keyed shuffle of batch-sized deltas against the
+    // snapshot, never a rescan of the stream history.
+    QueryDef(
+      "st24_stream_upsert_sink",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    cast(round(value * 100) as bigint) AS cents,
+             |    epoch_ms(cast(ts as timestamp)) AS ms FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ms DESC, event_id DESC) AS rn FROM e),
+             |c AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1)
+             |SELECT c.user_id, c.n_events, r.event_type AS last_type,
+             |  r.cents AS last_cents
+             |FROM c JOIN r ON c.user_id = r.user_id AND r.rn = 1""".stripMargin),
+      (s, d) => {
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val snapBase = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft-st24-snap")).toString
+        val ckptPath = java.nio.file.Files.createTempDirectory("graft-st24-ckpt")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val raw = Catalog.normalizeTs(s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+          val q = raw.select(col("user_id"), col("event_id"),
+              col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("cents"),
+              unix_millis(col("ts")).as("ms"))
+            .writeStream
+            .option("checkpointLocation", ckptPath.toString)
+            .foreachBatch(upsertSnapshotWriter(snapBase))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          deleteRecursively(ckptPath)
+        }
+        latestSnapshot(s, snapBase) match {
+          case Some(snap) => snap.select(col("user_id"), col("n_events"),
+            col("last.event_type").as("last_type"),
+            col("last.cents").as("last_cents"))
+          case None => // zero batches ran: an empty stream yields an
+            // empty (but correctly-typed) snapshot
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(
+                StructField("user_id", LongType),
+                StructField("n_events", LongType),
+                StructField("last_type", StringType),
+                StructField("last_cents", LongType))))
+        }
       })
   )
+
+  /** st24's merge step: batch b's per-key partial state (additive count,
+    * associative argmax-by-(ms, event_id) last-row pick) full-outer
+    * merged with snapshot v_{b-1} into v_b. Deterministic under replay:
+    * v_b depends only on (v_{b-1}, batch b), never on mutable session
+    * state.
+    */
+  private[graft] def upsertSnapshotWriter(base: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val s = batch.sparkSession
+      val lastCols = struct(col("ms"), col("event_id"),
+        col("event_type"), col("cents"))
+      val part = batch.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(lastCols).as("last"))
+      val prevDir = new java.io.File(s"$base/v${batchId - 1}")
+      val merged =
+        if (!prevDir.exists()) part
+        else {
+          val old = s.read.parquet(prevDir.toString)
+            .select(col("user_id"), col("n_events").as("o_n"),
+              col("last").as("o_last"))
+          val nw = part.select(col("user_id"), col("n_events").as("n_n"),
+            col("last").as("n_last"))
+          old.join(nw, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("o_n"), lit(0L)) + coalesce(col("n_n"), lit(0L)))
+                .as("n_events"),
+              greatest(col("o_last"), col("n_last")).as("last"))
+        }
+      merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+    }
+
+  /** Highest-version snapshot directory under st24's chain, if any. */
+  private def latestSnapshot(s: SparkSession, base: String): Option[DataFrame] = {
+    val versions = Option(new java.io.File(base).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+    if (versions.isEmpty) None
+    else Some(s.read.parquet(s"$base/v${versions.max}"))
+  }
 
   /** Per-user arrival-lateness emitter (st21): events of the micro-batch
     * sort by ingest id; each emits `max(0, runningMax - ts)`; the

@@ -89,7 +89,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-9 batch 2: empty orders -> empty decile report (the rank
     // prefix-sum and div-by-total never evaluate on zero rows); empty
     // corpus -> no prefix groups / no vocabulary pairs
-    "q69_decile_lift", "d23_prefix_dup", "t41_source_vocab_overlap")
+    "q69_decile_lift", "d23_prefix_dup", "t41_source_vocab_overlap",
+    // round-9 batch 3: an empty stream writes an empty (typed) snapshot
+    // v0; empty fixed-width/json-array exports read back as empty
+    // relations through their pinned schemas
+    "st24_stream_upsert_sink", "i17_fixed_width", "i18_json_array_roundtrip")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

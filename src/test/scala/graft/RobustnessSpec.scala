@@ -137,7 +137,10 @@ class RobustnessSpec extends AnyFunSuite {
     "i15_avro_roundtrip", "i16_xml_roundtrip", "st23_stream_dist_drift",
     // round-9 batch 2: hostile unicode/whitespace through the prefix
     // normalizer and the token-vocabulary self-join
-    "d23_prefix_dup", "t41_source_vocab_overlap")
+    "d23_prefix_dup", "t41_source_vocab_overlap",
+    // round-9 batch 3: hostile text through the JSON-array escaper;
+    // the adversarial events table through the streaming upsert merge
+    "i18_json_array_roundtrip", "st24_stream_upsert_sink")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
