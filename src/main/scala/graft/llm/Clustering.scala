@@ -55,7 +55,8 @@ object Clustering {
     QueryDef("c08_elbow", Some(elbowOracle), elbowSpark),
     QueryDef("c09_davies_bouldin", Some(dbOracle), dbSpark),
     QueryDef("c10_rand_index", Some(randOracle), randSpark),
-    QueryDef("s19_centroid_drift", Some(driftOracle), driftSpark)
+    QueryDef("s19_centroid_drift", Some(driftOracle), driftSpark),
+    QueryDef("c11_dbscan_core", Some(dbscanOracle), dbscanSpark)
   )
 
   // ----------------------------------------------- elbow curve (c08)
@@ -1171,4 +1172,78 @@ object Clustering {
        |    // (n_points * (n_points - 1) // 2) as bigint) AS ri_fx
        |FROM m, ra, rb""".stripMargin
   }
+
+  // --------------------------------------------- DBSCAN core/border (c11)
+
+  /** c11 parameters: cosine-similarity epsilon ball and the classic
+    * minPts density bar (neighborhood INCLUDING the point itself). The
+    * panel is every 5th vector — the evaluation-panel idiom (s04/s16):
+    * density classification is a corpus DIAGNOSTIC here, and the exact
+    * all-pairs neighborhood within the panel is the verifiable baseline;
+    * the full-corpus path blocks candidates through d06's banded
+    * sign-LSH instead of ever forming N² pairs.
+    */
+  private val DbscanEps = 0.35
+  private val DbscanMinPts = 3
+  private val DbscanPanelMod = 5
+
+  /** DBSCAN density roles over the embedding panel: `core` (>= minPts
+    * points in the eps-ball incl. self), `border` (not core, but inside
+    * a core point's ball), `noise` (neither). The epsilon graph is one
+    * symmetric pair relation; roles come from a degree count plus one
+    * semi-join of the non-core side against core neighbors — no
+    * iteration, no collect. The driver corpus's embeddings are
+    * near-orthogonal random vectors, so the honest report is mostly
+    * noise; the planted-cluster fixture in the spec proves all three
+    * classes. */
+  private def dbscanSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val panel = Catalog.t(s, d, "embeddings")
+      .filter(col("vec_id") % DbscanPanelMod === 0)
+      .select(col("vec_id"), col("embedding").as("va"))
+      .withColumn("nn", expr(sparkNorm("va")))
+    val edges = panel.select(col("vec_id").as("ia"), col("va").as("qa"),
+        col("nn").as("qn"))
+      .join(panel.select(col("vec_id").as("ib"), col("va").as("ca"),
+        col("nn").as("cn")), col("ia") =!= col("ib"))
+      .filter(expr(s"${sparkDot("qa", "ca")} / (qn * cn)") >= DbscanEps)
+      .select(col("ia"), col("ib"))
+    val deg = edges.groupBy(col("ia").as("vec_id"))
+      .agg(count(lit(1)).as("n_nb"))
+    val counted = panel.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_nb"))
+    val core = counted.filter(col("n_nb") + 1 >= DbscanMinPts)
+      .select(col("vec_id").as("core_id"))
+    val borderIds = edges
+      .join(core, edges("ib") === core("core_id"))
+      .select(col("ia").as("vec_id")).distinct()
+      .withColumn("near_core", lit(1))
+    counted.join(borderIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_nb").cast("long").as("n_nb"),
+        when(col("n_nb") + 1 >= DbscanMinPts, "core")
+          .when(col("near_core").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
+
+  private def dbscanOracle: String =
+    s"""WITH p AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
+       |  FROM embeddings WHERE vec_id % $DbscanPanelMod = 0),
+       |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM p),
+       |e AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM (SELECT vec_id, va AS qa, nn AS qn FROM n) a,
+       |       (SELECT vec_id, va AS ca, nn AS cn FROM n) b
+       |  WHERE a.vec_id <> b.vec_id
+       |    AND ${duckDot("qa", "ca")} / (qn * cn) >= $DbscanEps),
+       |deg AS (SELECT ia AS vec_id, count(*) AS c FROM e GROUP BY 1),
+       |cnt AS (SELECT p.vec_id, cast(coalesce(deg.c, 0) as bigint) AS n_nb
+       |  FROM p LEFT JOIN deg ON p.vec_id = deg.vec_id),
+       |core AS (SELECT vec_id FROM cnt WHERE n_nb + 1 >= $DbscanMinPts),
+       |brd AS (SELECT DISTINCT e.ia AS vec_id FROM e
+       |  JOIN core ON e.ib = core.vec_id)
+       |SELECT cnt.vec_id, cnt.n_nb,
+       |  CASE WHEN cnt.n_nb + 1 >= $DbscanMinPts THEN 'core'
+       |    WHEN brd.vec_id IS NOT NULL THEN 'border'
+       |    ELSE 'noise' END AS role
+       |FROM cnt LEFT JOIN brd ON cnt.vec_id = brd.vec_id""".stripMargin
 }

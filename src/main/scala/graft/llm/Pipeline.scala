@@ -769,6 +769,84 @@ object Pipeline {
             col("top_source"),
             expr("cast(c * 1000000 div n_docs as bigint)")
               .as("top_source_share_fx"))
+      }),
+
+    // p25: quality-threshold retention sweep — "how much of the corpus
+    // (docs AND token mass) survives each quality cutoff", the curve a
+    // curation run reads before picking its filter threshold (the
+    // quality-filter twin of d22's LSH-banding sweep). The per-doc
+    // score is INTEGER fixed-point (alpha-token ppm halved + capped
+    // length bonus, max 1e6), so bucketing and the threshold compare
+    // are exact in both engines; the sweep itself is one groupBy into
+    // <= 11 score buckets plus a suffix-sum over that 11-row report —
+    // the corpus is scanned ONCE no matter how many thresholds the
+    // sweep reports (never docs x thresholds).
+    QueryDef(
+      "p25_quality_prune_sweep",
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |s AS (SELECT len(w) AS n_words, len(list_filter(w,
+             |    x -> regexp_full_match(x, '[a-z]+'))) AS n_alpha FROM d),
+             |q AS (SELECT n_words, (n_alpha * 1000000
+             |      // greatest(n_words, 1)) // 2
+             |    + least(n_words, 200) * 2500 AS quality_fx FROM s),
+             |b AS (SELECT least(quality_fx // 100000, 10) AS bucket,
+             |    count(*) AS n_docs, sum(n_words) AS n_tokens
+             |  FROM q GROUP BY 1),
+             |t AS (SELECT unnest(range(0, 11)) AS bucket),
+             |j AS (SELECT t.bucket, coalesce(b.n_docs, 0) AS n_docs,
+             |    coalesce(b.n_tokens, 0) AS n_tokens
+             |  FROM t LEFT JOIN b USING (bucket)),
+             |c AS (SELECT bucket,
+             |    sum(n_docs) OVER (ORDER BY bucket DESC
+             |      ROWS UNBOUNDED PRECEDING) AS kept_docs,
+             |    sum(n_tokens) OVER (ORDER BY bucket DESC
+             |      ROWS UNBOUNDED PRECEDING) AS kept_tokens,
+             |    sum(n_docs) OVER () AS td, sum(n_tokens) OVER () AS tt
+             |  FROM j)
+             |SELECT cast(bucket * 100000 as bigint) AS threshold_fx,
+             |  cast(kept_docs as bigint) AS n_docs_kept,
+             |  cast(kept_tokens as bigint) AS n_tokens_kept,
+             |  cast(kept_docs * 1000000 // greatest(td, 1) as bigint)
+             |    AS doc_share_ppm,
+             |  cast(kept_tokens * 1000000 // greatest(tt, 1) as bigint)
+             |    AS token_share_ppm
+             |FROM c""".stripMargin),
+      (s, d) => {
+        val scored = Catalog.t(s, d, "documents")
+          .select(split(col("text"), " ").as("w"))
+          .select(size(col("w")).as("n_words"),
+            size(filter(col("w"), x => x.rlike("^[a-z]+$"))).as("n_alpha"))
+          .select(col("n_words"),
+            expr("(cast(n_alpha as bigint) * 1000000" +
+              " div greatest(n_words, 1)) div 2" +
+              " + cast(least(n_words, 200) as bigint) * 2500")
+              .as("quality_fx"))
+        val buckets = scored
+          .groupBy(least(expr("quality_fx div 100000"), lit(10))
+            .as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_tokens"))
+        val grid = scored.sparkSession.range(0, 11)
+          .select(col("id").as("bucket"))
+        val joined = grid.join(buckets, Seq("bucket"), "left")
+          .na.fill(0L, Seq("n_docs", "n_tokens"))
+        // suffix sums over the 11-row report — bounded window math
+        val wSfx = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        joined
+          .withColumn("kept_docs", sum(col("n_docs")).over(wSfx))
+          .withColumn("kept_tokens", sum(col("n_tokens")).over(wSfx))
+          .withColumn("td", sum(col("n_docs")).over(wAll))
+          .withColumn("tt", sum(col("n_tokens")).over(wAll))
+          .select(expr("cast(bucket * 100000 as bigint)").as("threshold_fx"),
+            col("kept_docs").cast("long").as("n_docs_kept"),
+            col("kept_tokens").cast("long").as("n_tokens_kept"),
+            expr("cast(kept_docs * 1000000 div greatest(td, 1) as bigint)")
+              .as("doc_share_ppm"),
+            expr("cast(kept_tokens * 1000000 div greatest(tt, 1) as bigint)")
+              .as("token_share_ppm"))
       })
   )
 

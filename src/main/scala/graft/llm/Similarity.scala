@@ -80,7 +80,8 @@ object Similarity {
     QueryDef("s17_truncated_recall", Some(truncatedRecallOracle),
       truncatedRecallSpark),
     QueryDef("s18_mmr_rerank", Some(mmrOracle), mmrSpark),
-    QueryDef("s20_nprobe_sweep", Some(nprobeSweepOracle), nprobeSweepSpark)
+    QueryDef("s20_nprobe_sweep", Some(nprobeSweepOracle), nprobeSweepSpark),
+    QueryDef("s21_rank_fusion", Some(rankFusionOracle), rankFusionSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -1609,5 +1610,86 @@ object Similarity {
        |$rounds
        |SELECT query_id, cast(rank as int) AS rank, neighbor_id, score_fx
        |FROM ($finalSel) u""".stripMargin
+  }
+
+  // --------------------------------------------- reciprocal-rank fusion
+
+  /** s21 constants: each retriever contributes its top [[FusionK]]; the
+    * fused list keeps [[TopK]]. The cheap retriever ranks on the first
+    * [[FusionTruncDim]] dims (the Matryoshka-truncation idiom s17
+    * evaluates); RRF scores are exact integers `1e9 div (60 + rank)` —
+    * same floor division in both engines, so fusion needs no doubles at
+    * all beyond the retrievers' own cosine orderings.
+    */
+  private val FusionK = 10
+  private val FusionTruncDim = 16
+
+  /** Reciprocal-rank fusion of two retrievers over the same query panel:
+    * the full-precision exact ranking (the expensive retriever) and the
+    * 16-dim truncated ranking (the cheap first-pass). The ensemble
+    * pattern hybrid retrieval uses in production — RRF needs only each
+    * retriever's RANKS, so retrievers of incomparable score scales
+    * compose without calibration. Both inputs reuse [[cosineTopK]]
+    * (broadcast queries, embarrassingly-parallel candidate scan); the
+    * fusion itself is one full-outer join on (query, neighbor) over two
+    * |Q|×k lists — report-sized at any corpus width.
+    */
+  private def rankFusionSpark(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Catalog.t(s, d, "embeddings")
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val dense = cosineTopK(queries, cands, FusionK)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rn_a"))
+    val cheap = cosineTopK(
+      queries.withColumn("embedding",
+        slice(col("embedding"), 1, FusionTruncDim)),
+      cands.withColumn("embedding",
+        slice(col("embedding"), 1, FusionTruncDim)), FusionK)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rn_b"))
+    val fused = dense.join(cheap, Seq("query_id", "neighbor_id"),
+        "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(expr("1000000000 div (60 + rn_a)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + rn_b)"), lit(0L)))
+          .as("rrf_fx"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fx").desc, col("neighbor_id").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("query_id", "neighbor_id", "rrf_fx", "rn")
+  }
+
+  private def rankFusionOracle: String = {
+    def ranked(dimSlice: String): String =
+      s"""SELECT query_id, neighbor_id, rn FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM (SELECT q.query_id, c.neighbor_id,
+         |      ${duckDot("qa", "ca")} / (q.qn * c.cn) AS cosine
+         |    FROM (SELECT vec_id AS query_id,
+         |        (cast(embedding AS DOUBLE[]))$dimSlice AS qa,
+         |        ${duckNorm(s"(cast(embedding AS DOUBLE[]))$dimSlice")} AS qn
+         |      FROM embeddings WHERE vec_id < $NumQueries) q,
+         |      (SELECT vec_id AS neighbor_id,
+         |        (cast(embedding AS DOUBLE[]))$dimSlice AS ca,
+         |        ${duckNorm(s"(cast(embedding AS DOUBLE[]))$dimSlice")} AS cn
+         |      FROM embeddings) c
+         |    WHERE q.query_id <> c.neighbor_id) p) r
+         |WHERE rn <= $FusionK""".stripMargin
+    s"""WITH ra AS (${ranked("")}),
+       |rb AS (${ranked(s"[1:$FusionTruncDim]")}),
+       |f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+       |    coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+       |    cast(coalesce(1000000000 // (60 + a.rn), 0)
+       |      + coalesce(1000000000 // (60 + b.rn), 0) as bigint) AS rrf_fx
+       |  FROM ra a FULL JOIN rb b ON a.query_id = b.query_id
+       |    AND a.neighbor_id = b.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_fx DESC, neighbor_id ASC) AS rn FROM f)
+       |SELECT query_id, neighbor_id, rrf_fx, cast(rn as int) AS rn
+       |FROM r WHERE rn <= $TopK""".stripMargin
   }
 }

@@ -93,7 +93,11 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-9 batch 3: an empty stream writes an empty (typed) snapshot
     // v0; empty fixed-width/json-array exports read back as empty
     // relations through their pinned schemas
-    "st24_stream_upsert_sink", "i17_fixed_width", "i18_json_array_roundtrip")
+    "st24_stream_upsert_sink", "i17_fixed_width", "i18_json_array_roundtrip",
+    // round-9 batch 4: empty panels/corpora -> empty fused lists, empty
+    // role reports, and an 11-row all-zero retention sweep (totals
+    // guarded by greatest(_, 1))
+    "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

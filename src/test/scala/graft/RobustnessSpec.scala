@@ -140,7 +140,11 @@ class RobustnessSpec extends AnyFunSuite {
     "d23_prefix_dup", "t41_source_vocab_overlap",
     // round-9 batch 3: hostile text through the JSON-array escaper;
     // the adversarial events table through the streaming upsert merge
-    "i18_json_array_roundtrip", "st24_stream_upsert_sink")
+    "i18_json_array_roundtrip", "st24_stream_upsert_sink",
+    // round-9 batch 4: zero vectors through the fused retrievers and
+    // the eps-graph (the shared zero-norm guard), hostile text through
+    // the quality sweep
+    "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
