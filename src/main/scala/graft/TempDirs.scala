@@ -28,4 +28,14 @@ object TempDirs {
 
   /** Register an existing path for exit-time recursive deletion. */
   def track(p: java.nio.file.Path): java.nio.file.Path = { dirs.add(p); p }
+
+  /** Delete a path tree immediately — for gates that must prove a
+    * result no longer depends on it (e.g. sp36's chain retirement).
+    */
+  def deleteNow(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 }

@@ -1249,6 +1249,93 @@ object TextAnalysis {
             col("inter").cast("long").as("n_shared"),
             expr("cast(inter * 1000000 div (nva + nvb - inter) as bigint)")
               .as("jaccard_ppm"))
+      }),
+
+    // RAKE keyword extraction (t42) — corpus-level keyphrase mining:
+    // candidate phrases are maximal stopword-free token runs (the
+    // classic RAKE segmentation over the en stopword list); each word
+    // scores deg/freq (degree = summed length of phrases it appears
+    // in), each phrase scores the sum of its words — all in exact
+    // integer fixed-point (deg*1e6 div freq), so the ranking is
+    // bit-deterministic. The report is the global top-20 by
+    // (score desc, phrase asc): Spark plans the ordered limit as
+    // TakeOrdered (per-partition top-k + merge), never a full sort.
+    // Distinct from d27 (which mines VERBATIM high-support 5-grams);
+    // RAKE finds salient phrases that may occur once.
+    QueryDef(
+      "t42_rake_keywords",
+      Some {
+        val sw = TextExprs.stopwords.toMap.apply("en")
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i,
+           |    unnest(w) AS word FROM d),
+           |f AS (SELECT doc_id, i, word,
+           |    list_contains([$sw], word) AS stop FROM tok),
+           |g AS (SELECT doc_id, i, word, stop,
+           |    count(*) FILTER (WHERE stop) OVER (PARTITION BY doc_id
+           |      ORDER BY i ROWS UNBOUNDED PRECEDING) AS pid FROM f),
+           |ph AS (SELECT doc_id, pid, i, word FROM g WHERE NOT stop),
+           |m AS (SELECT doc_id, pid, i, word,
+           |    count(*) OVER (PARTITION BY doc_id, pid) AS plen FROM ph),
+           |ws AS (SELECT word,
+           |    cast(sum(plen) as bigint) * 1000000
+           |      // cast(count(*) as bigint) AS wscore_fx FROM m GROUP BY 1),
+           |ps AS (SELECT m.doc_id, m.pid,
+           |    string_agg(m.word, ' ' ORDER BY m.i) AS phrase,
+           |    cast(count(*) as bigint) AS n_words,
+           |    cast(sum(ws.wscore_fx) as bigint) AS score_fx
+           |  FROM m JOIN ws ON m.word = ws.word GROUP BY 1, 2),
+           |ag AS (SELECT phrase, max(n_words) AS n_words,
+           |    cast(count(*) as bigint) AS freq, max(score_fx) AS score_fx
+           |  FROM ps GROUP BY 1),
+           |r AS (SELECT *, row_number() OVER (ORDER BY score_fx DESC,
+           |    phrase ASC) AS rank FROM ag)
+           |SELECT phrase, n_words, freq, score_fx, cast(rank as int) AS rank
+           |FROM r WHERE rank <= 20""".stripMargin
+      },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sw = TextExprs.stopwords.toMap.apply("en")
+        val swLit = sw.map(w => s"'$w'").mkString("array(", ", ", ")")
+        val tok = Catalog.t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"),
+            col("col").as("word"))
+          .withColumn("stop", expr(s"array_contains($swLit, word)"))
+        // phrase id = stop-delimiter count before this token (running
+        // count over the doc-keyed window); members are non-stop tokens
+        val wPid = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val members = tok
+          .withColumn("pid",
+            sum(when(col("stop"), 1L).otherwise(0L)).over(wPid))
+          .filter(!col("stop"))
+          .select(col("doc_id"), col("pid"), col("i"), col("word"))
+        val wLen = Window.partitionBy(col("doc_id"), col("pid"))
+        val m = members.withColumn("plen", count(lit(1)).over(wLen))
+        val wordScores = m.groupBy(col("word"))
+          .agg(expr("cast(sum(plen) as bigint) * 1000000" +
+            " div cast(count(*) as bigint)").as("wscore_fx"))
+        val phrases = m.join(wordScores, Seq("word"))
+          .groupBy(col("doc_id"), col("pid"))
+          .agg(array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("word")))),
+              x => x.getField("word")), " ").as("phrase"),
+            count(lit(1)).as("n_words"),
+            sum(col("wscore_fx")).cast("long").as("score_fx"))
+        val agg = phrases.groupBy(col("phrase"))
+          .agg(max(col("n_words")).as("n_words"),
+            count(lit(1)).as("freq"),
+            max(col("score_fx")).as("score_fx"))
+        // global top-20: ordered limit -> TakeOrdered, then ranks over
+        // the 20-row report
+        val top = agg
+          .orderBy(col("score_fx").desc, col("phrase").asc).limit(20)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("score_fx").desc, col("phrase").asc)))
+          .select("phrase", "n_words", "freq", "score_fx", "rank")
       })
   )
 

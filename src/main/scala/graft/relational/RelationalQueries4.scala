@@ -1140,6 +1140,44 @@ object RelationalQueries4 {
           .withColumn("cum_revenue_ppm",
             expr("cast(__cum * 1000000L div __tot as bigint)"))
           .drop("__cum", "__tot")
+      }),
+
+    // Sequence-pattern mining over event paths — the MATCH_RECOGNIZE-
+    // class capability: each user's journey becomes the ordered string
+    // of event-type initials (first 12 events — bounded per-key state),
+    // then the path-frequency table reports which journeys dominate and
+    // which match the conversion pattern `v.*c.*p` (view→…→click→…→
+    // purchase). Complements q43's FIXED funnel: here the patterns are
+    // MINED from the data, not prescribed. One user-keyed window caps
+    // the path, one hash aggregate builds it (collect_list bounded at
+    // 12 rows per user), one more counts identical paths.
+    QueryDef(
+      "q70_event_paths",
+      Some("""WITH e AS (SELECT user_id,
+             |    epoch_ms(cast(ts as timestamp)) AS ms, event_id,
+             |    substr(event_type, 1, 1) AS c FROM events),
+             |o AS (SELECT user_id, c, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ms, event_id) AS rn FROM e),
+             |p AS (SELECT user_id, string_agg(c, '' ORDER BY rn) AS path
+             |  FROM o WHERE rn <= 12 GROUP BY user_id)
+             |SELECT path, count(*) AS n_users,
+             |  regexp_matches(path, 'v.*c.*p') AS matches_funnel
+             |FROM p GROUP BY path""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+            col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 12)
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("c")))),
+            x => x.getField("c")), "").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_users"))
+          .withColumn("matches_funnel", col("path").rlike("v.*c.*p"))
       })
   )
 

@@ -1397,6 +1397,83 @@ object StateQueries {
         Savepoints.reader(s, Savepoints.load(dir), "rocky")
           .readValueStates[Long, Long]("Count")
           .toDF("key", "cnt")
+      }),
+
+    // Checkpoint-chain COMPACTION (sp36): after a long run of
+    // incremental updates (sp26's path), restore time and file-handle
+    // fan-out grow with chain length — the production remedy is to
+    // periodically fold the live state into ONE fresh full savepoint.
+    // The gate is self-containment by construction: the whole chain
+    // (base + both increments) is DELETED from disk before the returned
+    // reader ever scans a byte, so the compacted savepoint passes only
+    // if it references nothing outside its own directory. Oracle = the
+    // chain's net effect (x4 for <60, x2 for [60,120), deletions in
+    // [300,400)).
+    QueryDef(
+      "sp36_checkpoint_compaction",
+      Some("""SELECT o_custkey AS key,
+             |  CASE WHEN o_custkey < 60 THEN 4 * count(*)
+             |       WHEN o_custkey < 120 THEN 2 * count(*)
+             |       ELSE count(*) END AS cnt
+             |FROM orders GROUP BY o_custkey
+             |HAVING o_custkey < 300 OR o_custkey >= 400""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val chainDirs = Seq(tmp("graft-sp36a"), tmp("graft-sp36b"),
+          tmp("graft-sp36c"))
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("compact-gate", 4, maxPar),
+            "compact-gate")
+          .withKeyCodec(LongCodec)
+          .withNativeRocksDb()
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(chainDirs(0))
+        // increment 1: double every key < 120, delete [300, 400)
+        val ups1 = counts.filter(_._1 < 120).map { case (k, v) =>
+          StateRowEncoder.valueRow("Count", k, v * 2, LongCodec, LongCodec,
+            maxPar)
+        }
+        val dels1 = counts.filter(r => r._1 >= 300 && r._1 < 400)
+          .map { case (k, _) =>
+            StateRowEncoder.valueRow("Count", k, 0L, LongCodec, LongCodec,
+              maxPar)
+          }
+        val meta2 = StateMaintenance.incrementalUpdate(
+          s, Savepoints.load(meta1.basePath), "compact-gate", ups1, dels1,
+          chainDirs(1))
+        // increment 2: double the < 60 keys again (net x4)
+        val ups2 = counts.filter(_._1 < 60).map { case (k, v) =>
+          StateRowEncoder.valueRow("Count", k, v * 4, LongCodec, LongCodec,
+            maxPar)
+        }
+        val dels2 = counts.filter(_ => false).map { case (k, _) =>
+          StateRowEncoder.valueRow("Count", k, 0L, LongCodec, LongCodec,
+            maxPar)
+        }
+        val meta3 = StateMaintenance.incrementalUpdate(
+          s, Savepoints.load(meta2.basePath), "compact-gate", ups2, dels2,
+          chainDirs(2))
+        // COMPACT: fold the chain's live state into one full savepoint
+        val live = Savepoints
+          .reader(s, Savepoints.load(meta3.basePath), "compact-gate")
+          .readValueStates[Long, Long]("Count")
+        val compacted = Savepoints
+          .writer(s, Savepoints.bootstrap("compact-gate", 4, maxPar),
+            "compact-gate")
+          .withKeyCodec(LongCodec)
+          .createNewValueState("Count", live, LongCodec)
+          .writeAll(tmp("graft-sp36d"))
+        val result = Savepoints.load(compacted.basePath)
+        // retire the ENTIRE chain before the lazy read below runs: the
+        // oracle row exists only if compaction is truly self-contained
+        chainDirs.foreach(p =>
+          graft.TempDirs.deleteNow(java.nio.file.Paths.get(p)))
+        Savepoints.reader(s, result, "compact-gate")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
       })
   )
 

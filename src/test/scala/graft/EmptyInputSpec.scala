@@ -97,7 +97,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-9 batch 4: empty panels/corpora -> empty fused lists, empty
     // role reports, and an 11-row all-zero retention sweep (totals
     // guarded by greatest(_, 1))
-    "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep")
+    "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep",
+    // round-9 batch 5: empty journeys/corpus/chain -> empty path table,
+    // empty keyword report, compaction of an empty savepoint chain
+    "q70_event_paths", "t42_rake_keywords", "sp36_checkpoint_compaction")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

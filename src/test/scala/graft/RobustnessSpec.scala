@@ -144,7 +144,10 @@ class RobustnessSpec extends AnyFunSuite {
     // round-9 batch 4: zero vectors through the fused retrievers and
     // the eps-graph (the shared zero-norm guard), hostile text through
     // the quality sweep
-    "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep")
+    "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep",
+    // round-9 batch 5: adversarial events through the path miner,
+    // hostile unicode/20k-token docs through the RAKE segmentation
+    "q70_event_paths", "t42_rake_keywords")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
