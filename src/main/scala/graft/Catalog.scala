@@ -64,6 +64,45 @@ object Catalog {
       case _ => df
     }
 
+  /** Rewrite TimestampType to TimestampNTZType recursively (through
+    * struct/array/map). Spark's TimestampType writes parquet with
+    * `isAdjustedToUTC=true`, so the driver's pandas read yields
+    * `datetime64[us, UTC]` while the DuckDB oracle is tz-naive —
+    * schema+hash mismatch on any query that dumps a raw timestamp
+    * (this cost i11/st01/st03 in round 9). Under the UTC session the
+    * NTZ cast is value-identical and parquet writes unadjusted INT64
+    * micros, matching the oracle's `datetime64[us]` exactly.
+    */
+  private def ntzType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => TimestampNTZType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = ntzType(f.dataType))))
+      case a: ArrayType  => a.copy(elementType = ntzType(a.elementType))
+      case m: MapType    =>
+        m.copy(keyType = ntzType(m.keyType), valueType = ntzType(m.valueType))
+      case other => other
+    }
+  }
+
+  /** Normalization every engine dump passes through (Verify wraps EVERY
+    * registry query with this, so the tz law is structural — a future
+    * operator emitting a raw TimestampType cannot reach the driver's
+    * compare tz-adjusted). No-op on the (vast) majority of queries that
+    * carry no timestamp columns: the plan is untouched unless a cast is
+    * actually needed.
+    */
+  def dumpNormalize(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    if (fields.forall(f => ntzType(f.dataType) == f.dataType)) df
+    else df.select(fields.map { f =>
+      val t = ntzType(f.dataType)
+      if (t == f.dataType) df(f.name)
+      else df(f.name).cast(t).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df

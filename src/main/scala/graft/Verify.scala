@@ -42,8 +42,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // dumpNormalize: tz-naive timestamps at the dump boundary, engine-
+      // wide — see Catalog.dumpNormalize scaladoc (round-9 i11/st01/st03).
+      try Catalog.dumpNormalize(fn(spark, sfDir)).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1177,11 +1177,16 @@ object Clustering {
 
   /** c11 parameters: cosine-similarity epsilon ball and the classic
     * minPts density bar (neighborhood INCLUDING the point itself). The
-    * panel is every 5th vector — the evaluation-panel idiom (s04/s16):
-    * density classification is a corpus DIAGNOSTIC here, and the exact
-    * all-pairs neighborhood within the panel is the verifiable baseline;
-    * the full-corpus path blocks candidates through d06's banded
-    * sign-LSH instead of ever forming N² pairs.
+    * panel is every 5th vector — the evaluation-panel idiom (s04/s16).
+    * The epsilon graph is d06's banded sign-LSH contract: candidate
+    * pairs are same-(band,bucket) collisions under the deterministic
+    * 4×8 hyperplane family, and exact cosine is verified ONLY on
+    * candidates — never an all-pairs join, so pair count is bounded by
+    * bucket co-occupancy, not O(N²/25). The oracle mirrors the bucket
+    * assignment exactly (the d06 idiom), so the hash gate proves the
+    * banding, the cosine filter, and the role classification together.
+    * PlanQualitySpec pins the physical plan: no CartesianProduct, no
+    * BroadcastNestedLoopJoin, no mandatory broadcast.
     */
   private val DbscanEps = 0.35
   private val DbscanMinPts = 3
@@ -1189,25 +1194,23 @@ object Clustering {
 
   /** DBSCAN density roles over the embedding panel: `core` (>= minPts
     * points in the eps-ball incl. self), `border` (not core, but inside
-    * a core point's ball), `noise` (neither). The epsilon graph is one
-    * symmetric pair relation; roles come from a degree count plus one
-    * semi-join of the non-core side against core neighbors — no
-    * iteration, no collect. The driver corpus's embeddings are
-    * near-orthogonal random vectors, so the honest report is mostly
+    * a core point's ball), `noise` (neither). The epsilon graph is the
+    * LSH-blocked near-dup relation from [[Similarity.embeddingNearDups]]
+    * (banded sign-LSH candidates, exact cosine on candidates only),
+    * symmetrized; roles come from a degree count plus one semi-join of
+    * the non-core side against core neighbors — no iteration, no
+    * collect, no all-pairs join anywhere. The driver corpus's embeddings
+    * are near-orthogonal random vectors, so the honest report is mostly
     * noise; the planted-cluster fixture in the spec proves all three
-    * classes. */
+    * classes against an in-spec exact reference. */
   private def dbscanSpark(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val panel = Catalog.t(s, d, "embeddings")
       .filter(col("vec_id") % DbscanPanelMod === 0)
-      .select(col("vec_id"), col("embedding").as("va"))
-      .withColumn("nn", expr(sparkNorm("va")))
-    val edges = panel.select(col("vec_id").as("ia"), col("va").as("qa"),
-        col("nn").as("qn"))
-      .join(panel.select(col("vec_id").as("ib"), col("va").as("ca"),
-        col("nn").as("cn")), col("ia") =!= col("ib"))
-      .filter(expr(s"${sparkDot("qa", "ca")} / (qn * cn)") >= DbscanEps)
-      .select(col("ia"), col("ib"))
+      .select(col("vec_id"), col("embedding"))
+    val pairs = Similarity.embeddingNearDups(panel, DbscanEps)
+    val edges = pairs.select(col("vec_a").as("ia"), col("vec_b").as("ib"))
+      .union(pairs.select(col("vec_b").as("ia"), col("vec_a").as("ib")))
     val deg = edges.groupBy(col("ia").as("vec_id"))
       .agg(count(lit(1)).as("n_nb"))
     val counted = panel.select(col("vec_id"))
@@ -1230,11 +1233,13 @@ object Clustering {
     s"""WITH p AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
        |  FROM embeddings WHERE vec_id % $DbscanPanelMod = 0),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM p),
-       |e AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-       |  FROM (SELECT vec_id, va AS qa, nn AS qn FROM n) a,
-       |       (SELECT vec_id, va AS ca, nn AS cn FROM n) b
-       |  WHERE a.vec_id <> b.vec_id
-       |    AND ${duckDot("qa", "ca")} / (qn * cn) >= $DbscanEps),
+       |k AS (${Similarity.duckBandKeys}),
+       |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |ef AS (SELECT ia, ib FROM cand
+       |  JOIN n a ON a.vec_id = ia JOIN n b ON b.vec_id = ib
+       |  WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= $DbscanEps),
+       |e AS (SELECT ia, ib FROM ef UNION ALL SELECT ib AS ia, ia AS ib FROM ef),
        |deg AS (SELECT ia AS vec_id, count(*) AS c FROM e GROUP BY 1),
        |cnt AS (SELECT p.vec_id, cast(coalesce(deg.c, 0) as bigint) AS n_nb
        |  FROM p LEFT JOIN deg ON p.vec_id = deg.vec_id),

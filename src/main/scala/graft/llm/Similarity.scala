@@ -613,15 +613,25 @@ object Similarity {
     }
   }
 
-  private def nearDupOracle: String = {
+  /** DuckDB band-key selects over a CTE `n(vec_id, va)`: one row per
+    * (vec_id, band) carrying the 8-bit sign bucket under the SAME
+    * deterministic hyperplane family the Spark side uses — shared by
+    * the d06 and c11 oracles so every LSH-contract query mirrors one
+    * plane family, not a per-query copy that could drift.
+    */
+  private[llm] def duckBandKeys: String = {
     val pl = planesN(NdBands * NdRowBits)
-    val bandSelects = (0 until NdBands).map { b =>
+    (0 until NdBands).map { b =>
       val bits = (0 until NdRowBits).map { j =>
         val p = pl(b * NdRowBits + j).mkString("[", ", ", "]")
         s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
     }.mkString("\n  UNION ALL ")
+  }
+
+  private def nearDupOracle: String = {
+    val bandSelects = duckBandKeys
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |k AS ($bandSelects),

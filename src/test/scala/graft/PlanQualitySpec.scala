@@ -240,6 +240,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c11 DBSCAN epsilon graph is LSH-blocked: no cartesian, no " +
+    "nested loop, no mandatory broadcast") {
+    // round-9 flag: the eps graph was `panel ⨯ panel` with ia =!= ib as
+    // the only condition — a BroadcastNestedLoopJoin whose pair count
+    // grows O(N²/25). It now routes through d06's banded sign-LSH
+    // candidates; this pin keeps it that way (d06-pin idiom: with
+    // broadcast thresholds off, any BroadcastExchange left is mandatory)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val p = plan("c11_dbscan_core")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("BroadcastExchange"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q42 bloom prune filters the fact side BELOW the join") {
     // the mightContain filter must sit on the scan side of the join
     // (under its Exchange when the join shuffles): the point is fewer

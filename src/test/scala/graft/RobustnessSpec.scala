@@ -207,9 +207,18 @@ class RobustnessSpec extends AnyFunSuite {
       (4L, java.sql.Timestamp.valueOf("2026-01-01 12:34:56.789012")))
       .toDF("k", "valid_to")
     val out = TempDirs.create("graft-horizon")
-    horizon.write.mode("overwrite").parquet(out)
-    val back = spark.read.parquet(out).collect()
-      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    // Dump through the SAME boundary Verify uses: dumpNormalize casts
+    // TimestampType → TimestampNTZType (value-identical under the UTC
+    // session) so the footer is UNADJUSTED micros. A tz-adjusted footer
+    // reads back datetime64[us, UTC] in the driver's pandas vs the
+    // DuckDB oracle's tz-naive — the round-9 i11/st01/st03 failure.
+    Catalog.dumpNormalize(horizon).write.mode("overwrite").parquet(out)
+    // NTZ reads back as LocalDateTime; cast to TimestampType (UTC
+    // session ⇒ same instant) so the roundtrip compare stays exact.
+    val back = spark.read.parquet(out)
+      .withColumn("valid_to", org.apache.spark.sql.functions
+        .col("valid_to").cast("timestamp"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
     val want = horizon.collect()
       .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
     assert(back === want,
@@ -229,5 +238,44 @@ class RobustnessSpec extends AnyFunSuite {
     val logical = col.getPrimitiveType.getLogicalTypeAnnotation.toString
     assert(logical.contains("MICROS"),
       s"valid_to must be TIMESTAMP(MICROS), was $logical")
+    // tz law: the dumped footer must be UNADJUSTED (NTZ). parquet-mr
+    // renders timestamp annotations as TIMESTAMP(<unit>,<adjustedToUTC>)
+    // — the second field must be false or the driver's pandas read is
+    // datetime64[us, UTC] vs the oracle's tz-naive (round-9 regression).
+    assert(logical.contains("false"),
+      s"valid_to must be NTZ (isAdjustedToUTC=false), was $logical")
+  }
+
+  test("dumpNormalize rewrites timestamps recursively and is value-exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2026-08-14 01:02:03.000004")))
+      .toDF("k", "t")
+      .withColumn("st", struct(col("t").as("inner"), col("k")))
+      .withColumn("arr", array(col("t"), col("t")))
+      .withColumn("m", map(lit("a"), col("t")))
+    val norm = Catalog.dumpNormalize(df)
+    def noTz(dt: DataType): Boolean = dt match {
+      case TimestampType  => false
+      case st: StructType => st.fields.forall(f => noTz(f.dataType))
+      case a: ArrayType   => noTz(a.elementType)
+      case m: MapType     => noTz(m.keyType) && noTz(m.valueType)
+      case _              => true
+    }
+    assert(norm.schema.fields.forall(f => noTz(f.dataType)),
+      s"dumpNormalize left a TimestampType behind: ${norm.schema}")
+    // value-exact under the UTC session: render everything to strings
+    val a = df.select(col("t").cast("string"), col("st.inner").cast("string"),
+      element_at(col("arr"), 1).cast("string"),
+      element_at(col("m"), "a").cast("string")).head()
+    val b = norm.select(col("t").cast("string"), col("st.inner").cast("string"),
+      element_at(col("arr"), 1).cast("string"),
+      element_at(col("m"), "a").cast("string")).head()
+    assert(a === b, "NTZ normalization changed a rendered value")
+    // timestamp-free plans must pass through untouched (same object)
+    val plain = Seq((1L, "x")).toDF("k", "v")
+    assert(Catalog.dumpNormalize(plain) eq plain)
   }
 }

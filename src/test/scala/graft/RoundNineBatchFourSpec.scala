@@ -42,30 +42,53 @@ class RoundNineBatchFourSpec extends AnyFunSuite {
       assert(2L * (1000000000L / (60 + r)) > 1000000000L / (60 + r)) }
   }
 
-  test("c11 classifies a planted hub/satellite/noise geometry exactly") {
+  test("c11 classifies a planted hub/satellite/noise geometry exactly, " +
+    "and the LSH epsilon graph loses no edge of the exact one here") {
     val s = spark; import s.implicits._
     val dir = TempDirs.create("graft-c11-fixture")
-    def v(xs: Double*): Array[Float] =
-      (xs ++ Seq.fill(8 - xs.length)(0.0)).map(_.toFloat).toArray
+    // 64-dim vectors: c11's epsilon graph now goes through d06's banded
+    // sign-LSH (64-dim deterministic planes), so the fixture must be
+    // plane-dimensioned AND its required pairs must actually collide in
+    // >= 1 of the 4 bands. Axes 22/30 were searched against the
+    // deterministic plane family: (hub, sat±) collide with min |dot|
+    // margin 0.038 across all 32 planes — far above float32 noise — so
+    // the bucket assignment is stable, not plane luck.
+    def axes(w: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0f); w.foreach { case (i, x) => a(i) = x.toFloat }; a
+    }
     // panel = vec_id % 5 == 0. Geometry (eps = cos >= 0.35, minPts 3):
-    //   0  hub (1,0,0,.)       — neighbors 5, 10, 15          -> core
-    //   5  satellite (.8,.6)   — neighbor 0 only (5.10 = 0.28) -> border
-    //  10  satellite (.8,-.6)  — neighbor 0 only               -> border
-    //  15  probe (.4,0,.9165)  — neighbor 0 only (0.32 to sats)-> border
-    //  20  orthogonal axis     — no neighbors                  -> noise
+    //   0  hub  e22              — neighbors 5, 10 (cos 0.8)   -> core
+    //   5  sat  .8·e22 + .6·e30  — neighbor 0 only             -> border
+    //  10  sat  .8·e22 − .6·e30  — neighbor 0 only (5·10 cos =
+    //       0.64 − 0.36 = 0.28 < eps: a COLLIDING candidate the exact
+    //       cosine filter must reject)                         -> border
+    //  20  e63 orthogonal        — no neighbors                -> noise
     //   3  non-panel row: must be ignored by the panel filter
     Seq(
-      (0L, v(1.0), 0), (5L, v(0.8, 0.6), 0), (10L, v(0.8, -0.6), 0),
-      (15L, v(0.4, 0.0, 0.9165), 0), (20L, v(0.0, 0.0, 0.0, 1.0), 1),
-      (3L, v(1.0), 2))
+      (0L, axes(22 -> 1.0), 0),
+      (5L, axes(22 -> 0.8, 30 -> 0.6), 0),
+      (10L, axes(22 -> 0.8, 30 -> -0.6), 0),
+      (20L, axes(63 -> 1.0), 1),
+      (3L, axes(22 -> 1.0), 2))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val r = SparkEntry.queries("c11_dbscan_core")(s, dir).collect()
       .map(x => x.getAs[Long]("vec_id") ->
         (x.getAs[Long]("n_nb"), x.getAs[String]("role"))).toMap
     assert(r == Map(
-      0L -> (3L, "core"), 5L -> (1L, "border"), 10L -> (1L, "border"),
-      15L -> (1L, "border"), 20L -> (0L, "noise")))
+      0L -> (2L, "core"), 5L -> (1L, "border"), 10L -> (1L, "border"),
+      20L -> (0L, "noise")))
+    // all-pairs exact baseline (the opt-in verification path): on this
+    // fixture the LSH-blocked epsilon graph must equal the exact one —
+    // any bucket miss on a required pair shows up as a diff here
+    val panel = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    def edges(exact: Boolean) =
+      graft.llm.Similarity.embeddingNearDups(panel, 0.35, exact = exact)
+        .select("vec_a", "vec_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(edges(exact = false) === edges(exact = true))
   }
 
   test("p25 sweep conserves totals and is monotone in the threshold") {

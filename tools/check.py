@@ -29,6 +29,19 @@ def read_engine(f):
             raise AssertionError(
                 f"{f}: column '{col.name}' is INT96 — engine parquet "
                 "must be INT64 TIMESTAMP_MICROS (Catalog.sessionConfs)")
+        # tz guard (round-9 blind spot): an isAdjustedToUTC=true footer
+        # reads back as datetime64[us, UTC] in the driver's pandas while
+        # the DuckDB oracle is tz-naive — schema+hash fail at the driver
+        # even though timestamp_as_object below drops the tzinfo and
+        # values look equal locally. The local mirror must fail exactly
+        # when the driver fails: every dumped timestamp must be NTZ
+        # (Catalog.dumpNormalize casts TimestampType → TimestampNTZType
+        # at the Verify dump boundary).
+        lt = col.logical_type
+        if lt.type == "TIMESTAMP" and "isAdjustedToUTC=true" in str(lt):
+            raise AssertionError(
+                f"{f}: column '{col.name}' is UTC-adjusted TIMESTAMP — "
+                "engine dumps must be tz-naive (Catalog.dumpNormalize)")
     return pq.read_table(f).to_pandas(timestamp_as_object=True)
 
 
