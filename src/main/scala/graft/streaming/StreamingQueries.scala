@@ -858,6 +858,80 @@ object StreamingQueries {
                 StructField("last_type", StringType),
                 StructField("last_cents", LongType))))
         }
+      }),
+
+    // st25: versioned-sink VACUUM — the retention/GC policy for st24's
+    // snapshot chain, pairing it with sp27's GC discipline (retire
+    // exactly what no live reader needs, prove the survivor decodes).
+    // The chain v0..v3 is built through the SAME upsertSnapshotWriter
+    // st24 uses, with deterministic batch slices (event_id % 4 == b), so
+    // every prefix version is a real merge product. The policy keeps the
+    // newest 2 versions; the report prices each version BEFORE the
+    // vacuum (bounded 1-row aggregates per version — the snapshot stats,
+    // never the row data, cross to the driver), then the retired
+    // directories are deleted and the newest snapshot is re-read to
+    // prove the retained set is exactly the live closure. The oracle
+    // recomputes every version's (n_keys, total_events) from the events
+    // prefix directly — hash-matching all four rows proves the merge
+    // chain is the correct cumulative aggregate at every prefix, not
+    // just at the head. At 100 TB: each version write is one keyed
+    // shuffle of a batch-sized delta against the snapshot (st24's
+    // property), and vacuum is a driver-side handle delete (sp27's
+    // property) — nothing here rescans history.
+    QueryDef(
+      "st25_snapshot_vacuum",
+      Some("""WITH vs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(version)),
+             |e AS (SELECT user_id, event_id FROM events),
+             |s AS (SELECT v.version,
+             |    count(DISTINCT e.user_id) AS n_keys,
+             |    count(e.user_id) AS total_events
+             |  FROM vs v LEFT JOIN e ON e.event_id % 4 <= v.version
+             |  GROUP BY v.version)
+             |SELECT cast(version as bigint) AS version, n_keys, total_events,
+             |  CASE WHEN version >= 2 THEN 'retained' ELSE 'vacuumed' END
+             |    AS status
+             |FROM s""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val NumBatches = 4L
+        val RetainFrom = 2L // keep v2, v3; vacuum v0, v1
+        val snapBase = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft-st25-snap")).toString
+        val ev = Catalog.t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"),
+            unix_millis(col("ts")).as("ms"))
+        val writeSnap = upsertSnapshotWriter(snapBase)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          (0L until NumBatches).foreach { b =>
+            writeSnap(ev.filter(col("event_id") % NumBatches === b), b)
+          }
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // price every version BEFORE the vacuum: 1-row bounded aggregate
+        // per snapshot (4 rows total to the driver, never row data)
+        val stats = (0L until NumBatches).map { b =>
+          val r = s.read.parquet(s"$snapBase/v$b")
+            .agg(count(lit(1)).as("n_keys"),
+              coalesce(sum("n_events"), lit(0L)).as("total_events")).head()
+          (b, r.getLong(0), r.getLong(1))
+        }
+        // vacuum: retire everything older than the retention window
+        (0L until RetainFrom).foreach { b =>
+          deleteRecursively(java.nio.file.Paths.get(s"$snapBase/v$b"))
+        }
+        (0L until RetainFrom).foreach { b =>
+          require(!new java.io.File(s"$snapBase/v$b").exists(),
+            s"vacuum left v$b behind") }
+        // the survivor must still decode — the retained set is the full
+        // live closure, not an accident of deletion order
+        val headKeys = s.read.parquet(s"$snapBase/v${NumBatches - 1}").count()
+        require(headKeys == stats.last._2,
+          s"post-vacuum head snapshot lost rows: $headKeys vs ${stats.last._2}")
+        stats.map { case (b, k, t) =>
+          (b, k, t, if (b >= RetainFrom) "retained" else "vacuumed")
+        }.toDF("version", "n_keys", "total_events", "status")
       })
   )
 

@@ -100,7 +100,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep",
     // round-9 batch 5: empty journeys/corpus/chain -> empty path table,
     // empty keyword report, compaction of an empty savepoint chain
-    "q70_event_paths", "t42_rake_keywords", "sp36_checkpoint_compaction")
+    "q70_event_paths", "t42_rake_keywords", "sp36_checkpoint_compaction",
+    // round 10: an empty stream still builds the 4-version snapshot
+    // chain (all empty), prices it as four all-zero report rows, and
+    // vacuums the retired versions without touching the survivor
+    "st25_snapshot_vacuum")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

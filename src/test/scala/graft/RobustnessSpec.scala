@@ -147,7 +147,10 @@ class RobustnessSpec extends AnyFunSuite {
     "s21_rank_fusion", "c11_dbscan_core", "p25_quality_prune_sweep",
     // round-9 batch 5: adversarial events through the path miner,
     // hostile unicode/20k-token docs through the RAKE segmentation
-    "q70_event_paths", "t42_rake_keywords")
+    "q70_event_paths", "t42_rake_keywords",
+    // round 10: the adversarial events table through the versioned-sink
+    // vacuum (far-future/ancient timestamps ride the snapshot merge)
+    "st25_snapshot_vacuum")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
