@@ -538,7 +538,7 @@ object Similarity {
   // ------------------------------------------- embedding-cosine near-dup
 
   // Embedding near-dup pairs above a cosine threshold. The GATED plan is
-  // the scale path: banded sign-LSH candidate generation (4 bands x 8
+  // the scale path: banded sign-LSH candidate generation (8 bands x 12
   // deterministic hyperplanes — d02's banded-minhash idiom applied to
   // s02's sign buckets) followed by exact cosine ONLY on candidate
   // pairs. Nothing unbounded is ever broadcast and there is no
@@ -546,13 +546,24 @@ object Similarity {
   // PlanQualitySpec). The semantics are the standard LSH contract —
   // same-band-bucket pairs — which the oracle mirrors exactly, so the
   // hash gate proves bucket assignment, the dot-product fold, and the
-  // threshold on real rows: 8 / 12 / 122 output rows at
-  // sf0.001/0.01/0.1 (non-vacuous at every scale). The exact all-pairs
-  // variant stays available as the opt-in `exact = true` verification
-  // baseline on the public API.
+  // threshold on real rows (non-vacuous at every scale — see counts in
+  // COVERAGE.md round 10). The exact all-pairs variant stays available
+  // as the opt-in `exact = true` verification baseline on the public
+  // API.
+  //
+  // Band currency (round 10, measured in EPS_GRAPH_SCALE_r10.json):
+  // 4 bands × 8 bits = 256 buckets/band saturates as the corpus grows —
+  // candidate pairs/vector DOUBLED with each corpus doubling
+  // (205→413→823 at 10k/20k/40k synthetic vectors), the same quadratic
+  // collision-mass failure the r9 simhash chunk widening fixed. 8 bands
+  // × 12 bits (4096 buckets/band) holds the same ~74% per-pair recall
+  // at cos 0.9 (1−(1−p^12)^8 vs 1−(1−p^8)^4, p = 1−θ/π) with 8× less
+  // random-collision mass (8/4096 vs 4/256 of all pairs), and the
+  // finer buckets also shrink the per-bucket skew a hot band key feeds
+  // into the join.
   private val NearDupMin = 0.4
-  private val NdBands = 4
-  private val NdRowBits = 8
+  private[llm] val NdBands = 8
+  private[llm] val NdRowBits = 12
 
   private def nearDupSpark(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(Catalog.t(s, d, "embeddings")
@@ -582,26 +593,7 @@ object Similarity {
         .filter(col("cosine") >= minCosine)
         .select("vec_a", "vec_b", "cosine")
     } else {
-      // narrow band-key rows: (vec_id, band, bk) — vectors are NOT
-      // carried through the candidate join, they are fetched back by id
-      // after the distinct (d02's candidate shape)
-      val pl = planesN(NdBands * NdRowBits)
-      val bandStructs = (0 until NdBands).map { b =>
-        val bits = (0 until NdRowBits).map { j =>
-          val p = pl(b * NdRowBits + j)
-            .mkString("cast(array(", ", ", ") as array<double>)")
-          s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
-        }.mkString(" + ")
-        s"struct($b as band, cast($bits as int) as bk)"
-      }.mkString(", ")
-      val keyed = e.select(col("vec_id"),
-        explode(expr(s"array($bandStructs)")).as("bb"))
-        .select(col("vec_id"), col("bb.band"), col("bb.bk"))
-      val cand = keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
-        .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
-          Seq("band", "bk"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
+      val cand = lshCandidatePairs(e)
       val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -611,6 +603,35 @@ object Similarity {
         .filter(col("cosine") >= minCosine)
         .select("vec_a", "vec_b", "cosine")
     }
+  }
+
+  /** Banded sign-LSH candidate pairs `(vec_a < vec_b)` over a
+    * `(vec_id, embedding)` frame — the pair currency every LSH-contract
+    * operator (d06 near-dups, c11's DBSCAN epsilon graph) verifies
+    * exact cosine on. Narrow band-key rows `(vec_id, band, bk)` only:
+    * vectors are NOT carried through the candidate join, they are
+    * fetched back by id after the distinct (d02's candidate shape), so
+    * the shuffle is keyed on (band, bucket) and never all-pairs.
+    */
+  def lshCandidatePairs(vecs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val pl = planesN(NdBands * NdRowBits)
+    val bandStructs = (0 until NdBands).map { b =>
+      val bits = (0 until NdRowBits).map { j =>
+        val p = pl(b * NdRowBits + j)
+          .mkString("cast(array(", ", ", ") as array<double>)")
+        s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"struct($b as band, cast($bits as int) as bk)"
+    }.mkString(", ")
+    val keyed = vecs.select(col("vec_id"),
+      explode(expr(s"array($bandStructs)")).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bk"))
+    keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+      .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
   }
 
   /** DuckDB band-key selects over a CTE `n(vec_id, va)`: one row per

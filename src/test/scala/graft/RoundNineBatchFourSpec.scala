@@ -49,25 +49,25 @@ class RoundNineBatchFourSpec extends AnyFunSuite {
     // 64-dim vectors: c11's epsilon graph now goes through d06's banded
     // sign-LSH (64-dim deterministic planes), so the fixture must be
     // plane-dimensioned AND its required pairs must actually collide in
-    // >= 1 of the 4 bands. Axes 22/30 were searched against the
-    // deterministic plane family: (hub, sat±) collide with min |dot|
-    // margin 0.038 across all 32 planes — far above float32 noise — so
-    // the bucket assignment is stable, not plane luck.
+    // >= 1 of the 8 bands. Axes 26/14 were searched against the
+    // deterministic 8×12 plane family: (hub, sat±) collide with min
+    // |dot| margin 0.014 across all 96 planes — far above float32
+    // noise — so the bucket assignment is stable, not plane luck.
     def axes(w: (Int, Double)*): Array[Float] = {
       val a = Array.fill(64)(0f); w.foreach { case (i, x) => a(i) = x.toFloat }; a
     }
     // panel = vec_id % 5 == 0. Geometry (eps = cos >= 0.35, minPts 3):
-    //   0  hub  e22              — neighbors 5, 10 (cos 0.8)   -> core
-    //   5  sat  .8·e22 + .6·e30  — neighbor 0 only             -> border
-    //  10  sat  .8·e22 − .6·e30  — neighbor 0 only (5·10 cos =
+    //   0  hub  e26              — neighbors 5, 10 (cos 0.8)   -> core
+    //   5  sat  .8·e26 + .6·e14  — neighbor 0 only             -> border
+    //  10  sat  .8·e26 − .6·e14  — neighbor 0 only (5·10 cos =
     //       0.64 − 0.36 = 0.28 < eps: a COLLIDING candidate the exact
     //       cosine filter must reject)                         -> border
     //  20  e63 orthogonal        — no neighbors                -> noise
     //   3  non-panel row: must be ignored by the panel filter
     Seq(
-      (0L, axes(22 -> 1.0), 0),
-      (5L, axes(22 -> 0.8, 30 -> 0.6), 0),
-      (10L, axes(22 -> 0.8, 30 -> -0.6), 0),
+      (0L, axes(26 -> 1.0), 0),
+      (5L, axes(26 -> 0.8, 14 -> 0.6), 0),
+      (10L, axes(26 -> 0.8, 14 -> -0.6), 0),
       (20L, axes(63 -> 1.0), 1),
       (3L, axes(22 -> 1.0), 2))
       .toDF("vec_id", "embedding", "label")
