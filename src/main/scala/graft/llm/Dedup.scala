@@ -103,6 +103,8 @@ object Dedup {
     QueryDef("g12_incremental_components", Some(incCompOracle), incCompSpark),
     QueryDef("d26_method_agreement", Some(agreementOracle), agreementSpark),
     QueryDef("d27_template_extraction", Some(templateOracle), templateSpark),
+    QueryDef("d28_semantic_contamination", Some(semContamOracle),
+      semContamSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1979,4 +1981,54 @@ object Dedup {
        |    count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
        |SELECT cluster_id, doc_id AS keep_id, cast(n_members as bigint) AS n_members
        |FROM r WHERE rn = 1""".stripMargin
+
+  // --------------------------------- semantic benchmark contamination
+
+  /** d28 parameters: every 97th vector is the held-out "benchmark"
+    * probe set; a probe counts as contaminated when some corpus vector
+    * exceeds this cosine. */
+  private val ContamProbeMod = 97
+  private val ContamMinCos = 0.5
+
+  /** d28: SEMANTIC benchmark contamination — the embedding-level
+    * complement of d11's n-gram contamination check. Per held-out probe
+    * (vec_id ≡ 0 mod 97): the single best corpus match by exact cosine
+    * and whether it clears the contamination bar. Built on
+    * [[Similarity.cosineTopK]]: the probe set is the small broadcast
+    * side (1/97 of the corpus — bounded the way a benchmark suite is),
+    * the corpus streams once, embarrassingly parallel over splits; dot
+    * products run the codegen'd sequential-fold kernel, so scores are
+    * bit-deterministic against the oracle. Exact by design (a
+    * contamination audit must not trade recall); the LSH-blocked path
+    * exists for corpus×corpus shapes, not probe×corpus. */
+  private def semContamSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") % ContamProbeMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % ContamProbeMod =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    Similarity.cosineTopK(probes, corpus, 1, excludeSelf = false)
+      .select(col("query_id").as("probe_id"),
+        col("neighbor_id").as("best_match_id"), col("cosine"),
+        (col("cosine") >= ContamMinCos).as("contaminated"))
+  }
+
+  private def semContamOracle: String =
+    s"""WITH p AS (SELECT vec_id AS probe_id,
+       |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
+       |  WHERE vec_id % $ContamProbeMod = 0),
+       |pn AS (SELECT probe_id, qa, ${Similarity.duckNorm("qa")} AS qn FROM p),
+       |c AS (SELECT vec_id AS neighbor_id,
+       |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings
+       |  WHERE vec_id % $ContamProbeMod <> 0),
+       |cn AS (SELECT neighbor_id, ca, ${Similarity.duckNorm("ca")} AS cn FROM c),
+       |sc AS (SELECT probe_id, neighbor_id,
+       |    ${Similarity.duckDot("qa", "ca")} / (qn * cn) AS cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ${Similarity.duckDot("qa", "ca")} / (qn * cn) DESC,
+       |        neighbor_id ASC) AS rn
+       |  FROM pn, cn)
+       |SELECT probe_id, neighbor_id AS best_match_id, cosine,
+       |  cosine >= $ContamMinCos AS contaminated
+       |FROM sc WHERE rn = 1""".stripMargin
 }

@@ -103,8 +103,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "q70_event_paths", "t42_rake_keywords", "sp36_checkpoint_compaction",
     // round 10: an empty stream still builds the 4-version snapshot
     // chain (all empty), prices it as four all-zero report rows, and
-    // vacuums the retired versions without touching the survivor
-    "st25_snapshot_vacuum")
+    // vacuums the retired versions without touching the survivor; an
+    // empty embedding table yields an empty (typed) contamination report
+    "st25_snapshot_vacuum", "d28_semantic_contamination",
+    // an empty corpus writes a part-less lake; both ingest sessions
+    // find zero shards and the manifest reads back empty through its
+    // pinned schema
+    "i19_resumable_ingest")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

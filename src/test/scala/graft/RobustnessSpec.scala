@@ -149,8 +149,13 @@ class RobustnessSpec extends AnyFunSuite {
     // hostile unicode/20k-token docs through the RAKE segmentation
     "q70_event_paths", "t42_rake_keywords",
     // round 10: the adversarial events table through the versioned-sink
-    // vacuum (far-future/ancient timestamps ride the snapshot merge)
-    "st25_snapshot_vacuum")
+    // vacuum (far-future/ancient timestamps ride the snapshot merge);
+    // zero/denormal vectors through the exact contamination audit (the
+    // zero-norm division yields NaN cosine, which must not flag)
+    "st25_snapshot_vacuum", "d28_semantic_contamination",
+    // hostile text (quotes/newlines/unicode) through the sharded lake
+    // roundtrip + manifest reconciliation
+    "i19_resumable_ingest")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

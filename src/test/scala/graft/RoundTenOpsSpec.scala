@@ -49,6 +49,53 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("d28 flags a planted benchmark leak and tie-breaks by id") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-d28-fixture")
+    def axes(w: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0f); w.foreach { case (i, x) => a(i) = x.toFloat }; a
+    }
+    // probes = vec_id % 97 == 0 → {0, 97}. Corpus:
+    //   1: EXACT copy of probe 0 (cos 1.0)        → probe 0 contaminated
+    //   2: same direction as probe 0, scaled      → cos 1.0 TIE with 1;
+    //      best_match must pick the LOWER id (1)
+    //   3: orthogonal to everything probe-visible
+    //   probe 97 is axis e7: nearest is 3 at cos 0 < 0.5 → clean
+    Seq(
+      (0L, axes(5 -> 1.0)), (97L, axes(7 -> 1.0)),
+      (1L, axes(5 -> 1.0)), (2L, axes(5 -> 2.0)), (3L, axes(9 -> 1.0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("d28_semantic_contamination")(s, dir)
+      .collect().map(x => x.getAs[Long]("probe_id") ->
+        (x.getAs[Long]("best_match_id"), x.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(r.keySet == Set(0L, 97L))
+    assert(r(0L) == (1L, true), s"planted leak missed: ${r(0L)}")
+    assert(!r(97L)._2, s"clean probe flagged: ${r(97L)}")
+  }
+
+  test("i19 restart ingests exactly the unlanded shards, once") {
+    val s = spark
+    val rows = SparkEntry.queries("i19_resumable_ingest")(s, sf)
+      .orderBy("shard_id").collect()
+    // 8 shards, each exactly once, session split at shard 4
+    assert(rows.map(_.getAs[Long]("shard_id")).toSeq == (0L to 7L))
+    rows.foreach { r =>
+      val sid = r.getAs[Long]("shard_id")
+      assert(r.getAs[Int]("session") == (if (sid < 4) 0 else 1))
+    }
+    // manifest row counts reconcile with the source table
+    val expect = Catalog.t(s, sf, "documents")
+      .groupBy((org.apache.spark.sql.functions.col("doc_id") % 8)
+        .as("shard_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        expect(r.getAs[Long]("shard_id")), s"shard ${r.getAs[Long]("shard_id")}")
+    }
+  }
+
   test("st25 report is a correct cumulative prefix at every version") {
     val s = spark
     val ev = Catalog.t(s, sf, "events")
