@@ -847,6 +847,54 @@ object Pipeline {
               .as("doc_share_ppm"),
             expr("cast(kept_tokens * 1000000 div greatest(tt, 1) as bigint)")
               .as("token_share_ppm"))
+      }),
+
+    // p26: corpus VERSION DIFF — training-data governance: what changed
+    // between dataset release v_old and v_new, at document granularity,
+    // by CONTENT hash (not mtime or row identity). The two versions are
+    // derived deterministically from the documents table (v_old drops
+    // the "later-added" set doc_id ≡ 3 mod 17; v_new drops the removed
+    // set ≡ 7 mod 17 and revises the text of ≡ 2 mod 13), so the oracle
+    // can rebuild both sides exactly. The diff itself is the operative
+    // shape: ONE keyed full-outer join of two narrow (doc_id,
+    // content_hash) relations — hashes are computed inside each scan
+    // (the codegen'd graft_polyhash32 kernel), document text never
+    // crosses the shuffle, and at 100 TB the join is one co-partitioned
+    // exchange on doc_id. Status classes: added / removed / changed /
+    // unchanged.
+    QueryDef(
+      "p26_corpus_version_diff",
+      Some(s"""WITH o AS (SELECT doc_id,
+              |    ${duckWordHash("text")} AS old_hash
+              |  FROM documents WHERE doc_id % 17 <> 3),
+              |n AS (SELECT doc_id, ${duckWordHash(
+                 "(CASE WHEN doc_id % 13 = 2 THEN text || ' [rev2]' ELSE text END)")}
+              |    AS new_hash
+              |  FROM documents WHERE doc_id % 17 <> 7)
+              |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              |  old_hash, new_hash,
+              |  CASE WHEN o.doc_id IS NULL THEN 'added'
+              |    WHEN n.doc_id IS NULL THEN 'removed'
+              |    WHEN old_hash <> new_hash THEN 'changed'
+              |    ELSE 'unchanged' END AS status
+              |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Catalog.t(s, d, "documents")
+          .select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"),
+            expr("graft_polyhash32(text)").as("old_hash"))
+        val nw = docs.filter(col("doc_id") % 17 =!= 7)
+          .select(col("doc_id"), expr(
+            "graft_polyhash32(CASE WHEN doc_id % 13 = 2" +
+              " THEN concat(text, ' [rev2]') ELSE text END)").as("new_hash"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("old_hash"), col("new_hash"),
+            when(col("old_hash").isNull, "added")
+              .when(col("new_hash").isNull, "removed")
+              .when(col("old_hash") =!= col("new_hash"), "changed")
+              .otherwise("unchanged").as("status"))
       })
   )
 

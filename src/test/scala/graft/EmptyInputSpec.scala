@@ -109,7 +109,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // an empty corpus writes a part-less lake; both ingest sessions
     // find zero shards and the manifest reads back empty through its
     // pinned schema
-    "i19_resumable_ingest")
+    "i19_resumable_ingest",
+    // two empty versions diff to an empty report
+    "p26_corpus_version_diff")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -155,7 +155,9 @@ class RobustnessSpec extends AnyFunSuite {
     "st25_snapshot_vacuum", "d28_semantic_contamination",
     // hostile text (quotes/newlines/unicode) through the sharded lake
     // roundtrip + manifest reconciliation
-    "i19_resumable_ingest")
+    "i19_resumable_ingest",
+    // hostile text through the content-hash version diff
+    "p26_corpus_version_diff")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

@@ -96,6 +96,33 @@ class RoundTenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p26 classifies a hand-computed four-way diff exactly") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-p26-fixture")
+    // ids picked to hit every status class:
+    //   1: in both, text identical                 -> unchanged
+    //   2: 2 % 13 == 2 -> v_new revises the text   -> changed
+    //   3: 3 % 17 == 3 -> absent from v_old        -> added
+    //   7: 7 % 17 == 7 -> absent from v_new        -> removed
+    //  54: 54 % 17 == 3 AND 54 % 13 == 2 -> added (the revision applies
+    //      to a doc v_old never had: still 'added', never 'changed')
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (7L, "delta"),
+      (54L, "epsilon"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("p26_corpus_version_diff")(s, dir)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[String]("status")).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "added",
+      7L -> "removed", 54L -> "added"))
+    // the changed doc's hashes differ; the unchanged doc's agree
+    val rows = SparkEntry.queries("p26_corpus_version_diff")(s, dir)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(rows(2L).getAs[Long]("old_hash") != rows(2L).getAs[Long]("new_hash"))
+    assert(rows(1L).getAs[Long]("old_hash") == rows(1L).getAs[Long]("new_hash"))
+  }
+
   test("st25 report is a correct cumulative prefix at every version") {
     val s = spark
     val ev = Catalog.t(s, sf, "events")
