@@ -1178,6 +1178,56 @@ object RelationalQueries4 {
           .groupBy(col("path"))
           .agg(count(lit(1)).as("n_users"))
           .withColumn("matches_funnel", col("path").rlike("v.*c.*p"))
+      }),
+
+    // q71: MERGEABLE-SKETCH quantiles — the 100 TB alternative to the
+    // exact-sort paths (q46/q48/q57 shuffle every row to rank it). The
+    // sketch is a fixed-width histogram over whole value units: its
+    // per-partition partials merge by ADDITION (one map-side-combinable
+    // groupBy — the same associativity st24 relies on), and quantile
+    // extraction runs on the ≤|buckets|×|types| sketch rows, never the
+    // event mass. p50/p95/p99 resolve to the smallest bucket whose
+    // cumulative count reaches ceil(p·n/100) — deterministic integer
+    // math, bit-identical in both engines (value ≥ 0 in this corpus, so
+    // truncating and flooring division agree; the cents rounding is the
+    // st24-established parity). Error bound: one bucket width, priced
+    // by the fixed grid — the honest trade the exact paths price the
+    // other way.
+    QueryDef(
+      "q71_sketch_quantiles",
+      Some("""WITH c AS (SELECT event_type,
+             |    cast(round(value * 100) as bigint) // 100 AS bucket
+             |  FROM events),
+             |h AS (SELECT event_type, bucket, count(*) AS c
+             |  FROM c GROUP BY 1, 2),
+             |x AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+             |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+             |SELECT event_type, cast(max(n) as bigint) AS n_events,
+             |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END)
+             |    AS p50_bucket,
+             |  min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bucket END)
+             |    AS p95_bucket,
+             |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END)
+             |    AS p99_bucket
+             |FROM x GROUP BY event_type""".stripMargin),
+      (s, d) => {
+        val hist = t(s, d, "events")
+          .select(col("event_type"),
+            expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("event_type"))
+        def pick(p: Int) =
+          min(when(col("cum") >= expr(s"(n * $p + 99) div 100"),
+            col("bucket"))).as(s"p${p}_bucket")
+        hist
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_events"), pick(50), pick(95), pick(99))
       })
   )
 

@@ -110,8 +110,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // find zero shards and the manifest reads back empty through its
     // pinned schema
     "i19_resumable_ingest",
-    // two empty versions diff to an empty report
-    "p26_corpus_version_diff")
+    // two empty versions diff to an empty report; an empty event stream
+    // yields an empty quantile sketch
+    "p26_corpus_version_diff", "q71_sketch_quantiles")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -263,6 +263,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("p26 version diff is one keyed full-outer: no cartesian, and " +
+    "only (id, hash) cross the exchange") {
+    val p = plan("p26_corpus_version_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // document text is hashed INSIDE each scan stage: no Exchange row
+    // carries the text column (at 100 TB the shuffle is ids + hashes)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      "document text crosses a shuffle in p26")
+  }
+
+  test("d28 contamination audit broadcasts the probe side; the corpus " +
+    "never shuffles before scoring") {
+    val p = plan("d28_semantic_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p) // probes ride the broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q42 bloom prune filters the fact side BELOW the join") {
     // the mightContain filter must sit on the scan side of the join
     // (under its Exchange when the join shuffles): the point is fewer

@@ -156,8 +156,9 @@ class RobustnessSpec extends AnyFunSuite {
     // hostile text (quotes/newlines/unicode) through the sharded lake
     // roundtrip + manifest reconciliation
     "i19_resumable_ingest",
-    // hostile text through the content-hash version diff
-    "p26_corpus_version_diff")
+    // hostile text through the content-hash version diff; adversarial
+    // events (extreme values) through the histogram sketch
+    "p26_corpus_version_diff", "q71_sketch_quantiles")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

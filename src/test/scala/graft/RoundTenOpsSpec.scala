@@ -123,6 +123,49 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(rows(1L).getAs[Long]("old_hash") == rows(1L).getAs[Long]("new_hash"))
   }
 
+  test("q71 sketch quantiles land in the bucket holding the exact " +
+    "order statistic") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Catalog.t(s, sf, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val rows = SparkEntry.queries("q71_sketch_quantiles")(s, sf).collect()
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vals = ev.filter(col("event_type") === et)
+        .orderBy("cents").collect().map(_.getLong(1))
+      Seq(50 -> "p50_bucket", 95 -> "p95_bucket", 99 -> "p99_bucket")
+        .foreach { case (p, c) =>
+          val k = (vals.length * p + 99) / 100 // ceil rank, 1-based
+          val exact = vals(k - 1)
+          assert(r.getAs[Long](c) == exact / 100,
+            s"$et $c: bucket ${r.getAs[Long](c)} vs exact unit ${exact / 100}")
+        }
+      assert(r.getAs[Long]("n_events") == vals.length)
+    }
+  }
+
+  test("q71 prices a hand-computed distribution into the right buckets") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-q71-fixture")
+    val baseUs = 1704067200000000L
+    // one type, values 1.00..10.00: n=10, ceil-ranks 5/10/10 → the
+    // 5th/10th/10th order statistics sit in units 5 and 10
+    (1 to 10).map(i => (i.toLong, baseUs + i * 1000000L, i.toLong % 3,
+        "click", i.toDouble, "{}"))
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(tsu)")).drop("tsu")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q71_sketch_quantiles")(s, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_events") == 10L)
+    assert(r.head.getAs[Long]("p50_bucket") == 5L)
+    assert(r.head.getAs[Long]("p95_bucket") == 10L)
+    assert(r.head.getAs[Long]("p99_bucket") == 10L)
+  }
+
   test("st25 report is a correct cumulative prefix at every version") {
     val s = spark
     val ev = Catalog.t(s, sf, "events")
