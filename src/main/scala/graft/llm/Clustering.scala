@@ -1180,7 +1180,8 @@ object Clustering {
     * panel is every 5th vector — the evaluation-panel idiom (s04/s16).
     * The epsilon graph is d06's banded sign-LSH contract: candidate
     * pairs are same-(band,bucket) collisions under the deterministic
-    * 4×8 hyperplane family, and exact cosine is verified ONLY on
+    * hyperplane family (NdBands × NdRowBits in [[Similarity]] — 8×12
+    * as of round 10), and exact cosine is verified ONLY on
     * candidates — never an all-pairs join, so pair count is bounded by
     * bucket co-occupancy, not O(N²/25). The oracle mirrors the bucket
     * assignment exactly (the d06 idiom), so the hash gate proves the

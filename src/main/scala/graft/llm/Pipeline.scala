@@ -864,36 +864,41 @@ object Pipeline {
     // unchanged.
     QueryDef(
       "p26_corpus_version_diff",
-      Some(s"""WITH o AS (SELECT doc_id,
+      Some(s"""WITH o AS (SELECT doc_id, 1 AS in_old,
               |    ${duckWordHash("text")} AS old_hash
               |  FROM documents WHERE doc_id % 17 <> 3),
-              |n AS (SELECT doc_id, ${duckWordHash(
+              |n AS (SELECT doc_id, 1 AS in_new, ${duckWordHash(
                  "(CASE WHEN doc_id % 13 = 2 THEN text || ' [rev2]' ELSE text END)")}
               |    AS new_hash
               |  FROM documents WHERE doc_id % 17 <> 7)
               |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
               |  old_hash, new_hash,
-              |  CASE WHEN o.doc_id IS NULL THEN 'added'
-              |    WHEN n.doc_id IS NULL THEN 'removed'
-              |    WHEN old_hash <> new_hash THEN 'changed'
+              |  CASE WHEN in_old IS NULL THEN 'added'
+              |    WHEN in_new IS NULL THEN 'removed'
+              |    WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
               |    ELSE 'unchanged' END AS status
               |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin),
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val docs = Catalog.t(s, d, "documents")
           .select(col("doc_id"), col("text"))
+        // presence flags, NOT hash nullness, decide added/removed: a
+        // NULL text hashes to NULL on a side it IS present in, and the
+        // change test is null-safe — presence and content are
+        // independent signals (the oracle mirrors with in_old/in_new +
+        // IS DISTINCT FROM)
         val old = docs.filter(col("doc_id") % 17 =!= 3)
-          .select(col("doc_id"),
+          .select(col("doc_id"), lit(1).as("in_old"),
             expr("graft_polyhash32(text)").as("old_hash"))
         val nw = docs.filter(col("doc_id") % 17 =!= 7)
-          .select(col("doc_id"), expr(
+          .select(col("doc_id"), lit(1).as("in_new"), expr(
             "graft_polyhash32(CASE WHEN doc_id % 13 = 2" +
               " THEN concat(text, ' [rev2]') ELSE text END)").as("new_hash"))
         old.join(nw, Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("old_hash"), col("new_hash"),
-            when(col("old_hash").isNull, "added")
-              .when(col("new_hash").isNull, "removed")
-              .when(col("old_hash") =!= col("new_hash"), "changed")
+            when(col("in_old").isNull, "added")
+              .when(col("in_new").isNull, "removed")
+              .when(!(col("old_hash") <=> col("new_hash")), "changed")
               .otherwise("unchanged").as("status"))
       })
   )

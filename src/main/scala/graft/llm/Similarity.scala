@@ -562,8 +562,8 @@ object Similarity {
   // finer buckets also shrink the per-bucket skew a hot band key feeds
   // into the join.
   private val NearDupMin = 0.4
-  private[llm] val NdBands = 8
-  private[llm] val NdRowBits = 12
+  private[graft] val NdBands = 8
+  private[graft] val NdRowBits = 12
 
   private def nearDupSpark(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(Catalog.t(s, d, "embeddings")
@@ -635,9 +635,9 @@ object Similarity {
   }
 
   /** DuckDB band-key selects over a CTE `n(vec_id, va)`: one row per
-    * (vec_id, band) carrying the 8-bit sign bucket under the SAME
-    * deterministic hyperplane family the Spark side uses — shared by
-    * the d06 and c11 oracles so every LSH-contract query mirrors one
+    * (vec_id, band) carrying the NdRowBits-bit sign bucket under the
+    * SAME deterministic hyperplane family the Spark side uses — shared
+    * by the d06 and c11 oracles so every LSH-contract query mirrors one
     * plane family, not a per-query copy that could drift.
     */
   private[llm] def duckBandKeys: String = {

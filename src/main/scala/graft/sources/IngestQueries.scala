@@ -713,16 +713,19 @@ object IngestQueries {
         val remaining = shardsOnDisk
           .join(readManifest.select("shard_id"), Seq("shard_id"), "left_anti")
         ingest(remaining, 1)
-        // exactly-once proof: a THIRD session would find nothing to do,
-        // and the landed table equals the lake
+        // exactly-once proof, METADATA-sized (the operator's claim is
+        // that restart cost never touches landed data, so its own proof
+        // must not either): a third session would find nothing to do
+        // (anti-join empty) and no shard was landed twice (no duplicate
+        // manifest rows). Row-level reconciliation against the source —
+        // a full scan — is the law spec's job, and the oracle hash gate
+        // proves the per-shard counts independently.
         require(shardsOnDisk
           .join(readManifest.select("shard_id"), Seq("shard_id"), "left_anti")
           .isEmpty, "manifest does not cover the lake after restart")
-        val landedRows =
-          try s.read.schema(lakeSchema).parquet(landed).count()
-          catch { case _: Throwable => 0L } // zero-shard corpus: no dir
-        require(landedRows == docs.count(),
-          "landed row count diverges from the lake")
+        require(readManifest.groupBy("shard_id").count()
+          .filter(col("count") > 1).isEmpty,
+          "a shard was ingested more than once")
         readManifest.select(col("shard_id"), col("n_rows"), col("session"))
       }))
 

@@ -881,11 +881,12 @@ object StreamingQueries {
     QueryDef(
       "st25_snapshot_vacuum",
       Some("""WITH vs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(version)),
-             |e AS (SELECT user_id, event_id FROM events),
+             |e AS (SELECT user_id,
+             |    ((event_id % 4) + 4) % 4 AS slice FROM events),
              |s AS (SELECT v.version,
              |    count(DISTINCT e.user_id) AS n_keys,
              |    count(e.user_id) AS total_events
-             |  FROM vs v LEFT JOIN e ON e.event_id % 4 <= v.version
+             |  FROM vs v LEFT JOIN e ON e.slice <= v.version
              |  GROUP BY v.version)
              |SELECT cast(version as bigint) AS version, n_keys, total_events,
              |  CASE WHEN version >= 2 THEN 'retained' ELSE 'vacuumed' END
@@ -905,8 +906,12 @@ object StreamingQueries {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
+          // pmod, not %: Spark's % keeps the dividend's sign, so a
+          // negative event_id would fall out of EVERY batch slice while
+          // the oracle's positive-mod rewrite counts it — the slices
+          // must partition the id space on both sides
           (0L until NumBatches).foreach { b =>
-            writeSnap(ev.filter(col("event_id") % NumBatches === b), b)
+            writeSnap(ev.filter(pmod(col("event_id"), lit(NumBatches)) === b), b)
           }
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         // price every version BEFORE the vacuum: 1-row bounded aggregate

@@ -76,7 +76,8 @@ object EpsGraphScaleSmoke {
       val ((edges, lshS)) = timed {
         Similarity.embeddingNearDups(vecs, eps).count()
       }
-      println(s"""{"metric":"eps_graph_scale_smoke","path":"lsh_banded",""" +
+      val bands = s"${Similarity.NdBands}x${Similarity.NdRowBits}"
+      println(s"""{"metric":"eps_graph_scale_smoke","bands":"$bands","path":"lsh_banded",""" +
         s""""n_vecs":$n,"pairs_examined":$candPairs,""" +
         s""""pairs_per_vec":${"%.1f".format(candPairs.toDouble / n)},""" +
         s""""eps_edges":$edges,"candidates_s":${"%.1f".format(candS)},""" +
@@ -89,12 +90,12 @@ object EpsGraphScaleSmoke {
         val (edgesExact, exactS) = timed {
           Similarity.embeddingNearDups(vecs, eps, exact = true).count()
         }
-        println(s"""{"metric":"eps_graph_scale_smoke","path":"all_pairs",""" +
+        println(s"""{"metric":"eps_graph_scale_smoke","bands":"n/a","path":"all_pairs",""" +
           s""""n_vecs":$n,"pairs_examined":$allPairs,""" +
           s""""pairs_per_vec":${"%.1f".format(allPairs.toDouble / n)},""" +
           s""""eps_edges":$edgesExact,"total_s":${"%.1f".format(exactS)}}""")
       } else {
-        println(s"""{"metric":"eps_graph_scale_smoke","path":"all_pairs",""" +
+        println(s"""{"metric":"eps_graph_scale_smoke","bands":"n/a","path":"all_pairs",""" +
           s""""n_vecs":$n,"pairs_examined":$allPairs,""" +
           s""""pairs_per_vec":${"%.1f".format(allPairs.toDouble / n)},""" +
           s""""eps_edges":null,"total_s":null,"note":"not run - this is the retired shape"}""")

@@ -53,9 +53,7 @@ class RoundNineBatchFourSpec extends AnyFunSuite {
     // deterministic 8×12 plane family: (hub, sat±) collide with min
     // |dot| margin 0.014 across all 96 planes — far above float32
     // noise — so the bucket assignment is stable, not plane luck.
-    def axes(w: (Int, Double)*): Array[Float] = {
-      val a = Array.fill(64)(0f); w.foreach { case (i, x) => a(i) = x.toFloat }; a
-    }
+    import TestVectors.axes
     // panel = vec_id % 5 == 0. Geometry (eps = cos >= 0.35, minPts 3):
     //   0  hub  e26              — neighbors 5, 10 (cos 0.8)   -> core
     //   5  sat  .8·e26 + .6·e14  — neighbor 0 only             -> border

@@ -52,9 +52,7 @@ class RoundTenOpsSpec extends AnyFunSuite {
   test("d28 flags a planted benchmark leak and tie-breaks by id") {
     val s = spark; import s.implicits._
     val dir = TempDirs.create("graft-d28-fixture")
-    def axes(w: (Int, Double)*): Array[Float] = {
-      val a = Array.fill(64)(0f); w.foreach { case (i, x) => a(i) = x.toFloat }; a
-    }
+    import TestVectors.axes
     // probes = vec_id % 97 == 0 → {0, 97}. Corpus:
     //   1: EXACT copy of probe 0 (cos 1.0)        → probe 0 contaminated
     //   2: same direction as probe 0, scaled      → cos 1.0 TIE with 1;
