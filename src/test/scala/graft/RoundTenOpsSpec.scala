@@ -15,20 +15,23 @@ class RoundTenOpsSpec extends AnyFunSuite {
     val s = spark; import s.implicits._
     val dir = TempDirs.create("graft-st25-fixture")
     val baseUs = 1704067200000000L // 2024-01-01T00:00Z in micros
-    // event_id % 4 = batch: b0 = {0, 4}, b1 = {1}, b2 = {2}, b3 = {3}
-    //   users: u1 sends events 0, 1, 2 — present from v0 on
-    //          u2 sends events 4 (b0) and 3 (b3)
+    // pmod(event_id, 4) = batch: b0 = {0, 4}, b1 = {1, -3}, b2 = {2},
+    // b3 = {3} — the NEGATIVE id lands in slice 1 on BOTH sides
+    // (pmod in Spark, ((x%4)+4)%4 in the oracle); with Spark's plain %
+    // it would fall out of every slice and vanish from the chain.
+    //   users: u1 sends events 0, 1, 2; u2 sends 4 and 3; u3 sends -3
     // version stats (cumulative over batches 0..b):
-    //   v0: events {0, 4}       -> 2 keys, 2 events
-    //   v1: events {0, 4, 1}    -> 2 keys, 3 events
-    //   v2: + {2}               -> 2 keys, 4 events
-    //   v3: + {3}               -> 2 keys, 5 events
+    //   v0: events {0, 4}         -> 2 keys, 2 events
+    //   v1: events {0, 4, 1, -3}  -> 3 keys, 4 events
+    //   v2: + {2}                 -> 3 keys, 5 events
+    //   v3: + {3}                 -> 3 keys, 6 events
     Seq(
       (0L, baseUs, 1L, "click", 1.0, "{}"),
       (1L, baseUs + 1000000L, 1L, "view", 2.0, "{}"),
       (2L, baseUs + 2000000L, 1L, "click", 3.0, "{}"),
       (3L, baseUs + 3000000L, 2L, "buy", 4.0, "{}"),
-      (4L, baseUs + 4000000L, 2L, "view", 5.0, "{}"))
+      (4L, baseUs + 4000000L, 2L, "view", 5.0, "{}"),
+      (-3L, baseUs + 5000000L, 3L, "view", 6.0, "{}"))
       .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
       .withColumn("ts", expr("timestamp_micros(tsu)")).drop("tsu")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -37,8 +40,8 @@ class RoundTenOpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("version"), r.getAs[Long]("n_keys"),
         r.getAs[Long]("total_events"), r.getAs[String]("status")))
     assert(rows.toSeq == Seq(
-      (0L, 2L, 2L, "vacuumed"), (1L, 2L, 3L, "vacuumed"),
-      (2L, 2L, 4L, "retained"), (3L, 2L, 5L, "retained")))
+      (0L, 2L, 2L, "vacuumed"), (1L, 3L, 4L, "vacuumed"),
+      (2L, 3L, 5L, "retained"), (3L, 3L, 6L, "retained")))
   }
 
   test("st25 version chain is replay-deterministic: a second build " +
