@@ -661,6 +661,63 @@ object StateQueries {
           .toDF("key", "cnt")
       }),
 
+    // sp37: retention POLICY over a checkpoint CHAIN — the savepoint
+    // side of st25's versioned-sink vacuum, and the chain extension of
+    // sp27's single-supersession GC. Two incremental updates stack on a
+    // native-RocksDB base (v1 → v2 → v3); the newest-only policy then
+    // retires BOTH ancestors, each GC pass keeping exactly the head's
+    // live closure. This is the transitive-liveness law sp27 cannot
+    // test: the head still references SSTs that physically live in
+    // ancestor checkpoint dirs, so both passes must retain them while
+    // deleting each retired _metadata (restore-point revocation) and
+    // every unreferenced file. The head must decode IDENTICALLY after
+    // the sweep — the oracle sees both updates compounded.
+    QueryDef(
+      "sp37_checkpoint_retention",
+      Some("""SELECT o_custkey AS key,
+             |  CASE WHEN o_custkey < 50 THEN 3 * count(*)
+             |       WHEN o_custkey < 100 THEN 5 * count(*)
+             |       ELSE count(*) END AS cnt
+             |FROM orders GROUP BY o_custkey""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val maxPar = 128
+        val counts = Catalog.t(s, d, "orders")
+          .groupBy(col("o_custkey")).count().as[(Long, Long)]
+        val noDels = counts.filter(_ => false).map { case (k, _) =>
+          StateRowEncoder.valueRow("Count", k, 0L, LongCodec, LongCodec, maxPar)
+        }
+        val meta1 = Savepoints
+          .writer(s, Savepoints.bootstrap("ret-gate", 4, maxPar), "ret-gate")
+          .withKeyCodec(LongCodec)
+          .withNativeRocksDb()
+          .createNewValueState("Count", counts, LongCodec)
+          .writeAll(tmp("graft-sp37a"))
+        val ups1 = counts.filter(_._1 < 50).map { case (k, v) =>
+          StateRowEncoder.valueRow("Count", k, v * 3, LongCodec, LongCodec, maxPar)
+        }
+        val v1 = Savepoints.load(meta1.basePath)
+        val meta2 = StateMaintenance.incrementalUpdate(
+          s, v1, "ret-gate", ups1, noDels, tmp("graft-sp37b"))
+        val ups2 = counts.filter(r => r._1 >= 50 && r._1 < 100)
+          .map { case (k, v) =>
+            StateRowEncoder.valueRow("Count", k, v * 5, LongCodec, LongCodec, maxPar)
+          }
+        val v2 = Savepoints.load(meta2.basePath)
+        val meta3 = StateMaintenance.incrementalUpdate(
+          s, v2, "ret-gate", ups2, noDels, tmp("graft-sp37c"))
+        val head = Savepoints.load(meta3.basePath)
+        // newest-only retention: retire the chain oldest-first, each
+        // pass scoped to the head's live closure
+        val g1 = StateMaintenance.gcSavepoint(v1, Seq(head))
+        val g2 = StateMaintenance.gcSavepoint(v2, Seq(head))
+        require(g1.deletedFiles.nonEmpty && g2.deletedFiles.nonEmpty,
+          "retention must delete both retired restore points")
+        Savepoints.reader(s, head, "ret-gate")
+          .readValueStates[Long, Long]("Count")
+          .toDF("key", "cnt")
+      }),
+
     // Flink >=1.14 metadata (v4, FLIP-147): a savepoint whose job
     // contains a drained bounded source — the source operator snapshots
     // as FULLY FINISHED (no subtask states) — written and re-read

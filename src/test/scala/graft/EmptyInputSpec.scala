@@ -50,6 +50,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "sp22_split_list_state", "sp23_raw_state_passthrough", "sp24_timer_state",
     "sp25_native_rocksdb_write", "sp26_incremental_update",
     "sp27_checkpoint_gc", "sp28_v4_finished_metadata",
+    "sp37_checkpoint_retention",
     "st08_bootstrap_from_savepoint",
     // representatives of the families that always worked on empty
     "q01_pricing_summary", "q53_window_distinct", "t01_lang_id",

@@ -167,6 +167,21 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("p99_bucket") == 10L)
   }
 
+  test("sp37 head decodes both compounded updates after the chain sweep") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("sp37_checkpoint_retention")(s, sf)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("cnt")).toMap
+    val want = Catalog.t(s, sf, "orders")
+      .groupBy(col("o_custkey")).count().collect()
+      .map { r =>
+        val k = r.getLong(0); val n = r.getLong(1)
+        k -> (if (k < 50) 3 * n else if (k < 100) 5 * n else n)
+      }.toMap
+    assert(got == want,
+      "post-sweep head state diverges from the compounded chain")
+  }
+
   test("st25 report is a correct cumulative prefix at every version") {
     val s = spark
     val ev = Catalog.t(s, sf, "events")
