@@ -860,6 +860,57 @@ object StreamingQueries {
         }
       }),
 
+    // st26: STREAMING quantile monitor — q71's mergeable histogram
+    // sketch maintained by a live stream. The stream side is ONE
+    // complete-mode keyed count whose state is bounded by the bucket
+    // grid × event types regardless of arrival volume (the st23
+    // bounded-state idiom); p50/p95/p99 extraction runs at read time
+    // over those ≤|buckets|×|types| rows with q71's exact integer
+    // ceil-rank math. This is the operational shape for latency/value
+    // percentiles on a live pipeline: the event mass crosses one
+    // map-side-combinable shuffle per micro-batch, and no sort of the
+    // stream ever happens.
+    QueryDef(
+      "st26_stream_quantiles",
+      Some("""WITH c AS (SELECT event_type,
+             |    cast(round(value * 100) as bigint) // 100 AS bucket
+             |  FROM events),
+             |h AS (SELECT event_type, bucket, count(*) AS c
+             |  FROM c GROUP BY 1, 2),
+             |x AS (SELECT *, sum(c) OVER (PARTITION BY event_type
+             |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+             |SELECT event_type, cast(max(n) as bigint) AS n_events,
+             |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END)
+             |    AS p50_bucket,
+             |  min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bucket END)
+             |    AS p95_bucket,
+             |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END)
+             |    AS p99_bucket
+             |FROM x GROUP BY event_type""".stripMargin),
+      (s, d) => {
+        val hist = runToMemorySink(s, d, "st26", "complete") { raw =>
+          raw.select(col("event_type"),
+              expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+            .groupBy(col("event_type"), col("bucket"))
+            .agg(count(lit(1)).as("c"))
+        }
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        def pick(p: Int) =
+          min(when(col("cum") >= expr(s"(n * $p + 99) div 100"),
+            col("bucket"))).as(s"p${p}_bucket")
+        hist
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_events"), pick(50), pick(95), pick(99))
+      }),
+
     // st25: versioned-sink VACUUM — the retention/GC policy for st24's
     // snapshot chain, pairing it with sp27's GC discipline (retire
     // exactly what no live reader needs, prove the survivor decodes).

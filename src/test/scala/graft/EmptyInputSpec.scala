@@ -112,8 +112,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // pinned schema
     "i19_resumable_ingest",
     // two empty versions diff to an empty report; an empty event stream
-    // yields an empty quantile sketch
-    "p26_corpus_version_diff", "q71_sketch_quantiles")
+    // yields an empty quantile sketch (batch and streaming alike)
+    "p26_corpus_version_diff", "q71_sketch_quantiles",
+    "st26_stream_quantiles")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

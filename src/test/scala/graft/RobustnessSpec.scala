@@ -157,8 +157,10 @@ class RobustnessSpec extends AnyFunSuite {
     // roundtrip + manifest reconciliation
     "i19_resumable_ingest",
     // hostile text through the content-hash version diff; adversarial
-    // events (extreme values) through the histogram sketch
-    "p26_corpus_version_diff", "q71_sketch_quantiles")
+    // events (extreme values) through the histogram sketch, batch and
+    // streaming alike
+    "p26_corpus_version_diff", "q71_sketch_quantiles",
+    "st26_stream_quantiles")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

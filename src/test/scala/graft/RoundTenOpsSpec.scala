@@ -167,6 +167,17 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("p99_bucket") == 10L)
   }
 
+  test("st26 streaming sketch agrees with the batch q71 sketch exactly") {
+    // same corpus, same bucket grid, same ceil-rank math: the streaming
+    // complete-mode histogram must reach the identical quantile report
+    // the batch path computes — the kappa-architecture equivalence for
+    // this monitor
+    val s = spark
+    def rep(name: String) = SparkEntry.queries(name)(s, sf)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(rep("st26_stream_quantiles") == rep("q71_sketch_quantiles"))
+  }
+
   test("sp37 head decodes both compounded updates after the chain sweep") {
     val s = spark
     import org.apache.spark.sql.functions._
