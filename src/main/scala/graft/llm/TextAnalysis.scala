@@ -1336,6 +1336,55 @@ object TextAnalysis {
         top.withColumn("rank", row_number().over(
             Window.orderBy(col("score_fx").desc, col("phrase").asc)))
           .select("phrase", "n_words", "freq", "score_fx", "rank")
+      }),
+
+    // t43: classifier CALIBRATION (reliability diagram) — the ML-ops
+    // check a data-quality filter needs before its scores gate a 100 TB
+    // corpus: does a high score actually mean mostly-positive docs? The
+    // score is EXACTLY p25's quality_fx (the number the retention sweep
+    // prunes on — the score whose calibration matters), the label is
+    // lang = 'en'; docs bucket into the same deciles p25 sweeps and
+    // each decile reports predicted (mean score, rescaled to ppm-of-max
+    // 1e6) vs observed (positive rate in ppm) plus the |gap| — all
+    // integer fixed-point, so both engines agree bit-for-bit. ONE
+    // map-side-combinable shuffle over ≤10 bucket keys; per-doc scoring
+    // runs inside the scan stage. Expected calibration error =
+    // Σ n_docs·gap_ppm / N over these rows — the per-decile rows stay
+    // the primitive.
+    QueryDef(
+      "t43_score_calibration",
+      Some("""WITH d AS (SELECT lang, string_split(text, ' ') AS w
+             |  FROM documents),
+             |q AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             |    (len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+             |       * 1000000 // greatest(len(w), 1)) // 2
+             |      + least(len(w), 200) * 2500 AS quality_fx FROM d),
+             |b AS (SELECT least(quality_fx // 100000, 9) AS bucket,
+             |    pos, quality_fx FROM q)
+             |SELECT bucket, count(*) AS n_docs,
+             |  cast(sum(pos) as bigint) AS n_pos,
+             |  cast(sum(pos) as bigint) * 1000000 // count(*) AS pos_rate_ppm,
+             |  cast(sum(quality_fx) as bigint) // count(*) AS avg_score_fx,
+             |  abs(cast(sum(quality_fx) as bigint) // count(*)
+             |    - cast(sum(pos) as bigint) * 1000000 // count(*)) AS gap_fx
+             |FROM b GROUP BY bucket""".stripMargin),
+      (s, d) => {
+        val scored = Catalog.t(s, d, "documents")
+          .select(col("lang"), split(col("text"), " ").as("w"))
+          .select(
+            when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+            expr("(cast(size(filter(w, x -> x rlike '^[a-z]+$'))" +
+              " as bigint) * 1000000 div greatest(size(w), 1)) div 2" +
+              " + cast(least(size(w), 200) as bigint) * 2500")
+              .as("quality_fx"))
+        scored
+          .groupBy(least(expr("quality_fx div 100000"), lit(9L)).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pos")).as("n_pos"),
+            expr("sum(pos) * 1000000 div count(*)").as("pos_rate_ppm"),
+            expr("sum(quality_fx) div count(*)").as("avg_score_fx"),
+            expr("abs(sum(quality_fx) div count(*)" +
+              " - sum(pos) * 1000000 div count(*))").as("gap_fx"))
       })
   )
 

@@ -114,7 +114,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // two empty versions diff to an empty report; an empty event stream
     // yields an empty quantile sketch (batch and streaming alike)
     "p26_corpus_version_diff", "q71_sketch_quantiles",
-    "st26_stream_quantiles")
+    "st26_stream_quantiles",
+    // an empty corpus calibrates to an empty diagram
+    "t43_score_calibration")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -160,7 +160,9 @@ class RobustnessSpec extends AnyFunSuite {
     // events (extreme values) through the histogram sketch, batch and
     // streaming alike
     "p26_corpus_version_diff", "q71_sketch_quantiles",
-    "st26_stream_quantiles")
+    "st26_stream_quantiles",
+    // hostile text through the quality-score calibration buckets
+    "t43_score_calibration")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

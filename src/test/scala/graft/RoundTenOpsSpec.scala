@@ -178,6 +178,29 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(rep("st26_stream_quantiles") == rep("q71_sketch_quantiles"))
   }
 
+  test("t43 prices a hand-computed reliability diagram exactly") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-t43-fixture")
+    // scores use p25's exact quality_fx formula:
+    //   "a b"  (en): (2/2 ratio -> 1e6)/2 + 2*2500 = 505000 -> bucket 5
+    //   "x y"  (fr): same score, bucket 5, negative label
+    //   "1 2 3"(fr): 0/3 alpha -> 0/2 + 3*2500 = 7500 -> bucket 0
+    // bucket 5: n=2 pos=1 rate=500000 avg=505000 gap=5000
+    // bucket 0: n=1 pos=0 rate=0      avg=7500   gap=7500
+    Seq((1L, "a b", "en"), (2L, "x y", "fr"), (3L, "1 2 3", "fr"))
+      .map { case (id, t, l) => (id, t, l, "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t43_score_calibration")(s, dir)
+      .collect().map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_pos"),
+          x.getAs[Long]("pos_rate_ppm"), x.getAs[Long]("avg_score_fx"),
+          x.getAs[Long]("gap_fx"))).toMap
+    assert(r == Map(
+      5L -> (2L, 1L, 500000L, 505000L, 5000L),
+      0L -> (1L, 0L, 0L, 7500L, 7500L)))
+  }
+
   test("sp37 head decodes both compounded updates after the chain sweep") {
     val s = spark
     import org.apache.spark.sql.functions._
