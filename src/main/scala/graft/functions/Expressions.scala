@@ -61,6 +61,60 @@ object PolyHash32 {
   }
 }
 
+/** BYTE-exact sibling of [[PolyHash32]]: the same
+  * `h = (h*31 + byte) mod 4294967291` fold, but over the string's UTF-8
+  * BYTES instead of its UTF-16 chars. The two folds agree only on
+  * pure-ASCII input — any supplementary-plane character (emoji) is one
+  * surrogate PAIR of chars but four bytes, so a char-fold can never be
+  * mirrored byte-exactly by an engine that sees UTF-8. This is the hash
+  * for WHOLE-DOCUMENT content (p26's version diff; the m-series
+  * checksums use the same fold over the payload), where astral-plane
+  * text is routine; [[PolyHash32]] remains the per-WORD hash (SimHash /
+  * vocab features), where the corpus contract is BMP tokens. Mirrored
+  * in the oracle by [[graft.llm.TextExprs.duckByteHash]] (hex-pair
+  * recovery of the UTF-8 octets). Faster than the char fold, not just
+  * safer: Spark's `UTF8String` already stores UTF-8, so the kernel
+  * reads the backing bytes with no `toString` decode.
+  */
+case class ByteHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"bytehash32 needs a string, got ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ByteHash32.hash(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h = ($h * 31L + ($b[$i] & 0xffL)) % ${PolyHash32.Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHash32 =
+    copy(child = newChild)
+}
+
+object ByteHash32 {
+  def hash(b: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < b.length) { h = (h * 31L + (b(i) & 0xffL)) % PolyHash32.Mod; i += 1 }
+    h
+  }
+}
+
 /** Sequential-fold dot product of two float/double arrays as double. */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -277,6 +331,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_polyhash32",
       exprs => PolyHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bytehash32",
+      exprs => ByteHash32(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_kmin",
@@ -304,6 +360,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_polyhash32"),
       new ExpressionInfo(classOf[PolyHash32].getName, "graft_polyhash32"),
       (exprs: Seq[Expression]) => PolyHash32(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_bytehash32"),
+      new ExpressionInfo(classOf[ByteHash32].getName, "graft_bytehash32"),
+      (exprs: Seq[Expression]) => ByteHash32(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))

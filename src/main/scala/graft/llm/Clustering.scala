@@ -1178,27 +1178,38 @@ object Clustering {
   /** c11 parameters: cosine-similarity epsilon ball and the classic
     * minPts density bar (neighborhood INCLUDING the point itself). The
     * panel is every 5th vector — the evaluation-panel idiom (s04/s16).
-    * The epsilon graph is d06's banded sign-LSH contract: candidate
-    * pairs are same-(band,bucket) collisions under the deterministic
-    * hyperplane family (NdBands × NdRowBits in [[Similarity]] — 8×12
-    * as of round 10), and exact cosine is verified ONLY on
-    * candidates — never an all-pairs join, so pair count is bounded by
-    * bucket co-occupancy, not O(N²/25). The oracle mirrors the bucket
-    * assignment exactly (the d06 idiom), so the hash gate proves the
-    * banding, the cosine filter, and the role classification together.
-    * PlanQualitySpec pins the physical plan: no CartesianProduct, no
-    * BroadcastNestedLoopJoin, no mandatory broadcast.
+    * The epsilon graph is the banded sign-LSH contract (d06's idiom),
+    * but with c11's OWN band family tuned for the LOW threshold:
+    * 16 bands × 4 bits. Per-pair recall 1−(1−p^4)^16 with p = 1−θ/π:
+    * ≈ 0.91 at cos 0.35 (= eps), 0.97 at 0.5, 0.997 at 0.7, ~1 at 0.9 —
+    * vs ≈ 0.02 at eps under d06's 8×12 family (tuned for cos ≥ 0.9),
+    * which would have made core/border roles banding artifacts. The
+    * honest cost, stated plainly: at eps this low, background pairs
+    * collide too (≈ 64% of cos-0 pairs hit ≥1 band), so banding prunes
+    * only a constant factor of the panel's pair mass — the SCALE
+    * control is the panel itself (a bounded evaluation set, |panel| =
+    * N/5 of a fixed audit slice), banding keeps the join keyed on
+    * (band, bucket) rather than a cartesian, and exact cosine is
+    * verified ONLY on candidates. A full-corpus low-eps graph is not a
+    * thing this operator promises; raise eps or shrink the panel. The
+    * oracle mirrors the 16×4 bucket assignment exactly, so the hash
+    * gate proves banding, cosine filter, and role classification
+    * together. PlanQualitySpec pins the physical plan: no
+    * CartesianProduct, no BroadcastNestedLoopJoin, no mandatory
+    * broadcast.
     */
   private val DbscanEps = 0.35
   private val DbscanMinPts = 3
   private val DbscanPanelMod = 5
+  private[graft] val DbscanBands = 16
+  private[graft] val DbscanRowBits = 4
 
   /** DBSCAN density roles over the embedding panel: `core` (>= minPts
     * points in the eps-ball incl. self), `border` (not core, but inside
     * a core point's ball), `noise` (neither). The epsilon graph is the
     * LSH-blocked near-dup relation from [[Similarity.embeddingNearDups]]
-    * (banded sign-LSH candidates, exact cosine on candidates only),
-    * symmetrized; roles come from a degree count plus one semi-join of
+    * under the low-threshold 16×4 band family above (exact cosine on
+    * candidates only), symmetrized; roles come from a degree count plus one semi-join of
     * the non-core side against core neighbors — no iteration, no
     * collect, no all-pairs join anywhere. The driver corpus's embeddings
     * are near-orthogonal random vectors, so the honest report is mostly
@@ -1209,7 +1220,8 @@ object Clustering {
     val panel = Catalog.t(s, d, "embeddings")
       .filter(col("vec_id") % DbscanPanelMod === 0)
       .select(col("vec_id"), col("embedding"))
-    val pairs = Similarity.embeddingNearDups(panel, DbscanEps)
+    val pairs = Similarity.embeddingNearDups(panel, DbscanEps,
+      bands = DbscanBands, rowBits = DbscanRowBits)
     val edges = pairs.select(col("vec_a").as("ia"), col("vec_b").as("ib"))
       .union(pairs.select(col("vec_b").as("ia"), col("vec_a").as("ib")))
     val deg = edges.groupBy(col("ia").as("vec_id"))
@@ -1234,7 +1246,7 @@ object Clustering {
     s"""WITH p AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
        |  FROM embeddings WHERE vec_id % $DbscanPanelMod = 0),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM p),
-       |k AS (${Similarity.duckBandKeys}),
+       |k AS (${Similarity.duckBandKeys(DbscanBands, DbscanRowBits)}),
        |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
        |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
        |ef AS (SELECT ia, ib FROM cand

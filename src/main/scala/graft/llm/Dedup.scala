@@ -2000,12 +2000,25 @@ object Dedup {
     * products run the codegen'd sequential-fold kernel, so scores are
     * bit-deterministic against the oracle. Exact by design (a
     * contamination audit must not trade recall); the LSH-blocked path
-    * exists for corpus×corpus shapes, not probe×corpus. */
+    * exists for corpus×corpus shapes, not probe×corpus.
+    *
+    * Corpus vectors whose squared norm is not a FINITE POSITIVE number
+    * are dropped before ranking: a NaN-component vector folds to a NaN
+    * norm and NaN cosine, and both engines rank NaN above every real
+    * number — one poisoned corpus vector would become every probe's
+    * rank-1 "best match" and flag the whole probe set contaminated.
+    * The predicate `nsq > 0 AND nsq < Inf` evaluates identically in
+    * Spark and DuckDB (both order NaN above +Inf), so the oracle
+    * mirrors it verbatim; zero vectors (cosine 0 under the shared norm
+    * guard — never a contamination signal) are excluded by the same
+    * test. Pinned by value in RoundTenOpsSpec. */
   private def semContamSpark(s: SparkSession, d: String): DataFrame = {
     val e = Catalog.t(s, d, "embeddings")
     val probes = e.filter(col("vec_id") % ContamProbeMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
+    val nsq = Similarity.sparkDot("embedding", "embedding")
     val corpus = e.filter(col("vec_id") % ContamProbeMod =!= 0)
+      .filter(expr(s"$nsq > 0 AND $nsq < cast('Infinity' as double)"))
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
     Similarity.cosineTopK(probes, corpus, 1, excludeSelf = false)
       .select(col("query_id").as("probe_id"),
@@ -2020,7 +2033,11 @@ object Dedup {
        |pn AS (SELECT probe_id, qa, ${Similarity.duckNorm("qa")} AS qn FROM p),
        |c AS (SELECT vec_id AS neighbor_id,
        |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings
-       |  WHERE vec_id % $ContamProbeMod <> 0),
+       |  WHERE vec_id % $ContamProbeMod <> 0
+       |    AND ${Similarity.duckDot("cast(embedding AS DOUBLE[])",
+                  "cast(embedding AS DOUBLE[])")} > 0
+       |    AND ${Similarity.duckDot("cast(embedding AS DOUBLE[])",
+                  "cast(embedding AS DOUBLE[])")} < cast('Infinity' as double)),
        |cn AS (SELECT neighbor_id, ca, ${Similarity.duckNorm("ca")} AS cn FROM c),
        |sc AS (SELECT probe_id, neighbor_id,
        |    ${Similarity.duckDot("qa", "ca")} / (qn * cn) AS cosine,

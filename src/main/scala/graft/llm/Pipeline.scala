@@ -858,16 +858,18 @@ object Pipeline {
     // can rebuild both sides exactly. The diff itself is the operative
     // shape: ONE keyed full-outer join of two narrow (doc_id,
     // content_hash) relations — hashes are computed inside each scan
-    // (the codegen'd graft_polyhash32 kernel), document text never
-    // crosses the shuffle, and at 100 TB the join is one co-partitioned
-    // exchange on doc_id. Status classes: added / removed / changed /
-    // unchanged.
+    // (the codegen'd graft_bytehash32 kernel: a BYTE-exact UTF-8 fold,
+    // because whole-document text routinely carries supplementary-plane
+    // characters that a UTF-16 char fold and the oracle's codepoint
+    // fold hash differently), document text never crosses the shuffle,
+    // and at 100 TB the join is one co-partitioned exchange on doc_id.
+    // Status classes: added / removed / changed / unchanged.
     QueryDef(
       "p26_corpus_version_diff",
       Some(s"""WITH o AS (SELECT doc_id, 1 AS in_old,
-              |    ${duckWordHash("text")} AS old_hash
+              |    ${TextExprs.duckByteHash("text")} AS old_hash
               |  FROM documents WHERE doc_id % 17 <> 3),
-              |n AS (SELECT doc_id, 1 AS in_new, ${duckWordHash(
+              |n AS (SELECT doc_id, 1 AS in_new, ${TextExprs.duckByteHash(
                  "(CASE WHEN doc_id % 13 = 2 THEN text || ' [rev2]' ELSE text END)")}
               |    AS new_hash
               |  FROM documents WHERE doc_id % 17 <> 7)
@@ -889,10 +891,10 @@ object Pipeline {
         // IS DISTINCT FROM)
         val old = docs.filter(col("doc_id") % 17 =!= 3)
           .select(col("doc_id"), lit(1).as("in_old"),
-            expr("graft_polyhash32(text)").as("old_hash"))
+            expr("graft_bytehash32(text)").as("old_hash"))
         val nw = docs.filter(col("doc_id") % 17 =!= 7)
           .select(col("doc_id"), lit(1).as("in_new"), expr(
-            "graft_polyhash32(CASE WHEN doc_id % 13 = 2" +
+            "graft_bytehash32(CASE WHEN doc_id % 13 = 2" +
               " THEN concat(text, ' [rev2]') ELSE text END)").as("new_hash"))
         old.join(nw, Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("old_hash"), col("new_hash"),

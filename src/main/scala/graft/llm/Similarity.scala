@@ -579,7 +579,8 @@ object Similarity {
     * scale-killer by design, never the default.
     */
   def embeddingNearDups(vecs: DataFrame, minCosine: Double = NearDupMin,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, bands: Int = NdBands,
+      rowBits: Int = NdRowBits): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val e = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", expr(s"${sparkNorm("embedding")}"))
@@ -593,7 +594,7 @@ object Similarity {
         .filter(col("cosine") >= minCosine)
         .select("vec_a", "vec_b", "cosine")
     } else {
-      val cand = lshCandidatePairs(e)
+      val cand = lshCandidatePairs(e, bands, rowBits)
       val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -612,13 +613,22 @@ object Similarity {
     * vectors are NOT carried through the candidate join, they are
     * fetched back by id after the distinct (d02's candidate shape), so
     * the shuffle is keyed on (band, bucket) and never all-pairs.
+    *
+    * `bands`×`rowBits` selects the AND-OR family (default = d06's 8×12,
+    * tuned for cos ≥ 0.9). Per-pair recall is 1−(1−p^rowBits)^bands
+    * with p = 1−θ/π: low-threshold callers (c11's eps graph) pass a
+    * fewer-bits/more-bands family because p^12 is negligible below
+    * cos ≈ 0.7. Planes are indexed band-major into the shared
+    * deterministic family, so each (bands, rowBits) choice is a fixed,
+    * oracle-mirrorable plane assignment.
     */
-  def lshCandidatePairs(vecs: DataFrame): DataFrame = {
+  def lshCandidatePairs(vecs: DataFrame, bands: Int = NdBands,
+      rowBits: Int = NdRowBits): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val pl = planesN(NdBands * NdRowBits)
-    val bandStructs = (0 until NdBands).map { b =>
-      val bits = (0 until NdRowBits).map { j =>
-        val p = pl(b * NdRowBits + j)
+    val pl = planesN(bands * rowBits)
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until rowBits).map { j =>
+        val p = pl(b * rowBits + j)
           .mkString("cast(array(", ", ", ") as array<double>)")
         s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
       }.mkString(" + ")
@@ -638,13 +648,17 @@ object Similarity {
     * (vec_id, band) carrying the NdRowBits-bit sign bucket under the
     * SAME deterministic hyperplane family the Spark side uses — shared
     * by the d06 and c11 oracles so every LSH-contract query mirrors one
-    * plane family, not a per-query copy that could drift.
+    * plane family, not a per-query copy that could drift. Parameterized
+    * the same way as [[lshCandidatePairs]] (band-major plane indexing),
+    * so a caller-chosen family mirrors exactly.
     */
-  private[llm] def duckBandKeys: String = {
-    val pl = planesN(NdBands * NdRowBits)
-    (0 until NdBands).map { b =>
-      val bits = (0 until NdRowBits).map { j =>
-        val p = pl(b * NdRowBits + j).mkString("[", ", ", "]")
+  private[llm] def duckBandKeys: String = duckBandKeys(NdBands, NdRowBits)
+
+  private[llm] def duckBandKeys(bands: Int, rowBits: Int): String = {
+    val pl = planesN(bands * rowBits)
+    (0 until bands).map { b =>
+      val bits = (0 until rowBits).map { j =>
+        val p = pl(b * rowBits + j).mkString("[", ", ", "]")
         s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"

@@ -1188,11 +1188,15 @@ object RelationalQueries4 {
     // extraction runs on the ≤|buckets|×|types| sketch rows, never the
     // event mass. p50/p95/p99 resolve to the smallest bucket whose
     // cumulative count reaches ceil(p·n/100) — deterministic integer
-    // math, bit-identical in both engines (value ≥ 0 in this corpus, so
-    // truncating and flooring division agree; the cents rounding is the
-    // st24-established parity). Error bound: one bucket width, priced
-    // by the fixed grid — the honest trade the exact paths price the
-    // other way.
+    // math, bit-identical in both engines. Bucketing is FLOOR division
+    // (the pmod rewrite below), not Spark's truncate-toward-zero `div`:
+    // DuckDB's `//` floors, so a negative value (−1.5 → cents −150)
+    // must land in bucket −2 on both sides — sign-safe, not
+    // corpus-assumption-safe. (The ceil-rank `div`s stay truncating:
+    // their operands are counts, provably ≥ 0.) The cents rounding is
+    // the st24-established parity. Error bound: one bucket width,
+    // priced by the fixed grid — the honest trade the exact paths
+    // price the other way.
     QueryDef(
       "q71_sketch_quantiles",
       Some("""WITH c AS (SELECT event_type,
@@ -1212,9 +1216,14 @@ object RelationalQueries4 {
              |    AS p99_bucket
              |FROM x GROUP BY event_type""".stripMargin),
       (s, d) => {
+        // floor(cents / 100) as pure integer math: subtracting the
+        // always-nonnegative pmod makes the numerator an exact multiple
+        // whose truncating `div` equals the floor — matches DuckDB `//`
+        // for every sign (−150 → −2, not −1)
+        val bucket = "(cast(round(value * 100) as bigint)" +
+          " - pmod(cast(round(value * 100) as bigint), 100)) div 100"
         val hist = t(s, d, "events")
-          .select(col("event_type"),
-            expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+          .select(col("event_type"), expr(bucket).as("bucket"))
           .groupBy(col("event_type"), col("bucket"))
           .agg(count(lit(1)).as("c"))
         val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))

@@ -889,9 +889,13 @@ object StreamingQueries {
              |    AS p99_bucket
              |FROM x GROUP BY event_type""".stripMargin),
       (s, d) => {
+        // q71's floor-consistent bucket (pmod rewrite): Spark `div`
+        // truncates toward zero while the oracle's `//` floors, so the
+        // sketch must floor explicitly to stay sign-safe (−150 → −2)
+        val bucket = "(cast(round(value * 100) as bigint)" +
+          " - pmod(cast(round(value * 100) as bigint), 100)) div 100"
         val hist = runToMemorySink(s, d, "st26", "complete") { raw =>
-          raw.select(col("event_type"),
-              expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+          raw.select(col("event_type"), expr(bucket).as("bucket"))
             .groupBy(col("event_type"), col("bucket"))
             .agg(count(lit(1)).as("c"))
         }

@@ -46,13 +46,13 @@ class RoundNineBatchFourSpec extends AnyFunSuite {
     "and the LSH epsilon graph loses no edge of the exact one here") {
     val s = spark; import s.implicits._
     val dir = TempDirs.create("graft-c11-fixture")
-    // 64-dim vectors: c11's epsilon graph now goes through d06's banded
-    // sign-LSH (64-dim deterministic planes), so the fixture must be
-    // plane-dimensioned AND its required pairs must actually collide in
-    // >= 1 of the 8 bands. Axes 26/14 were searched against the
-    // deterministic 8×12 plane family: (hub, sat±) collide with min
-    // |dot| margin 0.014 across all 96 planes — far above float32
-    // noise — so the bucket assignment is stable, not plane luck.
+    // 64-dim vectors: c11's epsilon graph goes through banded sign-LSH
+    // (64-dim deterministic planes) under c11's OWN low-threshold
+    // 16×4 family (round 11: ~91% pair recall at eps 0.35 vs ~2% under
+    // d06's 8×12), so the fixture must be plane-dimensioned AND its
+    // required pairs must actually collide in >= 1 of the 16 four-bit
+    // bands — verified by the exact-vs-LSH edge-set equality below,
+    // which re-runs on every build against the deterministic planes.
     import TestVectors.axes
     // panel = vec_id % 5 == 0. Geometry (eps = cos >= 0.35, minPts 3):
     //   0  hub  e26              — neighbors 5, 10 (cos 0.8)   -> core
@@ -83,7 +83,9 @@ class RoundNineBatchFourSpec extends AnyFunSuite {
       .filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"))
     def edges(exact: Boolean) =
-      graft.llm.Similarity.embeddingNearDups(panel, 0.35, exact = exact)
+      graft.llm.Similarity.embeddingNearDups(panel, 0.35, exact = exact,
+          bands = graft.llm.Clustering.DbscanBands,
+          rowBits = graft.llm.Clustering.DbscanRowBits)
         .select("vec_a", "vec_b").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(edges(exact = false) === edges(exact = true))

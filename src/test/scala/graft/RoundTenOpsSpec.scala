@@ -76,6 +76,38 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(!r(97L)._2, s"clean probe flagged: ${r(97L)}")
   }
 
+  test("d28 drops zero- and NaN-norm corpus vectors instead of letting " +
+    "them steal every probe's rank-1 slot") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-d28-poison")
+    import TestVectors.axes
+    // Corpus poison: vec 2 is the all-zeros vector (norm 0 → guard
+    // cosine 0), vec 3 carries a NaN component (norm NaN → cosine NaN;
+    // both engines rank NaN ABOVE every real number, so an unfiltered
+    // NaN vector becomes EVERY probe's best match and flags the whole
+    // probe set). The corpus-side finite-positive-norm filter must
+    // leave only {1, 4}: probe 0 matches its planted dup 1 (cos 1.0,
+    // contaminated), probe 97 sees two cos-0 candidates and stays
+    // clean on the lower-id tiebreak.
+    val nanVec = {
+      val a = Array.fill(64)(0f); a(11) = Float.NaN; a
+    }
+    Seq(
+      (0L, axes(5 -> 1.0)), (97L, axes(7 -> 1.0)),
+      (1L, axes(5 -> 1.0)), (2L, Array.fill(64)(0f)),
+      (3L, nanVec), (4L, axes(9 -> 1.0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("d28_semantic_contamination")(s, dir)
+      .collect().map(x => x.getAs[Long]("probe_id") ->
+        (x.getAs[Long]("best_match_id"), x.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(r.keySet == Set(0L, 97L))
+    assert(r(0L) == (1L, true), s"planted leak missed: ${r(0L)}")
+    assert(r(97L) == (1L, false),
+      s"zero/NaN vector leaked into the ranking: ${r(97L)}")
+  }
+
   test("i19 restart ingests exactly the unlanded shards, once") {
     val s = spark
     val rows = SparkEntry.queries("i19_resumable_ingest")(s, sf)
