@@ -56,7 +56,8 @@ object Clustering {
     QueryDef("c09_davies_bouldin", Some(dbOracle), dbSpark),
     QueryDef("c10_rand_index", Some(randOracle), randSpark),
     QueryDef("s19_centroid_drift", Some(driftOracle), driftSpark),
-    QueryDef("c11_dbscan_core", Some(dbscanOracle), dbscanSpark)
+    QueryDef("c11_dbscan_core", Some(dbscanOracle), dbscanSpark),
+    QueryDef("c12_split_stability", Some(stabilityOracle), stabilitySpark)
   )
 
   // ----------------------------------------------- elbow curve (c08)
@@ -1183,7 +1184,12 @@ object Clustering {
     * 16 bands × 4 bits. Per-pair recall 1−(1−p^4)^16 with p = 1−θ/π:
     * ≈ 0.91 at cos 0.35 (= eps), 0.97 at 0.5, 0.997 at 0.7, ~1 at 0.9 —
     * vs ≈ 0.02 at eps under d06's 8×12 family (tuned for cos ≥ 0.9),
-    * which would have made core/border roles banding artifacts. The
+    * which would have made core/border roles banding artifacts.
+    * MEASURED edge recall (EPS_GRAPH_SCALE_r11.json, synthetic corpus,
+    * panel shape at 2k/4k/8k): 0.824–0.827, scale-stable — below the
+    * per-pair figure because real eps edges concentrate just above the
+    * threshold where per-pair recall is weakest; the same artifact
+    * measures the old family at 0.089–0.095. The
     * honest cost, stated plainly: at eps this low, background pairs
     * collide too (≈ 64% of cos-0 pairs hit ≥1 band), so banding prunes
     * only a constant factor of the panel's pair mass — the SCALE
@@ -1264,4 +1270,79 @@ object Clustering {
        |    WHEN brd.vec_id IS NOT NULL THEN 'border'
        |    ELSE 'noise' END AS role
        |FROM cnt LEFT JOIN brd ON cnt.vec_id = brd.vec_id""".stripMargin
+
+  // ------------------------------------ split-half stability (c12)
+
+  /** c12: SPLIT-HALF clustering stability — the sampling-sensitivity
+    * audit c10's Rand index (seed sensitivity) does not cover: run
+    * c01's Lloyd step independently on the two vec_id-parity halves of
+    * the corpus (same shared seed set, disjoint data) and price how
+    * far each centroid's half-sample means diverge. A centroid whose
+    * halves disagree is fit to sampling noise, not structure — prune
+    * decisions keyed on it (c-family curation) should not be trusted.
+    * All arithmetic is c01's MeanFx fixed point (order-free integer
+    * sums), so the report is bit-identical cross-engine. Per cid:
+    * member counts of each half, L1 centroid displacement and the
+    * worst single-dimension gap, both in MeanFx units, plus the
+    * displacement normalized per dimension. Centroids with members in
+    * only ONE half are definitionally unstable and are reported by
+    * absence from the inner join — the spec pins that contract with a
+    * planted one-sided cluster.
+    *
+    * Scale: two c01-shaped jobs (assignment = broadcast-centroid fold
+    * over a corpus scan each; means = one map-side-combinable groupBy
+    * on (cid, dim)) plus a join of two ≤ |cids|×dims relations —
+    * nothing corpus-sized crosses a second shuffle.
+    */
+  private def stabilitySpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    val cents = e.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    def half(parity: Int) = kmeansStep(
+      e.filter(col("vec_id") % 2 === parity)
+        .select(col("vec_id"), col("embedding")), cents)
+    val a = half(0).select(col("cid"), col("dim"),
+      col("n_members").as("n_a"), col("mean_fx").as("fx_a"))
+    val b = half(1).select(col("cid"), col("dim"),
+      col("n_members").as("n_b"), col("mean_fx").as("fx_b"))
+    a.join(b, Seq("cid", "dim"))
+      .groupBy(col("cid"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(expr("abs(fx_a - fx_b)")).as("drift_l1_fx"),
+        max(expr("abs(fx_a - fx_b)")).as("max_dim_gap_fx"),
+        count(lit(1)).as("n_dims"))
+      .select(col("cid"), col("n_a"), col("n_b"),
+        col("drift_l1_fx"), col("max_dim_gap_fx"),
+        expr("drift_l1_fx div n_dims").as("drift_per_dim_fx"))
+  }
+
+  private def stabilityOracle: String = {
+    def halfCtes(parity: Int, tag: String): String =
+      s"""asg$tag AS (SELECT vec_id, va, cid FROM (
+         |  SELECT v.*, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC)
+         |      AS arn
+         |  FROM v, c WHERE v.vec_id % 2 = $parity) x WHERE arn = 1),
+         |m$tag AS (SELECT cid, cast(i - 1 as bigint) AS dim,
+         |    count(*) AS n_$tag,
+         |    cast(sum(cast(round(va[i] * $MeanFx) as bigint)) as bigint)
+         |      // count(*) AS fx_$tag
+         |  FROM asg$tag, dims GROUP BY cid, i)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |${halfCtes(0, "a")},
+       |${halfCtes(1, "b")}
+       |SELECT cid, cast(max(n_a) as bigint) AS n_a,
+       |  cast(max(n_b) as bigint) AS n_b,
+       |  cast(sum(abs(fx_a - fx_b)) as bigint) AS drift_l1_fx,
+       |  cast(max(abs(fx_a - fx_b)) as bigint) AS max_dim_gap_fx,
+       |  cast(sum(abs(fx_a - fx_b)) as bigint) // count(*)
+       |    AS drift_per_dim_fx
+       |FROM ma JOIN mb USING (cid, dim) GROUP BY cid""".stripMargin
+  }
 }

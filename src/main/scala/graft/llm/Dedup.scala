@@ -93,6 +93,7 @@ object Dedup {
       componentSizesSpark),
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
+    QueryDef("g13_truss_support", Some(trussOracle), trussSpark),
     QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
     QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
     QueryDef("g07_degree_profile", Some(degreeProfileOracle),
@@ -1532,6 +1533,48 @@ object Dedup {
        |         / cast(deg.deg * (deg.deg - 1) as double) END AS lcc
        |FROM fp LEFT JOIN deg ON fp.doc_id = deg.node
        |LEFT JOIN tc ON fp.doc_id = tc.id""".stripMargin
+
+  // --------------------------------------- k-truss edge support (g13)
+
+  /** Truss order for the gate: k = 4 keeps edges in ≥ 2 triangles —
+    * the smallest k that separates genuine clique interiors from a
+    * single accidental triangle. The same tight hamming ≤ 1 subgraph
+    * as g03: truss structure is the signal there.
+    */
+  private val TrussK = 4
+
+  /** Edge-level dedup-graph triage: per canonical edge its triangle
+    * support and whether it survives the k-truss bar (support ≥ k−2) —
+    * the edge-granular complement of g03's per-vertex report. A
+    * collapse pass keeps in-truss edges (clique interior: safe to
+    * merge families across them) and routes support-0 bridges to
+    * review (the edges transitive closure over-merges through).
+    * Algorithm in [[GraphAlgs.edgeTriangleSupport]].
+    */
+  private def trussSpark(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = nearDupGraph(s, d)
+    GraphAlgs.edgeTriangleSupport(
+      edges.filter(col("hamming") <= TriMaxHamming), TrussK - 2)
+  }
+
+  private def trussOracle: String =
+    s"""WITH ${edgeCtes(TriMaxHamming)},
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |o AS (SELECT e.src, e.dst FROM e
+       |  JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node
+       |  WHERE a.deg < b.deg OR (a.deg = b.deg AND e.src < e.dst)),
+       |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+       |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |ed AS (SELECT least(u, v) AS ea, greatest(u, v) AS eb FROM tri
+       |  UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+       |  UNION ALL SELECT least(v, w), greatest(v, w) FROM tri),
+       |sup AS (SELECT ea, eb, count(*) AS support FROM ed GROUP BY 1, 2),
+       |ce AS (SELECT DISTINCT src AS ea, dst AS eb FROM e WHERE src < dst)
+       |SELECT ce.ea AS src, ce.eb AS dst,
+       |  cast(coalesce(sup.support, 0) as bigint) AS support,
+       |  coalesce(sup.support, 0) >= ${TrussK - 2} AS in_truss
+       |FROM ce LEFT JOIN sup USING (ea, eb)""".stripMargin
 
   // ------------------------- template extraction (d27)
 

@@ -340,6 +340,63 @@ object GraphAlgs {
     out
   }
 
+  /** Per-EDGE triangle support — the k-truss currency: an edge's
+    * support is the number of triangles containing it, and the k-truss
+    * is the maximal subgraph where every edge has support ≥ k−2. This
+    * is the single-pass support computation plus the k-threshold
+    * classification (`in_truss`) — the first peel of the iterative
+    * truss decomposition, and the edge-level sibling of
+    * [[triangleCounts]]' vertex report: a dedup pipeline reads it to
+    * split STRUCTURAL clique edges (high support — safe to collapse
+    * the family) from bridge/chain edges (support 0 — the edges
+    * transitive closure over-merges through).
+    *
+    * Scale: identical currency to [[triangleCounts]] — degree-ordered
+    * orientation, wedge join bounded by Σ deg(v)², each triangle
+    * enumerated exactly once, then ONE map-side-combinable groupBy on
+    * the canonical (min-id, max-id) edge key. No iteration, no
+    * collect; callers pass a degree-bounded subgraph exactly as
+    * triangle counting does.
+    */
+  def edgeTriangleSupport(edges: DataFrame, minSupport: Int): DataFrame = {
+    val p = shufflePartitions(edges)
+    val e = undirected(edges, p)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val da = deg.select(col("node").as("src"), col("deg").as("dsrc"))
+    val db = deg.select(col("node").as("dst"), col("deg").as("ddst"))
+    val o = e.join(da, "src").join(db, "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .repartition(p, col("src")).localCheckpoint(true)
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = o.select(col("src").as("u"), col("dst").as("w"))
+    val e3 = o.select(col("src").as("v"), col("dst").as("w"))
+    // each triangle appears once: of the two wedge orders (v,w)/(w,v),
+    // only the one matching the oriented closing edge survives the join
+    val tri = e1.join(e2, "u").filter(col("v") =!= col("w"))
+      .join(e3, Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val support = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("ea"),
+          greatest(col("u"), col("v")).as("eb")),
+        struct(least(col("u"), col("w")).as("ea"),
+          greatest(col("u"), col("w")).as("eb")),
+        struct(least(col("v"), col("w")).as("ea"),
+          greatest(col("v"), col("w")).as("eb")))).as("ed"))
+      .select(col("ed.ea").as("ea"), col("ed.eb").as("eb"))
+      .groupBy(col("ea"), col("eb")).agg(count(lit(1)).as("support"))
+    val canon = e.filter(col("src") < col("dst"))
+      .select(col("src").as("ea"), col("dst").as("eb")).distinct()
+    val out = canon.join(support, Seq("ea", "eb"), "left")
+      .select(col("ea").as("src"), col("eb").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .withColumn("in_truss", col("support") >= minSupport)
+    e.unpersist()
+    out
+  }
+
   /** Two-hop reach (friend-of-friend audit): for every node, how many
     * DISTINCT nodes sit at graph distance exactly 2 — reachable through
     * a neighbor, not the node itself, and not directly adjacent. The

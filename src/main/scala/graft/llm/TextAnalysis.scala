@@ -1385,6 +1385,49 @@ object TextAnalysis {
             expr("sum(quality_fx) div count(*)").as("avg_score_fx"),
             expr("abs(sum(quality_fx) div count(*)" +
               " - sum(pos) * 1000000 div count(*))").as("gap_fx"))
+      }),
+
+    // t44: BPE MERGE STEP — the map-reduce primitive tokenizer training
+    // iterates: count every adjacent SYMBOL PAIR inside words (here the
+    // character-level first iteration, where every symbol is one
+    // codepoint) and rank the merge candidates. Each training iteration
+    // is exactly this job with the previous winner merged into the
+    // symbol table; the gate prices one step because the step IS the
+    // workload — a fixed number of iterations over a 100 TB corpus is a
+    // fixed number of these single-shuffle jobs. Shape: scan → word
+    // explode → pair explode (both narrow) → ONE map-side-combinable
+    // groupBy count → TakeOrdered top-20 (per-partition heaps, never a
+    // global sort); the rank window runs AFTER the limit, on ≤ 20 rows.
+    // Pairs slice by CODEPOINT in both engines (substring/substr), so
+    // supplementary-plane text pairs identically cross-engine.
+    QueryDef(
+      "t44_bpe_merge_step",
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |t AS (SELECT unnest(w) AS word FROM d),
+             |i AS (SELECT word, unnest(range(1, length(word))) AS i
+             |  FROM t WHERE length(word) >= 2),
+             |p AS (SELECT substr(word, cast(i as int), 2) AS pair FROM i),
+             |c AS (SELECT pair, count(*) AS freq FROM p GROUP BY pair
+             |  ORDER BY freq DESC, pair ASC LIMIT 20)
+             |SELECT pair, freq,
+             |  cast(row_number() OVER (ORDER BY freq DESC, pair ASC)
+             |    as bigint) AS rank
+             |FROM c""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Catalog.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          // sequence(1, 0) DESCENDS in Spark — the >= 2 guard is load-
+          // bearing, not cosmetic
+          .filter(expr("char_length(word) >= 2"))
+          .select(explode(expr(
+            "transform(sequence(1, char_length(word) - 1)," +
+              " i -> substring(word, i, 2))")).as("pair"))
+        pairs.groupBy(col("pair")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("freq").desc, col("pair").asc))
+            .cast("long"))
       })
   )
 

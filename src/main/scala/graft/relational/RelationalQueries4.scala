@@ -1189,19 +1189,23 @@ object RelationalQueries4 {
     // event mass. p50/p95/p99 resolve to the smallest bucket whose
     // cumulative count reaches ceil(p·n/100) — deterministic integer
     // math, bit-identical in both engines. Bucketing is FLOOR division
-    // (the pmod rewrite below), not Spark's truncate-toward-zero `div`:
-    // DuckDB's `//` floors, so a negative value (−1.5 → cents −150)
-    // must land in bucket −2 on both sides — sign-safe, not
-    // corpus-assumption-safe. (The ceil-rank `div`s stay truncating:
-    // their operands are counts, provably ≥ 0.) The cents rounding is
-    // the st24-established parity. Error bound: one bucket width,
-    // priced by the fixed grid — the honest trade the exact paths
-    // price the other way.
+    // via the same pmod identity ON BOTH SIDES: Spark `div` and DuckDB
+    // integer `//` both truncate toward zero (measured, not assumed),
+    // which would make the zero bucket TWICE the width of every other
+    // (cents −99..99 all landing in 0) — a fixed-width histogram must
+    // floor, so a negative value (−1.5 → cents −150) lands in bucket
+    // −2, sign-uniform. (The ceil-rank divisions stay truncating:
+    // their operands are counts, provably ≥ 0, where truncate = floor.)
+    // The cents rounding is the st24-established parity. Error bound:
+    // one bucket width, priced by the fixed grid — the honest trade
+    // the exact paths price the other way.
     QueryDef(
       "q71_sketch_quantiles",
-      Some("""WITH c AS (SELECT event_type,
-             |    cast(round(value * 100) as bigint) // 100 AS bucket
-             |  FROM events),
+      Some("""WITH r AS (SELECT event_type,
+             |    cast(round(value * 100) as bigint) AS cents FROM events),
+             |c AS (SELECT event_type,
+             |    (cents - ((cents % 100) + 100) % 100) // 100 AS bucket
+             |  FROM r),
              |h AS (SELECT event_type, bucket, count(*) AS c
              |  FROM c GROUP BY 1, 2),
              |x AS (SELECT *, sum(c) OVER (PARTITION BY event_type
@@ -1218,8 +1222,8 @@ object RelationalQueries4 {
       (s, d) => {
         // floor(cents / 100) as pure integer math: subtracting the
         // always-nonnegative pmod makes the numerator an exact multiple
-        // whose truncating `div` equals the floor — matches DuckDB `//`
-        // for every sign (−150 → −2, not −1)
+        // whose truncating `div` equals the floor; the oracle applies
+        // the identical identity (DuckDB integer `//` ALSO truncates)
         val bucket = "(cast(round(value * 100) as bigint)" +
           " - pmod(cast(round(value * 100) as bigint), 100)) div 100"
         val hist = t(s, d, "events")

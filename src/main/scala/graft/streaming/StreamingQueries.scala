@@ -872,9 +872,11 @@ object StreamingQueries {
     // stream ever happens.
     QueryDef(
       "st26_stream_quantiles",
-      Some("""WITH c AS (SELECT event_type,
-             |    cast(round(value * 100) as bigint) // 100 AS bucket
-             |  FROM events),
+      Some("""WITH r AS (SELECT event_type,
+             |    cast(round(value * 100) as bigint) AS cents FROM events),
+             |c AS (SELECT event_type,
+             |    (cents - ((cents % 100) + 100) % 100) // 100 AS bucket
+             |  FROM r),
              |h AS (SELECT event_type, bucket, count(*) AS c
              |  FROM c GROUP BY 1, 2),
              |x AS (SELECT *, sum(c) OVER (PARTITION BY event_type
@@ -889,9 +891,10 @@ object StreamingQueries {
              |    AS p99_bucket
              |FROM x GROUP BY event_type""".stripMargin),
       (s, d) => {
-        // q71's floor-consistent bucket (pmod rewrite): Spark `div`
-        // truncates toward zero while the oracle's `//` floors, so the
-        // sketch must floor explicitly to stay sign-safe (−150 → −2)
+        // q71's floor-consistent bucket (pmod rewrite, mirrored by the
+        // SAME identity in the oracle — both engines' integer division
+        // truncates): a fixed-width histogram must floor or the zero
+        // bucket is twice as wide as every other (−150 → −2, not −1)
         val bucket = "(cast(round(value * 100) as bigint)" +
           " - pmod(cast(round(value * 100) as bigint), 100)) div 100"
         val hist = runToMemorySink(s, d, "st26", "complete") { raw =>

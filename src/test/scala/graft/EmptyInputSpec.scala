@@ -116,7 +116,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "p26_corpus_version_diff", "q71_sketch_quantiles",
     "st26_stream_quantiles",
     // an empty corpus calibrates to an empty diagram
-    "t43_score_calibration")
+    "t43_score_calibration",
+    // round 11: an empty corpus yields an empty merge-candidate table
+    // and an empty truss report (c12 is under mustRefuse: its Lloyd
+    // halves share c01's empty-MODEL contract)
+    "t44_bpe_merge_step", "g13_truss_support")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a
@@ -137,7 +141,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // batches 19-23 model-building ops share the same contract
     "c09_davies_bouldin" -> "non-empty centroid set",
     "c10_rand_index" -> "non-empty centroid set",
-    "s19_centroid_drift" -> "non-empty centroid set")
+    "s19_centroid_drift" -> "non-empty centroid set",
+    "c12_split_stability" -> "non-empty centroid set")
 
   test("operators complete on fully-empty tables (empty shard/day is " +
     "routine, not exceptional)") {

@@ -263,6 +263,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("t44 BPE merge ranking is a TakeOrdered top-k, never a global " +
+    "sort of the pair table") {
+    val p = plan("t44_bpe_merge_step")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g13 truss support stays keyed: no cartesian, no nested loop") {
+    val p = plan("g13_truss_support")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p26 version diff is one keyed full-outer: no cartesian, and " +
     "only (id, hash) cross the exchange") {
     val p = plan("p26_corpus_version_diff")

@@ -162,7 +162,11 @@ class RobustnessSpec extends AnyFunSuite {
     "p26_corpus_version_diff", "q71_sketch_quantiles",
     "st26_stream_quantiles",
     // hostile text through the quality-score calibration buckets
-    "t43_score_calibration")
+    "t43_score_calibration",
+    // round 11: hostile text (surrogates, 20k-token repeat) through the
+    // BPE pair counter and the simhash truss graph; the zero vector
+    // through the split-half Lloyd audit
+    "t44_bpe_merge_step", "g13_truss_support", "c12_split_stability")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

@@ -2,10 +2,13 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-11 laws: the cross-engine asymmetries named by the round-10
-  * advisory, each pinned by value so the class cannot ship again.
-  *  - q71/st26 bucket math must FLOOR (DuckDB `//`), not truncate
-  *    (Spark `div`): a negative cents value is the discriminating case.
+/** Round-11 laws: the asymmetries named by the round-10 advisory,
+  * each pinned by value so the class cannot ship again.
+  *  - q71/st26 bucket math must FLOOR on BOTH sides (Spark `div` and
+  *    DuckDB integer `//` both truncate toward zero — measured — so
+  *    each side carries the same pmod floor rewrite; truncation would
+  *    also make the zero bucket double-width): a negative cents value
+  *    is the discriminating case.
   *  - p26's content hash must fold UTF-8 BYTES, not UTF-16 chars:
   *    supplementary-plane text is the discriminating case.
   */
@@ -31,8 +34,8 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
-  test("q71 buckets negative values by FLOOR division, matching the " +
-    "oracle's // semantics") {
+  test("q71 buckets negative values by FLOOR division, the same pmod " +
+    "identity the oracle carries") {
     val s = spark; import s.implicits._
     val dir = TempDirs.create("graft-q71-neg")
     val baseUs = 1704067200000000L
@@ -83,6 +86,101 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       expr("graft_bytehash32('hello world')").as("bh"),
       expr("graft_polyhash32('hello world')").as("ch")).head
     assert(ascii.getAs[Long]("bh") == ascii.getAs[Long]("ch"))
+  }
+
+  test("t44 counts within-word symbol pairs and ranks merges " +
+    "deterministically") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-t44")
+    // words: aaa (aa, aa), bb (bb), ab (ab), aaa (aa, aa)
+    // pair freq: aa = 4, ab = 1, bb = 1 → merge winner is 'aa';
+    // the ab/bb tie breaks lexicographically
+    Seq((1L, "aaa bb"), (2L, "ab aaa"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t44_bpe_merge_step")(s, dir)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[String]("pair"), x.getAs[Long]("freq"),
+        x.getAs[Long]("rank")))
+    assert(r.toSeq == Seq(("aa", 4L, 1L), ("ab", 1L, 2L), ("bb", 1L, 3L)))
+  }
+
+  test("t44 pairs slice by CODEPOINT: astral-plane words form emoji " +
+    "pairs, not surrogate shards") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-t44-astral")
+    // one word of three supplementary-plane codepoints → exactly the
+    // two adjacent emoji pairs; a UTF-16 slicer would emit 5 broken
+    // surrogate windows instead
+    Seq((1L, "🚀🎉🚀"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t44_bpe_merge_step")(s, dir)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[String]("pair"), x.getAs[Long]("freq")))
+    assert(r.toSeq == Seq(("🎉🚀", 1L), ("🚀🎉", 1L)) ||
+      r.toSeq == Seq(("🚀🎉", 1L), ("🎉🚀", 1L)),
+      s"unexpected pair slicing: ${r.toSeq}")
+    assert(r.forall(_._1.codePointCount(0, r.head._1.length) == 2))
+  }
+
+  test("g13 prices clique, triangle, and bridge edges by triangle " +
+    "support") {
+    val s = spark; import s.implicits._
+    // K4 on {1,2,3,4}: every edge closes 2 triangles → in the 4-truss.
+    // Lone triangle {5,6,7}: support 1 → below the bar. Bridge 4–5:
+    // support 0 — the edge transitive closure over-merges through.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = graft.llm.GraphAlgs.edgeTriangleSupport(edges, 2)
+      .collect()
+      .map(x => (x.getAs[Long]("src"), x.getAs[Long]("dst")) ->
+        (x.getAs[Long]("support"), x.getAs[Boolean]("in_truss")))
+      .toMap
+    assert(r.size == 10)
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .foreach(e => assert(r(e) == (2L, true), s"K4 edge $e: ${r(e)}"))
+    Seq((5L, 6L), (5L, 7L), (6L, 7L))
+      .foreach(e => assert(r(e) == (1L, false), s"triangle edge $e: ${r(e)}"))
+    assert(r((4L, 5L)) == (0L, false), s"bridge: ${r((4L, 5L))}")
+  }
+
+  test("c12 prices a planted stable/unstable/one-sided geometry " +
+    "exactly") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-c12")
+    import TestVectors.axes
+    // centroids (vec_id % 100 == 0): 0 → e5, 100 → e7, 200 → e9.
+    // cid 0 is STABLE: members 2 (even half) and 3 (odd half) both
+    // exactly e5 — and centroid 0 itself rides the even half — so the
+    // two half-means agree bit-exactly: drift 0.
+    // cid 100 is UNSTABLE: even half gets the centroid (e7) + vec 4
+    // (.9 e7 + .3 e8), odd half only vec 5 (.9 e7 − .3 e8): the halves
+    // disagree by 500 000 fx in dim 7 and 4 500 000 fx in dim 8.
+    // cid 200 is ONE-SIDED: its only member (vec 6) is even — the
+    // documented contract reports it by absence from the inner join.
+    Seq(
+      (0L, axes(5 -> 1.0)), (100L, axes(7 -> 1.0)), (200L, axes(9 -> 1.0)),
+      (2L, axes(5 -> 1.0)), (3L, axes(5 -> 1.0)),
+      (4L, axes(7 -> 0.9, 8 -> 0.3)), (5L, axes(7 -> 0.9, 8 -> -0.3)),
+      (6L, axes(9 -> 1.0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("c12_split_stability")(s, dir)
+      .collect().map(x => x.getAs[Long]("cid") ->
+        (x.getAs[Long]("n_a"), x.getAs[Long]("n_b"),
+          x.getAs[Long]("drift_l1_fx"), x.getAs[Long]("max_dim_gap_fx")))
+      .toMap
+    assert(r.keySet == Set(0L, 100L),
+      s"one-sided cid 200 must be absent: ${r.keySet}")
+    assert(r(0L) == (2L, 1L, 0L, 0L), s"stable cluster drifted: ${r(0L)}")
+    // even half mean: dim7 (1e7 + 9e6)/2 = 9 500 000, dim8 1 500 000;
+    // odd half: dim7 9 000 000, dim8 −3 000 000 → L1 = 5 000 000
+    assert(r(100L) == (2L, 1L, 5000000L, 4500000L),
+      s"unstable cluster mispriced: ${r(100L)}")
   }
 
   test("p26 diff classes survive astral-plane text (the round-10 " +
