@@ -1387,14 +1387,15 @@ object TextAnalysis {
               " - sum(pos) * 1000000 div count(*))").as("gap_fx"))
       }),
 
-    // t44: BPE MERGE STEP — the map-reduce primitive tokenizer training
-    // iterates: count every adjacent SYMBOL PAIR inside words (here the
-    // character-level first iteration, where every symbol is one
-    // codepoint) and rank the merge candidates. Each training iteration
-    // is exactly this job with the previous winner merged into the
-    // symbol table; the gate prices one step because the step IS the
-    // workload — a fixed number of iterations over a 100 TB corpus is a
-    // fixed number of these single-shuffle jobs. Shape: scan → word
+    // t44: BPE MERGE-CANDIDATE RANKING — the diagnostic view of the
+    // single step t17's trainer iterates. t17 trains the model (4
+    // rounds, winner merged into the symbol table each round) and
+    // emits only the 4 winning merges; t44 exposes what a tokenizer
+    // engineer actually inspects before accepting a vocab: the top-20
+    // candidate table of one step WITH counts — runner-ups and
+    // margins, the "was the winner a landslide or a coin flip" signal.
+    // Counts run over token OCCURRENCES (char-level first iteration,
+    // one symbol = one codepoint). Shape: scan → word
     // explode → pair explode (both narrow) → ONE map-side-combinable
     // groupBy count → TakeOrdered top-20 (per-partition heaps, never a
     // global sort); the rank window runs AFTER the limit, on ≤ 20 rows.

@@ -1241,8 +1241,125 @@ object RelationalQueries4 {
           .withColumn("n", sum(col("c")).over(wAll))
           .groupBy(col("event_type"))
           .agg(max(col("n")).as("n_events"), pick(50), pick(95), pick(99))
+      }),
+
+    // q72: KMV SET ALGEBRA — distinct-count estimates for the UNION
+    // and INTERSECTION of every event-type pair's user population,
+    // computed entirely from per-type k-minimum-values sketches
+    // (t09's graft_kmin TypedImperativeAggregate). The audience-overlap
+    // question ("how many users click AND purchase?") at 100 TB:
+    // the event mass crosses ONE map-side-combinable aggregate per
+    // type (shuffle carries ≤ k longs per group per mapper), and ALL
+    // pair algebra runs on the ≤ |types| sketch rows — never a
+    // user-level pair join. The math is the standard KMV identity
+    // set: kmin(A ∪ B) ⊆ kmin(A) ∪ kmin(B) (so union sketches merge
+    // from sketches alone), any union-sketch member below its own
+    // set's kth-min is IN that set's sketch (so intersection
+    // membership is decidable from sketches alone), and
+    // est_inter = p·est_union/k. Estimates are deterministic integer
+    // math on the shared polyhash (exact in both engines); the exact
+    // union/intersection columns are the AUDIT baseline the gate
+    // verifies the estimates against (the s04 recall idiom) — a
+    // production run keeps only the sketch half.
+    QueryDef(
+      "q72_kmv_set_ops",
+      Some(s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+             |h AS (SELECT event_type,
+             |    ${graft.llm.TextExprs.duckWordHash("cast(user_id as varchar)")}
+             |      AS h FROM uu),
+             |sk AS (SELECT event_type,
+             |    list_sort(list_distinct(list(h))) AS fl FROM h GROUP BY 1),
+             |s2 AS (SELECT event_type,
+             |    fl[1:cast(least(len(fl), $KmvK) as int)] AS hs FROM sk),
+             |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    a.hs AS ha, b.hs AS hb
+             |  FROM s2 a, s2 b WHERE a.event_type < b.event_type),
+             |m AS (SELECT type_a, type_b, ha, hb,
+             |    list_sort(list_distinct(ha || hb)) AS mf FROM pr),
+             |m2 AS (SELECT type_a, type_b, ha, hb,
+             |    mf[1:cast(least(len(mf), $KmvK) as int)] AS mu FROM m),
+             |ee AS (SELECT type_a, type_b, cast(len(mu) as bigint) AS u,
+             |    cast(len(list_filter(mu, x -> list_contains(ha, x)
+             |      AND list_contains(hb, x))) as bigint) AS p, mu FROM m2),
+             |es AS (SELECT type_a, type_b, u, p,
+             |    CASE WHEN u >= $KmvK
+             |      THEN (${KmvK - 1} * ${graft.llm.TextExprs.PolyMod})
+             |        // mu[$KmvK]
+             |      ELSE u END AS est_union FROM ee),
+             |nx AS (SELECT event_type, count(*) AS n FROM uu GROUP BY 1),
+             |xi AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS ei
+             |  FROM uu a JOIN uu b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type GROUP BY 1, 2)
+             |SELECT es.type_a, es.type_b,
+             |  cast(est_union as bigint) AS est_union,
+             |  cast(na.n + nb.n - coalesce(xi.ei, 0) as bigint) AS exact_union,
+             |  cast(CASE WHEN u >= $KmvK THEN p * est_union // u
+             |    ELSE p END as bigint) AS est_inter,
+             |  cast(coalesce(xi.ei, 0) as bigint) AS exact_inter,
+             |  cast(abs(est_union - (na.n + nb.n - coalesce(xi.ei, 0)))
+             |      * 1000000
+             |      // (na.n + nb.n - coalesce(xi.ei, 0)) as bigint)
+             |    AS union_err_ppm
+             |FROM es
+             |JOIN nx na ON na.event_type = es.type_a
+             |JOIN nx nb ON nb.event_type = es.type_b
+             |LEFT JOIN xi ON xi.type_a = es.type_a
+             |  AND xi.type_b = es.type_b""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val uu = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .localCheckpoint(true) // sketches + exact audit share one scan
+        val sk = uu
+          .select(col("event_type"),
+            expr("graft_polyhash32(cast(user_id as string))").as("h"))
+          .groupBy(col("event_type"))
+          .agg(expr(s"graft_kmin(h, $KmvK)").as("hs"))
+        val a = sk.select(col("event_type").as("type_a"), col("hs").as("ha"))
+        val b = sk.select(col("event_type").as("type_b"), col("hs").as("hb"))
+        val est = a.crossJoin(b).filter(col("type_a") < col("type_b"))
+          .withColumn("mu", expr(
+            s"slice(array_sort(array_union(ha, hb)), 1, $KmvK)"))
+          .withColumn("u", expr("cast(size(mu) as bigint)"))
+          .withColumn("p", expr("cast(size(filter(mu, " +
+            "x -> array_contains(ha, x) AND array_contains(hb, x))) " +
+            "as bigint)"))
+          .withColumn("est_union", expr(
+            s"CASE WHEN u >= $KmvK THEN (${KmvK - 1} * " +
+              s"${graft.llm.TextExprs.PolyMod}L) div element_at(mu, $KmvK) " +
+              "ELSE u END"))
+          .withColumn("est_inter", expr(
+            s"CASE WHEN u >= $KmvK THEN p * est_union div u ELSE p END"))
+        val nx = uu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val xi = uu.as("ua").join(uu.as("ub"),
+            col("ua.user_id") === col("ub.user_id") &&
+              col("ua.event_type") < col("ub.event_type"))
+          .groupBy(col("ua.event_type").as("type_a"),
+            col("ub.event_type").as("type_b"))
+          .agg(count(lit(1)).as("ei"))
+        est
+          .join(nx.select(col("event_type").as("type_a"), col("n").as("na")),
+            "type_a")
+          .join(nx.select(col("event_type").as("type_b"), col("n").as("nb")),
+            "type_b")
+          .join(xi, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"),
+            col("est_union").cast("long").as("est_union"),
+            expr("na + nb - coalesce(ei, 0L)").cast("long").as("exact_union"),
+            col("est_inter").cast("long").as("est_inter"),
+            expr("coalesce(ei, 0L)").cast("long").as("exact_inter"),
+            expr("abs(est_union - (na + nb - coalesce(ei, 0L))) * 1000000" +
+              " div (na + nb - coalesce(ei, 0L))").cast("long")
+              .as("union_err_ppm"))
       })
   )
+
+  /** KMV sketch width for q72's set algebra: 64 minima bound the
+    * standard error near 1/√(k−2) ≈ 12.7% — the coarse-audit regime
+    * where the sketch-vs-exact gap stays honest at gate scale.
+    */
+  private val KmvK = 64
 
   /** q47/st02's session gap (30 min) — the attribution report must
     * sessionize identically to the session inventory it complements.

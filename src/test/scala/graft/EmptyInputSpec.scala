@@ -120,7 +120,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // round 11: an empty corpus yields an empty merge-candidate table
     // and an empty truss report (c12 is under mustRefuse: its Lloyd
     // halves share c01's empty-MODEL contract)
-    "t44_bpe_merge_step", "g13_truss_support")
+    "t44_bpe_merge_step", "g13_truss_support",
+    // an empty event stream has no populations: zero sketch rows, zero
+    // pairs, an empty overlap report
+    "q72_kmv_set_ops")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

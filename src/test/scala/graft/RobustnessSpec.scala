@@ -166,7 +166,10 @@ class RobustnessSpec extends AnyFunSuite {
     // round 11: hostile text (surrogates, 20k-token repeat) through the
     // BPE pair counter and the simhash truss graph; the zero vector
     // through the split-half Lloyd audit
-    "t44_bpe_merge_step", "g13_truss_support", "c12_split_stability")
+    "t44_bpe_merge_step", "g13_truss_support", "c12_split_stability",
+    // adversarial events (single-event user, negative values) through
+    // the KMV audience-overlap algebra
+    "q72_kmv_set_ops")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

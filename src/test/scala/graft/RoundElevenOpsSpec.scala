@@ -14,6 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RoundElevenOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
 
   import scala.jdk.CollectionConverters._
 
@@ -146,6 +147,47 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     Seq((5L, 6L), (5L, 7L), (6L, 7L))
       .foreach(e => assert(r(e) == (1L, false), s"triangle edge $e: ${r(e)}"))
     assert(r((4L, 5L)) == (0L, false), s"bridge: ${r((4L, 5L))}")
+  }
+
+  test("q72 sketch estimates are EXACT below the sketch width, and " +
+    "honest above it on the sf corpus") {
+    val s = spark; import s.implicits._
+    // hand fixture: populations view={1,2,3}, click={2,3,4,5},
+    // purchase={6} — all < k=64, so the KMV sketches are exhaustive
+    // and every estimate must EQUAL its exact counterpart
+    val dir = TempDirs.create("graft-q72")
+    val baseUs = 1704067200000000L
+    val rows = Seq(
+      (1L, "view"), (2L, "view"), (3L, "view"),
+      (2L, "click"), (3L, "click"), (4L, "click"), (5L, "click"),
+      (6L, "purchase"))
+    val ev = rows.zipWithIndex.map { case ((u, et), i) =>
+      (i.toLong, baseUs + i * 1000000L, u, et, 1.0, "{}") }
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(tsu)")).drop("tsu")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    writeSingleFile(ev, dir, "events")
+    val r = SparkEntry.queries("q72_kmv_set_ops")(s, dir).collect()
+      .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b")) ->
+        (x.getAs[Long]("est_union"), x.getAs[Long]("exact_union"),
+          x.getAs[Long]("est_inter"), x.getAs[Long]("exact_inter")))
+      .toMap
+    assert(r.size == 3)
+    assert(r(("click", "view")) == (5L, 5L, 2L, 2L), r(("click", "view")))
+    assert(r(("click", "purchase")) == (5L, 5L, 0L, 0L))
+    assert(r(("purchase", "view")) == (4L, 4L, 0L, 0L))
+    // sf corpus: populations exceed k, so the estimator engages —
+    // the union estimate must land within 4 standard errors
+    // (se ≈ 1/sqrt(k−2) ≈ 12.7% at k = 64)
+    val sfRows = SparkEntry.queries("q72_kmv_set_ops")(s, sf).collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach { x =>
+      val err = x.getAs[Long]("union_err_ppm")
+      assert(err < 510000,
+        s"${x.getAs[String]("type_a")}/${x.getAs[String]("type_b")}: " +
+          s"union estimate off by $err ppm (> 4 se)")
+    }
   }
 
   test("c12 prices a planted stable/unstable/one-sided geometry " +
