@@ -1359,7 +1359,7 @@ object RelationalQueries4 {
     * standard error near 1/√(k−2) ≈ 12.7% — the coarse-audit regime
     * where the sketch-vs-exact gap stays honest at gate scale.
     */
-  private val KmvK = 64
+  private[graft] val KmvK = 64
 
   /** q47/st02's session gap (30 min) — the attribution report must
     * sessionize identically to the session inventory it complements.

@@ -493,6 +493,63 @@ object StreamingQueries {
           .orderBy(col("cnt").desc, col("term").asc)
       }),
 
+    // st27: STREAMING KMV distinct-count monitor — completes the
+    // mergeable-sketch streaming trio (st14 Misra-Gries heavy hitters,
+    // st26 histogram quantiles, st27 KMV cardinality): per event type,
+    // the k-minimum-values sketch of the user population maintained by
+    // a live stream. State per group is ≤ k longs regardless of
+    // arrival volume (the TypedImperativeAggregate's partial buffers
+    // merge across micro-batches exactly like st14's MG sketch), and
+    // the distinct-count estimate extracts at read time with q72's
+    // integer estimator. The exact per-type cardinality rides along
+    // from a batch audit read — the s04/q72 idiom: the gate verifies
+    // the estimator, a production run keeps only the sketch half.
+    QueryDef(
+      "st27_stream_kmv_ndv",
+      Some(s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+             |h AS (SELECT event_type,
+             |    ${graft.llm.TextExprs.duckWordHash("cast(user_id as varchar)")}
+             |      AS h FROM uu),
+             |sk AS (SELECT event_type,
+             |    list_sort(list_distinct(list(h))) AS fl,
+             |    count(*) AS exact_ndv FROM h GROUP BY 1)
+             |SELECT event_type,
+             |  cast(CASE WHEN len(fl) >= ${graft.relational.RelationalQueries4.KmvK}
+             |    THEN (${graft.relational.RelationalQueries4.KmvK - 1}
+             |      * ${graft.llm.TextExprs.PolyMod})
+             |      // fl[${graft.relational.RelationalQueries4.KmvK}]
+             |    ELSE len(fl) END as bigint) AS est_ndv,
+             |  cast(exact_ndv as bigint) AS exact_ndv,
+             |  cast(abs(CASE WHEN len(fl) >= ${graft.relational.RelationalQueries4.KmvK}
+             |    THEN (${graft.relational.RelationalQueries4.KmvK - 1}
+             |      * ${graft.llm.TextExprs.PolyMod})
+             |      // fl[${graft.relational.RelationalQueries4.KmvK}]
+             |    ELSE len(fl) END - exact_ndv) * 1000000
+             |    // exact_ndv as bigint) AS err_ppm
+             |FROM sk""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val k = graft.relational.RelationalQueries4.KmvK
+        val sk = runToMemorySink(s, d, "st27", "complete") { raw =>
+          raw.select(col("event_type"),
+              expr("graft_polyhash32(cast(user_id as string))").as("h"))
+            .groupBy(col("event_type"))
+            .agg(expr(s"graft_kmin(h, $k)").as("hs"))
+        }
+        val est = sk.select(col("event_type"),
+          expr(s"CASE WHEN size(hs) >= $k THEN (${k - 1} * " +
+            s"${graft.llm.TextExprs.PolyMod}L) div element_at(hs, $k) " +
+            "ELSE cast(size(hs) as bigint) END").as("est_ndv"))
+        val exact = Catalog.t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_ndv"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("est_ndv").cast("long"),
+            col("exact_ndv").cast("long"),
+            expr("abs(est_ndv - exact_ndv) * 1000000 div exact_ndv")
+              .cast("long").as("err_ppm"))
+      }),
+
     // st15: STREAMING JSONL ingest — the production arrival loop (docs
     // land as JSONL files, the stream picks each file up exactly once).
     // Same explicit-schema contract as batch i01 (inference would be a

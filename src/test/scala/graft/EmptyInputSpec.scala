@@ -122,8 +122,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // halves share c01's empty-MODEL contract)
     "t44_bpe_merge_step", "g13_truss_support",
     // an empty event stream has no populations: zero sketch rows, zero
-    // pairs, an empty overlap report
-    "q72_kmv_set_ops")
+    // pairs, an empty overlap/cardinality report (batch and streaming)
+    "q72_kmv_set_ops", "st27_stream_kmv_ndv")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -168,8 +168,8 @@ class RobustnessSpec extends AnyFunSuite {
     // through the split-half Lloyd audit
     "t44_bpe_merge_step", "g13_truss_support", "c12_split_stability",
     // adversarial events (single-event user, negative values) through
-    // the KMV audience-overlap algebra
-    "q72_kmv_set_ops")
+    // the KMV audience-overlap algebra, batch and streaming
+    "q72_kmv_set_ops", "st27_stream_kmv_ndv")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

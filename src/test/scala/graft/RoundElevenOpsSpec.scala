@@ -190,6 +190,37 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st27 streaming KMV cardinality is exact below the sketch " +
+    "width and matches the batch estimator above it") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-st27")
+    val baseUs = 1704067200000000L
+    // populations below k=64: the streamed sketch is exhaustive, so
+    // est_ndv == exact_ndv and err_ppm == 0 for every type
+    val rows = Seq(
+      (1L, "view"), (2L, "view"), (3L, "view"), (1L, "view"), // dup user
+      (2L, "click"), (3L, "click"), (4L, "click"), (5L, "click"),
+      (6L, "purchase"))
+    val ev = rows.zipWithIndex.map { case ((u, et), i) =>
+      (i.toLong, baseUs + i * 1000000L, u, et, 1.0, "{}") }
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(tsu)")).drop("tsu")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    writeSingleFile(ev, dir, "events")
+    val r = SparkEntry.queries("st27_stream_kmv_ndv")(s, dir).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("est_ndv"), x.getAs[Long]("exact_ndv"),
+          x.getAs[Long]("err_ppm"))).toMap
+    assert(r == Map("view" -> (3L, 3L, 0L), "click" -> (4L, 4L, 0L),
+      "purchase" -> (1L, 1L, 0L)), r)
+    // sf corpus engages the estimator: within 4 se of exact, per type
+    SparkEntry.queries("st27_stream_kmv_ndv")(s, sf).collect().foreach {
+      x => assert(x.getAs[Long]("err_ppm") < 510000,
+        s"${x.getAs[String]("event_type")}: ${x.getAs[Long]("err_ppm")} ppm")
+    }
+  }
+
   test("c12 prices a planted stable/unstable/one-sided geometry " +
     "exactly") {
     val s = spark; import s.implicits._
