@@ -22,6 +22,30 @@ import java.util.{TreeSet => JTreeSet}
   * DuckDB-oracle-checkable via
   * `list_sort(list_distinct(list(h)))[1:k]`.
   */
+/** Shared KMV estimator fragments — ONE definition of
+  * `ndv ≈ (k−1)·hashRange / kthMin` (exhaustive-below-k exact case
+  * included) for every consumer: q72's set algebra, st27's streaming
+  * monitor, the scale smoke, and their DuckDB oracles. The hash range
+  * is [[PolyHash32.Mod]] (the polyhash modulus both engines share).
+  * Callers cast the result to bigint at the emit site.
+  */
+object KmvEstimator {
+  /** Spark SQL expression over a sorted-minima array column `hs`. */
+  def spark(hs: String, k: Int): String =
+    s"CASE WHEN size($hs) >= $k THEN (${k - 1} * ${PolyHash32.Mod}L)" +
+      s" div element_at($hs, $k) ELSE cast(size($hs) as bigint) END"
+
+  /** DuckDB expression over a sorted-distinct-minima list `fl`. */
+  def duck(fl: String, k: Int): String =
+    s"CASE WHEN len($fl) >= $k THEN (${k - 1} * ${PolyHash32.Mod})" +
+      s" // $fl[$k] ELSE len($fl) END"
+
+  /** Driver-side fold over a collected sketch (the scale smoke). */
+  def scala(hs: Seq[Long], k: Int): Long =
+    if (hs.length >= k) (k - 1).toLong * PolyHash32.Mod / hs(k - 1)
+    else hs.length.toLong
+}
+
 case class KMinValues(
     child: Expression,
     k: Int,

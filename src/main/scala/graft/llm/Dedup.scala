@@ -2074,14 +2074,16 @@ object Dedup {
        |    cast(embedding AS DOUBLE[]) AS qa FROM embeddings
        |  WHERE vec_id % $ContamProbeMod = 0),
        |pn AS (SELECT probe_id, qa, ${Similarity.duckNorm("qa")} AS qn FROM p),
-       |c AS (SELECT vec_id AS neighbor_id,
+       |c0 AS (SELECT vec_id AS neighbor_id,
        |    cast(embedding AS DOUBLE[]) AS ca FROM embeddings
-       |  WHERE vec_id % $ContamProbeMod <> 0
-       |    AND ${Similarity.duckDot("cast(embedding AS DOUBLE[])",
-                  "cast(embedding AS DOUBLE[])")} > 0
-       |    AND ${Similarity.duckDot("cast(embedding AS DOUBLE[])",
-                  "cast(embedding AS DOUBLE[])")} < cast('Infinity' as double)),
-       |cn AS (SELECT neighbor_id, ca, ${Similarity.duckNorm("ca")} AS cn FROM c),
+       |  WHERE vec_id % $ContamProbeMod <> 0),
+       |cq AS (SELECT neighbor_id, ca,
+       |    ${Similarity.duckDot("ca", "ca")} AS nsq FROM c0),
+       |c AS (SELECT neighbor_id, ca, nsq FROM cq
+       |  WHERE nsq > 0 AND nsq < cast('Infinity' as double)),
+       |cn AS (SELECT neighbor_id, ca,
+       |    CASE WHEN nsq = 0 THEN cast(1 as double) ELSE sqrt(nsq) END
+       |      AS cn FROM c),
        |sc AS (SELECT probe_id, neighbor_id,
        |    ${Similarity.duckDot("qa", "ca")} / (qn * cn) AS cosine,
        |    row_number() OVER (PARTITION BY probe_id

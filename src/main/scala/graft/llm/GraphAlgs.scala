@@ -387,8 +387,11 @@ object GraphAlgs {
           greatest(col("v"), col("w")).as("eb")))).as("ed"))
       .select(col("ed.ea").as("ea"), col("ed.eb").as("eb"))
       .groupBy(col("ea"), col("eb")).agg(count(lit(1)).as("support"))
-    val canon = e.filter(col("src") < col("dst"))
-      .select(col("src").as("ea"), col("dst").as("eb")).distinct()
+    // canonical edges straight from the INPUT (min-id, max-id): the
+    // symmetrized cache `e` is not a dependency of the returned plan,
+    // so the unpersist below cannot force a recompute of the union
+    val canon = edges.select(least(col("src"), col("dst")).as("ea"),
+      greatest(col("src"), col("dst")).as("eb")).distinct()
     val out = canon.join(support, Seq("ea", "eb"), "left")
       .select(col("ea").as("src"), col("eb").as("dst"),
         coalesce(col("support"), lit(0L)).as("support"))

@@ -1263,7 +1263,9 @@ object RelationalQueries4 {
     // production run keeps only the sketch half.
     QueryDef(
       "q72_kmv_set_ops",
-      Some(s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+      // non-NULL population keys on both sides (st27's shared law)
+      Some(s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events
+             |  WHERE user_id IS NOT NULL),
              |h AS (SELECT event_type,
              |    ${graft.llm.TextExprs.duckWordHash("cast(user_id as varchar)")}
              |      AS h FROM uu),
@@ -1282,10 +1284,8 @@ object RelationalQueries4 {
              |    cast(len(list_filter(mu, x -> list_contains(ha, x)
              |      AND list_contains(hb, x))) as bigint) AS p, mu FROM m2),
              |es AS (SELECT type_a, type_b, u, p,
-             |    CASE WHEN u >= $KmvK
-             |      THEN (${KmvK - 1} * ${graft.llm.TextExprs.PolyMod})
-             |        // mu[$KmvK]
-             |      ELSE u END AS est_union FROM ee),
+             |    ${graft.functions.KmvEstimator.duck("mu", KmvK)} AS est_union
+             |  FROM ee),
              |nx AS (SELECT event_type, count(*) AS n FROM uu GROUP BY 1),
              |xi AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
              |    count(*) AS ei
@@ -1309,6 +1309,7 @@ object RelationalQueries4 {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val uu = t(s, d, "events")
+          .filter(col("user_id").isNotNull)
           .select(col("event_type"), col("user_id")).distinct()
           .localCheckpoint(true) // sketches + exact audit share one scan
         val sk = uu
@@ -1325,10 +1326,8 @@ object RelationalQueries4 {
           .withColumn("p", expr("cast(size(filter(mu, " +
             "x -> array_contains(ha, x) AND array_contains(hb, x))) " +
             "as bigint)"))
-          .withColumn("est_union", expr(
-            s"CASE WHEN u >= $KmvK THEN (${KmvK - 1} * " +
-              s"${graft.llm.TextExprs.PolyMod}L) div element_at(mu, $KmvK) " +
-              "ELSE u END"))
+          .withColumn("est_union",
+            expr(graft.functions.KmvEstimator.spark("mu", KmvK)))
           .withColumn("est_inter", expr(
             s"CASE WHEN u >= $KmvK THEN p * est_union div u ELSE p END"))
         val nx = uu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

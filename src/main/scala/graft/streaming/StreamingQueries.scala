@@ -506,41 +506,43 @@ object StreamingQueries {
     // the estimator, a production run keeps only the sketch half.
     QueryDef(
       "st27_stream_kmv_ndv",
-      Some(s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+      // The population is NON-NULL user keys on BOTH sides (a NULL key
+      // is an instrumentation defect, not an audience member): Spark's
+      // countDistinct excludes NULL while a DuckDB count(*) over the
+      // distinct pairs would include it, so the explicit filter is
+      // what keeps exact_ndv a cross-engine fact (q72 carries the
+      // same law).
+      Some(s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events
+             |  WHERE user_id IS NOT NULL),
              |h AS (SELECT event_type,
              |    ${graft.llm.TextExprs.duckWordHash("cast(user_id as varchar)")}
              |      AS h FROM uu),
              |sk AS (SELECT event_type,
              |    list_sort(list_distinct(list(h))) AS fl,
-             |    count(*) AS exact_ndv FROM h GROUP BY 1)
-             |SELECT event_type,
-             |  cast(CASE WHEN len(fl) >= ${graft.relational.RelationalQueries4.KmvK}
-             |    THEN (${graft.relational.RelationalQueries4.KmvK - 1}
-             |      * ${graft.llm.TextExprs.PolyMod})
-             |      // fl[${graft.relational.RelationalQueries4.KmvK}]
-             |    ELSE len(fl) END as bigint) AS est_ndv,
+             |    count(*) AS exact_ndv FROM h GROUP BY 1),
+             |es AS (SELECT event_type, exact_ndv,
+             |    ${graft.functions.KmvEstimator.duck("fl",
+                    graft.relational.RelationalQueries4.KmvK)} AS est
+             |  FROM sk)
+             |SELECT event_type, cast(est as bigint) AS est_ndv,
              |  cast(exact_ndv as bigint) AS exact_ndv,
-             |  cast(abs(CASE WHEN len(fl) >= ${graft.relational.RelationalQueries4.KmvK}
-             |    THEN (${graft.relational.RelationalQueries4.KmvK - 1}
-             |      * ${graft.llm.TextExprs.PolyMod})
-             |      // fl[${graft.relational.RelationalQueries4.KmvK}]
-             |    ELSE len(fl) END - exact_ndv) * 1000000
-             |    // exact_ndv as bigint) AS err_ppm
-             |FROM sk""".stripMargin),
+             |  cast(abs(est - exact_ndv) * 1000000 // exact_ndv as bigint)
+             |    AS err_ppm
+             |FROM es""".stripMargin),
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val k = graft.relational.RelationalQueries4.KmvK
         val sk = runToMemorySink(s, d, "st27", "complete") { raw =>
-          raw.select(col("event_type"),
+          raw.filter(col("user_id").isNotNull)
+            .select(col("event_type"),
               expr("graft_polyhash32(cast(user_id as string))").as("h"))
             .groupBy(col("event_type"))
             .agg(expr(s"graft_kmin(h, $k)").as("hs"))
         }
         val est = sk.select(col("event_type"),
-          expr(s"CASE WHEN size(hs) >= $k THEN (${k - 1} * " +
-            s"${graft.llm.TextExprs.PolyMod}L) div element_at(hs, $k) " +
-            "ELSE cast(size(hs) as bigint) END").as("est_ndv"))
+          expr(graft.functions.KmvEstimator.spark("hs", k)).as("est_ndv"))
         val exact = Catalog.t(s, d, "events")
+          .filter(col("user_id").isNotNull)
           .groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("exact_ndv"))
         est.join(exact, "event_type")

@@ -34,7 +34,6 @@ object KmvScaleSmoke {
     graft.functions.GraftFunctions.register(spark)
 
     val K = graft.relational.RelationalQueries4.KmvK
-    val M = graft.llm.TextExprs.PolyMod
     Seq(100000L, 1000000L, 10000000L).foreach { n =>
       // 4 groups of different true cardinality: group g owns ids whose
       // stride-mixed value ≡ g (mod 4), so exact NDV ≈ n/4 per group
@@ -54,8 +53,7 @@ object KmvScaleSmoke {
       sk.sortBy(_.getInt(0)).foreach { r =>
         val g = r.getInt(0)
         val hs = r.getSeq[Long](1)
-        val est =
-          if (hs.length >= K) (K - 1).toLong * M / hs(K - 1) else hs.length
+        val est = graft.functions.KmvEstimator.scala(hs, K)
         val ex = exact(g)
         val errPpm = math.abs(est - ex) * 1000000L / ex
         println(s"""{"metric":"kmv_scale_smoke","n_rows":$n,"group":$g,""" +

@@ -15,8 +15,9 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val b = SparkSession.builder().master("local[32]")
-      .appName("timeq").config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder().master(s"local[$cpus]")
+      .appName("timeq").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.Catalog.sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

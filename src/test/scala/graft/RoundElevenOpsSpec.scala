@@ -16,24 +16,9 @@ class RoundElevenOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  import scala.jdk.CollectionConverters._
-
-  /** Driver-layout table: one parquet FILE named `<table>.parquet`
-    * (the streaming readers glob on that exact name).
-    */
   private def writeSingleFile(df: org.apache.spark.sql.DataFrame,
-      dir: String, table: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-r11-part")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(fail(s"no part file written for $table"))
-    java.nio.file.Files.move(part,
-      java.nio.file.Paths.get(dir, s"$table.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+      dir: String, table: String): Unit =
+    TestIo.writeSingleFile(df, dir, table)
 
   test("q71 buckets negative values by FLOOR division, the same pmod " +
     "identity the oracle carries") {

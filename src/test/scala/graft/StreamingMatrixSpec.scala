@@ -55,17 +55,8 @@ class StreamingMatrixSpec extends AnyFunSuite {
     * on that), so the fixture writer moves the single part file into
     * place under that name.
     */
-  private def writeSingleFile(df: DataFrame, dir: String, table: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stfix-part")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(fail(s"no part file written for $table"))
-    java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, s"$table.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def writeSingleFile(df: DataFrame, dir: String, table: String): Unit =
+    TestIo.writeSingleFile(df, dir, table)
 
   private lazy val dir: String = {
     val s = spark
