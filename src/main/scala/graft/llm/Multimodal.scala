@@ -404,7 +404,49 @@ object Multimodal {
               |    ORDER BY frame_idx) as int) AS key_rank
               |FROM kk""".stripMargin),
       (s, d) => keyframes(frameSample(mediaDF(s, d)),
-        decodeFeatures(mediaDF(s, d))))
+        decodeFeatures(mediaDF(s, d)))),
+
+    // m11: MEDIA DEDUP LEDGER — exact byte-level dedup by payload
+    // checksum, reported per format. The FIRST pass of any 100 TB
+    // media-curation run: identical bytes (re-crawled images, mirrored
+    // videos) collapse on one hash long before perceptual passes (m06)
+    // spend compute on near-dups. Spark shape: checksum inside the
+    // scan (the codegen'd graft_bytehash32 byte fold — the payload is
+    // the UTF-8 encoding of text, so the text fold IS the payload
+    // fold, m02's documented equivalence), then TWO map-side-
+    // combinable aggregates ((format, checksum) → format) — payloads
+    // never shuffle, and no countDistinct expand. Complements m07
+    // (shard integrity: checksums verify transport) — here checksums
+    // drive IDENTITY.
+    QueryDef(
+      "m11_media_dedup",
+      Some(s"""WITH c AS (SELECT
+              |    (['png', 'jpeg', 'wav', 'mp4'])[cast(doc_id % 4 as int) + 1]
+              |      AS format,
+              |    ${TextExprs.duckByteHash("text")} AS checksum
+              |  FROM documents),
+              |g AS (SELECT format, checksum, count(*) AS n
+              |  FROM c GROUP BY 1, 2)
+              |SELECT format, cast(sum(n) as bigint) AS n_items,
+              |  cast(count(*) as bigint) AS n_distinct,
+              |  cast(sum(n) - count(*) as bigint) AS n_dup_items,
+              |  cast((sum(n) - count(*)) * 1000000 // sum(n) as bigint)
+              |    AS dup_ppm
+              |FROM g GROUP BY format""".stripMargin),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Catalog.t(s, d, "documents")
+          .select(expr("element_at(array('png', 'jpeg', 'wav', 'mp4'), " +
+            "cast(doc_id % 4 as int) + 1)").as("format"),
+            expr("graft_bytehash32(text)").as("checksum"))
+          .groupBy(col("format"), col("checksum"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("format"))
+          .agg(sum(col("n")).as("n_items"),
+            count(lit(1)).as("n_distinct"),
+            expr("sum(n) - count(*)").as("n_dup_items"),
+            expr("(sum(n) - count(*)) * 1000000 div sum(n)").as("dup_ppm"))
+      })
   )
 
   /** Hash-jump threshold below which a sampled frame is considered the

@@ -123,7 +123,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "t44_bpe_merge_step", "g13_truss_support",
     // an empty event stream has no populations: zero sketch rows, zero
     // pairs, an empty overlap/cardinality report (batch and streaming)
-    "q72_kmv_set_ops", "st27_stream_kmv_ndv")
+    "q72_kmv_set_ops", "st27_stream_kmv_ndv",
+    // an empty media lake has no payloads: empty dedup ledger
+    "m11_media_dedup")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

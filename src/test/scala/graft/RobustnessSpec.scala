@@ -160,7 +160,10 @@ class RobustnessSpec extends AnyFunSuite {
     "t44_bpe_merge_step", "g13_truss_support", "c12_split_stability",
     // adversarial events (single-event user, negative values) through
     // the KMV audience-overlap algebra, batch and streaming
-    "q72_kmv_set_ops", "st27_stream_kmv_ndv")
+    "q72_kmv_set_ops", "st27_stream_kmv_ndv",
+    // hostile payloads (empty, astral-plane, 20k-token) through the
+    // byte-checksum dedup ledger
+    "m11_media_dedup")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

@@ -241,6 +241,28 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       s"unstable cluster mispriced: ${r(100L)}")
   }
 
+  test("m11 collapses identical payloads per format and prices the " +
+    "dup share exactly") {
+    val s = spark; import s.implicits._
+    val dir = TempDirs.create("graft-m11")
+    // png (ids 0, 4): identical payload bytes → 2 items, 1 distinct,
+    // dup share 500000 ppm; jpeg (1, 5): distinct payloads → 0 dup;
+    // wav (2): singleton; mp4 absent (no id ≡ 3 mod 4) → no row
+    Seq((0L, "aaa"), (4L, "aaa"), (1L, "x"), (5L, "y"), (2L, "z"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("m11_media_dedup")(s, dir).collect()
+      .map(x => x.getAs[String]("format") ->
+        (x.getAs[Long]("n_items"), x.getAs[Long]("n_distinct"),
+          x.getAs[Long]("n_dup_items"), x.getAs[Long]("dup_ppm")))
+      .toMap
+    assert(r == Map(
+      "png" -> (2L, 1L, 1L, 500000L),
+      "jpeg" -> (2L, 2L, 0L, 0L),
+      "wav" -> (1L, 1L, 0L, 0L)), r)
+  }
+
   test("p26 diff classes survive astral-plane text (the round-10 " +
     "advisory's discriminating corpus)") {
     val s = spark; import s.implicits._
