@@ -1193,20 +1193,34 @@ object Clustering {
     * honest cost, stated plainly: at eps this low, background pairs
     * collide too (≈ 64% of cos-0 pairs hit ≥1 band), so banding prunes
     * only a constant factor of the panel's pair mass — the SCALE
-    * control is the panel itself (a bounded evaluation set, |panel| =
-    * N/5 of a fixed audit slice), banding keeps the join keyed on
-    * (band, bucket) rather than a cartesian, and exact cosine is
-    * verified ONLY on candidates. A full-corpus low-eps graph is not a
-    * thing this operator promises; raise eps or shrink the panel. The
-    * oracle mirrors the 16×4 bucket assignment exactly, so the hash
-    * gate proves banding, cosine filter, and role classification
-    * together. PlanQualitySpec pins the physical plan: no
-    * CartesianProduct, no BroadcastNestedLoopJoin, no mandatory
-    * broadcast.
+    * control is the panel itself: a bounded evaluation set that is now
+    * genuinely bounded (round 12; the round-11 contract said "bounded"
+    * while `vec_id % 5` was a PROPORTIONAL slice). The panel is the
+    * `DbscanPanelCap` members of the `% DbscanPanelMod` audit slice
+    * with the smallest deterministic LCG hash (vec_id tiebreak) — a
+    * fixed-cardinality pseudo-random sample, so candidate mass is
+    * O(cap²/bands·2^rowBits) CONSTANT as the corpus grows, and when
+    * the slice is smaller than the cap (both gate scales) the panel
+    * equals the whole slice, leaving gate results exactly as r11.
+    * Banding keeps the join keyed on (band, bucket) rather than a
+    * cartesian, and exact cosine is verified ONLY on candidates. A
+    * full-corpus low-eps graph is not a thing this operator promises;
+    * raise eps or widen the cap deliberately. The oracle mirrors the
+    * 16×4 bucket assignment AND the capped sample (same LCG, same
+    * ORDER BY/LIMIT) exactly, so the hash gate proves sampling,
+    * banding, cosine filter, and role classification together.
+    * PlanQualitySpec pins the physical plan: no CartesianProduct, no
+    * BroadcastNestedLoopJoin, no mandatory broadcast.
     */
   private val DbscanEps = 0.35
   private val DbscanMinPts = 3
   private val DbscanPanelMod = 5
+  private[graft] val DbscanPanelCap = 2000
+  // Knuth's multiplicative constant; vec_id (non-negative by the table
+  // contract) is reduced mod 1e6+3 first so the product stays far
+  // inside Int64 on BOTH engines (DuckDB errors on bigint overflow
+  // rather than wrapping). Identical text runs on Spark and DuckDB.
+  private[graft] val PanelHash = "(vec_id % 1000003) * 2654435761"
   private[graft] val DbscanBands = 16
   private[graft] val DbscanRowBits = 4
 
@@ -1223,9 +1237,19 @@ object Clustering {
     * classes against an in-spec exact reference. */
   private def dbscanSpark(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val panel = Catalog.t(s, d, "embeddings")
+    // fixed-cardinality panel: the cap smallest LCG-hash members of the
+    // audit slice (vec_id tiebreak) — a TakeOrdered of cap ids, then
+    // the slice is re-filtered by semi-join; never a global sort of
+    // the corpus and never more than cap rows on the driver side of
+    // any stage
+    val slice = Catalog.t(s, d, "embeddings")
       .filter(col("vec_id") % DbscanPanelMod === 0)
       .select(col("vec_id"), col("embedding"))
+    val capIds = slice.select(col("vec_id"),
+        expr(PanelHash).as("ph"))
+      .orderBy(col("ph"), col("vec_id")).limit(DbscanPanelCap)
+      .select(col("vec_id"))
+    val panel = slice.join(capIds, Seq("vec_id"), "left_semi")
     val pairs = Similarity.embeddingNearDups(panel, DbscanEps,
       bands = DbscanBands, rowBits = DbscanRowBits)
     val edges = pairs.select(col("vec_a").as("ia"), col("vec_b").as("ib"))
@@ -1249,8 +1273,12 @@ object Clustering {
   }
 
   private def dbscanOracle: String =
-    s"""WITH p AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
+    s"""WITH sl AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
        |  FROM embeddings WHERE vec_id % $DbscanPanelMod = 0),
+       |cap AS (SELECT vec_id FROM sl
+       |  ORDER BY $PanelHash, vec_id LIMIT $DbscanPanelCap),
+       |p AS (SELECT sl.vec_id, sl.va FROM sl
+       |  WHERE sl.vec_id IN (SELECT vec_id FROM cap)),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM p),
        |k AS (${Similarity.duckBandKeys(DbscanBands, DbscanRowBits)}),
        |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib

@@ -2081,9 +2081,7 @@ object Dedup {
        |    ${Similarity.duckDot("ca", "ca")} AS nsq FROM c0),
        |c AS (SELECT neighbor_id, ca, nsq FROM cq
        |  WHERE nsq > 0 AND nsq < cast('Infinity' as double)),
-       |cn AS (SELECT neighbor_id, ca,
-       |    CASE WHEN nsq = 0 THEN cast(1 as double) ELSE sqrt(nsq) END
-       |      AS cn FROM c),
+       |cn AS (SELECT neighbor_id, ca, sqrt(nsq) AS cn FROM c),
        |sc AS (SELECT probe_id, neighbor_id,
        |    ${Similarity.duckDot("qa", "ca")} / (qn * cn) AS cosine,
        |    row_number() OVER (PARTITION BY probe_id

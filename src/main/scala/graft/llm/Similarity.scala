@@ -191,10 +191,28 @@ object Similarity {
     * scalable approximation of the quadratic exact k-NN graph: every
     * stage is the already-gated d06 candidate machinery plus one
     * node-keyed window.
+    *
+    * RECALL CONTRACT (round 12, stated where it used to be silent):
+    * this is the standard LSH-knn approximation — each node's "k
+    * nearest" are the k best among its LSH CANDIDATES, not among the
+    * whole corpus. Under the N-adaptive prefix family the per-pair
+    * candidate probability is 1−(1−p^rowBits)^bands with p = 1−θ/π,
+    * held ≈ 0.74 at cos 0.9 across ladder tiers and decaying toward 0
+    * below cos ≈ 0.7 — so edges whose true neighbors are high-cosine
+    * (the regime knn pruning targets) are found with that probability,
+    * while low-cosine "neighbors" (near-orthogonal vectors; SemDeDup
+    * does not act on them) are best-effort fill from residual band
+    * collisions. Measured knn recall vs the exact graph ships in
+    * EPS_GRAPH_SCALE_r12.json (EpsGraphScaleSmoke's knn rows). The
+    * `minCosine = -1` keeps the fill: ranking ALL candidates is what
+    * bounds result rows at k per node, and under the adaptive family
+    * the candidate mass itself is bounded (≈ 4·bands per vector), so
+    * no threshold is needed for scale safety — that was the round-11
+    * flag, retired by the ladder, not by a floor.
     */
   def knnGraph(vecs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = embeddingNearDups(vecs, minCosine = -1.0)
+    val pairs = embeddingNearDups(vecs, minCosine = -1.0, adaptive = true)
     val sym = pairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cosine"))
       .unionAll(pairs
@@ -207,17 +225,9 @@ object Similarity {
   }
 
   private def knnGraphOracle: String = {
-    val pl = planesN(NdBands * NdRowBits)
-    val bandSelects = (0 until NdBands).map { b =>
-      val bits = (0 until NdRowBits).map { j =>
-        val p = pl(b * NdRowBits + j).mkString("[", ", ", "]")
-        s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
-    }.mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
-       |k AS ($bandSelects),
+       |$duckAdaptiveCtes,
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
        |p AS (SELECT vec_a, vec_b,
@@ -567,7 +577,7 @@ object Similarity {
 
   private def nearDupSpark(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(Catalog.t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding")), adaptive = true)
 
   /** Public API: near-duplicate `(vec_a, vec_b, cosine)` pairs over an
     * `(vec_id, embedding)` frame. Default is the banded sign-LSH
@@ -576,11 +586,15 @@ object Similarity {
     * collide are not reported, the usual LSH recall trade). Pass
     * `exact = true` for the brute-force all-pairs baseline — a
     * verification tool; its broadcast of the full table is a
-    * scale-killer by design, never the default.
+    * scale-killer by design, never the default. `adaptive = true`
+    * replaces the fixed family with the N-adaptive prefix ladder
+    * ([[adaptiveCandidatePairs]]) — the scale-safe default for
+    * full-corpus consumers (d06, s11), where a fixed key space would
+    * go quadratic once the corpus outgrows it.
     */
   def embeddingNearDups(vecs: DataFrame, minCosine: Double = NearDupMin,
       exact: Boolean = false, bands: Int = NdBands,
-      rowBits: Int = NdRowBits): DataFrame = {
+      rowBits: Int = NdRowBits, adaptive: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val e = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", expr(s"${sparkNorm("embedding")}"))
@@ -594,7 +608,8 @@ object Similarity {
         .filter(col("cosine") >= minCosine)
         .select("vec_a", "vec_b", "cosine")
     } else {
-      val cand = lshCandidatePairs(e, bands, rowBits)
+      val cand = if (adaptive) adaptiveCandidatePairs(e)
+                 else lshCandidatePairs(e, bands, rowBits)
       val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -620,15 +635,22 @@ object Similarity {
     * fewer-bits/more-bands family because p^12 is negligible below
     * cos ≈ 0.7. Planes are indexed band-major into the shared
     * deterministic family, so each (bands, rowBits) choice is a fixed,
-    * oracle-mirrorable plane assignment.
+    * oracle-mirrorable plane assignment. `stride` is the band-major
+    * plane stride (default = rowBits, the historical contiguous
+    * layout): the adaptive path passes `stride = AdMaxBits` so every
+    * ladder tier is a PREFIX of the one maximal plane family — band b
+    * always reads planes `b*stride .. b*stride+rowBits-1`, and a
+    * rowBits-bit key equals the maximal key masked to its low bits.
     */
   def lshCandidatePairs(vecs: DataFrame, bands: Int = NdBands,
-      rowBits: Int = NdRowBits): DataFrame = {
+      rowBits: Int = NdRowBits, stride: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val pl = planesN(bands * rowBits)
+    val st = if (stride < 0) rowBits else stride
+    require(rowBits <= st, s"rowBits $rowBits exceeds plane stride $st")
+    val pl = planesN(bands * st)
     val bandStructs = (0 until bands).map { b =>
       val bits = (0 until rowBits).map { j =>
-        val p = pl(b * rowBits + j)
+        val p = pl(b * st + j)
           .mkString("cast(array(", ", ", ") as array<double>)")
         s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
       }.mkString(" + ")
@@ -654,29 +676,108 @@ object Similarity {
     */
   private[llm] def duckBandKeys: String = duckBandKeys(NdBands, NdRowBits)
 
-  private[llm] def duckBandKeys(bands: Int, rowBits: Int): String = {
-    val pl = planesN(bands * rowBits)
+  private[llm] def duckBandKeys(bands: Int, rowBits: Int,
+      stride: Int = -1, key: String = "bk"): String = {
+    val st = if (stride < 0) rowBits else stride
+    val pl = planesN(bands * st)
     (0 until bands).map { b =>
       val bits = (0 until rowBits).map { j =>
-        val p = pl(b * rowBits + j).mkString("[", ", ", "]")
+        val p = pl(b * st + j).mkString("[", ", ", "]")
         s"CASE WHEN ${duckDot("va", p)} > 0 THEN ${1 << j} ELSE 0 END"
       }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, cast($bits as int) AS bk FROM n"
+      s"SELECT vec_id, $b AS band, cast($bits as int) AS $key FROM n"
     }.mkString("\n  UNION ALL ")
   }
 
-  private def nearDupOracle: String = {
-    val bandSelects = duckBandKeys
+  // --------------------------------------- adaptive sign-LSH family
+  //
+  // Round 12: the fixed 8×12 family has 4096 buckets per band, so once
+  // the corpus outgrows the key space, background candidate mass is
+  // O(N²/keyspace) — the r11 smoke measured pairs-per-vector DOUBLING
+  // every time N doubled. The scale-safe shape is signature width that
+  // grows with the corpus: rowBits ≈ log₂(N / target-occupancy), with
+  // bands rising alongside to hold the stated recall. Implementation
+  // keeps ONE maximal deterministic plane family (AdMaxBands ×
+  // AdMaxBits, band-major at stride AdMaxBits) and selects every tier
+  // as a PREFIX of it: band b of a (bands, rowBits) tier reads planes
+  // b*AdMaxBits .. b*AdMaxBits+rowBits−1, so a tier key is exactly the
+  // maximal key masked to its low rowBits bits. That prefix property is
+  // what lets the DuckDB oracle mirror an N-dependent family with
+  // static SQL: it computes the full-width keys once, then masks with
+  // `bkf % (1 << row_bits)` and keeps `band < n_bands`, where both
+  // knobs come from the SAME integer CASE ladder over `count(*)` the
+  // Scala side applies — integer thresholds, no float-boundary hazard.
+  //
+  // The ladder holds per-pair recall at the d06 working point
+  // (cos 0.9, p = 1−θ/π ≈ 0.8564) near the historical 8×12 figure
+  // (≈ 0.74): bands(rowBits) = ceil(ln(1−0.74)/ln(1−p^rowBits)).
+  // Background collision mass per vector ≈ bands·N/2^rowBits, so with
+  // rowBits ≈ log₂N−2 it stays ≈ 4·bands — flat in N up to the ladder
+  // cap (bands grows ~linearly in rowBits, i.e. logarithmically in N).
+  // The 16×16 cap covers ~10⁵ vectors per partition-local corpus; at
+  // 100 TB (10⁹⁺ vectors) the same formula extends by raising
+  // AdMaxBits/AdMaxBands — the ladder is data, not structure.
+
+  /** (maxN, rowBits, bands) tiers; N above the last tier takes the
+    * (AdMaxBits, AdMaxBands) cap. Thresholds are exact integers shared
+    * verbatim with the oracle's CASE ladder. */
+  private[graft] val AdLadder: Seq[(Long, Int, Int)] = Seq(
+    (1024L, 8, 4), (2048L, 9, 5), (4096L, 10, 6), (8192L, 11, 7),
+    (16384L, 12, 8), (32768L, 13, 10), (65536L, 14, 12),
+    (131072L, 15, 14))
+  private[graft] val AdMaxBits = 16
+  private[graft] val AdMaxBands = 16
+
+  /** The (bands, rowBits) tier for a corpus of `n` vectors. */
+  private[graft] def adaptiveFamily(n: Long): (Int, Int) =
+    AdLadder.find(n <= _._1).map { case (_, rb, b) => (b, rb) }
+      .getOrElse((AdMaxBands, AdMaxBits))
+
+  /** Banded sign-LSH candidate pairs under the N-adaptive prefix
+    * family. The corpus is counted once at plan-construction time (one
+    * narrow count — deliberately a driver-side decision, NOT a
+    * broadcast join, so the candidate plan keeps the exact keyed shape
+    * PlanQualitySpec pins: no mandatory BroadcastExchange anywhere);
+    * the tier is then inlined as literals exactly like the fixed
+    * families. Deterministic: same frame → same count → same planes.
+    */
+  def adaptiveCandidatePairs(vecs: DataFrame): DataFrame = {
+    val (bands, rowBits) = adaptiveFamily(vecs.count())
+    lshCandidatePairs(vecs, bands, rowBits, AdMaxBits)
+  }
+
+  private def ladderCase(pick: ((Long, Int, Int)) => Int,
+      dflt: Int): String =
+    AdLadder.map { case t @ (mx, _, _) =>
+      s"WHEN c <= $mx THEN ${pick(t)}"
+    }.mkString("CASE ", " ", s" ELSE $dflt END")
+
+  /** DuckDB mirror of [[adaptiveCandidatePairs]]' band keys, as CTE
+    * definitions to splice after a CTE `n(vec_id, va)`: `k0` carries
+    * the full-width (AdMaxBands × AdMaxBits) keys, `fam` resolves the
+    * integer CASE ladder over `count(*)`, and `k(vec_id, band, bk)` is
+    * the masked prefix tier — identical to the Spark side's inlined
+    * family by the prefix property. */
+  private[llm] def duckAdaptiveCtes: String = {
+    val rbCase = ladderCase(_._2, AdMaxBits)
+    val nbCase = ladderCase(_._3, AdMaxBands)
+    s"""k0 AS (${duckBandKeys(AdMaxBands, AdMaxBits, AdMaxBits, "bkf")}),
+       |fam AS (SELECT $rbCase AS row_bits, $nbCase AS n_bands
+       |  FROM (SELECT count(*) AS c FROM n)),
+       |k AS (SELECT vec_id, band, cast(bkf % (1 << row_bits) as int) AS bk
+       |  FROM k0, fam WHERE band < n_bands)""".stripMargin
+  }
+
+  private def nearDupOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
-       |k AS ($bandSelects),
+       |$duckAdaptiveCtes,
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b,
        |  ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
        |FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
        |WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= $NearDupMin""".stripMargin
-  }
 
   // ------------------------------------------------- brute-force top-k
 
