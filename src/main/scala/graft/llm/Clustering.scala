@@ -1235,6 +1235,21 @@ object Clustering {
     * are near-orthogonal random vectors, so the honest report is mostly
     * noise; the planted-cluster fixture in the spec proves all three
     * classes against an in-spec exact reference. */
+  /** The bounded evaluation panel: the `DbscanPanelCap` smallest-hash
+    * members of the `% DbscanPanelMod` audit slice (LCG hash, vec_id
+    * tiebreak). TakeOrdered of cap ids + one semi-join — never a
+    * global sort of the corpus; |panel| = min(|slice|, cap) by
+    * construction (spec-pinned). */
+  private[graft] def dbscanPanel(embeddings: DataFrame): DataFrame = {
+    val slice = embeddings
+      .filter(col("vec_id") % DbscanPanelMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    val capIds = slice.select(col("vec_id"), expr(PanelHash).as("ph"))
+      .orderBy(col("ph"), col("vec_id")).limit(DbscanPanelCap)
+      .select(col("vec_id"))
+    slice.join(capIds, Seq("vec_id"), "left_semi")
+  }
+
   private def dbscanSpark(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // fixed-cardinality panel: the cap smallest LCG-hash members of the
@@ -1242,14 +1257,7 @@ object Clustering {
     // the slice is re-filtered by semi-join; never a global sort of
     // the corpus and never more than cap rows on the driver side of
     // any stage
-    val slice = Catalog.t(s, d, "embeddings")
-      .filter(col("vec_id") % DbscanPanelMod === 0)
-      .select(col("vec_id"), col("embedding"))
-    val capIds = slice.select(col("vec_id"),
-        expr(PanelHash).as("ph"))
-      .orderBy(col("ph"), col("vec_id")).limit(DbscanPanelCap)
-      .select(col("vec_id"))
-    val panel = slice.join(capIds, Seq("vec_id"), "left_semi")
+    val panel = dbscanPanel(Catalog.t(s, d, "embeddings"))
     val pairs = Similarity.embeddingNearDups(panel, DbscanEps,
       bands = DbscanBands, rowBits = DbscanRowBits)
     val edges = pairs.select(col("vec_a").as("ia"), col("vec_b").as("ib"))

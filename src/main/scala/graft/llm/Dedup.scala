@@ -94,6 +94,8 @@ object Dedup {
     QueryDef("g02_label_propagation", Some(lpaOracle), lpaSpark),
     QueryDef("g03_triangle_count", Some(trianglesOracle), trianglesSpark),
     QueryDef("g13_truss_support", Some(trussOracle), trussSpark),
+    QueryDef("g14_truss_decomposition", Some(trussDecompOracle),
+      trussDecompSpark),
     QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
     QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
     QueryDef("g07_degree_profile", Some(degreeProfileOracle),
@@ -1575,6 +1577,84 @@ object Dedup {
        |  cast(coalesce(sup.support, 0) as bigint) AS support,
        |  coalesce(sup.support, 0) >= ${TrussK - 2} AS in_truss
        |FROM ce LEFT JOIN sup USING (ea, eb)""".stripMargin
+
+  // ------------------------------ full truss decomposition (g14)
+
+  /** Ladder cap for the decomposition: must exceed the gate graph's
+    * max trussness (7 at sf0.001, 5 at sf0.01 — measured; the round-12
+    * spec asserts the cap is non-binding) so capped trussness never
+    * appears in gated output. Raise deliberately for denser graphs.
+    */
+  private val TrussDecompMaxK = 10
+
+  /** g14: per-edge TRUSSNESS over the full near-dup graph (hamming ≤
+    * MaxHamming — the looser cut, so the decomposition is non-vacuous:
+    * the tight ≤ 1 graph of g13 is triangle-free at the gate). The
+    * iterative peel lives in [[GraphAlgs.trussDecomposition]]; this is
+    * the g03→g13 progression completed — g13's own scaladoc called its
+    * single pass "the first peel of the iterative truss decomposition".
+    */
+  private def trussDecompSpark(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = nearDupGraph(s, d)
+    GraphAlgs.trussDecomposition(edges.select(col("src"), col("dst")),
+      TrussDecompMaxK, graphCheckpointDir(s))
+  }
+
+  /** DuckDB mirror: one recursive peel CTE per level k = 3..maxK, each
+    * anchored on the previous level's fixpoint. Within a level the
+    * recursion carries the shrinking edge frontier: per round, support
+    * = |N(a) ∩ N(b)| within the frontier (two keyed joins on a
+    * symmetrized neighbor view), survivors advance only while the
+    * round actually dropped an edge (`min(support) OVER () < θ` — the
+    * stop condition that terminates UNION ALL recursion), and a final
+    * re-filter on the max-round rows yields the exact fixpoint even
+    * when a level peels to empty. Level CTEs are MATERIALIZED: DuckDB
+    * otherwise inlines each level's expression into the next level's
+    * recursion anchor and the plan re-expands multiplicatively
+    * (measured: maxK=4 ran >120 s inlined, 0.5 s materialized).
+    * Trussness = 2 + number of level memberships (levels are nested).
+    */
+  private def trussSupportSub(src: String): String =
+    s"SELECT x.a, x.b, count(*) AS c FROM $src x " +
+      s"JOIN (SELECT a AS u, b AS w FROM $src UNION ALL SELECT b, a FROM $src) n1 ON n1.u = x.a " +
+      s"JOIN (SELECT a AS u, b AS w FROM $src UNION ALL SELECT b, a FROM $src) n2 ON n2.u = x.b AND n2.w = n1.w " +
+      "GROUP BY x.a, x.b"
+
+  private def trussLevelCtes(k: Int, base: String): String = {
+    val th = k - 2
+    s"""p$k(a, b, rnd) AS (
+       |  SELECT a, b, 0 FROM $base
+       |  UNION ALL
+       |  SELECT a, b, rnd + 1 FROM (
+       |    SELECT f.a, f.b, f.rnd, coalesce(s.c, 0) AS sup,
+       |           min(coalesce(s.c, 0)) OVER () AS mn
+       |    FROM p$k f LEFT JOIN (${trussSupportSub(s"p$k")}) s
+       |      ON s.a = f.a AND s.b = f.b
+       |  ) WHERE sup >= $th AND mn < $th),
+       |f$k AS MATERIALIZED (SELECT a, b FROM p$k
+       |  WHERE rnd = (SELECT max(rnd) FROM p$k)),
+       |t$k AS MATERIALIZED (SELECT fa.a, fa.b FROM f$k fa
+       |  LEFT JOIN (${trussSupportSub(s"f$k")}) s
+       |    ON s.a = fa.a AND s.b = fa.b
+       |  WHERE coalesce(s.c, 0) >= $th)""".stripMargin
+  }
+
+  private def trussDecompOracle: String = {
+    val ks = 3 to TrussDecompMaxK
+    val levels = ks.map(k =>
+      trussLevelCtes(k, if (k == 3) "ce" else s"t${k - 1}")).mkString(",\n")
+    val member = ks.map(k =>
+      s"(CASE WHEN m$k.a IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+    val joins = ks.map(k =>
+      s"LEFT JOIN t$k m$k ON m$k.a = ce.a AND m$k.b = ce.b").mkString("\n")
+    s"""WITH RECURSIVE ${edgeCtes()},
+       |ce AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst),
+       |$levels
+       |SELECT ce.a AS src, ce.b AS dst,
+       |  cast(2 + $member as bigint) AS trussness
+       |FROM ce
+       |$joins""".stripMargin
+  }
 
   // ------------------------- template extraction (d27)
 

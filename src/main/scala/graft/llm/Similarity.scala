@@ -746,6 +746,35 @@ object Similarity {
     lshCandidatePairs(vecs, bands, rowBits, AdMaxBits)
   }
 
+  /** Test twin of the oracle's masked-full-width computation: band
+    * keys under the MAXIMAL family, masked to the tier with pmod —
+    * the round-12 spec compares its candidate set against
+    * [[adaptiveCandidatePairs]]' prefix-family set to pin the prefix
+    * identity the static oracle SQL relies on. Never a gate path. */
+  private[graft] def lshCandidatePairsMaskedForTest(vecs: DataFrame,
+      bands: Int, rowBits: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val pl = planesN(AdMaxBands * AdMaxBits)
+    val bandStructs = (0 until AdMaxBands).map { b =>
+      val bits = (0 until AdMaxBits).map { j =>
+        val p = pl(b * AdMaxBits + j)
+          .mkString("cast(array(", ", ", ") as array<double>)")
+        s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"struct($b as band, cast($bits as int) as bkf)"
+    }.mkString(", ")
+    val keyed = vecs.select(col("vec_id"),
+        explode(expr(s"array($bandStructs)")).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        pmod(col("bb.bkf"), lit(1 << rowBits)).as("bk"))
+      .filter(col("band") < bands)
+    keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+      .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
   private def ladderCase(pick: ((Long, Int, Int)) => Int,
       dflt: Int): String =
     AdLadder.map { case t @ (mx, _, _) =>
@@ -1285,13 +1314,31 @@ object Similarity {
   private val NumPlanes = 16
   private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes (LCG over the flat index). */
+  /** Deterministic pseudo-random hyperplanes (splitmix64 finalizer over
+    * the flat index). */
   private[llm] def planes: Array[Array[Double]] = planesN(NumPlanes)
 
-  private[llm] def planesN(n: Int): Array[Array[Double]] =
+  /** Round 12: the original raw-LCG planes were LATTICE-CORRELATED
+    * (mean pairwise |cos| 0.33, worst pairs at 0.996 — near-duplicate
+    * planes contributing almost no fresh bit), which made sign-bucket
+    * occupancy heavy-tailed: measured background collision per band ran
+    * 11×/24×/45× the uniform 2^−rowBits at 12/14/16 bits, and each
+    * added signature bit bought only ×0.71 candidate-mass reduction
+    * instead of ×0.5 — the hidden reason the r11 smoke saw pairs/vec
+    * double with N. The splitmix64 finalizer decorrelates the family
+    * (mean |cos| 0.10 ≈ the 1/√dim random-direction expectation; skew
+    * 1.2–2.1; decay ≈ ×0.53/bit, measured). Components are exact
+    * thousandths, so the decimal literals round-trip identically into
+    * Spark codegen and DuckDB SQL — parity is unaffected by the value
+    * change because every oracle regenerates from this one function.
+    */
+  private[graft] def planesN(n: Int): Array[Array[Double]] =
     Array.tabulate(n, Dim) { (j, i) =>
-      val x = (1103515245L * (j * Dim + i) + 12345L) % 2147483647L
-      ((x % 2001L) - 1000L) / 1000.0
+      var z = (j.toLong * Dim + i) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (java.lang.Long.remainderUnsigned(z, 2001L) - 1000L) / 1000.0
     }
 
   private def annLshSpark(s: SparkSession, d: String): DataFrame = {

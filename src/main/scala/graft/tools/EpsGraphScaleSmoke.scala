@@ -6,29 +6,44 @@ import graft.llm.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Measured evidence for round 10's c11 de-cartesian: the DBSCAN
-  * epsilon graph now comes from d06's banded sign-LSH candidates
-  * (`embeddingNearDups`) instead of an all-pairs panel join. This smoke
-  * grows a synthetic 64-dim corpus 1×/2×/4× and measures, per scale:
+/** Measured evidence for the LSH candidate-mass scale story.
   *
-  *   - the LSH path: candidate pairs examined, epsilon edges found,
-  *     and wall time;
-  *   - the all-pairs baseline: pairs examined (N(N-1)/2 by
-  *     construction) and wall time, run only at the smallest scale —
-  *     the point of the fix is that this number is unrunnable at
-  *     corpus scale, so larger scales report the computed pair count.
+  * Round 10 de-cartesianed c11 (epsilon graph via banded sign-LSH).
+  * Round 11 fixed c11's recall (its own 16×4 low-threshold family,
+  * measured 0.82 edge recall at eps) — and measured the systemic
+  * problem: FIXED-width bucket spaces saturate, so candidate pairs per
+  * vector DOUBLED every time the corpus doubled (8×12: 90→181→362 at
+  * 10k/20k/40k). Round 12 retires that with the N-adaptive prefix
+  * family ([[Similarity.adaptiveCandidatePairs]]: rowBits ≈ log₂N−2,
+  * bands rising to hold recall) and a fixed-cardinality c11 panel.
+  *
+  * This smoke measures, per corpus scale (10k/20k/40k vectors):
+  *
+  *   1. the retired fixed 8×12 family over the full corpus — the
+  *      quadratic-trend contrast row (candidate pairs/vec doubles);
+  *   2. the adaptive family over the full corpus — the round-12 claim:
+  *      pairs/vec ~FLAT across doublings (d06/s11's candidate
+  *      currency), with eps-edge recall vs the exact baseline where
+  *      the baseline is runnable (1×/2×);
+  *   3. s11's knn graph vs the EXACT knn graph (1×/2×): edge recall
+  *      overall and restricted to exact edges with cosine ≥ 0.7 (the
+  *      family's stated working range — the regime SemDeDup-style
+  *      pruning acts on);
+  *   4. c11's shipped shape — the CAPPED audit panel (2000 of the %5
+  *      slice by LCG hash) under the 16×4 eps family: panel size and
+  *      candidate mass flat as the corpus grows.
   *
   * Corpus shape mirrors what DBSCAN is for: every 100-id block plants
   * a 5-member cluster (shared base direction + small per-vector
   * perturbation, pairwise cosine ≈ 0.96), the other 95 vectors are
   * pseudo-random noise — so true epsilon-edge mass grows LINEARLY in N
-  * (10 in-cluster pairs per block) while the all-pairs join grows
-  * quadratically. Vectors are generated distributed (hash-of-index
-  * floats via Spark SQL, no driver materialization) and deterministic,
-  * so reruns reproduce the same numbers.
+  * while all-pairs grows quadratically. Vectors are generated
+  * distributed (hash-of-index floats via Spark SQL, no driver
+  * materialization) and deterministic, so reruns reproduce.
   *
   * Run: `sbt "runMain graft.tools.EpsGraphScaleSmoke"`.
-  * Prints one JSON line per (scale, path); record lands in PLANS.md.
+  * Prints one JSON line per (scale, path); record lands in
+  * EPS_GRAPH_SCALE_r12.json + PLANS.md.
   */
 object EpsGraphScaleSmoke {
 
@@ -61,59 +76,97 @@ object EpsGraphScaleSmoke {
       val t0 = System.nanoTime(); val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    def ratio(num: Long, den: Option[Long]): String =
+      den.filter(_ > 0L).map(d => "%.3f".format(num.toDouble / d))
+        .getOrElse("null")
 
-    // Round 11 adds the RECALL axis the round-10 advisory asked for:
-    // at eps = 0.35 the d06 family (8×12, tuned for cos ≥ 0.9) found
-    // only ~9.5% of the exact epsilon edges (r10 artifact: 10,705 of
-    // 113,056 at 10k) — core/border roles were banding artifacts. c11
-    // now ships its own 16×4 family; this smoke measures, per family
-    // and scale: candidate mass, eps edges, and edge recall vs the
-    // exact baseline (computable at 1×/2×). The honest cost is printed,
-    // not hidden: at low eps a high-recall hyperplane family collides
-    // on ~64% of even orthogonal pairs, so candidate mass approaches
-    // all-pairs — the SCALE control for c11 is the bounded panel (N/5
-    // audit slice), banding keeps the join keyed instead of cartesian.
     val eps = 0.35
+    val knnK = 3
     Seq(1, 2, 4).foreach { scale =>
       val n = 10000L * scale
       val vecs = corpus(n).cache()
       vecs.count()
+      val exactRunnable = scale <= 2
 
-      // full-corpus exact baseline (runnable at 1×/2× only) — recall
-      // denominator for the full-corpus 8×12 row
-      val allPairs = n * (n - 1) / 2
+      // exact all-pairs eps-edge baseline (recall denominator)
       val (edgesExact, exactS) =
-        if (scale <= 2) {
-          val r = timed { Similarity.embeddingNearDups(vecs, eps, exact = true).count() }
+        if (exactRunnable) {
+          val r = timed {
+            Similarity.embeddingNearDups(vecs, eps, exact = true).count()
+          }
           (Some(r._1), Some(r._2))
         } else (None, None)
       println(s"""{"metric":"eps_graph_scale_smoke","bands":"n/a","path":"all_pairs",""" +
-        s""""n_vecs":$n,"pairs_examined":$allPairs,""" +
-        s""""pairs_per_vec":${"%.1f".format(allPairs.toDouble / n)},""" +
+        s""""n_vecs":$n,"pairs_examined":${n * (n - 1) / 2},""" +
         s""""eps_edges":${edgesExact.map(_.toString).getOrElse("null")},""" +
-        s""""total_s":${exactS.map(t => "%.1f".format(t)).getOrElse("null")}""" +
-        (if (scale > 2) ""","note":"baseline not run at 4x - the retired shape"""" else "") +
-        "}")
+        s""""total_s":${exactS.map(t => "%.1f".format(t)).getOrElse("null")}}""")
 
-      // d06's 8×12 family over the FULL corpus (r10 continuity row):
-      // scale-safe candidate mass, but ~9.5% edge recall at this low
-      // eps — right family for cos ≥ 0.9 dedup, wrong one for c11
-      val (candPairs, candS) = timed { Similarity.lshCandidatePairs(vecs).count() }
-      val (edges, lshS) = timed { Similarity.embeddingNearDups(vecs, eps).count() }
-      val recallFull = edgesExact
-        .map(e => "%.3f".format(edges.toDouble / e)).getOrElse("null")
-      println(s"""{"metric":"eps_graph_scale_smoke","bands":"8x12 (d06, cos>=0.9 tuned)","path":"lsh_banded_full",""" +
-        s""""n_vecs":$n,"pairs_examined":$candPairs,""" +
-        s""""pairs_per_vec":${"%.1f".format(candPairs.toDouble / n)},""" +
-        s""""eps_edges":$edges,"edge_recall_at_eps":$recallFull,""" +
-        s""""candidates_s":${"%.1f".format(candS)},""" +
-        s""""total_s":${"%.1f".format(lshS)}}""")
+      // CONTRAST row: the retired fixed 8×12 family — pairs/vec doubles
+      // with N (the round-11 finding this smoke exists to keep visible)
+      val (fixCand, fixS) = timed { Similarity.lshCandidatePairs(vecs).count() }
+      println(s"""{"metric":"eps_graph_scale_smoke","bands":"8x12 (FIXED - retired r12)","path":"lsh_fixed_full",""" +
+        s""""n_vecs":$n,"pairs_examined":$fixCand,""" +
+        s""""pairs_per_vec":${"%.1f".format(fixCand.toDouble / n)},""" +
+        s""""candidates_s":${"%.1f".format(fixS)}}""")
 
-      // c11's SHIPPED shape: the N/5 audit panel under the eps-tuned
-      // 16×4 family. The exact panel baseline is runnable at every
-      // scale (|panel|²/2 pairs), so edge recall is MEASURED, not
-      // theorized, at each corpus size.
-      val panel = vecs.filter(col("vec_id") % 5 === 0).cache()
+      // ROUND-12 claim: adaptive prefix family — pairs/vec ~flat
+      val (bandsA, rowBitsA) = Similarity.adaptiveFamily(n)
+      val (adCand, adCandS) = timed {
+        Similarity.adaptiveCandidatePairs(vecs).count()
+      }
+      val (adEdges, adS) = timed {
+        Similarity.embeddingNearDups(vecs, eps, adaptive = true).count()
+      }
+      println(s"""{"metric":"eps_graph_scale_smoke","bands":"${bandsA}x$rowBitsA (ADAPTIVE r12)","path":"lsh_adaptive_full",""" +
+        s""""n_vecs":$n,"pairs_examined":$adCand,""" +
+        s""""pairs_per_vec":${"%.1f".format(adCand.toDouble / n)},""" +
+        s""""eps_edges":$adEdges,""" +
+        s""""edge_recall_at_eps":${ratio(adEdges, edgesExact)},""" +
+        s""""candidates_s":${"%.1f".format(adCandS)},""" +
+        s""""total_s":${"%.1f".format(adS)}}""")
+
+      // s11's knn graph vs the exact knn graph (the recall contract's
+      // measured artifact). Exact graph = same window over the exact
+      // all-pairs relation; runnable at 1×/2×.
+      if (exactRunnable) {
+        import org.apache.spark.sql.expressions.Window
+        def knnOf(pairs: DataFrame): DataFrame = {
+          val sym = pairs
+            .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cosine"))
+            .unionAll(pairs
+              .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cosine")))
+          val w = Window.partitionBy(col("src"))
+            .orderBy(col("cosine").desc, col("dst").asc)
+          sym.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= knnK)
+            .select(col("src"), col("dst"), col("cosine"))
+        }
+        val exactKnn = knnOf(Similarity.embeddingNearDups(
+          vecs, minCosine = -1.0, exact = true)).cache()
+        val nExact = exactKnn.count()
+        val nExactHi = exactKnn.filter(col("cosine") >= 0.7).count()
+        val (lshKnn, knnS) = timed {
+          Similarity.knnGraph(vecs, knnK)
+            .select(col("src"), col("dst")).cache()
+        }
+        lshKnn.count()
+        val hit = exactKnn.join(lshKnn, Seq("src", "dst"), "left_semi")
+        val nHit = hit.count()
+        val nHitHi = hit.filter(col("cosine") >= 0.7).count()
+        println(s"""{"metric":"eps_graph_scale_smoke","bands":"${bandsA}x$rowBitsA (ADAPTIVE r12)","path":"knn_graph_vs_exact",""" +
+          s""""n_vecs":$n,"k":$knnK,"exact_knn_edges":$nExact,""" +
+          s""""knn_recall":${ratio(nHit, Some(nExact))},""" +
+          s""""exact_knn_edges_cos_ge_0_7":$nExactHi,""" +
+          s""""knn_recall_cos_ge_0_7":${ratio(nHitHi, Some(nExactHi))},""" +
+          s""""knn_total_s":${"%.1f".format(knnS)}}""")
+        exactKnn.unpersist(); lshKnn.unpersist()
+      }
+
+      // c11's SHIPPED shape: the CAPPED audit panel under the eps-tuned
+      // 16×4 family. Panel size — and with it candidate mass — is flat
+      // once the %5 slice outgrows the cap; edge recall vs the panel's
+      // exact baseline stays measured at every scale.
+      val panel = graft.llm.Clustering.dbscanPanel(vecs).cache()
       val np = panel.count()
       val (pExact, pExactS) = timed {
         Similarity.embeddingNearDups(panel, eps, exact = true).count()
@@ -124,11 +177,11 @@ object EpsGraphScaleSmoke {
       val (pEdges, pLshS) = timed {
         Similarity.embeddingNearDups(panel, eps, bands = 16, rowBits = 4).count()
       }
-      println(s"""{"metric":"eps_graph_scale_smoke","bands":"16x4 (c11 r11-shipped, eps-tuned)","path":"lsh_banded_panel",""" +
+      println(s"""{"metric":"eps_graph_scale_smoke","bands":"16x4 (c11 eps-tuned)","path":"lsh_banded_panel_capped",""" +
         s""""n_vecs":$n,"panel_vecs":$np,"pairs_examined":$pCand,""" +
         s""""pairs_per_panel_vec":${"%.1f".format(pCand.toDouble / np)},""" +
         s""""eps_edges":$pEdges,"panel_exact_edges":$pExact,""" +
-        s""""edge_recall_at_eps":${"%.3f".format(pEdges.toDouble / pExact)},""" +
+        s""""edge_recall_at_eps":${ratio(pEdges, Some(pExact))},""" +
         s""""exact_baseline_s":${"%.1f".format(pExactS)},""" +
         s""""candidates_s":${"%.1f".format(pCandS)},""" +
         s""""total_s":${"%.1f".format(pLshS)}}""")

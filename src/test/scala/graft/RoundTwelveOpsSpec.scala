@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 laws: the N-adaptive sign-LSH prefix family (ladder math,
+  * prefix identity, planted-pair recovery), the decorrelated plane
+  * family's geometry, c11's genuinely bounded panel, and g14's full
+  * truss decomposition (planted fixture + non-binding cap).
+  */
+class RoundTwelveOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import graft.llm.{Clustering, GraphAlgs, Similarity}
+
+  // ------------------------------------------ adaptive family ladder
+
+  test("adaptive ladder: tier boundaries are exact integers and " +
+    "monotone in both knobs") {
+    assert(Similarity.adaptiveFamily(1L) == ((4, 8)))
+    assert(Similarity.adaptiveFamily(1024L) == ((4, 8)))
+    assert(Similarity.adaptiveFamily(1025L) == ((5, 9)))
+    assert(Similarity.adaptiveFamily(16384L) == ((8, 12)))
+    assert(Similarity.adaptiveFamily(131072L) == ((14, 15)))
+    assert(Similarity.adaptiveFamily(131073L) == ((16, 16)))
+    assert(Similarity.adaptiveFamily(Long.MaxValue) == ((16, 16)))
+    // monotone: more vectors never means fewer bits or fewer bands
+    val tiers = Seq(1L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L,
+      65536L, 131072L, 1 << 20).map(Similarity.adaptiveFamily)
+    tiers.zip(tiers.tail).foreach { case ((b1, r1), (b2, r2)) =>
+      assert(b2 >= b1 && r2 >= r1, s"($b1,$r1) -> ($b2,$r2)")
+    }
+  }
+
+  test("adaptive prefix identity: a tier's band key equals the " +
+    "maximal family's key masked to its low rowBits bits") {
+    // the identity the DuckDB oracle's static SQL depends on — checked
+    // at the value level by comparing candidate sets from the prefix
+    // family (what Spark inlines) and from full-width keys masked by
+    // pmod (what the oracle computes)
+    import spark.implicits._
+    val n = 600 // tier (4, 8)
+    val vecs = spark.range(n).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(0L, 63L), i -> " +
+          "cast(pmod(hash(vec_id, i), 1000) - 500 as float) / 500.0F)"))
+    val (bands, rowBits) = Similarity.adaptiveFamily(n)
+    assert((bands, rowBits) == ((4, 8)))
+    val prefix = Similarity.adaptiveCandidatePairs(vecs)
+      .as[(Long, Long)].collect().toSet
+    // full-width keys under the same maximal family, masked
+    val full = Similarity.lshCandidatePairsMaskedForTest(vecs, bands,
+      rowBits).as[(Long, Long)].collect().toSet
+    assert(prefix == full)
+    assert(prefix.nonEmpty)
+  }
+
+  test("adaptive near-dups recover a planted high-cosine pair and " +
+    "stay mirrored on vec order") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => (i % 7 - 3) / 3.0f)
+    val jit = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i % 9 == 0) 0.05f else -0.03f) }
+    val noise = (0 until 30).map { j =>
+      (100L + j, (0 until 64).map(i =>
+        (((j * 64 + i) * 2654435761L % 997).toFloat - 498f) / 498f))
+    }
+    val rows = Seq((1L, base), (2L, jit)) ++ noise
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDups(df, 0.9, adaptive = true)
+      .as[(Long, Long, Double)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 > 0.99))
+    // canonical order: vec_a < vec_b everywhere
+    assert(out.forall(r => r._1 < r._2))
+  }
+
+  test("decorrelated planes: mean pairwise |cos| near the 1/sqrt(dim) " +
+    "random-direction expectation, no near-duplicate planes") {
+    val pl = Similarity.planesN(Similarity.AdMaxBands * Similarity.AdMaxBits)
+      .map { p =>
+        val n = math.sqrt(p.map(x => x * x).sum)
+        p.map(_ / n)
+      }
+    val cosines = for {
+      i <- pl.indices; j <- pl.indices if i < j
+    } yield math.abs(pl(i).zip(pl(j)).map { case (a, b) => a * b }.sum)
+    val mean = cosines.sum / cosines.size
+    assert(mean < 0.15, s"mean |cos| $mean — planes re-correlated?")
+    // the old LCG family's worst pair was 0.996 — a duplicate plane
+    assert(cosines.max < 0.6, s"max |cos| ${cosines.max}")
+  }
+
+  // --------------------------------------------- c11 bounded panel
+
+  test("c11 panel is capped at DbscanPanelCap when the slice " +
+    "outgrows it, and equals the slice when it does not") {
+    val big = spark.range(15000).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(0L, 63L), i -> " +
+          "cast(pmod(hash(vec_id, i), 1000) - 500 as float) / 500.0F)"))
+    // slice = 3000 ids > cap 2000
+    assert(Clustering.dbscanPanel(big).count() ==
+      Clustering.DbscanPanelCap)
+    val small = big.filter(col("vec_id") < 500) // slice = 100 < cap
+    assert(Clustering.dbscanPanel(small).count() == 100)
+    // deterministic: same input, same panel membership
+    val a = Clustering.dbscanPanel(big).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Clustering.dbscanPanel(big).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  // ------------------------------------- g14 truss decomposition
+
+  test("g14 trussDecomposition on a planted K5 + triangle + bridge") {
+    import spark.implicits._
+    // K5 on 1..5 (every edge in 3 triangles -> trussness 5), a pendant
+    // triangle 5-6-7 (trussness 3), a bridge 7-8 (no triangle -> 2)
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val edges = (k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L)))
+      .toDF("src", "dst")
+    val out = GraphAlgs.trussDecomposition(edges, maxK = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    k5.foreach(e => assert(out(e) == 5L, s"$e"))
+    Seq((5L, 6L), (5L, 7L), (6L, 7L)).foreach(e =>
+      assert(out(e) == 3L, s"$e"))
+    assert(out((7L, 8L)) == 2L)
+    assert(out.size == edges.count())
+  }
+
+  test("g14 cap is non-binding on the gate graph and levels nest") {
+    val rows = SparkEntry.queries("g14_truss_decomposition")(spark, sf)
+      .collect()
+    val tn = rows.map(_.getAs[Long]("trussness"))
+    assert(tn.max < 10, s"max trussness ${tn.max} hit the maxK cap")
+    assert(tn.min >= 2)
+    // the k-truss edge count is non-increasing in k (nested subgraphs)
+    val byK = tn.groupBy(identity).view.mapValues(_.length)
+    val cum = (2 to tn.max.toInt).map(k => tn.count(_ >= k))
+    cum.zip(cum.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
+  test("g14 decomposition is consistent with g13: trussness >= 4 " +
+    "implies positive support in the tight graph's looser superset") {
+    // internal consistency at the operator level: an edge with
+    // trussness t sits in a subgraph where every edge has >= t-2
+    // triangles, so its own support in the FULL graph is >= t-2
+    import spark.implicits._
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val edges = k5.toDF("src", "dst")
+    val sup = GraphAlgs.edgeTriangleSupport(edges, 1)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val tn = GraphAlgs.trussDecomposition(edges, 10)
+      .as[(Long, Long, Long)].collect()
+    tn.foreach { case (a, b, t) =>
+      assert(sup((a, b)) >= t - 2, s"($a,$b) t=$t sup=${sup((a, b))}")
+    }
+  }
+}
