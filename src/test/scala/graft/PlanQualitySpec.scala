@@ -695,4 +695,77 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(executedPlan("q01_pricing_summary").contains("*(1) "))
     assert(executedPlan("q14_string_funcs").contains("*(1) "))
   }
+
+  // ------------------------------------------------------------------
+  // Registry-wide scale-killer guard (round 12, VERDICT r11 item 4):
+  // the per-query pins above protect the queries someone thought to
+  // pin; this sweep protects ALL of them. A CartesianProduct anywhere
+  // is an unconditional failure. A BroadcastNestedLoopJoin is allowed
+  // ONLY for the enumerated queries below, each of which carries a
+  // bounded-side justification:
+  //
+  //  - "scalar": crossJoin(broadcast(<=1-row aggregate>)) — a corpus
+  //    total / bound / denominator riding along every row. The
+  //    broadcast side cannot grow with the data (it is an aggregate
+  //    to one row), so the BNLJ is a constant-width append forever.
+  //  - "probes": broadcast(query panel) x corpus — the panel is the
+  //    fixed evaluation set (vec_id < NumQueries = 16, or the probe
+  //    deck of the s-family ANN audits). Bounded by contract, not by
+  //    luck; the corpus side streams.
+  //  - "model": broadcast(centroids / codebook / grid) x corpus —
+  //    the model side is <= |centroids| x dims rows (c-family,
+  //    IVF/PQ), a constant of the operator.
+  //  - "sketch": pair algebra over ALREADY-AGGREGATED sketch rows
+  //    (q72: |event types|^2 rows of <=k longs each).
+  //
+  // If a new query trips this test, either remove the nested loop
+  // (preferred) or add it here WITH its boundedness argument.
+  private val BnljAllowlist: Map[String, String] = Map(
+    "q35_time_fill" -> "scalar", "q44_skew_profile" -> "scalar",
+    "q48_global_quantiles" -> "scalar", "q57_percentile_cont" -> "scalar",
+    "q58_lateness_profile" -> "scalar", "j06_incident_overlap" -> "scalar",
+    "q61_rfm_segments" -> "scalar", "q62_abc_analysis" -> "scalar",
+    "q63_basket_affinity" -> "scalar", "q68_integrity_audit" -> "scalar",
+    "q72_kmv_set_ops" -> "sketch",
+    "t10_tfidf" -> "scalar", "t15_perplexity" -> "scalar",
+    "t23_perplexity_tiers" -> "scalar", "t16_heaps_law" -> "scalar",
+    "t21_pmi_collocations" -> "scalar", "t31_burstiness" -> "scalar",
+    "t32_bm25" -> "scalar", "t33_kneser_ney" -> "scalar",
+    "t36_kn_heldout" -> "scalar",
+    "g07_degree_profile" -> "scalar", "g08_modularity" -> "scalar",
+    "d28_semantic_contamination" -> "probes",
+    "p24_post_dedup_mix" -> "scalar", "p07_zorder_layout" -> "scalar",
+    "p19_interleave_order" -> "scalar", "p21_loader_shards" -> "scalar",
+    "s01_cosine_topk" -> "probes", "s03_ann_ivf" -> "probes",
+    "s04_ann_recall" -> "probes", "s12_hard_negatives" -> "probes",
+    "s13_range_search" -> "probes", "s14_ivf_stats" -> "model",
+    "s15_binary_ann" -> "probes", "s16_recall_curve" -> "probes",
+    "s17_truncated_recall" -> "probes", "s21_rank_fusion" -> "probes",
+    "s07_ivf_pq_adc" -> "model", "s08_adc_rerank" -> "model",
+    "c05_silhouette" -> "model", "c08_elbow" -> "model",
+    "c09_davies_bouldin" -> "model", "c10_rand_index" -> "scalar",
+    "m08_modality_mix" -> "scalar",
+    "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar")
+
+  test("registry-wide: no CartesianProduct anywhere; BNLJ only on the " +
+    "bounded-side allowlist (and the allowlist stays live)") {
+    val sweep = graft.tools.PlanAudit.sweep(spark, sf)
+    assert(sweep.size == SparkEntry.registry.size)
+    val buildFailed = sweep.filter(_._2.startsWith("BUILD-FAILED"))
+    assert(buildFailed.isEmpty, buildFailed.map(_._1).mkString(", "))
+    val cartesian = sweep.collect {
+      case (n, p) if p.contains("CartesianProduct") => n }
+    assert(cartesian.isEmpty,
+      s"CartesianProduct (never allowed): ${cartesian.mkString(", ")}")
+    val bnlj = sweep.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n }.toSet
+    val rogue = bnlj -- BnljAllowlist.keySet
+    assert(rogue.isEmpty, "BNLJ outside the bounded-side allowlist " +
+      s"(justify or remove): ${rogue.mkString(", ")}")
+    // stale-entry guard: every allowlisted query must still carry its
+    // BNLJ — otherwise the entry is dead weight hiding future drift
+    val stale = BnljAllowlist.keySet -- bnlj
+    assert(stale.isEmpty,
+      s"allowlist entries with no BNLJ anymore: ${stale.mkString(", ")}")
+  }
 }
