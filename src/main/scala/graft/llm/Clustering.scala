@@ -57,7 +57,8 @@ object Clustering {
     QueryDef("c10_rand_index", Some(randOracle), randSpark),
     QueryDef("s19_centroid_drift", Some(driftOracle), driftSpark),
     QueryDef("c11_dbscan_core", Some(dbscanOracle), dbscanSpark),
-    QueryDef("c12_split_stability", Some(stabilityOracle), stabilitySpark)
+    QueryDef("c12_split_stability", Some(stabilityOracle), stabilitySpark),
+    QueryDef("c13_calinski_harabasz", Some(chOracle), chSpark)
   )
 
   // ----------------------------------------------- elbow curve (c08)
@@ -1306,6 +1307,126 @@ object Clustering {
        |    WHEN brd.vec_id IS NOT NULL THEN 'border'
        |    ELSE 'noise' END AS role
        |FROM cnt LEFT JOIN brd ON cnt.vec_id = brd.vec_id""".stripMargin
+
+  // ---------------------------- Calinski–Harabasz index (c13)
+
+  /** c13: the variance-ratio criterion over the shared centroid model —
+    * ONE row `(n_vecs, n_clusters, wss_fx, bss_fx, ch_index)` where
+    * WSS is c08's cosine inertia of each point to its ASSIGNED
+    * centroid, BSS is the member-weighted separation of each centroid
+    * from the corpus's GLOBAL mean direction, and
+    * `ch = (BSS/(k−1)) / (WSS/(n−k))` — higher = tighter, better-
+    * separated clusters. The single-number sibling of c05 (per-cluster
+    * silhouette) and c09 (worst-pair Davies–Bouldin): the one a sweep
+    * ranks k/seed choices by.
+    *
+    * Exactness discipline (c01's MeanFx rule, extended to the global
+    * mean): the global direction is the PER-DIM sum of fixed-point
+    * longs (order-free integers); centroid↔global dot products and
+    * norms accumulate in decimal(38,0) (hugeint oracle-side), so the
+    * only float ops are the final per-centroid cosine and the one
+    * closed-form division — both computed from identical exact
+    * integers on both engines. `n_clusters` counts clusters WITH
+    * members (an unassigned centroid contributes to neither sum).
+    *
+    * Scale: assignment is the one broadcast-centroid fold every
+    * c-query shares; the global direction is one map-side-combinable
+    * 64-key aggregate over the corpus; everything after runs on
+    * ≤ |centroids| × dims rows.
+    */
+  private def chSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    calinskiHarabasz(
+      e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("embedding")))
+  }
+
+  def calinskiHarabasz(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("vn", expr(s"${sparkNorm("va")}"))
+    val c = centroids.select(col("cid"),
+        col("embedding").cast("array<double>").as("ca"))
+      .withColumn("cn", expr(s"${sparkNorm("ca")}"))
+    val asg = v.crossJoin(broadcast(c))
+      .withColumn("cos", expr(s"${sparkDot("va", "ca")} / (vn * cn)"))
+      .withColumn("arn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("arn") === 1)
+    val wss = asg.agg(
+      sum(expr(s"cast(round((1 - cos) * $MeanFx) as bigint)")).as("wss_fx"),
+      count(lit(1)).as("n_vecs"))
+    val nj = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    val g = v.select(posexplode(col("va")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(expr(s"cast(round(x * $MeanFx) as bigint)")).as("gfx"))
+    val cd = c.select(col("cid"), posexplode(col("ca")).as(Seq("dim", "cx")))
+      .withColumn("cfx", expr(s"cast(round(cx * $MeanFx) as bigint)"))
+      .join(g, "dim")
+      .groupBy(col("cid"))
+      .agg(sum(expr("cast(cfx as decimal(38,0)) * gfx")).as("num2"),
+        sum(expr("cast(gfx as decimal(38,0)) * gfx")).as("gg2"),
+        sum(expr("cast(cfx as decimal(38,0)) * cfx")).as("cc2"))
+      .withColumn("cosg", expr(
+        "cast(num2 as double) / (sqrt(cast(cc2 as double))" +
+          " * sqrt(cast(gg2 as double)))"))
+    val bss = cd.join(nj, "cid")
+      .agg(sum(expr(
+          s"n_members * cast(round((1 - cosg) * $MeanFx) as bigint)"))
+          .as("bss_fx"),
+        count(lit(1)).as("n_clusters"))
+    wss.crossJoin(bss)
+      .select(col("n_vecs").cast("long").as("n_vecs"),
+        col("n_clusters").cast("long").as("n_clusters"),
+        col("wss_fx").cast("long").as("wss_fx"),
+        col("bss_fx").cast("long").as("bss_fx"),
+        expr("""(cast(bss_fx as double) / (n_clusters - 1))
+               |  / (cast(wss_fx as double) / (n_vecs - n_clusters))"""
+          .stripMargin).as("ch_index"))
+  }
+
+  private def chOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va,
+       |    ${duckNorm("cast(embedding AS DOUBLE[])")} AS vn
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, va AS ca, vn AS cn FROM v
+       |  WHERE vec_id % $CentroidEvery = 0),
+       |asg AS (SELECT vec_id, cid, cos FROM (
+       |  SELECT v.vec_id, c.cid,
+       |    ${duckDot("va", "ca")} / (vn * cn) AS cos,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${duckDot("va", "ca")} / (vn * cn) DESC, c.cid ASC)
+       |      AS arn
+       |  FROM v, c) x WHERE arn = 1),
+       |w AS (SELECT cast(sum(cast(round((1 - cos) * $MeanFx) as bigint))
+       |    as bigint) AS wss_fx, count(*) AS n_vecs FROM asg),
+       |nj AS (SELECT cid, count(*) AS n_members FROM asg GROUP BY 1),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |g AS (SELECT i, cast(sum(cast(round(va[i] * $MeanFx) as bigint))
+       |    as bigint) AS gfx
+       |  FROM v, dims GROUP BY i),
+       |cd AS (SELECT cid,
+       |    sum(cast(cast(round(ca[g.i] * $MeanFx) as bigint) as hugeint)
+       |      * gfx) AS num2,
+       |    sum(cast(gfx as hugeint) * gfx) AS gg2,
+       |    sum(cast(cast(round(ca[g.i] * $MeanFx) as bigint) as hugeint)
+       |      * cast(round(ca[g.i] * $MeanFx) as bigint)) AS cc2
+       |  FROM c, g GROUP BY cid),
+       |cg AS (SELECT cid, cast(num2 as double)
+       |    / (sqrt(cast(cc2 as double)) * sqrt(cast(gg2 as double)))
+       |    AS cosg FROM cd),
+       |b AS (SELECT cast(sum(n_members
+       |      * cast(round((1 - cosg) * $MeanFx) as bigint)) as bigint)
+       |    AS bss_fx, count(*) AS n_clusters
+       |  FROM cg JOIN nj USING (cid))
+       |SELECT cast(n_vecs as bigint) AS n_vecs,
+       |  cast(n_clusters as bigint) AS n_clusters, wss_fx, bss_fx,
+       |  (cast(bss_fx as double) / (n_clusters - 1))
+       |    / (cast(wss_fx as double) / (n_vecs - n_clusters)) AS ch_index
+       |FROM w, b""".stripMargin
 
   // ------------------------------------ split-half stability (c12)
 

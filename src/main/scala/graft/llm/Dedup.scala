@@ -108,6 +108,8 @@ object Dedup {
     QueryDef("d27_template_extraction", Some(templateOracle), templateSpark),
     QueryDef("d28_semantic_contamination", Some(semContamOracle),
       semContamSpark),
+    QueryDef("p27_leakage_safe_split", Some(leakSafeSplitOracle),
+      leakSafeSplitSpark),
     QueryDef("p10_leakage_safe_split", Some(splitOracle), splitSpark),
     QueryDef("d15_soft_dedup", Some(softDedupOracle), softDedupSpark),
 
@@ -1655,6 +1657,54 @@ object Dedup {
        |FROM ce
        |$joins""".stripMargin
   }
+
+  // ------------------- leakage-safe split assignment (p27)
+
+  /** Split-hash constants: Knuth multiplicative on the FAMILY id (the
+    * same overflow-safe shape as c11's panel hash), bucketed 0..999 →
+    * 80/10/10. Identical integer text runs on both engines. */
+  private val SplitBuckets =
+    "(cluster_id % 1000003) * 2654435761 % 1000"
+
+  /** p27: train/val/test assignment that cannot leak near-duplicates
+    * across splits — the split key is the d08 FAMILY id (connected
+    * component of the near-dup graph), not the doc id, so every member
+    * of a family lands in the same split by construction. This is the
+    * decontamination step an eval-safe corpus build runs LAST: doc-id
+    * hashing (the naive split) puts two near-identical documents in
+    * train and test with probability ≈ 2·p·(1−p) per family — the
+    * canonical eval-leakage bug. Per doc: family id, family size
+    * (review surface: big families concentrate split mass), and the
+    * assigned split. Scale: the labels are d08's memoized component
+    * table; on top of it ONE keyed count and a narrow hash map — no
+    * new graph work, nothing corpus-crossing but the family-size agg.
+    */
+  private def leakSafeSplitSpark(s: SparkSession, d: String): DataFrame = {
+    val labels = componentsSpark(s, d)
+    val fam = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_family"))
+    labels.join(fam, Seq("cluster_id"))
+      .withColumn("hh", expr(SplitBuckets))
+      .select(col("doc_id"), col("cluster_id"),
+        col("n_family").cast("long").as("n_family"),
+        when(col("hh") < 800, "train")
+          .when(col("hh") < 900, "val")
+          .otherwise("test").as("split"))
+  }
+
+  private def leakSafeSplitOracle: String =
+    s"""WITH RECURSIVE $componentsCtes,
+       |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM walk GROUP BY node),
+       |famc AS (SELECT cluster_id, count(*) AS n_family
+       |  FROM comp GROUP BY 1),
+       |h AS (SELECT doc_id, comp.cluster_id, n_family,
+       |    $SplitBuckets AS hh
+       |  FROM comp JOIN famc USING (cluster_id))
+       |SELECT doc_id, cluster_id, cast(n_family as bigint) AS n_family,
+       |  CASE WHEN hh < 800 THEN 'train' WHEN hh < 900 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM h""".stripMargin
 
   // ------------------------- template extraction (d27)
 

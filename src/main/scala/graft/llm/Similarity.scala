@@ -81,7 +81,9 @@ object Similarity {
       truncatedRecallSpark),
     QueryDef("s18_mmr_rerank", Some(mmrOracle), mmrSpark),
     QueryDef("s20_nprobe_sweep", Some(nprobeSweepOracle), nprobeSweepSpark),
-    QueryDef("s21_rank_fusion", Some(rankFusionOracle), rankFusionSpark)
+    QueryDef("s21_rank_fusion", Some(rankFusionOracle), rankFusionSpark),
+    QueryDef("d29_adaptive_family_report", Some(familyReportOracle),
+      familyReportSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -774,6 +776,51 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
   }
+
+  /** d29: the adaptive-family observability row — which ladder tier a
+    * corpus lands on and what that family costs/buys, as ONE gated
+    * row: corpus size, the tier's (row_bits, n_bands), the candidate-
+    * pair count it admits, and how many candidates survive exact
+    * cosine ≥ 0.9 (the family's stated working point). The ops
+    * dashboard for the round-12 machinery — and the query that pins
+    * the LADDER ITSELF cross-engine: the Scala integer ladder (driver
+    * count → family literals) must agree with the oracle's CASE ladder
+    * over `count(*)` or the row hash-fails. Scale: two counts plus the
+    * d06 candidate currency; nothing new crosses a shuffle.
+    */
+  private def familyReportSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (bands, rowBits) = adaptiveFamily(e.count())
+    val cand = lshCandidatePairs(e, bands, rowBits, AdMaxBits)
+    val dups = embeddingNearDups(e, minCosine = 0.9, adaptive = true)
+    e.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_neardups_090")))
+      .select(col("n_vecs").cast("long").as("n_vecs"),
+        lit(rowBits.toLong).as("row_bits"),
+        lit(bands.toLong).as("n_bands"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_neardups_090").cast("long").as("n_neardups_090"))
+  }
+
+  private def familyReportOracle: String =
+    s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
+       |$duckAdaptiveCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |cc AS (SELECT count(*) AS n_candidates FROM cand),
+       |nd AS (SELECT count(*) AS n_neardups_090 FROM cand
+       |  JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
+       |  WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= 0.9),
+       |cnt AS (SELECT count(*) AS c FROM n)
+       |SELECT cast(c as bigint) AS n_vecs,
+       |  cast(row_bits as bigint) AS row_bits,
+       |  cast(n_bands as bigint) AS n_bands,
+       |  cast(n_candidates as bigint) AS n_candidates,
+       |  cast(n_neardups_090 as bigint) AS n_neardups_090
+       |FROM cnt, fam, cc, nd""".stripMargin
 
   private def ladderCase(pick: ((Long, Int, Int)) => Int,
       dflt: Int): String =

@@ -1429,6 +1429,55 @@ object TextAnalysis {
           .withColumn("rank", row_number().over(
             Window.orderBy(col("freq").desc, col("pair").asc))
             .cast("long"))
+      }),
+
+    // ----------------------------- repeated-n-gram loop detector (t45)
+    // Degenerate-repetition signal: model-generated (or scraper-glitch)
+    // text loops — the same word 5-gram recurring many times inside ONE
+    // document. Per doc (with at least one 5-gram): total 5-gram count,
+    // the max single 5-gram's occurrence count, and their fixed-point
+    // ratio — the "loop score" a curation sweep thresholds on (natural
+    // text sits near 1/n5; a stuck generation approaches 1). Scale: the
+    // gram explode is a narrow map (5x token mass), then ONE map-side-
+    // combinable two-level groupBy keyed by doc — no window over the
+    // gram stream, no join, nothing corpus-crossing but the keyed agg.
+    // Parity: space tokenization (the t-family contract), 1-based
+    // slices on both engines, integer fixed-point division.
+    QueryDef(
+      "t45_repetition_loops",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |n AS (SELECT doc_id, w, len(w) - 4 AS n5 FROM d
+             |  WHERE len(w) >= 5),
+             |g AS (SELECT doc_id, n5,
+             |    array_to_string(w[i:i+4], ' ') AS gram
+             |  FROM (SELECT doc_id, n5, w,
+             |    unnest(range(1, cast(n5 + 1 as bigint))) AS i FROM n)),
+             |c AS (SELECT doc_id, n5, gram, count(*) AS cnt
+             |  FROM g GROUP BY 1, 2, 3),
+             |m AS (SELECT doc_id, n5, max(cnt) AS max_gram_count
+             |  FROM c GROUP BY 1, 2)
+             |SELECT doc_id, cast(n5 as bigint) AS n_grams,
+             |  cast(max_gram_count as bigint) AS max_gram_count,
+             |  cast(max_gram_count * 1000000 // n5 as bigint) AS loop_fx
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val docs = Catalog.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n5", expr("size(w) - 4"))
+          .filter(col("n5") >= 1)
+        docs
+          .select(col("doc_id"), col("n5"), explode(expr(
+            "transform(sequence(1, size(w) - 4)," +
+              " i -> concat_ws(' ', slice(w, i, 5)))")).as("gram"))
+          .groupBy(col("doc_id"), col("n5"), col("gram"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"), col("n5"))
+          .agg(max(col("cnt")).as("max_gram_count"))
+          .select(col("doc_id"), col("n5").cast("long").as("n_grams"),
+            col("max_gram_count").cast("long").as("max_gram_count"),
+            expr("cast(max_gram_count * 1000000 div n5 as bigint)")
+              .as("loop_fx"))
       })
   )
 

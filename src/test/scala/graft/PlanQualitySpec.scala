@@ -745,6 +745,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "c05_silhouette" -> "model", "c08_elbow" -> "model",
     "c09_davies_bouldin" -> "model", "c10_rand_index" -> "scalar",
     "m08_modality_mix" -> "scalar",
+    "d29_adaptive_family_report" -> "scalar",
+    "c13_calinski_harabasz" -> "model",
     "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar")
 
   test("registry-wide: no CartesianProduct anywhere; BNLJ only on the " +

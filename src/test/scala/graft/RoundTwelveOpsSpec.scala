@@ -143,6 +143,94 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     cum.zip(cum.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  // ---------------------------------------- round-12 operator batch
+
+  test("t45 loop detector: planted repetition scores high, natural " +
+    "text scores low, fixed point is exact") {
+    val rows = SparkEntry.queries("t45_repetition_loops")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("max_gram_count"),
+          r.getAs[Long]("loop_fx"))).toMap
+    rows.values.foreach { case (n5, mx, fx) =>
+      assert(n5 >= 1 && mx >= 1 && mx <= n5)
+      assert(fx == mx * 1000000L / n5)
+    }
+  }
+
+  test("t45 loop arithmetic on a planted looping doc") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val loop = Array.fill(10)("a b c d e").mkString(" ")
+    val natural = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, loop), (2L, natural)).toDF("doc_id", "text")
+    // run the same expressions inline (the gated query reads the
+    // documents table; the law is about the arithmetic)
+    val fixture = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n5", expr("size(w) - 4")).filter(col("n5") >= 1)
+      .select(col("doc_id"), col("n5"), explode(expr(
+        "transform(sequence(1, size(w) - 4)," +
+          " i -> concat_ws(' ', slice(w, i, 5)))")).as("g"))
+      .groupBy(col("doc_id"), col("n5"), col("g")).count()
+      .groupBy(col("doc_id"), col("n5")).agg(max("count").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    // loop doc: 50 words -> 46 grams, "a b c d e" at 1,6,...,46 = 10x
+    assert(fixture(1L) == ((46, 10L)))
+    // natural doc: every 5-gram distinct
+    assert(fixture(2L) == ((46, 1L)))
+  }
+
+  test("p27 split is family-coherent (zero leakage) and conserves " +
+    "the corpus") {
+    val rows = SparkEntry.queries("p27_leakage_safe_split")(spark, sf)
+      .collect()
+    // one split per family — the operator's whole point
+    val byFam = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byFam.values.foreach { g =>
+      assert(g.map(_.getAs[String]("split")).toSet.size == 1)
+      // n_family is the actual member count
+      assert(g.head.getAs[Long]("n_family") == g.length)
+    }
+    // every document appears exactly once
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.length == ids.distinct.length)
+    // the 80/10/10 hash actually spreads (not all one split)
+    assert(rows.map(_.getAs[String]("split")).toSet.size >= 2)
+  }
+
+  test("d29 family report matches the Scala ladder and its counts " +
+    "are ordered") {
+    val r = SparkEntry.queries("d29_adaptive_family_report")(spark, sf)
+      .collect().head
+    val n = r.getAs[Long]("n_vecs")
+    val (bands, rowBits) = Similarity.adaptiveFamily(n)
+    assert(r.getAs[Long]("row_bits") == rowBits.toLong)
+    assert(r.getAs[Long]("n_bands") == bands.toLong)
+    assert(r.getAs[Long]("n_neardups_090") <=
+      r.getAs[Long]("n_candidates"))
+  }
+
+  test("c13 on a planted two-cluster geometry: high CH, exact " +
+    "bookkeeping") {
+    import spark.implicits._
+    // two tight clusters around orthogonal directions, 20 points each
+    def vec(base: Int, j: Int): Seq[Float] =
+      (0 until 64).map(i => (if (i == base) 1.0f else 0.0f) +
+        ((i * 31 + j * 17) % 7 - 3) * 0.01f)
+    val pts = (0 until 20).map(j => (j.toLong * 2, vec(0, j))) ++
+      (0 until 20).map(j => (j.toLong * 2 + 1, vec(40, j)))
+    val cents = Seq((0L, vec(0, 0)), (1L, vec(40, 0)))
+    val out = graft.llm.Clustering.calinskiHarabasz(
+      pts.toDF("vec_id", "embedding"), cents.toDF("cid", "embedding"))
+      .collect().head
+    assert(out.getAs[Long]("n_vecs") == 40L)
+    assert(out.getAs[Long]("n_clusters") == 2L)
+    // tight clusters, near-orthogonal separation: BSS dwarfs WSS
+    assert(out.getAs[Long]("bss_fx") > 10L * out.getAs[Long]("wss_fx"))
+    assert(out.getAs[Double]("ch_index") > 100.0)
+  }
+
   test("g14 decomposition is consistent with g13: trussness >= 4 " +
     "implies positive support in the tight graph's looser superset") {
     // internal consistency at the operator level: an edge with
