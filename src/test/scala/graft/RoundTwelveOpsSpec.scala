@@ -131,6 +131,24 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(out.size == edges.count())
   }
 
+  test("g14 local finish and forced-distributed peel agree " +
+    "edge-for-edge") {
+    import spark.implicits._
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    // K5 + pendant triangle + bridge + a 4-clique sharing node 8
+    val k4 = for { a <- 8L to 11L; b <- (a + 1) to 11L } yield (a, b)
+    val edges = (k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L)) ++ k4)
+      .toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+        .toMap
+    val local = asMap(GraphAlgs.trussDecomposition(edges, 10))
+    val dist = asMap(GraphAlgs.trussDecomposition(edges, 10,
+      localMaxEdges = 0))
+    assert(local == dist)
+    assert(local((8L, 9L)) == 4L) // the K4 level exercises both paths
+  }
+
   test("g14 cap is non-binding on the gate graph and levels nest") {
     val rows = SparkEntry.queries("g14_truss_decomposition")(spark, sf)
       .collect()
