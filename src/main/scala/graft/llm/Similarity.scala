@@ -612,15 +612,25 @@ object Similarity {
     } else {
       val cand = if (adaptive) adaptiveCandidatePairs(e)
                  else lshCandidatePairs(e, bands, rowBits)
-      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      cand.join(ea, "vec_a").join(eb, "vec_b")
-        .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
-        .filter(col("cosine") >= minCosine)
-        .select("vec_a", "vec_b", "cosine")
+      cosineOnCandidates(e, cand, minCosine)
     }
+  }
+
+  /** Exact cosine over a candidate-pair relation: vectors fetched back
+    * by id (never carried through the candidate join), filtered to
+    * `minCosine`. Shared by [[embeddingNearDups]] and d29's report so
+    * the candidate→verify join has ONE definition. `e` must carry
+    * (vec_id, embedding, nrm). */
+  private[llm] def cosineOnCandidates(e: DataFrame, cand: DataFrame,
+      minCosine: Double): DataFrame = {
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /** Banded sign-LSH candidate pairs `(vec_a < vec_b)` over a
@@ -644,13 +654,16 @@ object Similarity {
     * always reads planes `b*stride .. b*stride+rowBits-1`, and a
     * rowBits-bit key equals the maximal key masked to its low bits.
     */
-  def lshCandidatePairs(vecs: DataFrame, bands: Int = NdBands,
-      rowBits: Int = NdRowBits, stride: Int = -1): DataFrame = {
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
+  /** The Spark-side band-key expression (an `array(struct(band, bk))`
+    * literal-plane fold) shared by the candidate join and st28's
+    * streaming occupancy monitor — one definition of "which bucket does
+    * this vector land in" per (bands, rowBits, stride) family. */
+  private[graft] def bandKeyStructs(bands: Int, rowBits: Int,
+      stride: Int = -1): String = {
     val st = if (stride < 0) rowBits else stride
     require(rowBits <= st, s"rowBits $rowBits exceeds plane stride $st")
     val pl = planesN(bands * st)
-    val bandStructs = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val bits = (0 until rowBits).map { j =>
         val p = pl(b * st + j)
           .mkString("cast(array(", ", ", ") as array<double>)")
@@ -658,6 +671,12 @@ object Similarity {
       }.mkString(" + ")
       s"struct($b as band, cast($bits as int) as bk)"
     }.mkString(", ")
+  }
+
+  def lshCandidatePairs(vecs: DataFrame, bands: Int = NdBands,
+      rowBits: Int = NdRowBits, stride: Int = -1): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val bandStructs = bandKeyStructs(bands, rowBits, stride)
     val keyed = vecs.select(col("vec_id"),
       explode(expr(s"array($bandStructs)")).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bk"))
@@ -678,7 +697,7 @@ object Similarity {
     */
   private[llm] def duckBandKeys: String = duckBandKeys(NdBands, NdRowBits)
 
-  private[llm] def duckBandKeys(bands: Int, rowBits: Int,
+  private[graft] def duckBandKeys(bands: Int, rowBits: Int,
       stride: Int = -1, key: String = "bk"): String = {
     val st = if (stride < 0) rowBits else stride
     val pl = planesN(bands * st)
@@ -756,19 +775,11 @@ object Similarity {
   private[graft] def lshCandidatePairsMaskedForTest(vecs: DataFrame,
       bands: Int, rowBits: Int): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val pl = planesN(AdMaxBands * AdMaxBits)
-    val bandStructs = (0 until AdMaxBands).map { b =>
-      val bits = (0 until AdMaxBits).map { j =>
-        val p = pl(b * AdMaxBits + j)
-          .mkString("cast(array(", ", ", ") as array<double>)")
-        s"CASE WHEN ${sparkDot("embedding", p)} > 0 THEN ${1 << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"struct($b as band, cast($bits as int) as bkf)"
-    }.mkString(", ")
+    val bandStructs = bandKeyStructs(AdMaxBands, AdMaxBits, AdMaxBits)
     val keyed = vecs.select(col("vec_id"),
         explode(expr(s"array($bandStructs)")).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
-        pmod(col("bb.bkf"), lit(1 << rowBits)).as("bk"))
+        pmod(col("bb.bk"), lit(1 << rowBits)).as("bk"))
       .filter(col("band") < bands)
     keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
       .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
@@ -789,11 +800,13 @@ object Similarity {
     * d06 candidate currency; nothing new crosses a shuffle.
     */
   private def familyReportSpark(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Catalog.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val (bands, rowBits) = adaptiveFamily(e.count())
     val cand = lshCandidatePairs(e, bands, rowBits, AdMaxBits)
-    val dups = embeddingNearDups(e, minCosine = 0.9, adaptive = true)
+    val dups = cosineOnCandidates(
+      e.withColumn("nrm", expr(s"${sparkNorm("embedding")}")), cand, 0.9)
     e.agg(count(lit(1)).as("n_vecs"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(dups.agg(count(lit(1)).as("n_neardups_090")))

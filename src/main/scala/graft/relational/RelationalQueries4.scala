@@ -1351,6 +1351,66 @@ object RelationalQueries4 {
             expr("abs(est_union - (na + nb - coalesce(ei, 0L))) * 1000000" +
               " div (na + nb - coalesce(ei, 0L))").cast("long")
               .as("union_err_ppm"))
+      }),
+
+    // q73: ORDERED FUNNEL — per-user first-occurrence chain over the
+    // canonical view → click → purchase stages: a user converts to a
+    // stage only if their FIRST event of that stage happened at or
+    // after their first event of the previous one (ties count — two
+    // events in the same microsecond are one touch). Three rows out:
+    // stage, users reaching it in order, and the fixed-point conversion
+    // from the previous stage (1e6 at the head). Scale: ONE keyed
+    // min-aggregate over the filtered event scan (map-side combinable,
+    // pivoted by conditional min, never a self-join per stage — the
+    // classic funnel anti-pattern is k-1 self-joins), then a 1-row fold
+    // unpivoted via stack. NULL user_ids are excluded (q72/st27's
+    // non-NULL population law).
+    QueryDef(
+      "q73_funnel_conversion",
+      Some("""WITH f AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             |    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+             |r AS (SELECT
+             |    count(t1) AS n1,
+             |    count(CASE WHEN t2 >= t1 THEN 1 END) AS n2,
+             |    count(CASE WHEN t2 >= t1 AND t3 >= t2 THEN 1 END) AS n3
+             |  FROM f),
+             |u AS (SELECT 1 AS stage_no, 'view' AS stage, n1 AS n_users,
+             |    cast(1000000 as bigint) AS conv_fx FROM r
+             |  UNION ALL SELECT 2, 'click', n2,
+             |    CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END FROM r
+             |  UNION ALL SELECT 3, 'purchase', n3,
+             |    CASE WHEN n2 = 0 THEN 0 ELSE n3 * 1000000 // n2 END FROM r)
+             |SELECT cast(stage_no as bigint) AS stage_no, stage,
+             |  cast(n_users as bigint) AS n_users,
+             |  cast(conv_fx as bigint) AS conv_fx
+             |FROM u""".stripMargin),
+      (s, d) => {
+        val f = Catalog.t(s, d, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t1"),
+            min(when(col("event_type") === "click", col("ts"))).as("t2"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+        val r = f.agg(
+          count(col("t1")).as("n1"),
+          count(when(col("t2") >= col("t1"), lit(1))).as("n2"),
+          count(when(col("t2") >= col("t1") && col("t3") >= col("t2"),
+            lit(1))).as("n3"))
+        r.select(expr(
+          """stack(3,
+            |  1L, 'view', n1, 1000000L,
+            |  2L, 'click', n2,
+            |    CASE WHEN n1 = 0 THEN 0L ELSE n2 * 1000000 div n1 END,
+            |  3L, 'purchase', n3,
+            |    CASE WHEN n2 = 0 THEN 0L ELSE n3 * 1000000 div n2 END)
+            |  AS (stage_no, stage, n_users, conv_fx)""".stripMargin))
+          .select(col("stage_no").cast("long").as("stage_no"), col("stage"),
+            col("n_users").cast("long").as("n_users"),
+            col("conv_fx").cast("long").as("conv_fx"))
       })
   )
 

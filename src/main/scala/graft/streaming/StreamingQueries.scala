@@ -29,6 +29,12 @@ object StreamingQueries {
   private val counter = new AtomicInteger(0)
   private val GapMs = 1800000L
   private val GapMs2 = 3600000L // st04 attribution window (1 hour in ms)
+  // st28 monitor family: a fixed 4-band × 12-bit PREFIX of the maximal
+  // adaptive plane family (stride AdMaxBits) — fixed because a stream
+  // cannot count its corpus up front, prefix so the monitored buckets
+  // refine into every ladder tier's
+  private val MonBands = 4
+  private val MonBits = 12
 
   /** Shared scaffold: build a streaming DataFrame over the events table,
     * run it into a uniquely-named memory sink, and return the
@@ -550,6 +556,55 @@ object StreamingQueries {
             col("exact_ndv").cast("long"),
             expr("abs(est_ndv - exact_ndv) * 1000000 div exact_ndv")
               .cast("long").as("err_ppm"))
+      }),
+
+    // st28: STREAMING LSH band-occupancy monitor — the ingest-time
+    // saturation signal for round-12's adaptive family: as embedding
+    // vectors arrive, maintain per-(band, bucket) occupancy under the
+    // fixed 4×12 MONITOR prefix of the maximal plane family (bands
+    // 0..3, low 12 bits — a prefix, so its buckets refine into every
+    // ladder tier's). State is bounded by the KEY SPACE (≤ 4·4096
+    // counts), never by arrival volume — the st23 idiom; the read-time
+    // report is 4 rows: per band, buckets used, the hottest bucket's
+    // occupancy, and total vectors. When max_occupancy outgrows the
+    // ladder's target, ops raises the tier — the streaming complement
+    // of d29's batch report. Oracle = the same band keys over the
+    // batch table (kappa equivalence is the gate).
+    QueryDef(
+      "st28_stream_band_occupancy",
+      Some {
+        val bandSelects = graft.llm.Similarity.duckBandKeys(
+          MonBands, MonBits, graft.llm.Similarity.AdMaxBits)
+        s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, va FROM v),
+           |k AS ($bandSelects),
+           |occ AS (SELECT band, bk, count(*) AS n FROM k GROUP BY 1, 2)
+           |SELECT cast(band as bigint) AS band,
+           |  cast(count(*) as bigint) AS n_buckets_used,
+           |  cast(max(n) as bigint) AS max_occupancy,
+           |  cast(sum(n) as bigint) AS n_vecs
+           |FROM occ GROUP BY band""".stripMargin
+      },
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val structs = graft.llm.Similarity.bandKeyStructs(
+          MonBands, MonBits, graft.llm.Similarity.AdMaxBits)
+        val occ = runToMemorySink(s, d, "st28", "complete",
+          table = "embeddings") { raw =>
+          raw.select(explode(expr(s"array($structs)")).as("bb"))
+            .select(col("bb.band").as("band"), col("bb.bk").as("bk"))
+            .groupBy(col("band"), col("bk"))
+            .agg(count(lit(1)).as("n"))
+        }
+        occ.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_buckets_used"),
+            max(col("n")).as("max_occupancy"),
+            sum(col("n")).as("n_vecs"))
+          .select(col("band").cast("long").as("band"),
+            col("n_buckets_used").cast("long").as("n_buckets_used"),
+            col("max_occupancy").cast("long").as("max_occupancy"),
+            col("n_vecs").cast("long").as("n_vecs"))
       }),
 
     // st15: STREAMING JSONL ingest — the production arrival loop (docs

@@ -249,6 +249,53 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("ch_index") > 100.0)
   }
 
+  test("st28 band occupancy conserves the corpus per band and stays " +
+    "inside the key space") {
+    val rows = SparkEntry.queries("st28_stream_band_occupancy")(spark, sf)
+      .collect()
+    assert(rows.length == 4) // MonBands
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).toSet
+    assert(nVecs.size == 1, s"bands disagree on corpus size: $nVecs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets_used") <= (1L << 12))
+      assert(r.getAs[Long]("max_occupancy") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("n_buckets_used") <= r.getAs[Long]("n_vecs"))
+    }
+  }
+
+  test("q73 funnel is monotone and ordered on a planted user set") {
+    val rows = SparkEntry.queries("q73_funnel_conversion")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("stage_no"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("view", "click", "purchase"))
+    val n = rows.map(_.getAs[Long]("n_users"))
+    assert(n(0) >= n(1) && n(1) >= n(2), n.toSeq)
+    assert(rows.head.getAs[Long]("conv_fx") == 1000000L)
+    rows.foreach(r => assert(r.getAs[Long]("conv_fx") <= 1000000L))
+    // planted ordering law on a hand-built event set: user 10 converts
+    // through all stages; user 20 clicked BEFORE viewing (click must
+    // not count); user 30 never purchases
+    import spark.implicits._
+    val ev = Seq(
+      (10L, "view", 100L), (10L, "click", 200L), (10L, "purchase", 300L),
+      (20L, "click", 100L), (20L, "view", 200L),
+      (30L, "view", 100L), (30L, "click", 150L)
+    ).toDF("user_id", "event_type", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val f = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t1"),
+      min(when(col("event_type") === "click", col("ts"))).as("t2"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+    val r = f.agg(
+      count(col("t1")).as("n1"),
+      count(when(col("t2") >= col("t1"), lit(1))).as("n2"),
+      count(when(col("t2") >= col("t1") && col("t3") >= col("t2"),
+        lit(1))).as("n3")).collect().head
+    assert(r.getAs[Long]("n1") == 3L) // all three viewed
+    assert(r.getAs[Long]("n2") == 2L) // user 20's click precedes view
+    assert(r.getAs[Long]("n3") == 1L) // only user 10 purchased in order
+  }
+
   test("g14 decomposition is consistent with g13: trussness >= 4 " +
     "implies positive support in the tight graph's looser superset") {
     // internal consistency at the operator level: an edge with
