@@ -1221,7 +1221,15 @@ object Clustering {
   // contract) is reduced mod 1e6+3 first so the product stays far
   // inside Int64 on BOTH engines (DuckDB errors on bigint overflow
   // rather than wrapping). Identical text runs on Spark and DuckDB.
-  private[graft] val PanelHash = "(vec_id % 1000003) * 2654435761"
+  // The trailing mod 2^31 is LOAD-BEARING (round-12 review): without
+  // it, ORDER BY x*K sorts identically to ORDER BY x (multiplying by
+  // a positive constant preserves order), so the "pseudo-random"
+  // panel silently degenerated to the lowest-id prefix of the slice.
+  // The mod folds the product's high bits into the order — verified:
+  // on a 0,5,10,… slice the capped pick now spans the full id range
+  // (mean ≈ midpoint), not the first 2000 ids.
+  private[graft] val PanelHash =
+    "(vec_id % 1000003) * 2654435761 % 2147483648"
   private[graft] val DbscanBands = 16
   private[graft] val DbscanRowBits = 4
 
@@ -1378,14 +1386,21 @@ object Clustering {
           s"n_members * cast(round((1 - cosg) * $MeanFx) as bigint)"))
           .as("bss_fx"),
         count(lit(1)).as("n_clusters"))
+    // degenerate shapes (one populated cluster, or k = n) have no CH
+    // index: report NULL EXPLICITLY on both engines — without the
+    // guard Spark's non-ANSI double division yields NULL while DuckDB
+    // yields IEEE Infinity, a cross-engine divergence the gate would
+    // hit the moment a fixture lands there (round-12 review)
     wss.crossJoin(bss)
       .select(col("n_vecs").cast("long").as("n_vecs"),
         col("n_clusters").cast("long").as("n_clusters"),
         col("wss_fx").cast("long").as("wss_fx"),
         col("bss_fx").cast("long").as("bss_fx"),
-        expr("""(cast(bss_fx as double) / (n_clusters - 1))
-               |  / (cast(wss_fx as double) / (n_vecs - n_clusters))"""
-          .stripMargin).as("ch_index"))
+        expr("""CASE WHEN n_clusters <= 1 OR n_vecs <= n_clusters
+               |  OR wss_fx = 0 THEN cast(NULL as double)
+               |ELSE (cast(bss_fx as double) / (n_clusters - 1))
+               |  / (cast(wss_fx as double) / (n_vecs - n_clusters))
+               |END""".stripMargin).as("ch_index"))
   }
 
   private def chOracle: String =
@@ -1424,8 +1439,11 @@ object Clustering {
        |  FROM cg JOIN nj USING (cid))
        |SELECT cast(n_vecs as bigint) AS n_vecs,
        |  cast(n_clusters as bigint) AS n_clusters, wss_fx, bss_fx,
-       |  (cast(bss_fx as double) / (n_clusters - 1))
-       |    / (cast(wss_fx as double) / (n_vecs - n_clusters)) AS ch_index
+       |  CASE WHEN n_clusters <= 1 OR n_vecs <= n_clusters
+       |      OR wss_fx = 0 THEN cast(NULL as double)
+       |    ELSE (cast(bss_fx as double) / (n_clusters - 1))
+       |      / (cast(wss_fx as double) / (n_vecs - n_clusters))
+       |  END AS ch_index
        |FROM w, b""".stripMargin
 
   // ------------------------------------ split-half stability (c12)

@@ -1660,11 +1660,22 @@ object Dedup {
 
   // ------------------- leakage-safe split assignment (p27)
 
-  /** Split-hash constants: Knuth multiplicative on the FAMILY id (the
-    * same overflow-safe shape as c11's panel hash), bucketed 0..999 →
-    * 80/10/10. Identical integer text runs on both engines. */
-  private val SplitBuckets =
-    "(cluster_id % 1000003) * 2654435761 % 1000"
+  /** Split-hash: Knuth multiplicative on the FAMILY id (the same
+    * overflow-safe shape as c11's panel hash), bucketed 0..999 →
+    * 80/10/10 by the HIGH bits of the product (round-12 review):
+    * `(x*K) % 1000` was not a hash at all — K ≡ 761 (mod 1000), so
+    * the bucket was a fixed permutation of the id's last three decimal
+    * digits, and a corpus whose ids share a factor with 1000 (stride
+    * 500/1000 allocators) collapsed every family into 1–2 buckets.
+    * Taking the top of the 31-bit folded product instead is the
+    * standard multiplicative-hash recipe; measured 0.800/0.100/0.100
+    * for id strides 1, 7, 500, and 1000. The only dialect split is
+    * the floor division operator (Spark `div`, DuckDB `//` — both
+    * truncate; operands non-negative, so trunc = floor). */
+  private val SplitBucketsSpark =
+    "((cluster_id % 1000003) * 2654435761 % 2147483648) * 1000 div 2147483648"
+  private val SplitBucketsDuck =
+    "((cluster_id % 1000003) * 2654435761 % 2147483648) * 1000 // 2147483648"
 
   /** p27: train/val/test assignment that cannot leak near-duplicates
     * across splits — the split key is the d08 FAMILY id (connected
@@ -1684,7 +1695,7 @@ object Dedup {
     val fam = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_family"))
     labels.join(fam, Seq("cluster_id"))
-      .withColumn("hh", expr(SplitBuckets))
+      .withColumn("hh", expr(SplitBucketsSpark))
       .select(col("doc_id"), col("cluster_id"),
         col("n_family").cast("long").as("n_family"),
         when(col("hh") < 800, "train")
@@ -1699,7 +1710,7 @@ object Dedup {
        |famc AS (SELECT cluster_id, count(*) AS n_family
        |  FROM comp GROUP BY 1),
        |h AS (SELECT doc_id, comp.cluster_id, n_family,
-       |    $SplitBuckets AS hh
+       |    $SplitBucketsDuck AS hh
        |  FROM comp JOIN famc USING (cluster_id))
        |SELECT doc_id, cluster_id, cast(n_family as bigint) AS n_family,
        |  CASE WHEN hh < 800 THEN 'train' WHEN hh < 900 THEN 'val'

@@ -597,6 +597,13 @@ object Similarity {
   def embeddingNearDups(vecs: DataFrame, minCosine: Double = NearDupMin,
       exact: Boolean = false, bands: Int = NdBands,
       rowBits: Int = NdRowBits, adaptive: Boolean = false): DataFrame = {
+    // adaptive selects the ladder's family — an explicit fixed family
+    // alongside it would be silently ignored (review: a caller asking
+    // for an "adaptive 16x4" would get the cos-0.9 ladder and ~0.03
+    // recall at low eps with no warning)
+    require(!adaptive || (bands == NdBands && rowBits == NdRowBits),
+      "adaptive = true chooses the family from the corpus size; do not " +
+        "also pass explicit bands/rowBits")
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val e = vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", expr(s"${sparkNorm("embedding")}"))
@@ -654,8 +661,22 @@ object Similarity {
     * always reads planes `b*stride .. b*stride+rowBits-1`, and a
     * rowBits-bit key equals the maximal key masked to its low bits.
     */
+  def lshCandidatePairs(vecs: DataFrame, bands: Int = NdBands,
+      rowBits: Int = NdRowBits, stride: Int = -1): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val bandStructs = bandKeyStructs(bands, rowBits, stride)
+    val keyed = vecs.select(col("vec_id"),
+      explode(expr(s"array($bandStructs)")).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bk"))
+    keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
+      .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+  }
+
   /** The Spark-side band-key expression (an `array(struct(band, bk))`
-    * literal-plane fold) shared by the candidate join and st28's
+    * literal-plane fold) shared by [[lshCandidatePairs]] and st28's
     * streaming occupancy monitor — one definition of "which bucket does
     * this vector land in" per (bands, rowBits, stride) family. */
   private[graft] def bandKeyStructs(bands: Int, rowBits: Int,
@@ -671,20 +692,6 @@ object Similarity {
       }.mkString(" + ")
       s"struct($b as band, cast($bits as int) as bk)"
     }.mkString(", ")
-  }
-
-  def lshCandidatePairs(vecs: DataFrame, bands: Int = NdBands,
-      rowBits: Int = NdRowBits, stride: Int = -1): DataFrame = {
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val bandStructs = bandKeyStructs(bands, rowBits, stride)
-    val keyed = vecs.select(col("vec_id"),
-      explode(expr(s"array($bandStructs)")).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bk"))
-    keyed.select(col("vec_id").as("vec_a"), col("band"), col("bk"))
-      .join(keyed.select(col("vec_id").as("vec_b"), col("band"), col("bk")),
-        Seq("band", "bk"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
   }
 
   /** DuckDB band-key selects over a CTE `n(vec_id, va)`: one row per

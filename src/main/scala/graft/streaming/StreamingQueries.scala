@@ -31,8 +31,12 @@ object StreamingQueries {
   private val GapMs2 = 3600000L // st04 attribution window (1 hour in ms)
   // st28 monitor family: a fixed 4-band × 12-bit PREFIX of the maximal
   // adaptive plane family (stride AdMaxBits) — fixed because a stream
-  // cannot count its corpus up front, prefix so the monitored buckets
-  // refine into every ladder tier's
+  // cannot count its corpus up front. Prefix means a 12-bit monitor
+  // bucket is the exact UNION of 2^(rowBits−12) buckets of any finer
+  // ladder tier (and equals the tier bucket for tiers ≤ 12 bits), so
+  // tier occupancy derives from the monitor reading by dividing by
+  // that factor — the monitor is coarser than high tiers, never
+  // misaligned with them.
   private val MonBands = 4
   private val MonBits = 12
 
@@ -562,14 +566,17 @@ object StreamingQueries {
     // saturation signal for round-12's adaptive family: as embedding
     // vectors arrive, maintain per-(band, bucket) occupancy under the
     // fixed 4×12 MONITOR prefix of the maximal plane family (bands
-    // 0..3, low 12 bits — a prefix, so its buckets refine into every
-    // ladder tier's). State is bounded by the KEY SPACE (≤ 4·4096
-    // counts), never by arrival volume — the st23 idiom; the read-time
-    // report is 4 rows: per band, buckets used, the hottest bucket's
-    // occupancy, and total vectors. When max_occupancy outgrows the
-    // ladder's target, ops raises the tier — the streaming complement
-    // of d29's batch report. Oracle = the same band keys over the
-    // batch table (kappa equivalence is the gate).
+    // 0..3, low 12 bits of each). State is bounded by the KEY SPACE
+    // (≤ 4·4096 counts), never by arrival volume — the st23 idiom;
+    // the read-time report is 4 rows: per band, buckets used, the
+    // hottest bucket's occupancy, and total vectors. Reading the
+    // signal: a 12-bit monitor bucket aggregates 2^(rowBits−12)
+    // buckets of a finer ladder tier, so the per-tier occupancy
+    // estimate is max_occupancy >> (rowBits−12) — compare THAT to the
+    // ladder's target before raising the tier (the raw monitor number
+    // over-signals by exactly that power of two at high tiers). The
+    // streaming complement of d29's batch report. Oracle = the same
+    // band keys over the batch table (kappa equivalence is the gate).
     QueryDef(
       "st28_stream_band_occupancy",
       Some {

@@ -145,11 +145,15 @@ object EpsGraphScaleSmoke {
           vecs, minCosine = -1.0, exact = true)).cache()
         val nExact = exactKnn.count()
         val nExactHi = exactKnn.filter(col("cosine") >= 0.7).count()
+        // the count() must sit INSIDE the timer: cache() is lazy, so
+        // timing it alone records only plan construction (round-12
+        // review — the first r12 artifact under-reported knn by ~10×)
         val (lshKnn, knnS) = timed {
-          Similarity.knnGraph(vecs, knnK)
+          val g = Similarity.knnGraph(vecs, knnK)
             .select(col("src"), col("dst")).cache()
+          g.count()
+          g
         }
-        lshKnn.count()
         val hit = exactKnn.join(lshKnn, Seq("src", "dst"), "left_semi")
         val nHit = hit.count()
         val nHitHi = hit.filter(col("cosine") >= 0.7).count()

@@ -37,6 +37,18 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // minimal JSON string escape: exception messages carry newlines
+    // and backslashes (AnalysisException plan fragments) that would
+    // otherwise break the line-oriented output
+    def jq(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     var bad = 0
     sweep(spark, sfDir).foreach { case (name, p) =>
       val cp = p.contains("CartesianProduct")
@@ -45,7 +57,7 @@ object PlanAudit {
       if (cp || bnlj || fail) {
         bad += 1
         println(s"""{"query":"$name","cartesian":$cp,"bnlj":$bnlj""" +
-          (if (fail) s""","error":"${p.take(120).replace("\"", "'")}"""" else "") + "}")
+          (if (fail) s""","error":"${jq(p.take(160))}"""" else "") + "}")
       }
     }
     println(s"""{"metric":"plan_audit","queries":${SparkEntry.registry.size},"flagged":$bad}""")

@@ -90,6 +90,10 @@ object TrussScaleSmoke {
         s""""trussness_8_edges":$planted,"expected_clique_edges":$expected,""" +
         s""""max_trussness":$maxT,"planted_recovered":$ok,""" +
         s""""total_s":${"%.1f".format(secs)}}""")
+      // fail LOUDLY: a broken handoff must not land as a quiet false
+      // in the committed artifact (round-12 review)
+      assert(ok, s"planted-truss recovery failed at $nBlocks blocks: " +
+        s"trussness-8 edges $planted (expected >= $expected), max $maxT")
       tn.unpersist(); g.unpersist()
     }
     spark.stop()

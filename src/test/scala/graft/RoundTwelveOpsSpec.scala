@@ -156,7 +156,6 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(tn.max < 10, s"max trussness ${tn.max} hit the maxK cap")
     assert(tn.min >= 2)
     // the k-truss edge count is non-increasing in k (nested subgraphs)
-    val byK = tn.groupBy(identity).view.mapValues(_.length)
     val cum = (2 to tn.max.toInt).map(k => tn.count(_ >= k))
     cum.zip(cum.tail).foreach { case (a, b) => assert(a >= b) }
   }
