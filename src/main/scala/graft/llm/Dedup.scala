@@ -1690,8 +1690,19 @@ object Dedup {
     * table; on top of it ONE keyed count and a narrow hash map — no
     * new graph work, nothing corpus-crossing but the family-size agg.
     */
-  private def leakSafeSplitSpark(s: SparkSession, d: String): DataFrame = {
-    val labels = componentsSpark(s, d)
+  private def leakSafeSplitSpark(s: SparkSession, d: String): DataFrame =
+    familyCoherentSplit(componentsSpark(s, d))
+
+  /** Public composition surface for the p27 split: given near-dup
+    * family labels `(doc_id, cluster_id)` (d08's component table, or
+    * any family assignment), return the family-coherent 80/10/10
+    * train/val/test assignment carrying each doc's family size — the
+    * split hash is keyed on the FAMILY id, so near-duplicates never
+    * straddle splits. Distinct from [[leakageSafeSplit]] (p10): this
+    * is the multiplicative-hash variant with the n_family review
+    * surface. Used standalone by the curation-DAG scale smoke; the
+    * p27 gate rides the memoized d08 labels through it. */
+  def familyCoherentSplit(labels: DataFrame): DataFrame = {
     val fam = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_family"))
     labels.join(fam, Seq("cluster_id"))

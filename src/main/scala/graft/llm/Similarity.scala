@@ -63,7 +63,8 @@ object Similarity {
     QueryDef("s10_multiprobe_ann", Some(multiProbeOracle), multiProbeSpark),
     QueryDef("s11_knn_graph", Some(knnGraphOracle), (s, d) =>
       knnGraph(Catalog.t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding")), KnnK)),
+        .select(col("vec_id"), col("embedding")), KnnK,
+        knownN = Some(corpusN(s, d)))),
     QueryDef("s12_hard_negatives", Some(hardNegOracle), (s, d) => {
       val e = Catalog.t(s, d, "embeddings")
       hardNegatives(
@@ -212,9 +213,11 @@ object Similarity {
     * no threshold is needed for scale safety — that was the round-11
     * flag, retired by the ladder, not by a floor.
     */
-  def knnGraph(vecs: DataFrame, k: Int): DataFrame = {
+  def knnGraph(vecs: DataFrame, k: Int,
+      knownN: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = embeddingNearDups(vecs, minCosine = -1.0, adaptive = true)
+    val pairs = embeddingNearDups(vecs, minCosine = -1.0, adaptive = true,
+      knownN = knownN)
     val sym = pairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cosine"))
       .unionAll(pairs
@@ -579,7 +582,8 @@ object Similarity {
 
   private def nearDupSpark(s: SparkSession, d: String): DataFrame =
     embeddingNearDups(Catalog.t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding")), adaptive = true)
+      .select(col("vec_id"), col("embedding")), adaptive = true,
+      knownN = Some(corpusN(s, d)))
 
   /** Public API: near-duplicate `(vec_a, vec_b, cosine)` pairs over an
     * `(vec_id, embedding)` frame. Default is the banded sign-LSH
@@ -596,7 +600,8 @@ object Similarity {
     */
   def embeddingNearDups(vecs: DataFrame, minCosine: Double = NearDupMin,
       exact: Boolean = false, bands: Int = NdBands,
-      rowBits: Int = NdRowBits, adaptive: Boolean = false): DataFrame = {
+      rowBits: Int = NdRowBits, adaptive: Boolean = false,
+      knownN: Option[Long] = None): DataFrame = {
     // adaptive selects the ladder's family — an explicit fixed family
     // alongside it would be silently ignored (review: a caller asking
     // for an "adaptive 16x4" would get the cos-0.9 ladder and ~0.03
@@ -617,8 +622,11 @@ object Similarity {
         .filter(col("cosine") >= minCosine)
         .select("vec_a", "vec_b", "cosine")
     } else {
-      val cand = if (adaptive) adaptiveCandidatePairs(e)
-                 else lshCandidatePairs(e, bands, rowBits)
+      val cand =
+        if (adaptive)
+          knownN.map(adaptiveCandidatePairs(e, _))
+            .getOrElse(adaptiveCandidatePairs(e))
+        else lshCandidatePairs(e, bands, rowBits)
       cosineOnCandidates(e, cand, minCosine)
     }
   }
@@ -742,9 +750,14 @@ object Similarity {
   // Background collision mass per vector ≈ bands·N/2^rowBits, so with
   // rowBits ≈ log₂N−2 it stays ≈ 4·bands — flat in N up to the ladder
   // cap (bands grows ~linearly in rowBits, i.e. logarithmically in N).
-  // The 16×16 cap covers ~10⁵ vectors per partition-local corpus; at
-  // 100 TB (10⁹⁺ vectors) the same formula extends by raising
-  // AdMaxBits/AdMaxBands — the ladder is data, not structure.
+  // Round 13 raised the cap 16×16 → 22×18 (three new tiers, same
+  // bands(rowBits) formula: 16→16, 17→19, 18→22), extending flat
+  // candidate mass to ~10⁶ vectors per corpus — and measured the
+  // ladder AT the sizes past the old cap (EPS_GRAPH_SCALE_r13.json:
+  // 160k/320k/640k rows). At 100 TB (10⁹⁺ vectors) the same formula
+  // extends by raising AdMaxBits/AdMaxBands again — the ladder is
+  // data, not structure, and the r13 raise is the existence proof:
+  // no consumer or oracle changed, only these constants and rows.
 
   /** (maxN, rowBits, bands) tiers; N above the last tier takes the
     * (AdMaxBits, AdMaxBands) cap. Thresholds are exact integers shared
@@ -752,9 +765,10 @@ object Similarity {
   private[graft] val AdLadder: Seq[(Long, Int, Int)] = Seq(
     (1024L, 8, 4), (2048L, 9, 5), (4096L, 10, 6), (8192L, 11, 7),
     (16384L, 12, 8), (32768L, 13, 10), (65536L, 14, 12),
-    (131072L, 15, 14))
-  private[graft] val AdMaxBits = 16
-  private[graft] val AdMaxBands = 16
+    (131072L, 15, 14), (262144L, 16, 16), (524288L, 17, 19),
+    (1048576L, 18, 22))
+  private[graft] val AdMaxBits = 18
+  private[graft] val AdMaxBands = 22
 
   /** The (bands, rowBits) tier for a corpus of `n` vectors. */
   private[graft] def adaptiveFamily(n: Long): (Int, Int) =
@@ -768,11 +782,34 @@ object Similarity {
     * PlanQualitySpec pins: no mandatory BroadcastExchange anywhere);
     * the tier is then inlined as literals exactly like the fixed
     * families. Deterministic: same frame → same count → same planes.
+    * The tier decision SNAPSHOTS the corpus size at plan time: a table
+    * mutated between planning and execution keeps the planned family
+    * (callers that need the count anyway pass it via the two-arg
+    * overload — the gate paths share one memoized count per
+    * (session, dir), so d06/s11/d29 scan the corpus for its size once,
+    * not once each).
     */
-  def adaptiveCandidatePairs(vecs: DataFrame): DataFrame = {
-    val (bands, rowBits) = adaptiveFamily(vecs.count())
+  def adaptiveCandidatePairs(vecs: DataFrame): DataFrame =
+    adaptiveCandidatePairs(vecs, vecs.count())
+
+  /** As above with the corpus size supplied by the caller (one count
+    * shared across consumers instead of one per plan construction). */
+  def adaptiveCandidatePairs(vecs: DataFrame, n: Long): DataFrame = {
+    val (bands, rowBits) = adaptiveFamily(n)
     lshCandidatePairs(vecs, bands, rowBits, AdMaxBits)
   }
+
+  /** Memoized `count(embeddings)` per (session, dir) — the adaptive
+    * family's tier decision for every gate consumer (d06, s11, d29)
+    * reads this one snapshot instead of re-scanning the table per
+    * query. Entries are one Long each; the table is immutable for the
+    * life of a gate/bench session, which is exactly the snapshot
+    * semantics the ladder documents. */
+  private val corpusNMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private def corpusN(s: SparkSession, d: String): Long =
+    corpusNMemo.computeIfAbsent((s, d),
+      _ => Catalog.t(s, d, "embeddings").count())
 
   /** Test twin of the oracle's masked-full-width computation: band
     * keys under the MAXIMAL family, masked to the tier with pmod —
@@ -810,7 +847,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val e = Catalog.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val (bands, rowBits) = adaptiveFamily(e.count())
+    // the tier comes from the memoized snapshot count (shared with
+    // d06/s11); n_vecs below stays a REAL aggregate, so a memo that
+    // desynced from the table would hash-fail here — d29 gates the
+    // memo as well as the ladder
+    val (bands, rowBits) = adaptiveFamily(corpusN(s, d))
     val cand = lshCandidatePairs(e, bands, rowBits, AdMaxBits)
     val dups = cosineOnCandidates(
       e.withColumn("nrm", expr(s"${sparkNorm("embedding")}")), cand, 0.9)

@@ -32,11 +32,16 @@ object StreamingQueries {
   // st28 monitor family: a fixed 4-band × 12-bit PREFIX of the maximal
   // adaptive plane family (stride AdMaxBits) — fixed because a stream
   // cannot count its corpus up front. Prefix means a 12-bit monitor
-  // bucket is the exact UNION of 2^(rowBits−12) buckets of any finer
-  // ladder tier (and equals the tier bucket for tiers ≤ 12 bits), so
-  // tier occupancy derives from the monitor reading by dividing by
-  // that factor — the monitor is coarser than high tiers, never
-  // misaligned with them.
+  // bucket is the exact UNION of 2^(rowBits−12) buckets of any FINER
+  // ladder tier (rowBits > 12): tier occupancy derives from the monitor
+  // reading by dividing by that factor. The relation is exact equality
+  // only at rowBits = 12; for COARSER tiers (rowBits < 12) it runs the
+  // other way — the tier bucket is the union of 2^(12−rowBits) monitor
+  // buckets. And only bands 0–3 are monitored (tiers with more bands
+  // have unmonitored bands; each band is an iid view of the same
+  // occupancy, so 4 suffice for the signal). Coarser-or-finer, the
+  // monitor is never misaligned with a tier — every boundary is a
+  // prefix-mask boundary.
   private val MonBands = 4
   private val MonBits = 12
 

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   * family ([[Similarity.adaptiveCandidatePairs]]: rowBits ≈ log₂N−2,
   * bands rising to hold recall) and a fixed-cardinality c11 panel.
   *
-  * This smoke measures, per corpus scale (10k/20k/40k vectors):
+  * Round 13 extends the measured range past the old 16×16 ladder cap:
+  * scales 16/32/64 (160k/320k/640k vectors) land on the raised
+  * ladder's 16×16 and 19×17 tiers and ON the new 22×18 cap — the
+  * sizes where the r12 verdict said flat candidate mass was asserted,
+  * not measured.
+  *
+  * This smoke measures, per corpus scale (10k/20k/40k, r13 +160k/320k/
+  * 640k vectors):
   *
   *   1. the retired fixed 8×12 family over the full corpus — the
   *      quadratic-trend contrast row (candidate pairs/vec doubles);
@@ -82,7 +89,16 @@ object EpsGraphScaleSmoke {
 
     val eps = 0.35
     val knnK = 3
-    Seq(1, 2, 4).foreach { scale =>
+    // scales 16/32/64 (160k/320k/640k vectors) are the round-13 rows:
+    // the first sizes past the old 16×16 cap (131,072), landing on the
+    // raised ladder's new tiers 16×16 / 19×17 and ON the new 22×18 cap
+    // — the sizes where the r12 verdict said the 100×-scale story was
+    // asserted, not measured. The exact all-pairs baseline and the
+    // fixed-family contrast stay confined to small scales (quadratic
+    // by construction — the contrast trend is established at 1×/2×/4×).
+    val scales = args.headOption.map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 2, 4, 16, 32, 64))
+    scales.foreach { scale =>
       val n = 10000L * scale
       val vecs = corpus(n).cache()
       vecs.count()
@@ -102,12 +118,16 @@ object EpsGraphScaleSmoke {
         s""""total_s":${exactS.map(t => "%.1f".format(t)).getOrElse("null")}}""")
 
       // CONTRAST row: the retired fixed 8×12 family — pairs/vec doubles
-      // with N (the round-11 finding this smoke exists to keep visible)
-      val (fixCand, fixS) = timed { Similarity.lshCandidatePairs(vecs).count() }
-      println(s"""{"metric":"eps_graph_scale_smoke","bands":"8x12 (FIXED - retired r12)","path":"lsh_fixed_full",""" +
-        s""""n_vecs":$n,"pairs_examined":$fixCand,""" +
-        s""""pairs_per_vec":${"%.1f".format(fixCand.toDouble / n)},""" +
-        s""""candidates_s":${"%.1f".format(fixS)}}""")
+      // with N (the round-11 finding this smoke exists to keep visible).
+      // Skipped above 4×: at 160k+ the fixed family's candidate set is
+      // quadratic by construction (the very thing the ladder retires).
+      if (scale <= 4) {
+        val (fixCand, fixS) = timed { Similarity.lshCandidatePairs(vecs).count() }
+        println(s"""{"metric":"eps_graph_scale_smoke","bands":"8x12 (FIXED - retired r12)","path":"lsh_fixed_full",""" +
+          s""""n_vecs":$n,"pairs_examined":$fixCand,""" +
+          s""""pairs_per_vec":${"%.1f".format(fixCand.toDouble / n)},""" +
+          s""""candidates_s":${"%.1f".format(fixS)}}""")
+      }
 
       // ROUND-12 claim: adaptive prefix family — pairs/vec ~flat
       val (bandsA, rowBitsA) = Similarity.adaptiveFamily(n)

@@ -23,11 +23,17 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(Similarity.adaptiveFamily(1025L) == ((5, 9)))
     assert(Similarity.adaptiveFamily(16384L) == ((8, 12)))
     assert(Similarity.adaptiveFamily(131072L) == ((14, 15)))
+    // round 13: the old 16×16 cap became a proper tier (maxN 262144)
+    // and the cap moved to 22×18 — the "ladder is data" extension
     assert(Similarity.adaptiveFamily(131073L) == ((16, 16)))
-    assert(Similarity.adaptiveFamily(Long.MaxValue) == ((16, 16)))
+    assert(Similarity.adaptiveFamily(262144L) == ((16, 16)))
+    assert(Similarity.adaptiveFamily(262145L) == ((19, 17)))
+    assert(Similarity.adaptiveFamily(524289L) == ((22, 18)))
+    assert(Similarity.adaptiveFamily(Long.MaxValue) == ((22, 18)))
     // monotone: more vectors never means fewer bits or fewer bands
     val tiers = Seq(1L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L,
-      65536L, 131072L, 1 << 20).map(Similarity.adaptiveFamily)
+      65536L, 131072L, 262144L, 524288L, 1048576L,
+      1L << 22).map(Similarity.adaptiveFamily)
     tiers.zip(tiers.tail).foreach { case ((b1, r1), (b2, r2)) =>
       assert(b2 >= b1 && r2 >= r1, s"($b1,$r1) -> ($b2,$r2)")
     }
