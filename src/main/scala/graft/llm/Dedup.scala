@@ -96,6 +96,8 @@ object Dedup {
     QueryDef("g13_truss_support", Some(trussOracle), trussSpark),
     QueryDef("g14_truss_decomposition", Some(trussDecompOracle),
       trussDecompSpark),
+    QueryDef("g15_harmonic_centrality", Some(harmonicOracle),
+      harmonicSpark),
     QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
     QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
     QueryDef("g07_degree_profile", Some(degreeProfileOracle),
@@ -1376,6 +1378,62 @@ object Dedup {
        |bd AS (SELECT node, min(iter) AS d FROM b GROUP BY node)
        |SELECT f.doc_id, cast(coalesce(bd.d, -1) AS int) AS dist
        |FROM fp f LEFT JOIN bd ON f.doc_id = bd.node""".stripMargin
+
+  // --------------------------------- harmonic centrality probes (g15)
+
+  /** g15's probe panel: every ProbeEvery-th doc id, HARD-CAPPED by id
+    * range so the panel never grows with the corpus (c11's bounded-
+    * panel law — ≤ ProbeCap probes at any scale). */
+  private val ProbeEvery = 200
+  private val ProbeCap = 8
+
+  /** Harmonic centrality from a bounded probe panel over the near-dup
+    * graph: for each probe, sum of 1/d (integer fixed point, exact in
+    * both engines) over nodes within BfsMaxDepth, plus the reach count.
+    * The "which documents sit central in big template neighborhoods"
+    * audit — harmonic handles disconnection natively (unreached nodes
+    * contribute 0, no infinite-distance special case). ONE distributed
+    * traversal advances all probes together
+    * ([[GraphAlgs.multiSourceBfs]]): frontier joins stay keyed on the
+    * node id, the probe dimension is a bounded fanout, never a
+    * per-probe job loop.
+    */
+  private def harmonicSpark(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = nearDupGraph(s, d)
+    val probes = Catalog.t(s, d, "documents")
+      .filter(col("doc_id") % ProbeEvery === 0 &&
+        col("doc_id") < ProbeEvery.toLong * ProbeCap)
+      .select(col("doc_id").as("probe"), col("doc_id").as("id"))
+    val dist = GraphAlgs.multiSourceBfs(edges, probes, BfsMaxDepth,
+      checkpointDir = graphCheckpointDir(s))
+    val h = dist.filter(col("dist") > 0)
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_fx"))
+    probes.select(col("probe")).join(h, Seq("probe"), "left")
+      .select(col("probe"),
+        coalesce(col("n_reached"), lit(0L)).cast("long").as("n_reached"),
+        coalesce(col("harmonic_fx"), lit(0L)).cast("long")
+          .as("harmonic_fx"))
+  }
+
+  private def harmonicOracle: String =
+    s"""WITH RECURSIVE ${edgeCtes()},
+       |probes AS (SELECT doc_id AS probe FROM documents
+       |  WHERE doc_id % $ProbeEvery = 0
+       |    AND doc_id < ${ProbeEvery.toLong * ProbeCap}),
+       |b(probe, iter, node) AS (
+       |  SELECT probe, 0, probe FROM probes
+       |  UNION
+       |  SELECT b.probe, b.iter + 1, e.dst FROM b JOIN e ON b.node = e.src
+       |  WHERE b.iter < $BfsMaxDepth),
+       |bd AS (SELECT probe, node, min(iter) AS d FROM b GROUP BY 1, 2),
+       |h AS (SELECT probe, count(*) AS n_reached,
+       |    sum(1000000 // d) AS harmonic_fx
+       |  FROM bd WHERE d > 0 GROUP BY 1)
+       |SELECT p.probe, cast(coalesce(n_reached, 0) as bigint) AS n_reached,
+       |  cast(coalesce(harmonic_fx, 0) as bigint) AS harmonic_fx
+       |FROM probes p LEFT JOIN h ON p.probe = h.probe""".stripMargin
 
   private val LpaRounds = 2
 

@@ -178,6 +178,52 @@ object GraphAlgs {
       .select(col("id"), coalesce(col("dist"), lit(-1)).as("dist"))
   }
 
+  /** Multi-source BFS carrying per-probe distances: like [[bfsLayers]]
+    * but the visited set is keyed `(probe, id)`, so ONE distributed
+    * traversal advances every probe's wavefront together — the shape
+    * centrality-from-probes needs (k separate BFS jobs would pay k
+    * edge-scan schedules; this pays one per DEPTH, with all probes'
+    * frontiers in the same keyed frame). `seeds` is `(probe, id)`;
+    * returns `(probe, id, dist)` for reached nodes only (dist ≤
+    * maxDepth). Frontier joins stay keyed on the node id; probe fanout
+    * multiplies frontier rows by at most the probe-panel size, which is
+    * bounded by contract (the caller caps the panel the c11 way).
+    */
+  def multiSourceBfs(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val rounds = new Rounds(spark, checkpointDir)
+    val p = shufflePartitions(edges)
+    val e = undirected(edges, p)
+    var dist = rounds.truncate(
+      seeds.select(col("probe"), col("id")).distinct()
+        .withColumn("dist", lit(0)))
+    var frontier = dist.select(col("probe"), col("id"))
+    var frontierCount = frontier.count()
+    var depth = 0
+    while (depth < maxDepth && frontierCount > 0) {
+      depth += 1
+      val fIn =
+        if (frontierCount <= broadcastMaxNodes) broadcast(frontier)
+        else frontier.repartition(p, col("id"))
+      val nbrs = e.join(fIn, e("src") === fIn("id"))
+        .select(col("probe"), col("dst").as("id")).distinct()
+      val next = rounds.truncate(
+        nbrs.join(dist, Seq("probe", "id"), "left_anti")
+          .withColumn("dist", lit(depth)))
+      frontierCount = next.count()
+      dist = rounds.truncate(dist.union(next))
+      frontier = next.select(col("probe"), col("id"))
+      debug(s"[msbfs] depth $depth frontier=$frontierCount")
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Integer-exact PageRank: fixed-point arithmetic (`scale`, damping
     * 85/100, floor division) makes a fixed iteration count bit-identical
     * under any partitioning or summation order. Dangling mass is not

@@ -28,8 +28,10 @@ object Pipeline {
 
   private val TokenBudget = 10000L // p12 global selection budget
   private val PackBudget = 512  // tokens per packed training sequence
+  // p28's candidate budgets (the sequence-length sweep grid)
+  private val PackSweep = Seq(512L, 1024L, 2048L, 4096L)
   private val BalancedK = 50    // docs per language
-  private val EvalMod = 97      // doc_id % EvalMod == 0 -> benchmark set
+  private[graft] val EvalMod = 97 // doc_id % EvalMod == 0 -> benchmark set
   private val CurationK = 40    // docs per language after curation
 
   def all: Seq[QueryDef] = Seq(
@@ -902,6 +904,54 @@ object Pipeline {
               .when(col("in_new").isNull, "removed")
               .when(!(col("old_hash") <=> col("new_hash")), "changed")
               .otherwise("unchanged").as("status"))
+      }),
+
+    // p28: pack-budget sweep — the "pick the sequence length" knob,
+    // answered from data: for each candidate budget, the number of
+    // concat-and-chunk bins per p01 shard is pure arithmetic on the
+    // shard's token total (ceil(total/budget)), so the whole sweep is
+    // ONE keyed token aggregate + a 4-row budget explode — p01's
+    // packing never actually runs per budget. Reports bins, waste
+    // (the final partial bin per shard), and fill efficiency per
+    // budget. Scale: the explode multiplies the SHARD table (one row
+    // per lang), never the corpus.
+    QueryDef(
+      "p28_pack_budget_sweep",
+      Some(s"""WITH sh AS (SELECT lang,
+              |    cast(sum(len($duckWords)) as bigint) AS toks
+              |  FROM documents GROUP BY lang),
+              |b AS (SELECT unnest([${PackSweep.mkString(", ")}]) AS budget),
+              |x AS (SELECT budget, toks,
+              |    (toks + budget - 1) // budget AS n_bins FROM sh, b)
+              |SELECT cast(budget as bigint) AS budget,
+              |  cast(count(*) as bigint) AS n_shards,
+              |  cast(sum(n_bins) as bigint) AS n_bins,
+              |  cast(sum(toks) as bigint) AS total_tokens,
+              |  cast(sum(n_bins) * budget - sum(toks) as bigint)
+              |    AS waste_tokens,
+              |  cast(CASE WHEN sum(n_bins) = 0 THEN 0
+              |    ELSE sum(toks) * 1000000 // (sum(n_bins) * budget) END
+              |    as bigint) AS efficiency_fx
+              |FROM x GROUP BY budget""".stripMargin),
+      (s, d) => {
+        val sh = Catalog.t(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(sum(expr(s"cast(size($sparkWords) as bigint)")).as("toks"))
+        sh.select(col("toks"), explode(expr(
+            s"array(${PackSweep.map(_ + "L").mkString(", ")})")).as("budget"))
+          .withColumn("n_bins", expr("(toks + budget - 1) div budget"))
+          .groupBy(col("budget"))
+          .agg(count(lit(1)).as("n_shards"), sum(col("n_bins")).as("n_bins"),
+            sum(col("toks")).as("total_tokens"))
+          .select(col("budget").cast("long").as("budget"),
+            col("n_shards").cast("long").as("n_shards"),
+            col("n_bins").cast("long").as("n_bins"),
+            col("total_tokens").cast("long").as("total_tokens"),
+            (col("n_bins") * col("budget") - col("total_tokens"))
+              .cast("long").as("waste_tokens"),
+            expr("cast(CASE WHEN n_bins = 0 THEN 0 ELSE total_tokens" +
+              " * 1000000 div (n_bins * budget) END as bigint)")
+              .as("efficiency_fx"))
       })
   )
 

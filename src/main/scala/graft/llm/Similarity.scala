@@ -84,7 +84,9 @@ object Similarity {
     QueryDef("s20_nprobe_sweep", Some(nprobeSweepOracle), nprobeSweepSpark),
     QueryDef("s21_rank_fusion", Some(rankFusionOracle), rankFusionSpark),
     QueryDef("d29_adaptive_family_report", Some(familyReportOracle),
-      familyReportSpark)
+      familyReportSpark),
+    QueryDef("d30_cross_label_neardup", Some(crossLabelOracle),
+      crossLabelSpark)
   )
 
   // ----------------------------------------------- hard-negative mining
@@ -915,6 +917,56 @@ object Similarity {
        |  ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
        |FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
        |WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= $NearDupMin""".stripMargin
+
+  // --------------------------------- cross-label near-dup audit (d30)
+  //
+  // Label-leakage audit over the embedding space: d06's near-dup pairs
+  // whose endpoints carry DIFFERENT labels, aggregated per unordered
+  // label pair. Near-identical vectors filed under different classes
+  // are exactly what poisons a classifier eval (the embedding-space
+  // complement of p27's split-leakage concern) — this is the review
+  // surface that finds them. Scale: one more consumer of the adaptive
+  // candidate machinery (memoized corpus count, no extra scan for the
+  // tier), plus two narrow label joins and a keyed agg; max() is
+  // order-free exact, counts are integers.
+
+  private def crossLabelSpark(s: SparkSession, d: String): DataFrame = {
+    val e = Catalog.t(s, d, "embeddings")
+    val pairs = embeddingNearDups(
+      e.select(col("vec_id"), col("embedding")),
+      adaptive = true, knownN = Some(corpusN(s, d)))
+    val la = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"))
+    val lb = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"))
+    pairs.join(la, "vec_a").join(lb, "vec_b")
+      .filter(col("label_a") =!= col("label_b"))
+      .groupBy(least(col("label_a"), col("label_b")).as("label_lo"),
+        greatest(col("label_a"), col("label_b")).as("label_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("cosine")).as("max_cosine"))
+      .select(col("label_lo").cast("long").as("label_lo"),
+        col("label_hi").cast("long").as("label_hi"),
+        col("n_pairs").cast("long").as("n_pairs"), col("max_cosine"))
+  }
+
+  private def crossLabelOracle: String =
+    s"""WITH v AS (SELECT vec_id, label,
+       |    cast(embedding AS DOUBLE[]) AS va FROM embeddings),
+       |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
+       |$duckAdaptiveCtes,
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |p AS (SELECT vec_a, vec_b,
+       |    ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
+       |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
+       |  WHERE ${duckDot("a.va", "b.va")} / (a.nn * b.nn) >= $NearDupMin),
+       |l AS (SELECT p.cosine, va.label AS label_a, vb.label AS label_b
+       |  FROM p JOIN v va ON va.vec_id = p.vec_a
+       |    JOIN v vb ON vb.vec_id = p.vec_b
+       |  WHERE va.label <> vb.label)
+       |SELECT cast(least(label_a, label_b) as bigint) AS label_lo,
+       |  cast(greatest(label_a, label_b) as bigint) AS label_hi,
+       |  cast(count(*) as bigint) AS n_pairs,
+       |  max(cosine) AS max_cosine
+       |FROM l GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------- brute-force top-k
 

@@ -1411,6 +1411,176 @@ object RelationalQueries4 {
           .select(col("stage_no").cast("long").as("stage_no"), col("stage"),
             col("n_users").cast("long").as("n_users"),
             col("conv_fx").cast("long").as("conv_fx"))
+      }),
+
+    // q74: rolling 7-day EXACT distinct actives per day — the DAU/WAU
+    // engagement panel, computed scale-safely: a sliding `count(
+    // DISTINCT)` window over raw events is quadratic state, so instead
+    // each distinct (day, user) CONTRIBUTION explodes to the ≤7
+    // window-end days it covers (bounded 7× expansion of an already
+    // day-deduped frame) and a plain keyed distinct-agg finishes — no
+    // window function holds per-user state at all. Window-end days are
+    // the days observed in the data (no synthetic calendar). The oracle
+    // states the same semantics as a day×events range join — clearer
+    // SQL, same answer, quadratic only oracle-side where it's fine.
+    QueryDef(
+      "q74_rolling_distinct",
+      Some("""WITH e AS (SELECT cast(ts AS DATE) AS day, user_id
+             |  FROM events WHERE user_id IS NOT NULL),
+             |days AS (SELECT DISTINCT day AS wday FROM e),
+             |r7 AS (SELECT d.wday, count(DISTINCT u.user_id) AS n_active_7d
+             |  FROM days d JOIN e u
+             |    ON u.day BETWEEN d.wday - 6 AND d.wday GROUP BY 1),
+             |r1 AS (SELECT day AS wday, count(DISTINCT user_id) AS n_active_1d
+             |  FROM e GROUP BY 1)
+             |SELECT r7.wday, cast(n_active_1d as bigint) AS n_active_1d,
+             |  cast(n_active_7d as bigint) AS n_active_7d
+             |FROM r7 JOIN r1 USING (wday)""".stripMargin),
+      (s, d) => {
+        val e = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val du = e.distinct()
+        val days = e.select(col("day").as("wday")).distinct()
+        val contrib = du.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6), interval 1 day)"))
+            .as("wday"))
+        val r7 = contrib.join(days, "wday")
+          .groupBy(col("wday"))
+          .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        val r1 = du.groupBy(col("day").as("wday"))
+          .agg(countDistinct(col("user_id")).as("n_active_1d"))
+        r7.join(r1, "wday")
+          .select(col("wday"),
+            col("n_active_1d").cast("long").as("n_active_1d"),
+            col("n_active_7d").cast("long").as("n_active_7d"))
+      }),
+
+    // q75: CUSUM drift detection over daily event volumes, per event
+    // type — the classic sequential change detector, computed EXACTLY
+    // with the drawdown identity instead of the textbook recursion:
+    // C_t = max(0, C_{t-1} + d_t) has the closed form
+    // C_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P, so two
+    // window functions replace an inherently sequential loop — the
+    // only shape that distributes (per-type windows over day grain;
+    // state is one partition's day count, never event count). The
+    // deviation is integer-scaled by the type's day count
+    // (d_t = n_days·x_t − total) so zero floats exist anywhere;
+    // cusum_up catches volume surges, cusum_down collapses.
+    QueryDef(
+      "q75_cusum_drift",
+      Some("""WITH x AS (SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) as bigint) AS n_events
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type,
+             |    cast(count(*) as bigint) AS n_days,
+             |    cast(sum(n_events) as bigint) AS total
+             |  FROM x GROUP BY 1),
+             |d AS (SELECT x.event_type, day, n_events,
+             |    n_days * n_events - total AS dev
+             |  FROM x JOIN t USING (event_type)),
+             |p AS (SELECT event_type, day, n_events,
+             |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS pre
+             |  FROM d),
+             |m AS (SELECT event_type, day, n_events, pre,
+             |    min(pre) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS mn,
+             |    max(pre) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS mx
+             |  FROM p)
+             |SELECT event_type, day, n_events,
+             |  cast(pre - least(mn, 0) as bigint) AS cusum_up,
+             |  cast(greatest(mx, 0) - pre as bigint) AS cusum_down
+             |FROM m""".stripMargin),
+      (s, d) => {
+        val x = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val tt = x.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("total"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        x.join(tt, "event_type")
+          .withColumn("dev",
+            col("n_days") * col("n_events") - col("total"))
+          .withColumn("pre", sum(col("dev")).over(w))
+          .withColumn("mn", min(col("pre")).over(w))
+          .withColumn("mx", max(col("pre")).over(w))
+          .select(col("event_type"), col("day"),
+            col("n_events").cast("long").as("n_events"),
+            (col("pre") - least(col("mn"), lit(0L)))
+              .cast("long").as("cusum_up"),
+            (greatest(col("mx"), lit(0L)) - col("pre"))
+              .cast("long").as("cusum_down"))
+      }),
+
+    // j07: interval COALESCING (temporal union) — merge each user's
+    // overlapping/touching activity intervals [ts, ts + value·1s) into
+    // maximal islands and report the UNION duration: the dedup that
+    // makes "time covered" honest when intervals overlap (ad exposure,
+    // device sessions, GPU occupancy — summing raw durations double
+    // counts). The j-family's missing set-operation: j06 JOINS
+    // overlapping intervals, this UNIONS them. Gaps-and-islands on
+    // intervals: island starts where start_ms exceeds the running max
+    // end over all PRIOR intervals (ordered start, event_id tiebreak);
+    // the island id is a running flag sum — two windows + two keyed
+    // aggs, all partitioned by user, integer-exact ms arithmetic
+    // (floor() both sides: DuckDB's double→bigint cast rounds while
+    // Spark's truncates — floor removes the dialect split).
+    QueryDef(
+      "j07_interval_coalesce",
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_ms(cast(ts as timestamp)) AS start_ms,
+             |    epoch_ms(cast(ts as timestamp))
+             |      + greatest(cast(floor(value * 1000) as bigint), 0)
+             |      AS end_ms
+             |  FROM events WHERE user_id IS NOT NULL),
+             |f AS (SELECT *,
+             |    max(end_ms) OVER (PARTITION BY user_id
+             |      ORDER BY start_ms, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_max
+             |  FROM e),
+             |g AS (SELECT *, CASE WHEN prev_max IS NULL
+             |      OR start_ms > prev_max THEN 1 ELSE 0 END AS newisl
+             |  FROM f),
+             |h AS (SELECT *, sum(newisl) OVER (PARTITION BY user_id
+             |      ORDER BY start_ms, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM g),
+             |isl AS (SELECT user_id, island,
+             |    max(end_ms) - min(start_ms) AS span_ms,
+             |    count(*) AS n
+             |  FROM h GROUP BY 1, 2)
+             |SELECT user_id, cast(sum(n) as bigint) AS n_intervals,
+             |  cast(count(*) as bigint) AS n_islands,
+             |  cast(sum(span_ms) as bigint) AS covered_ms
+             |FROM isl GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val e = t(s, d, "events").filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("start_ms"),
+            (unix_millis(col("ts")) +
+              greatest(expr("cast(floor(value * 1000) as bigint)"),
+                lit(0L))).as("end_ms"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("start_ms"), col("event_id"))
+        val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val h = e
+          .withColumn("prev_max", max(col("end_ms")).over(wPrev))
+          .withColumn("newisl",
+            when(col("prev_max").isNull ||
+              col("start_ms") > col("prev_max"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("newisl")).over(wRun))
+        h.groupBy(col("user_id"), col("island"))
+          .agg((max(col("end_ms")) - min(col("start_ms"))).as("span_ms"),
+            count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("n")).cast("long").as("n_intervals"),
+            count(lit(1)).cast("long").as("n_islands"),
+            sum(col("span_ms")).cast("long").as("covered_ms"))
       })
   )
 

@@ -42,6 +42,9 @@ object StreamingQueries {
   // occupancy, so 4 suffice for the signal). Coarser-or-finer, the
   // monitor is never misaligned with a tier — every boundary is a
   // prefix-mask boundary.
+  // st29 shares d11's benchmark-set rule (doc_id % EvalMod == 0)
+  private val EvalMod = graft.llm.Pipeline.EvalMod
+
   private val MonBands = 4
   private val MonBits = 12
 
@@ -617,6 +620,63 @@ object StreamingQueries {
             col("n_buckets_used").cast("long").as("n_buckets_used"),
             col("max_occupancy").cast("long").as("max_occupancy"),
             col("n_vecs").cast("long").as("n_vecs"))
+      }),
+
+    // st29: STREAMING contamination firewall — the decontamination
+    // gate run AT INGEST instead of as a batch sweep (d11's streaming
+    // complement, reported per source): arriving train docs shingle
+    // NARROWLY (per-row explode, no stateful op), stream-static join
+    // the benchmark shingle set, and ONE complete-mode aggregation
+    // keyed (doc, source) carries the per-doc contaminated flag
+    // (max over shingle hits — idempotent, so the un-deduped explode
+    // is fine). The per-source rollup runs batch-side on the sink
+    // (st28's idiom: stream holds the minimal keyed state, reads
+    // aggregate it). State bound: one row per arrived doc — the same
+    // bound st05's dedup carries, not shingle-cardinality.
+    QueryDef(
+      "st29_stream_contamination_gate",
+      Some {
+        import graft.llm.TextExprs.{duckWords, duckShingles}
+        s"""WITH d AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+           |s AS (SELECT DISTINCT doc_id, unnest($duckShingles) AS sh FROM d),
+           |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % $EvalMod = 0),
+           |tr AS (SELECT doc_id, source FROM d WHERE doc_id % $EvalMod <> 0),
+           |bad AS (SELECT DISTINCT s.doc_id FROM s JOIN ev USING (sh)
+           |  WHERE s.doc_id % $EvalMod <> 0),
+           |a AS (SELECT tr.source, count(*) AS n_docs,
+           |    count(bad.doc_id) AS n_contaminated
+           |  FROM tr LEFT JOIN bad ON tr.doc_id = bad.doc_id GROUP BY 1)
+           |SELECT source, cast(n_docs as bigint) AS n_docs,
+           |  cast(n_contaminated as bigint) AS n_contaminated,
+           |  cast(n_contaminated * 1000000 // n_docs as bigint)
+           |    AS contamination_fx
+           |FROM a""".stripMargin
+      },
+      (s, d) => {
+        import graft.llm.TextExprs.{sparkWords, sparkShingles}
+        val ev = Catalog.t(s, d, "documents")
+          .filter(col("doc_id") % EvalMod === 0)
+          .withColumn("w", expr(sparkWords))
+          .select(explode(expr(sparkShingles)).as("sh")).distinct()
+          .withColumn("hit", lit(1))
+        val flags = runToMemorySink(s, d, "st29", "complete",
+          table = "documents") { raw =>
+          raw.filter(col("doc_id") % EvalMod =!= 0)
+            .withColumn("w", expr(sparkWords))
+            .select(col("doc_id"), col("source"),
+              explode_outer(expr(sparkShingles)).as("sh"))
+            .join(ev, Seq("sh"), "left")
+            .groupBy(col("doc_id"), col("source"))
+            .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))
+        }
+        flags.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("contaminated")).as("n_contaminated"))
+          .select(col("source"),
+            col("n_docs").cast("long").as("n_docs"),
+            col("n_contaminated").cast("long").as("n_contaminated"),
+            expr("n_contaminated * 1000000 div n_docs")
+              .cast("long").as("contamination_fx"))
       }),
 
     // st15: STREAMING JSONL ingest — the production arrival loop (docs

@@ -124,6 +124,172 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       }
   }
 
+  // ------------------------------------------ round-13 operator laws
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q75 cusum: the drawdown identity reproduces the textbook " +
+    "recursion exactly, on real data") {
+    // the query computes C_t = P_t − min(0, min P_j) with windows; the
+    // law re-runs the sequential recursion C_t = max(0, C_{t-1} + d_t)
+    // driver-side on the same daily series and demands equality — the
+    // identity that makes CUSUM distributable is pinned, not assumed
+    val rows = SparkEntry.queries("q75_cusum_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, g) =>
+      val days = g.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val xs = days.map(_.getAs[Long]("n_events"))
+      val nDays = xs.length.toLong
+      val total = xs.sum
+      var up = 0L; var down = 0L
+      days.zip(xs).foreach { case (r, x) =>
+        val dev = nDays * x - total
+        up = math.max(0L, up + dev)
+        down = math.max(0L, down - dev)
+        assert(r.getAs[Long]("cusum_up") == up,
+          s"cusum_up mismatch on ${r.getAs[java.sql.Date]("day")}")
+        assert(r.getAs[Long]("cusum_down") == down)
+      }
+      // a centered series ends where it started: both stats return to
+      // bounded values and the final prefix sum is zero by construction
+      assert(days.map(r => nDays * r.getAs[Long]("n_events") - total)
+        .sum == 0L)
+    }
+  }
+
+  test("j07 interval coalesce: a driver-side sweep line agrees on " +
+    "every user") {
+    val out = SparkEntry.queries("j07_interval_coalesce")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("covered_ms"))).toMap
+    val ev = graft.Catalog.t(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("s"),
+        expr("unix_millis(ts) + greatest(cast(floor(value * 1000) as" +
+          " bigint), 0L)").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ev.nonEmpty)
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var islands = 0L; var covered = 0L
+      var curStart = 0L; var curEnd = Long.MinValue
+      sorted.foreach { case (_, _, s0, e0) =>
+        if (islands == 0L || s0 > curEnd) {
+          if (islands > 0L) covered += curEnd - curStart
+          islands += 1; curStart = s0; curEnd = e0
+        } else curEnd = math.max(curEnd, e0)
+      }
+      covered += curEnd - curStart
+      assert(out(uid) == ((sorted.length.toLong, islands, covered)),
+        s"user $uid: got ${out(uid)}, swept " +
+          s"(${sorted.length}, $islands, $covered)")
+    }
+  }
+
+  test("q74 rolling distinct: 7-day actives dominate 1-day actives " +
+    "and match a driver-side recount") {
+    val out = SparkEntry.queries("q74_rolling_distinct")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val du = graft.Catalog.t(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    out.foreach { r =>
+      val wd = r.getAs[java.sql.Date]("wday").toLocalDate
+      val d1 = r.getAs[Long]("n_active_1d")
+      val d7 = r.getAs[Long]("n_active_7d")
+      assert(d7 >= d1)
+      val expect7 = du.filter { case (day, _) =>
+        !day.isAfter(wd) && !day.isBefore(wd.minusDays(6)) }
+        .map(_._2).distinct.length.toLong
+      assert(d7 == expect7, s"$wd: 7d $d7 vs recount $expect7")
+    }
+  }
+
+  test("p28 pack sweep: per-budget bookkeeping is exact (waste < " +
+    "budget per shard, totals invariant)") {
+    val rows = SparkEntry.queries("p28_pack_budget_sweep")(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    val totals = rows.map(_.getAs[Long]("total_tokens")).distinct
+    assert(totals.length == 1) // the corpus does not vary with budget
+    rows.foreach { r =>
+      val b = r.getAs[Long]("budget"); val sh = r.getAs[Long]("n_shards")
+      val bins = r.getAs[Long]("n_bins")
+      val waste = r.getAs[Long]("waste_tokens")
+      assert(waste >= 0 && waste < b * sh,
+        s"budget $b: waste $waste outside [0, ${b * sh})")
+      assert(bins * b - r.getAs[Long]("total_tokens") == waste)
+      val eff = r.getAs[Long]("efficiency_fx")
+      assert(eff > 0 && eff <= 1000000L)
+    }
+    // bigger budgets can only reduce bin count
+    val byBudget = rows.sortBy(_.getAs[Long]("budget"))
+    byBudget.zip(byBudget.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_bins") >= b.getAs[Long]("n_bins"))
+    }
+  }
+
+  test("g15 multiSourceBfs: planted path graph yields exact per-probe " +
+    "distances; probe panel is capped") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 plus isolated 9: distances are exact
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq((0L, 0L), (3L, 3L)).toDF("probe", "id")
+    val dist = graft.llm.GraphAlgs.multiSourceBfs(edges, seeds, 3)
+      .as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // probe 0 reaches 1,2,3 within depth 3; probe 3 reaches everything
+    // but 0 needs 3 hops too
+    assert(dist((0L, 0L)) == 0 && dist((0L, 1L)) == 1 &&
+      dist((0L, 2L)) == 2 && dist((0L, 3L)) == 3)
+    assert(!dist.contains((0L, 4L)))
+    assert(dist((3L, 0L)) == 3 && dist((3L, 5L)) == 2 &&
+      dist((3L, 1L)) == 2 && dist((3L, 4L)) == 1)
+    // the gate panel law: never more than ProbeCap probes at any scale
+    val probes = SparkEntry.queries("g15_harmonic_centrality")(spark, sf)
+      .collect()
+    assert(probes.length <= 8 && probes.nonEmpty)
+    probes.foreach { r =>
+      assert(r.getAs[Long]("harmonic_fx") <=
+        r.getAs[Long]("n_reached") * 1000000L)
+    }
+  }
+
+  test("st29 contamination gate: rates are consistent and the eval " +
+    "side never appears") {
+    val rows = SparkEntry.queries("st29_stream_contamination_gate")(
+      spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val c = r.getAs[Long]("n_contaminated")
+      assert(c >= 0 && c <= n)
+      assert(r.getAs[Long]("contamination_fx") == c * 1000000L / n)
+    }
+    // arrivals cover exactly the non-eval documents
+    val expected = graft.Catalog.t(spark, sf, "documents")
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == expected)
+  }
+
+  test("d30 cross-label audit: labels differ on every row and pair " +
+    "counts are positive") {
+    val rows = SparkEntry.queries("d30_cross_label_neardup")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("label_lo") < r.getAs[Long]("label_hi"))
+      assert(r.getAs[Long]("n_pairs") > 0)
+      assert(r.getAs[Double]("max_cosine") >= 0.4)
+    }
+  }
+
   test("adaptiveCandidatePairs two-arg overload: a supplied count picks " +
     "the same family as the counted path") {
     import spark.implicits._
