@@ -1478,6 +1478,66 @@ object TextAnalysis {
             col("max_gram_count").cast("long").as("max_gram_count"),
             expr("cast(max_gram_count * 1000000 div n5 as bigint)")
               .as("loop_fx"))
+      }),
+
+    // t46: per-source vocabulary DRIFT — total-variation distance
+    // between each source's word-frequency distribution and the
+    // corpus's, over the fixed top-50 vocabulary (t08's deterministic
+    // head). The corpus-mix monitor: a source whose head-word usage
+    // diverges is changing register/domain even when its vocab SET
+    // (t41's Jaccard) looks stable. TV over a fixed small vocab stays
+    // INTEGER-exact: TV = Σ|o·T − c·S| / (2·S·T), and the zero-count
+    // words a source lacks fold in algebraically (Σ_{o=0} c·S =
+    // S·T − Σ_{o>0} c·S) — so no source×vocab grid, no BNLJ, just two
+    // keyed aggregates and a 50-row broadcast join. int64 headroom:
+    // |o·T − c·S| ≤ 2·S·T ~ 10¹² at sf0.1; sums stay < 10¹⁵.
+    QueryDef(
+      "t46_source_vocab_drift",
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |vocab AS (SELECT word, cast(count(*) as bigint) AS c
+             |  FROM t GROUP BY word ORDER BY c DESC, word ASC LIMIT 50),
+             |tot AS (SELECT cast(sum(c) as bigint) AS tt FROM vocab),
+             |sw AS (SELECT source, word FROM (SELECT source,
+             |    unnest(string_split(text, ' ')) AS word FROM documents)),
+             |o AS (SELECT source, word, cast(count(*) as bigint) AS o
+             |  FROM sw JOIN vocab USING (word) GROUP BY 1, 2),
+             |ssum AS (SELECT source, cast(sum(o) as bigint) AS ss
+             |  FROM o GROUP BY 1),
+             |agg AS (SELECT o.source,
+             |    cast(sum(abs(o * tt - c * ss)) as bigint) AS seen_num,
+             |    cast(sum(c * ss) as bigint) AS seen_cs
+             |  FROM o JOIN vocab USING (word)
+             |    JOIN ssum ON ssum.source = o.source, tot
+             |  GROUP BY o.source)
+             |SELECT agg.source, ss AS n_vocab_hits,
+             |  cast(CASE WHEN ss = 0 THEN 1000000
+             |    ELSE (seen_num + (ss * tt - seen_cs)) * 1000000
+             |      // (2 * ss * tt) END as bigint) AS tv_fx
+             |FROM agg JOIN ssum ON ssum.source = agg.source, tot""".stripMargin),
+      (s, d) => {
+        val words = Catalog.t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        val vocab = words.groupBy(col("word"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .orderBy(col("c").desc, col("word").asc).limit(50)
+        val tot = vocab.agg(sum(col("c")).as("tt"))
+        val o = words.join(broadcast(vocab), "word")
+          .groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).cast("long").as("o"), first(col("c")).as("c"))
+        val perSource = o.groupBy(col("source"))
+          .agg(sum(col("o")).as("ss"), collect_list(struct(col("o"),
+            col("c"))).as("oc"))
+          .crossJoin(broadcast(tot))
+          .withColumn("seen_num", expr(
+            "aggregate(oc, 0L, (a, x) -> a + abs(x.o * tt - x.c * ss))"))
+          .withColumn("seen_cs", expr(
+            "aggregate(oc, 0L, (a, x) -> a + x.c * ss)"))
+        perSource.select(col("source"),
+          col("ss").cast("long").as("n_vocab_hits"),
+          expr("cast(CASE WHEN ss = 0 THEN 1000000 ELSE (seen_num +" +
+            " (ss * tt - seen_cs)) * 1000000 div (2 * ss * tt) END" +
+            " as bigint)").as("tv_fx"))
       })
   )
 

@@ -1581,6 +1581,40 @@ object RelationalQueries4 {
           .agg(sum(col("n")).cast("long").as("n_intervals"),
             count(lit(1)).cast("long").as("n_islands"),
             sum(col("span_ms")).cast("long").as("covered_ms"))
+      }),
+
+    // q76: time-decayed engagement score — recency weighting with a
+    // 7-day half-life done in INTEGER arithmetic: weight = 1e6 >>
+    // (age_days div 7), so every weight is exact in both engines (no
+    // pow(), no float decay product to drift). The anchor ("now") is
+    // the corpus max day — a 1-row scalar riding a broadcast (the q61
+    // RFM idiom). Shift capped at 30: beyond ~30 half-lives the weight
+    // is 0 anyway and >> 63 is undefined territory in neither engine
+    // we want to visit. Scale: one scalar + one keyed agg.
+    QueryDef(
+      "q76_decayed_engagement",
+      Some("""WITH mx AS (SELECT max(cast(ts AS DATE)) AS anchor FROM events),
+             |e AS (SELECT user_id,
+             |    date_diff('day', cast(ts AS DATE), anchor) AS age_days
+             |  FROM events, mx WHERE user_id IS NOT NULL)
+             |SELECT user_id,
+             |  cast(count(*) as bigint) AS n_events,
+             |  cast(min(age_days) as bigint) AS last_age_days,
+             |  cast(sum(1000000 >> least(age_days // 7, 30)) as bigint)
+             |    AS decayed_fx
+             |FROM e GROUP BY user_id""".stripMargin),
+      (s, d) => {
+        val mx = t(s, d, "events")
+          .agg(max(to_date(col("ts"))).as("anchor"))
+        t(s, d, "events").filter(col("user_id").isNotNull)
+          .crossJoin(broadcast(mx))
+          .withColumn("age_days",
+            datediff(col("anchor"), to_date(col("ts"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            min(col("age_days")).cast("long").as("last_age_days"),
+            sum(expr("shiftright(1000000L, cast(least(age_days div 7," +
+              " 30) as int))")).cast("long").as("decayed_fx"))
       })
   )
 

@@ -747,6 +747,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "m08_modality_mix" -> "scalar",
     "d29_adaptive_family_report" -> "scalar",
     "c13_calinski_harabasz" -> "model",
+    "q76_decayed_engagement" -> "scalar",
+    "t46_source_vocab_drift" -> "scalar",
     "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar")
 
   test("registry-wide: no CartesianProduct anywhere; BNLJ only on the " +

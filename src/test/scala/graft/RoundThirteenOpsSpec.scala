@@ -290,6 +290,51 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 decayed engagement: integer shift weights match a " +
+    "driver-side recount, and bounds hold") {
+    val out = SparkEntry.queries("q76_decayed_engagement")(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_age_days"),
+          r.getAs[Long]("decayed_fx"))).toMap
+    val ev = graft.Catalog.t(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val anchor = ev.map(_._2).maxBy(_.toEpochDay)
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val ages = rows.map(r => anchor.toEpochDay - r._2.toEpochDay)
+      val expect = ages.map(a => 1000000L >> math.min(a / 7, 30L).toInt).sum
+      assert(out(uid) == ((rows.length.toLong, ages.min, expect)),
+        s"user $uid: got ${out(uid)}")
+    }
+    // a user active only today scores n_events * 1e6; nobody exceeds it
+    out.values.foreach { case (n, _, fx) => assert(fx <= n * 1000000L) }
+  }
+
+  test("t46 source vocab drift: a driver-side exact TV recount over " +
+    "the top-50 vocab agrees") {
+    val out = SparkEntry.queries("t46_source_vocab_drift")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_vocab_hits"), r.getAs[Long]("tv_fx"))).toMap
+    val words = graft.Catalog.t(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = corpus.toSeq.sortBy { case (w, c) => (-c, w) }.take(50)
+    val tt = vocab.map(_._2).sum
+    val vset = vocab.map(_._1).toSet
+    words.filter(w => vset(w._2)).groupBy(_._1).foreach { case (src, ws) =>
+      val o = ws.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ss = o.values.sum
+      val num = vocab.map { case (w, c) =>
+        math.abs(o.getOrElse(w, 0L) * tt - c * ss) }.sum
+      val tv = num * 1000000L / (2 * ss * tt)
+      assert(out(src) == ((ss, tv)), s"$src: got ${out(src)}, " +
+        s"recounted ($ss, $tv)")
+      assert(tv >= 0 && tv <= 1000000L)
+    }
+  }
+
   test("adaptiveCandidatePairs two-arg overload: a supplied count picks " +
     "the same family as the counted path") {
     import spark.implicits._
