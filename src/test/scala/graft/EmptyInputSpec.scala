@@ -125,7 +125,21 @@ class EmptyInputSpec extends AnyFunSuite {
     // pairs, an empty overlap/cardinality report (batch and streaming)
     "q72_kmv_set_ops", "st27_stream_kmv_ndv",
     // an empty media lake has no payloads: empty dedup ledger
-    "m11_media_dedup")
+    "m11_media_dedup",
+    // round 12 (back-filled r13): an empty corpus yields an empty truss
+    // decomposition, loop report, split, funnel (three zero rows), and
+    // occupancy monitor; d29's report is ONE row of zeros (count aggs
+    // over empty relations) at the ladder's first tier
+    "g14_truss_decomposition", "t45_repetition_loops",
+    "p27_leakage_safe_split", "d29_adaptive_family_report",
+    "st28_stream_band_occupancy", "q73_funnel_conversion",
+    // round 13: empty events/documents/embeddings flow through to empty
+    // results everywhere — no scalar in any of these divides by an
+    // empty-derived denominator without a guard
+    "q74_rolling_distinct", "q75_cusum_drift", "j07_interval_coalesce",
+    "q76_decayed_engagement", "p28_pack_budget_sweep",
+    "g15_harmonic_centrality", "d30_cross_label_neardup",
+    "t46_source_vocab_drift", "st29_stream_contamination_gate")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

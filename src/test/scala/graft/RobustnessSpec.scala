@@ -163,7 +163,24 @@ class RobustnessSpec extends AnyFunSuite {
     "q72_kmv_set_ops", "st27_stream_kmv_ndv",
     // hostile payloads (empty, astral-plane, 20k-token) through the
     // byte-checksum dedup ledger
-    "m11_media_dedup")
+    "m11_media_dedup",
+    // round 12 (back-filled r13): hostile text through the truss
+    // decomposition and loop detector; the zero/denormal vectors
+    // through the adaptive-family report and occupancy monitor; the
+    // single-event user through the funnel
+    "g14_truss_decomposition", "t45_repetition_loops",
+    "p27_leakage_safe_split", "d29_adaptive_family_report",
+    "st28_stream_band_occupancy", "q73_funnel_conversion",
+    // round 13: adversarial events (negative values -> clamped
+    // intervals, single-event users) through the rolling-distinct,
+    // CUSUM, coalesce and decay ops; hostile text through the pack
+    // sweep, vocab drift and the streaming contamination firewall;
+    // the zero vector + duplicate labels through the cross-label
+    // audit; a probe-less fixture through harmonic centrality
+    "q74_rolling_distinct", "q75_cusum_drift", "j07_interval_coalesce",
+    "q76_decayed_engagement", "p28_pack_budget_sweep",
+    "g15_harmonic_centrality", "d30_cross_label_neardup",
+    "t46_source_vocab_drift", "st29_stream_contamination_gate")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
