@@ -150,30 +150,13 @@ object GraphAlgs {
       maxDepth: Int,
       broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
       checkpointDir: Option[String] = None): DataFrame = {
-    val spark = nodes.sparkSession
-    val rounds = new Rounds(spark, checkpointDir)
-    val p = shufflePartitions(nodes)
-    val e = undirected(edges, p)
-    var dist = rounds.truncate(
-      seeds.select(col("id")).distinct().withColumn("dist", lit(0)))
-    var frontier = dist.select(col("id"))
-    var frontierCount = frontier.count()
-    var depth = 0
-    while (depth < maxDepth && frontierCount > 0) {
-      depth += 1
-      val fIn =
-        if (frontierCount <= broadcastMaxNodes) broadcast(frontier)
-        else frontier.repartition(p, col("id"))
-      val nbrs = e.join(fIn, e("src") === fIn("id"))
-        .select(col("dst").as("id")).distinct()
-      val next = rounds.truncate(
-        nbrs.join(dist, Seq("id"), "left_anti").withColumn("dist", lit(depth)))
-      frontierCount = next.count()
-      dist = rounds.truncate(dist.union(next))
-      frontier = next.select(col("id"))
-      debug(s"[bfs] depth $depth frontier=$frontierCount")
-    }
-    e.unpersist()
+    // single-source-set BFS = the multi-source traversal with one
+    // constant probe (round-13 review: the iteration machinery —
+    // broadcast threshold, checkpoint rounds, visited anti-join — must
+    // live in ONE place or a fix to it silently misses a traversal)
+    val dist = multiSourceBfs(edges,
+      seeds.select(lit(0L).as("probe"), col("id")), maxDepth,
+      broadcastMaxNodes, checkpointDir).drop("probe")
     nodes.select(col("id")).join(dist, Seq("id"), "left")
       .select(col("id"), coalesce(col("dist"), lit(-1)).as("dist"))
   }

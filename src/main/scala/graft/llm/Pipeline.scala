@@ -943,15 +943,22 @@ object Pipeline {
           .groupBy(col("budget"))
           .agg(count(lit(1)).as("n_shards"), sum(col("n_bins")).as("n_bins"),
             sum(col("toks")).as("total_tokens"))
+          // decimal(38,0) intermediates (the c13 discipline): the
+          // corpus-global numerator total_tokens * 1e6 wraps int64 past
+          // ~9.2e12 tokens (~37 TB of text) while the DuckDB oracle's
+          // HUGEINT stays exact — the widened product keeps both
+          // engines exact to ~10^32; results are <= 1e6 / < budget*
+          // shards, so the final bigint casts are safe at any scale
           .select(col("budget").cast("long").as("budget"),
             col("n_shards").cast("long").as("n_shards"),
             col("n_bins").cast("long").as("n_bins"),
             col("total_tokens").cast("long").as("total_tokens"),
-            (col("n_bins") * col("budget") - col("total_tokens"))
-              .cast("long").as("waste_tokens"),
-            expr("cast(CASE WHEN n_bins = 0 THEN 0 ELSE total_tokens" +
-              " * 1000000 div (n_bins * budget) END as bigint)")
-              .as("efficiency_fx"))
+            expr("cast(cast(n_bins as decimal(38,0)) * budget" +
+              " - total_tokens as bigint)").as("waste_tokens"),
+            expr("cast(CASE WHEN n_bins = 0 THEN 0 ELSE" +
+              " (cast(total_tokens as decimal(38,0)) * 1000000)" +
+              " div (cast(n_bins as decimal(38,0)) * budget) END" +
+              " as bigint)").as("efficiency_fx"))
       })
   )
 

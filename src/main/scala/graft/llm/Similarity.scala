@@ -235,8 +235,7 @@ object Similarity {
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |$duckAdaptiveCtes,
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |$duckCandCte,
        |p AS (SELECT vec_a, vec_b,
        |    ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
        |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b),
@@ -801,17 +800,22 @@ object Similarity {
     lshCandidatePairs(vecs, bands, rowBits, AdMaxBits)
   }
 
-  /** Memoized `count(embeddings)` per (session, dir) — the adaptive
-    * family's tier decision for every gate consumer (d06, s11, d29)
-    * reads this one snapshot instead of re-scanning the table per
-    * query. Entries are one Long each; the table is immutable for the
-    * life of a gate/bench session, which is exactly the snapshot
-    * semantics the ladder documents. */
+  /** Memoized `count(embeddings)` per dir — the adaptive family's tier
+    * decision for every gate consumer (d06, s11, d29, d30) reads this
+    * one snapshot instead of re-scanning the table per query. Keyed by
+    * DIR with the owning session alongside (the graphMemo eviction
+    * pattern): a new session replaces the entry, so a driver cycling
+    * one session per query never accumulates strong references to
+    * stopped sessions. The table is immutable for the life of a
+    * gate/bench session, which is exactly the snapshot semantics the
+    * ladder documents. */
   private val corpusNMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Long)]()
   private def corpusN(s: SparkSession, d: String): Long =
-    corpusNMemo.computeIfAbsent((s, d),
-      _ => Catalog.t(s, d, "embeddings").count())
+    corpusNMemo.compute(d, { (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else (s, Catalog.t(s, d, "embeddings").count())
+    })._2
 
   /** Test twin of the oracle's masked-full-width computation: band
     * keys under the MAXIMAL family, masked to the tier with pmod —
@@ -871,8 +875,7 @@ object Similarity {
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |$duckAdaptiveCtes,
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |$duckCandCte,
        |cc AS (SELECT count(*) AS n_candidates FROM cand),
        |nd AS (SELECT count(*) AS n_neardups_090 FROM cand
        |  JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
@@ -907,12 +910,19 @@ object Similarity {
        |  FROM k0, fam WHERE band < n_bands)""".stripMargin
   }
 
+  /** The adaptive candidate-pair CTE (`cand` over the band-key relation
+    * `k`) shared by every oracle that consumes it (d06, d29, s11, d30)
+    * — one definition of "candidate pair", so the consumers cannot
+    * drift (the edgeCtes() discipline from the graph family). */
+  private[llm] def duckCandCte: String =
+    """cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id)""".stripMargin
+
   private def nearDupOracle: String =
     s"""WITH v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |$duckAdaptiveCtes,
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id)
+       |$duckCandCte
        |SELECT vec_a, vec_b,
        |  ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
        |FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
@@ -952,8 +962,7 @@ object Similarity {
        |    cast(embedding AS DOUBLE[]) AS va FROM embeddings),
        |n AS (SELECT vec_id, va, ${duckNorm("va")} AS nn FROM v),
        |$duckAdaptiveCtes,
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM k a JOIN k b USING (band, bk) WHERE a.vec_id < b.vec_id),
+       |$duckCandCte,
        |p AS (SELECT vec_a, vec_b,
        |    ${duckDot("a.va", "b.va")} / (a.nn * b.nn) AS cosine
        |  FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b

@@ -1509,12 +1509,15 @@ object TextAnalysis {
              |    cast(sum(c * ss) as bigint) AS seen_cs
              |  FROM o JOIN vocab USING (word)
              |    JOIN ssum ON ssum.source = o.source, tot
-             |  GROUP BY o.source)
-             |SELECT agg.source, ss AS n_vocab_hits,
-             |  cast(CASE WHEN ss = 0 THEN 1000000
+             |  GROUP BY o.source),
+             |src AS (SELECT DISTINCT source FROM documents)
+             |SELECT src.source,
+             |  cast(coalesce(ss, 0) as bigint) AS n_vocab_hits,
+             |  cast(CASE WHEN coalesce(ss, 0) = 0 THEN 1000000
              |    ELSE (seen_num + (ss * tt - seen_cs)) * 1000000
              |      // (2 * ss * tt) END as bigint) AS tv_fx
-             |FROM agg JOIN ssum ON ssum.source = agg.source, tot""".stripMargin),
+             |FROM src LEFT JOIN agg ON agg.source = src.source
+             |  LEFT JOIN ssum ON ssum.source = src.source, tot""".stripMargin),
       (s, d) => {
         val words = Catalog.t(s, d, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("word"))
@@ -1533,11 +1536,20 @@ object TextAnalysis {
             "aggregate(oc, 0L, (a, x) -> a + abs(x.o * tt - x.c * ss))"))
           .withColumn("seen_cs", expr(
             "aggregate(oc, 0L, (a, x) -> a + x.c * ss)"))
-        perSource.select(col("source"),
-          col("ss").cast("long").as("n_vocab_hits"),
-          expr("cast(CASE WHEN ss = 0 THEN 1000000 ELSE (seen_num +" +
-            " (ss * tt - seen_cs)) * 1000000 div (2 * ss * tt) END" +
-            " as bigint)").as("tv_fx"))
+        // every source appears: one whose docs contain NO top-50 word
+        // is maximally drifted (TV = 1.0), not silently absent — the
+        // round-13 review caught the inner join dropping exactly the
+        // most-diverged sources
+        val sources = Catalog.t(s, d, "documents")
+          .select(col("source")).distinct()
+        sources.join(perSource.select(col("source"),
+            col("ss"), col("seen_num"), col("seen_cs"), col("tt")),
+            Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("ss"), lit(0L)).cast("long").as("n_vocab_hits"),
+            expr("cast(CASE WHEN coalesce(ss, 0L) = 0 THEN 1000000" +
+              " ELSE (seen_num + (ss * tt - seen_cs)) * 1000000" +
+              " div (2 * ss * tt) END as bigint)").as("tv_fx"))
       })
   )
 

@@ -1447,8 +1447,11 @@ object RelationalQueries4 {
         val r7 = contrib.join(days, "wday")
           .groupBy(col("wday"))
           .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        // du is already (day, user)-distinct: a plain count IS the
+        // distinct count — no expand/two-phase distinct agg needed
+        // (round-13 review)
         val r1 = du.groupBy(col("day").as("wday"))
-          .agg(countDistinct(col("user_id")).as("n_active_1d"))
+          .agg(count(lit(1)).as("n_active_1d"))
         r7.join(r1, "wday")
           .select(col("wday"),
             col("n_active_1d").cast("long").as("n_active_1d"),

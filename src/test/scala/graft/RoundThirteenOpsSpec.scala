@@ -323,7 +323,8 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     val vocab = corpus.toSeq.sortBy { case (w, c) => (-c, w) }.take(50)
     val tt = vocab.map(_._2).sum
     val vset = vocab.map(_._1).toSet
-    words.filter(w => vset(w._2)).groupBy(_._1).foreach { case (src, ws) =>
+    val hitting = words.filter(w => vset(w._2)).groupBy(_._1)
+    hitting.foreach { case (src, ws) =>
       val o = ws.groupBy(_._2).view.mapValues(_.length.toLong).toMap
       val ss = o.values.sum
       val num = vocab.map { case (w, c) =>
@@ -332,6 +333,14 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       assert(out(src) == ((ss, tv)), s"$src: got ${out(src)}, " +
         s"recounted ($ss, $tv)")
       assert(tv >= 0 && tv <= 1000000L)
+    }
+    // EVERY source appears — one with zero top-50 hits reads as fully
+    // drifted (TV = 1.0), never silently absent (round-13 review: the
+    // inner join dropped exactly the most-diverged sources)
+    val allSources = words.map(_._1).toSet
+    assert(out.keySet == allSources)
+    (allSources -- hitting.keySet).foreach { src =>
+      assert(out(src) == ((0L, 1000000L)), s"zero-hit $src: ${out(src)}")
     }
   }
 
