@@ -98,6 +98,7 @@ object Dedup {
       trussDecompSpark),
     QueryDef("g15_harmonic_centrality", Some(harmonicOracle),
       harmonicSpark),
+    QueryDef("g16_personalized_pagerank", Some(pprOracle), pprSpark),
     QueryDef("g05_bfs_layers", Some(bfsOracle), bfsSpark),
     QueryDef("g06_link_prediction", Some(linkPredOracle), linkPredSpark),
     QueryDef("g07_degree_profile", Some(degreeProfileOracle),
@@ -1321,6 +1322,59 @@ object Dedup {
        |  WHERE p.iter < $PrIters
        |  GROUP BY p.iter, e2.dst, c.nv)
        |SELECT node AS doc_id, cast(val as bigint) AS pr
+       |FROM pr WHERE iter = $PrIters""".stripMargin
+
+  // ------------------------------------ personalized pagerank (g16)
+
+  /** g16's seed set: every ~101st document (id-arithmetic, so both
+    * engines and any scale agree). The walk measures proximity to
+    * these anchors — the seed-anchored data-selection shape (expand a
+    * vetted seed corpus through the near-dup graph).
+    */
+  private val PprSeedMod = 101L
+
+  private def pprSpark(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = nearDupGraph(s, d)
+    val seeds = nodes.filter(col("id") % PprSeedMod === 0)
+    GraphAlgs.personalizedPageRank(nodes, edges, seeds, PrIters, PrScale,
+        checkpointDir = graphCheckpointDir(s))
+      .select(col("id").as("doc_id"), col("rank").as("ppr"))
+  }
+
+  /** g01's recursive-CTE ladder with the restart mass gated to seeds:
+    * init and base are nonzero only where `doc_id % PprSeedMod = 0`,
+    * divided by the SEED count; everything else (self-loop rows for
+    * presence, degree-floored contributions, 85/100 damping) is
+    * byte-identical to the uniform oracle.
+    */
+  private def pprOracle: String =
+    s"""WITH RECURSIVE $simhashCandCtes,
+       |pe AS (SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(sa, sb)) <= $MaxHamming),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+       |  UNION ALL SELECT doc_b, doc_a FROM pe),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |e2 AS (SELECT src, dst FROM e
+       |  UNION ALL SELECT doc_id, doc_id FROM fp),
+       |c(ns) AS (SELECT count(*) FROM fp WHERE doc_id % $PprSeedMod = 0),
+       |pr(iter, node, val) AS (
+       |  SELECT 0, doc_id,
+       |    CASE WHEN doc_id % $PprSeedMod = 0
+       |      THEN $PrScale // ns ELSE 0 END
+       |  FROM fp, c
+       |  UNION ALL
+       |  SELECT p.iter + 1, e2.dst,
+       |    (CASE WHEN e2.dst % $PprSeedMod = 0
+       |       THEN (15 * ($PrScale // c.ns)) // 100 ELSE 0 END)
+       |      + (85 * sum(CASE WHEN e2.src = e2.dst THEN 0
+       |                       ELSE p.val // d.deg END)) // 100
+       |  FROM pr p
+       |  JOIN e2 ON p.node = e2.src
+       |  LEFT JOIN deg d ON d.node = p.node
+       |  CROSS JOIN c
+       |  WHERE p.iter < $PrIters
+       |  GROUP BY p.iter, e2.dst, c.ns)
+       |SELECT node AS doc_id, cast(val as bigint) AS ppr
        |FROM pr WHERE iter = $PrIters""".stripMargin
 
   // --------------------------------------- label propagation (g02)

@@ -219,6 +219,29 @@ object GraphAlgs {
       iters: Int = 5,
       scale: Long = 1000000000000L,
       broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
+      checkpointDir: Option[String] = None): DataFrame =
+    // uniform PageRank IS the personalized walk with every node in the
+    // seed set (init = scale/n, restart mass everywhere): one loop owns
+    // the iteration machinery (round-13 lesson — see multiSourceBfs)
+    personalizedPageRank(nodes, edges, nodes, iters, scale,
+      broadcastMaxNodes, checkpointDir)
+
+  /** Personalized PageRank: the random walk restarts only into `seeds`
+    * (uniformly over them), so rank measures proximity to the seed set
+    * rather than global centrality — the relevance-propagation shape
+    * (seed-anchored data selection, retrieval expansion). Same
+    * integer-exact contract as [[pageRank]]: fixed iterations,
+    * damping 85/100, floor division, dangling mass not redistributed.
+    * Non-seed nodes unreachable from any seed keep rank 0. Returns
+    * `(id, rank)`; all ranks 0 when `seeds` is empty.
+    */
+  def personalizedPageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
     val rounds = new Rounds(spark, checkpointDir)
@@ -233,17 +256,29 @@ object GraphAlgs {
     val edgesWithDeg = e.join(deg, col("src") === col("dnode"))
       .select(col("src"), col("dst"), col("deg"))
       .repartition(p, col("src")).cache()
-    val n0 = nodes.select(col("id")).repartition(p, col("id")).cache()
+    // seed membership is loop-invariant too: bake it onto the node
+    // table once — init mass and restart (base) mass are per-node
+    // constants of the loop
+    val sd = seeds.select(col("id")).distinct().withColumn("isSeed", lit(true))
+    val n0 = nodes.select(col("id"))
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("isSeed"), lit(false)).as("seed"))
+      .repartition(p, col("id")).cache()
     val n = n0.count()
-    if (n == 0) { // empty graph: no ranks (and no division by zero)
-      e.unpersist(); edgesWithDeg.unpersist(); n0.unpersist()
-      return n0.select(col("id"), col("id").as("rank"))
+    val ns = if (n == 0) 0L else n0.filter(col("seed")).count()
+    if (ns == 0) { // empty graph or seed set: zero mass (and no div by 0)
+      e.unpersist(); edgesWithDeg.unpersist()
+      val out = n0.select(col("id"), lit(0L).as("rank"))
+      n0.unpersist()
+      return out
     }
     val small = n <= broadcastMaxNodes
-    val init = scale / n
+    val init = scale / ns
     val base = (15L * init) / 100L
-    debug(s"[pagerank] n=$n small=$small edges cached")
-    var pr = n0.withColumn("val", lit(init))
+    val baseCol = when(col("seed"), lit(base)).otherwise(lit(0L))
+    debug(s"[pagerank] n=$n seeds=$ns small=$small edges cached")
+    var pr = n0.select(col("id"),
+      when(col("seed"), lit(init)).otherwise(lit(0L)).as("val"))
     for (it <- 1 to iters) {
       val tr = System.nanoTime()
       // Small N: broadcast the rank table (checkpointed RDDs carry no
@@ -260,7 +295,7 @@ object GraphAlgs {
         if (small) broadcast(contrib) else contrib.repartition(p, col("dst"))
       val next = n0.join(contribIn, n0("id") === contribIn("dst"), "left")
         .select(n0("id"),
-          (lit(base) + expr("(85 * coalesce(msum, 0L)) div 100")).as("val"))
+          (baseCol + expr("(85 * coalesce(msum, 0L)) div 100")).as("val"))
       pr = rounds.truncate(next)
       debug(f"[pagerank] iter $it took=${(System.nanoTime() - tr) / 1e9}%.1fs")
     }

@@ -446,12 +446,107 @@ object Multimodal {
             count(lit(1)).as("n_distinct"),
             expr("sum(n) - count(*)").as("n_dup_items"),
             expr("(sum(n) - count(*)) * 1000000 div sum(n)").as("dup_ppm"))
+      }),
+
+    // m12: AUDIO VOICE-ACTIVITY SEGMENTATION (stub decode) — the
+    // energy-threshold VAD every speech-data pipeline runs before
+    // transcription: frame the signal, keep frames above an energy
+    // floor, and report contiguous active SEGMENTS (count + longest
+    // run) per clip, so downstream ASR decodes seconds of speech, not
+    // hours of silence. Decode is stubbed at the same seam as
+    // m02/m10: "samples" are the text's character codes (the corpus
+    // carries no real PCM — the real codec swaps in per MediaCodec),
+    // 32 samples per frame, energy = Σ(code−96)². Spark shape: the
+    // wav quarter explodes to CHAR grain (narrow int rows — the
+    // honest distributed shape for per-sample math), two map-side-
+    // combinable keyed aggregates, one doc-keyed window for the
+    // gaps-and-islands run structure (q54 idiom: frame_idx −
+    // row_number, no self-join). Docs with zero active frames stay
+    // in the report with zeros (the t46 zero-hit lesson).
+    QueryDef(
+      "m12_audio_vad",
+      Some(s"""WITH a AS (SELECT doc_id, text FROM documents
+              |    WHERE doc_id % 4 = 2),
+              |ch AS (SELECT doc_id,
+              |    cast((i - 1) // 32 as bigint) AS frame_idx,
+              |    ascii(substr(text, cast(i as int), 1)) - 96 AS v
+              |  FROM a, unnest(range(1, length(text) + 1)) AS t(i)),
+              |en AS (SELECT doc_id, frame_idx, sum(v * v) AS energy
+              |  FROM ch GROUP BY 1, 2),
+              |act AS (SELECT doc_id, frame_idx FROM en
+              |  WHERE energy >= $VadThreshold),
+              |isl AS (SELECT doc_id, frame_idx,
+              |    frame_idx - row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY frame_idx) AS grp
+              |  FROM act),
+              |seg AS (SELECT doc_id, grp, count(*) AS run
+              |  FROM isl GROUP BY 1, 2),
+              |per AS (SELECT doc_id, count(*) AS n_segments,
+              |    max(run) AS longest_run FROM seg GROUP BY 1),
+              |tot AS (SELECT doc_id, count(*) AS n_frames,
+              |    sum(CASE WHEN energy >= $VadThreshold THEN 1 ELSE 0 END)
+              |      AS n_active
+              |  FROM en GROUP BY 1)
+              |SELECT a.doc_id,
+              |  cast(coalesce(n_frames, 0) as bigint) AS n_frames,
+              |  cast(coalesce(n_active, 0) as bigint) AS n_active,
+              |  cast(coalesce(n_segments, 0) as bigint) AS n_segments,
+              |  cast(coalesce(longest_run, 0) as bigint) AS longest_run
+              |FROM a LEFT JOIN tot USING (doc_id)
+              |  LEFT JOIN per USING (doc_id)""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = Catalog.t(s, d, "documents")
+          .filter(expr("doc_id % 4 = 2"))
+          .select(col("doc_id"), col("text"))
+        // Spark's sequence(1, 0) counts DOWN — gate the explode on
+        // non-empty text (empty clips stay in the report via the
+        // left join below, with zero frames)
+        val ch = a.filter(expr("length(text) >= 1"))
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(1, length(text))")).as("i"))
+          .select(col("doc_id"),
+            expr("cast((i - 1) div 32 as bigint)").as("frame_idx"),
+            expr("ascii(substring(text, cast(i as int), 1)) - 96").as("v"))
+        val en = ch.groupBy(col("doc_id"), col("frame_idx"))
+          .agg(sum(expr("cast(v as bigint) * v")).as("energy"))
+        val act = en.filter(col("energy") >= VadThreshold)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        val seg = act
+          .withColumn("grp", col("frame_idx") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+        val per = seg.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segments"),
+            max(col("run")).as("longest_run"))
+        val tot = en.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("energy") >= VadThreshold, 1L).otherwise(0L))
+              .as("n_active"))
+        a.select(col("doc_id"))
+          .join(tot, Seq("doc_id"), "left")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_frames"), lit(0L)).cast("long").as("n_frames"),
+            coalesce(col("n_active"), lit(0L)).cast("long").as("n_active"),
+            coalesce(col("n_segments"), lit(0L)).cast("long")
+              .as("n_segments"),
+            coalesce(col("longest_run"), lit(0L)).cast("long")
+              .as("longest_run"))
       })
   )
 
   /** Hash-jump threshold below which a sampled frame is considered the
     * same shot as its predecessor (m10). */
   private val KeyframeDelta = 500000L
+
+  /** m12's frame-energy floor. With the stubbed char-code decode a
+    * 32-sample frame's energy is ≈4096·spaces + ~240·letters, so
+    * 24576 splits frames at roughly five spaces — a genuine mix of
+    * active/inactive frames on the word-soup corpus (not all-on or
+    * all-off, which would make the segment structure vacuous).
+    */
+  private val VadThreshold = 24576L
 
   /** Public API: keyframe selection over sampled frames (m10). `frames`
     * is m03's `(doc_id, frame_idx)`; `features` supplies the per-doc

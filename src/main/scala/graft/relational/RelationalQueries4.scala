@@ -1618,8 +1618,275 @@ object RelationalQueries4 {
             min(col("age_days")).cast("long").as("last_age_days"),
             sum(expr("shiftright(1000000L, cast(least(age_days div 7," +
               " 30) as int))")).cast("long").as("decayed_fx"))
+      }),
+
+    // q77: COUNT-MIN sketch — the third sketch class in the registry
+    // (KMV estimates cardinality, Misra-Gries finds heavy hitters,
+    // count-min answers POINT FREQUENCY queries from fixed state).
+    // The sketch is 4 rows × 256 counters built map-side-combinably
+    // straight off the event stream shape (each event explodes to its
+    // 4 (row, bucket) cells, partial-aggregating to ≤1024 keys per
+    // partition before any shuffle — state is the grid, never the
+    // keyspace). Sketched keys are (user, day) activity cells — a
+    // keyspace that EXCEEDS the grid width at every gate scale, so
+    // collisions are real and the min-over-rows machinery is doing
+    // work (per-user keys would make the sketch vacuously exact).
+    // The audit half probes the top-10 exact-heavy keys: estimate =
+    // min over rows of the probed counter, which can only OVER-count
+    // (cm_est ≥ exact_n is a structural law, spec-pinned). Hash
+    // family: 4 affine maps mod a prime then mod the width — plain
+    // int64 arithmetic, exact in both engines, one formula string
+    // serving Spark and DuckDB.
+    QueryDef(
+      "q77_countmin_sketch",
+      Some(cmOracle),
+      (s, d) => {
+        val e = cmKeyed(t(s, d, "events"))
+        val sketch = e
+          .select(posexplode(cmCells).as(Seq("r", "bucket")))
+          .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        countMinEstimates(sketch, e)
+      }),
+
+    // q78: NELSON-AALEN cumulative hazard for time-to-next-order — the
+    // survival-analysis panel (repeat-purchase propensity) done with
+    // censoring handled honestly: every order except a customer's last
+    // yields an OBSERVED duration to the next one; the last order is
+    // CENSORED at the corpus horizon and contributes to risk sets only.
+    // The estimator sums d_t/n_t over event durations; each term is an
+    // order-independent integer (d_t·1e9 div n_t), so the cumulative
+    // sum is exact cross-engine — no float survival product (the
+    // Kaplan-Meier form) to drift. Scale: one customer-keyed window
+    // (lead), one day-grain aggregate; the risk-set windows run on
+    // DURATION grain — bounded by the corpus day span, never by order
+    // count (the q75 day-grain discipline).
+    QueryDef(
+      "q78_survival_hazard",
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |    cast(o_orderdate AS DATE) AS day FROM orders),
+             |mx AS (SELECT max(day) AS horizon FROM o),
+             |sq AS (SELECT o_custkey, day, lead(day) OVER (
+             |    PARTITION BY o_custkey ORDER BY day, o_orderkey) AS nxt
+             |  FROM o),
+             |u AS (SELECT
+             |    CASE WHEN nxt IS NOT NULL THEN date_diff('day', day, nxt)
+             |         ELSE date_diff('day', day, horizon) END AS dur,
+             |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+             |  FROM sq, mx),
+             |g AS (SELECT dur, count(*) AS n_all, sum(ev) AS d_t
+             |  FROM u GROUP BY 1),
+             |tt AS (SELECT sum(n_all) AS total FROM g),
+             |r AS (SELECT dur, d_t, total - coalesce(sum(n_all) OVER (
+             |      ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS n_risk
+             |  FROM g, tt),
+             |h AS (SELECT dur, n_risk, d_t,
+             |    d_t * 1000000000 // n_risk AS hz FROM r WHERE d_t >= 1)
+             |SELECT cast(dur as bigint) AS dur_days,
+             |  cast(n_risk as bigint) AS n_risk,
+             |  cast(d_t as bigint) AS n_events,
+             |  cast(hz as bigint) AS hazard_fx,
+             |  cast(sum(hz) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+             |    as bigint) AS cum_hazard_fx
+             |FROM h""".stripMargin),
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+        val mx = o.agg(max(col("day")).as("horizon"))
+        val wc = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day"), col("o_orderkey"))
+        val u = o.withColumn("nxt", lead(col("day"), 1).over(wc))
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("nxt").isNotNull, datediff(col("nxt"), col("day")))
+              .otherwise(datediff(col("horizon"), col("day"))).as("dur"),
+            when(col("nxt").isNotNull, 1L).otherwise(0L).as("ev"))
+        val g = u.groupBy(col("dur"))
+          .agg(count(lit(1)).as("n_all"), sum(col("ev")).as("d_t"))
+        val tot = g.agg(sum(col("n_all")).as("total"))
+        val wBefore = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("total") -
+            coalesce(sum(col("n_all")).over(wBefore), lit(0L)))
+          .filter(col("d_t") >= 1)
+          .withColumn("hz", expr("d_t * 1000000000L div n_risk"))
+          .select(col("dur").cast("long").as("dur_days"),
+            col("n_risk").cast("long").as("n_risk"),
+            col("d_t").cast("long").as("n_events"),
+            col("hz").cast("long").as("hazard_fx"),
+            sum(col("hz")).over(wRun).cast("long").as("cum_hazard_fx"))
+      }),
+
+    // q79: BENFORD first-digit audit over order totals — the
+    // data-integrity screen for fabricated or truncated numeric feeds
+    // (organic multi-scale amounts follow log10(1+1/d); a synthetic or
+    // clipped generator does not, and the per-digit deviation says
+    // which). Exactness: the leading digit comes from the CENTS
+    // integer's decimal string (never float log10, whose pow-of-10
+    // edges round differently per engine), observed shares are integer
+    // fixed point, and the expected-mass table is nine shared 1e9
+    // literals. All nine digits are emitted even at zero observations
+    // (the t46 zero-hit lesson). Scale: one scan, a 9-key aggregate,
+    // and a broadcast scalar.
+    QueryDef(
+      "q79_benford_audit",
+      Some(s"""WITH c AS (SELECT cast(round(o_totalprice * 100) as bigint)
+             |    AS cents FROM orders),
+             |o AS (SELECT cast(substr(cast(cents as varchar), 1, 1)
+             |    as bigint) AS digit FROM c),
+             |g AS (SELECT digit, count(*) AS n_obs FROM o
+             |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+             |tt AS (SELECT coalesce(sum(n_obs), 0) AS total FROM g),
+             |dd AS (SELECT unnest(range(1, 10)) AS digit),
+             |j AS (SELECT dd.digit, coalesce(g.n_obs, 0) AS n_obs
+             |  FROM dd LEFT JOIN g USING (digit))
+             |SELECT cast(digit as bigint) AS digit,
+             |  cast(n_obs as bigint) AS n_obs,
+             |  cast(CASE WHEN total > 0
+             |    THEN n_obs * 1000000000 // total ELSE 0 END as bigint)
+             |    AS obs_fx,
+             |  cast($benfordCase as bigint) AS exp_fx,
+             |  cast(abs(CASE WHEN total > 0
+             |    THEN n_obs * 1000000000 // total ELSE 0 END
+             |    - $benfordCase) as bigint) AS dev_fx
+             |FROM j, tt""".stripMargin),
+      (s, d) => {
+        val obs = t(s, d, "orders")
+          .select(expr("cast(substring(cast(cast(round(o_totalprice" +
+            " * 100) as bigint) as string), 1, 1) as bigint)").as("digit"))
+          .filter(col("digit").between(1, 9))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(coalesce(sum(col("n_obs")), lit(0L)).as("total"))
+        val digits = s.range(1, 10).select(col("id").as("digit"))
+        digits.join(obs, Seq("digit"), "left")
+          .na.fill(0L, Seq("n_obs"))
+          .crossJoin(broadcast(tot))
+          .withColumn("obs_fx", when(col("total") > 0,
+            expr("n_obs * 1000000000L div total")).otherwise(0L))
+          .select(col("digit").cast("long").as("digit"),
+            col("n_obs").cast("long").as("n_obs"),
+            col("obs_fx").cast("long").as("obs_fx"),
+            expr(benfordCase).cast("long").as("exp_fx"),
+            abs(col("obs_fx") - expr(benfordCase)).cast("long")
+              .as("dev_fx"))
       })
   )
+
+  // ---------------------------------------------- q77 count-min family
+  /** Count-min grid: 4 independent affine hashes over a prime, folded
+    * to 64 counters each — 256 longs of total state. The sketched
+    * key is the (user, day) activity cell packed into one int64
+    * (`user_id · 100003 + epoch_day`, reduced mod the prime before
+    * the multiply so the affine product never overflows); the formula
+    * is one string valid in BOTH dialects (int64 exact everywhere).
+    * Width 64 keeps the keyspace-to-width ratio ≥6 from the smallest
+    * gate scale up, so probes genuinely OVER-count and the audit's
+    * over_n column prices the sketch trade (a wider grid would be
+    * vacuously exact on the test corpora and exercise nothing); a
+    * production deployment sizes width to ceil(e/ε) for its N.
+    * Shared with st30, which maintains the same grid from a live
+    * stream (kappa: identical oracle).
+    */
+  private val CmDepth = 4
+  private val CmWidth = 64
+  private val CmA = Array(984123457L, 573259391L, 367191221L, 192910123L)
+  private val CmB = Array(12289L, 524287L, 8191L, 131071L)
+
+  private def cmBucket(key: String, r: Int): String =
+    s"((($key % 1000003) * ${CmA(r)} + ${CmB(r)}) % 1000003) % $CmWidth"
+
+  /** Driver-side mirror of the bucket family — one bucket per grid
+    * row for a packed key (scale smoke probes; tiny, exact).
+    */
+  private[graft] def cmBucketsScala(key: Long): Array[Long] =
+    (0 until CmDepth).map(r =>
+      (((key % 1000003L) * CmA(r) + CmB(r)) % 1000003L) % CmWidth)
+      .map(_.toLong).toArray
+
+  /** The same family as a dialect-shared CASE over an `r` column. */
+  private def cmBucketCase: String =
+    (0 until CmDepth).map(r =>
+      s"WHEN $r THEN ${cmBucket("k", r)}")
+      .mkString("CASE r ", " ", " ELSE NULL END")
+
+  /** The sketched population: non-NULL users at (user, day) grain,
+    * with the packed sketch key `k` alongside. Batch q77 projects
+    * this from the table read; st30 applies the same projection to
+    * the live stream (`ts` already normalized by the sink harness).
+    */
+  private[graft] def cmKeyed(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("k", expr(
+        "user_id * 100003L + datediff(day, DATE '1970-01-01')"))
+
+  /** A keyed row's 4 grid cells, ready for `posexplode` → (r, bucket)
+    * — the map side of the sketch build (batch q77 and stream st30
+    * share it).
+    */
+  private[graft] def cmCells =
+    array((0 until CmDepth).map(r => expr(cmBucket("k", r))): _*)
+
+  /** The audit half shared by q77/st30: probe the sketch for the
+    * top-10 exact-heavy (user, day) keys; the estimate is the min
+    * over the 4 probed counters, which can only over-count
+    * (cm_est ≥ exact_n). `keyed` must be the [[cmKeyed]] population
+    * the sketch was built from.
+    */
+  private[graft] def countMinEstimates(
+      sketch: DataFrame, keyed: DataFrame): DataFrame = {
+    val top = keyed.groupBy(col("user_id"), col("day"), col("k"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id").asc, col("day").asc)
+      .limit(10)
+    val probe = top.select(col("user_id"), col("day"), col("exact_n"),
+      posexplode(cmCells).as(Seq("r", "bucket")))
+    broadcast(probe).join(sketch, Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("day"), col("exact_n"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("user_id"), col("day"),
+        col("exact_n").cast("long").as("exact_n"),
+        col("cm_est").cast("long").as("cm_est"),
+        (col("cm_est") - col("exact_n")).cast("long").as("over_n"))
+  }
+
+  /** q77's full oracle — st30 reuses it verbatim (the streaming grid
+    * must equal the batch grid cell-for-cell; kappa equivalence).
+    */
+  private[graft] def cmOracle: String =
+    s"""WITH e AS (SELECT user_id, cast(ts AS DATE) AS day,
+       |    user_id * 100003 + date_diff('day', DATE '1970-01-01',
+       |      cast(ts AS DATE)) AS k
+       |  FROM events WHERE user_id IS NOT NULL),
+       |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |hb AS (SELECT r, $cmBucketCase AS bucket FROM e CROSS JOIN rs),
+       |sk AS (SELECT r, bucket, count(*) AS cnt FROM hb GROUP BY 1, 2),
+       |ex AS (SELECT user_id, day, k, count(*) AS exact_n
+       |  FROM e GROUP BY 1, 2, 3),
+       |top AS (SELECT user_id, day, k, exact_n FROM ex
+       |  ORDER BY exact_n DESC, user_id, day LIMIT 10),
+       |pb AS (SELECT user_id, day, exact_n, r, $cmBucketCase AS bucket
+       |  FROM top CROSS JOIN rs),
+       |est AS (SELECT user_id, day, exact_n, min(cnt) AS cm_est
+       |  FROM pb JOIN sk USING (r, bucket) GROUP BY 1, 2, 3)
+       |SELECT user_id, day, cast(exact_n as bigint) AS exact_n,
+       |  cast(cm_est as bigint) AS cm_est,
+       |  cast(cm_est - exact_n as bigint) AS over_n
+       |FROM est""".stripMargin
+
+  /** q79's expected Benford mass per digit, ×1e9 (floor of
+    * log10(1+1/d)·1e9) — one literal table shared by both engines so
+    * the comparison column is exact, not a float log in either dialect.
+    */
+  private val benfordCase: String =
+    "CASE digit WHEN 1 THEN 301029995 WHEN 2 THEN 176091259" +
+      " WHEN 3 THEN 124938736 WHEN 4 THEN 96910013" +
+      " WHEN 5 THEN 79181246 WHEN 6 THEN 66946789" +
+      " WHEN 7 THEN 57991946 WHEN 8 THEN 51152522" +
+      " WHEN 9 THEN 45757490 ELSE 0 END"
 
   /** KMV sketch width for q72's set algebra: 64 minima bound the
     * standard error near 1/√(k−2) ≈ 12.7% — the coarse-audit regime

@@ -679,6 +679,31 @@ object StreamingQueries {
               .cast("long").as("contamination_fx"))
       }),
 
+    // st30: STREAMING count-min frequency sketch — q77's 4×256 grid
+    // maintained by a live complete-mode stream: every arriving event
+    // explodes to its 4 (row, bucket) cells and ONE keyed count holds
+    // the state, bounded by the GRID (≤1024 counters) at any arrival
+    // volume — the st26/st27 minimal-keyed-state idiom applied to
+    // point-frequency queries ("how often did key X occur so far" from
+    // fixed memory). Estimates extract at read time with the shared
+    // batch probe (top-10 exact-heavy users as the audit baseline);
+    // the oracle is q77's VERBATIM — the streaming grid must equal the
+    // batch grid cell-for-cell (kappa equivalence).
+    QueryDef(
+      "st30_stream_countmin",
+      Some(graft.relational.RelationalQueries4.cmOracle),
+      (s, d) => {
+        import graft.relational.RelationalQueries4.{cmCells, cmKeyed,
+          countMinEstimates}
+        val sketch = runToMemorySink(s, d, "st30", "complete") { raw =>
+          cmKeyed(raw)
+            .select(posexplode(cmCells).as(Seq("r", "bucket")))
+            .groupBy(col("r"), col("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+        }
+        countMinEstimates(sketch, cmKeyed(Catalog.t(s, d, "events")))
+      }),
+
     // st15: STREAMING JSONL ingest — the production arrival loop (docs
     // land as JSONL files, the stream picks each file up exactly once).
     // Same explicit-schema contract as batch i01 (inference would be a

@@ -139,7 +139,14 @@ class EmptyInputSpec extends AnyFunSuite {
     "q74_rolling_distinct", "q75_cusum_drift", "j07_interval_coalesce",
     "q76_decayed_engagement", "p28_pack_budget_sweep",
     "g15_harmonic_centrality", "d30_cross_label_neardup",
-    "t46_source_vocab_drift", "st29_stream_contamination_gate")
+    "t46_source_vocab_drift", "st29_stream_contamination_gate",
+    // round-13 batch 2: an empty event stream builds an empty count-min
+    // grid with no probes (batch and streaming); empty orders yield an
+    // empty hazard table and an all-zero 9-row Benford panel (total
+    // guarded); an empty graph carries zero restart mass; an empty
+    // media lake has no clips to segment
+    "q77_countmin_sketch", "q78_survival_hazard", "q79_benford_audit",
+    "g16_personalized_pagerank", "m12_audio_vad", "st30_stream_countmin")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -748,6 +748,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "d29_adaptive_family_report" -> "scalar",
     "c13_calinski_harabasz" -> "model",
     "q76_decayed_engagement" -> "scalar",
+    "q78_survival_hazard" -> "scalar", "q79_benford_audit" -> "scalar",
     "t46_source_vocab_drift" -> "scalar",
     "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar")
 

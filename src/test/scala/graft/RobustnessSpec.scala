@@ -180,7 +180,13 @@ class RobustnessSpec extends AnyFunSuite {
     "q74_rolling_distinct", "q75_cusum_drift", "j07_interval_coalesce",
     "q76_decayed_engagement", "p28_pack_budget_sweep",
     "g15_harmonic_centrality", "d30_cross_label_neardup",
-    "t46_source_vocab_drift", "st29_stream_contamination_gate")
+    "t46_source_vocab_drift", "st29_stream_contamination_gate",
+    // round-13 batch 2: adversarial events (two users, huge values)
+    // through the count-min grid batch and streaming; hostile text
+    // (empty, CJK, RTL, 20k-token) through the seeded restart walk and
+    // the char-code VAD framing
+    "q77_countmin_sketch", "st30_stream_countmin",
+    "g16_personalized_pagerank", "m12_audio_vad")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 batch-2 laws: count-min over-count structure (batch q77 and
+  * its streaming kappa twin st30), Nelson–Aalen conservation and
+  * telescoping risk sets (q78), the Benford panel's exactness (q79),
+  * the personalized-restart recursion on a planted graph (g16), and the
+  * stubbed-decode VAD segment structure on planted clips (m12).
+  */
+class RoundThirteenBatchTwoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The packed (user, day) sketch keys of the sf corpus — the driver-
+    * side mirror of [[graft.relational.RelationalQueries4.cmKeyed]].
+    */
+  private def cmKeys(): Array[Long] =
+    Catalog.t(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(expr("user_id * 100003L + datediff(to_date(ts)," +
+        " DATE '1970-01-01')"))
+      .collect().map(_.getLong(0))
+
+  test("q77: estimates only over-count, probes are the true heavy set") {
+    val rows = SparkEntry.queries("q77_countmin_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val exact = cmKeys().groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    rows.foreach { r =>
+      val k = r.getAs[Long]("user_id") * 100003L +
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      val en = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cm_est")
+      assert(exact(k) == en, s"key $k: exact_n $en is not the true count")
+      assert(est >= en, s"key $k: count-min under-counted ($est < $en)")
+      assert(r.getAs[Long]("over_n") == est - en)
+    }
+    // the probe deck carries the true max frequency (the full tie-break
+    // involves user/day order; the max is order-free)
+    assert(rows.map(_.getAs[Long]("exact_n")).max == exact.values.max)
+  }
+
+  test("q77: the grid recounts exactly from first principles, and " +
+    "collisions are real at gate scale") {
+    // mirror of RelationalQueries4's CmA/CmB family — drift in either
+    // side fails here before the cross-engine gate ever runs
+    val A = Array(984123457L, 573259391L, 367191221L, 192910123L)
+    val B = Array(12289L, 524287L, 8191L, 131071L)
+    def bucket(k: Long, r: Int): Long =
+      (((k % 1000003L) * A(r) + B(r)) % 1000003L) % 64L
+    val keys = cmKeys()
+    // the keyspace must well exceed the grid width, or the sketch is
+    // vacuously exact and the min-of-rows machinery untested
+    assert(keys.distinct.length > 6 * 64,
+      s"only ${keys.distinct.length} distinct keys — sketch is vacuous")
+    val grid = collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    keys.foreach(k => (0 until 4).foreach(r =>
+      grid((r, bucket(k, r))) += 1L))
+    val out = SparkEntry.queries("q77_countmin_sketch")(spark, sf).collect()
+    out.foreach { row =>
+      val k = row.getAs[Long]("user_id") * 100003L +
+        row.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      val want = (0 until 4).map(r => grid((r, bucket(k, r)))).min
+      assert(row.getAs[Long]("cm_est") == want,
+        s"key $k: sketch min ${row.getAs[Long]("cm_est")} != $want")
+    }
+    // at this keyspace-to-width ratio at least one probe over-counts
+    assert(out.map(_.getAs[Long]("over_n")).max > 0L,
+      "no probe over-counted — the collision regime is not exercised")
+  }
+
+  test("st30 equals q77 cell-for-cell (kappa: the streaming grid IS " +
+    "the batch grid)") {
+    val batch = SparkEntry.queries("q77_countmin_sketch")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("st30_stream_countmin")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch == stream)
+  }
+
+  test("q78: every order contributes one duration; risk sets " +
+    "telescope; the cumulative hazard is the exact prefix sum") {
+    val out = SparkEntry.queries("q78_survival_hazard")(spark, sf)
+      .orderBy(col("dur_days")).collect()
+    assert(out.nonEmpty)
+    val nOrders = Catalog.t(spark, sf, "orders").count()
+    val nCust = Catalog.t(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    // observed events = orders − customers (each customer's last order
+    // is censored, every other order sees a next one)
+    assert(out.map(_.getAs[Long]("n_events")).sum == nOrders - nCust)
+    // the first risk set is at most the total duration count, and the
+    // sets shrink by at least the events consumed at each step
+    assert(out.head.getAs[Long]("n_risk") <= nOrders)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") <=
+          a.getAs[Long]("n_risk") - a.getAs[Long]("n_events"),
+          s"risk set did not telescope at dur ${b.getAs[Long]("dur_days")}")
+      case _ => ()
+    }
+    var acc = 0L
+    out.foreach { r =>
+      acc += r.getAs[Long]("hazard_fx")
+      assert(r.getAs[Long]("cum_hazard_fx") == acc)
+    }
+  }
+
+  test("q79: all nine digits present, counts conserve, shares and the " +
+    "Benford table are exact fixed point") {
+    val out = SparkEntry.queries("q79_benford_audit")(spark, sf)
+      .orderBy(col("digit")).collect()
+    assert(out.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val nOrders = Catalog.t(spark, sf, "orders").count()
+    assert(out.map(_.getAs[Long]("n_obs")).sum == nOrders)
+    val obsSum = out.map(_.getAs[Long]("obs_fx")).sum
+    assert(obsSum <= 1000000000L && obsSum > 1000000000L - 9,
+      s"floor-rounded shares should sum to 1e9 minus <9: $obsSum")
+    // Σ floor(log10(1+1/d)·1e9) — a constant of the op
+    assert(out.map(_.getAs[Long]("exp_fx")).sum == 999999996L)
+    out.foreach(r => assert(r.getAs[Long]("dev_fx") ==
+      math.abs(r.getAs[Long]("obs_fx") - r.getAs[Long]("exp_fx"))))
+  }
+
+  test("g16: the integer restart recursion reproduces exactly on a " +
+    "planted path with one seed") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id") // path 0-1-2, isolated 3
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val scale = 1000000L
+    val iters = 5
+    val got = graft.llm.GraphAlgs
+      .personalizedPageRank(nodes, edges, seeds, iters, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference recursion with the same floor arithmetic
+    val deg = Map(0L -> 1L, 1L -> 2L, 2L -> 1L)
+    val base = Map(0L -> (15L * scale) / 100L).withDefaultValue(0L)
+    var v = Map(0L -> scale, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+    for (_ <- 1 to iters) {
+      val in = Map(
+        0L -> v(1L) / deg(1L),
+        1L -> (v(0L) / deg(0L) + v(2L) / deg(2L)),
+        2L -> v(1L) / deg(1L),
+        3L -> 0L)
+      v = v.keys.map(k => k -> (base(k) + (85L * in(k)) / 100L)).toMap
+    }
+    assert(got == v)
+    // the isolated non-seed holds exactly zero (no restart, no inflow);
+    // everything on the seed's path holds positive mass. (No ordering
+    // claim between path nodes: with a degree-1 seed the walk's parity
+    // legitimately parks more mass on the middle node some iterations.)
+    assert(got(0L) > 0L && got(1L) > 0L && got(2L) > 0L && got(3L) == 0L)
+  }
+
+  test("g16: empty seed set yields all-zero mass, not a crash") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val seeds = Seq.empty[Long].toDF("id")
+    val got = graft.llm.GraphAlgs
+      .personalizedPageRank(nodes, edges, seeds, 3, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L))
+  }
+
+  test("m12: planted clips segment exactly (active runs, counts, " +
+    "wrong-modality exclusion)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m12fix").toString
+    val docs = Seq(
+      // frames: [32 spaces = 131072 active][32 a's = 32 idle][active]
+      (2L, " " * 32 + "a" * 32 + " " * 32, "en", "src", 96L),
+      // frames: [active][active][5 a's = 5 idle] — one run of 2
+      (6L, " " * 64 + "aaaaa", "en", "src", 69L),
+      // one short idle frame: energy (98-96)^2 * 2 = 8
+      (10L, "bb", "en", "src", 2L),
+      // not in the wav slice (doc_id % 4 != 2): must not appear
+      (1L, " " * 32, "en", "src", 32L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("m12_audio_vad")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("longest_run")))
+      .toMap
+    assert(out == Map(
+      2L -> ((3L, 2L, 2L, 1L)),
+      6L -> ((3L, 2L, 1L, 2L)),
+      10L -> ((1L, 0L, 0L, 0L))))
+  }
+}
