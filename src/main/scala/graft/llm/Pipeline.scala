@@ -959,7 +959,72 @@ object Pipeline {
               " (cast(total_tokens as decimal(38,0)) * 1000000)" +
               " div (cast(n_bins as decimal(38,0)) * budget) END" +
               " as bigint)").as("efficiency_fx"))
-      })
+      }),
+
+    // p29: CAPPED mix allocation — p06's proportional apportionment
+    // under an anti-domination policy: no source may exceed 5% of the
+    // budget (the C4/Pile-style cap that stops one crawl swamping the
+    // mix); freed mass redistributes proportionally among the others.
+    // This is exact integer WATER-FILLING, solved in closed form
+    // instead of iterating: sources sort by token mass desc, the
+    // capped set is always a prefix, and row j is capped iff
+    // (B − (j−1)·C)·t_j > C·(T − P_{j−1}) (cross-multiplied — no
+    // division, no floats). k* = the longest true prefix; the k*
+    // capped sources take C each and the remainder apportions
+    // Hamilton-style (p06's machinery) over the rest, so the total is
+    // exactly B. Products ride decimal(38,0)/HUGEINT (the p28
+    // discipline — B·t wraps int64 near ~9e13 corpus tokens). Windows
+    // run on source grain, bounded by [[MaxMixGroups]].
+    QueryDef(
+      "p29_capped_mix",
+      Some(s"""WITH tok AS (SELECT source,
+              |    cast(sum(len(string_split(text, ' '))) as bigint) AS toks
+              |  FROM documents GROUP BY source),
+              |tot AS (SELECT cast(sum(toks) as bigint) AS total FROM tok),
+              |r AS (SELECT source, toks, total,
+              |    row_number() OVER (ORDER BY toks DESC, source ASC) AS j,
+              |    coalesce(sum(toks) OVER (ORDER BY toks DESC, source ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS pfx
+              |  FROM tok, tot),
+              |c AS (SELECT *, CASE WHEN
+              |      (cast($MixBudget as HUGEINT) - (j - 1) * $CapAlloc)
+              |        * toks
+              |      > $CapAlloc * (cast(total as HUGEINT) - pfx)
+              |    THEN 1 ELSE 0 END AS condi FROM r),
+              |p AS (SELECT *, min(condi) OVER (ORDER BY j
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS prefok FROM c),
+              |k AS (SELECT *, cast(sum(prefok) OVER () as bigint)
+              |      AS kstar FROM p),
+              |t2 AS (SELECT *, cast(sum(CASE WHEN j > kstar THEN toks
+              |      ELSE 0 END) OVER () as bigint) AS trest FROM k),
+              |cap AS (SELECT source, toks, 1 AS capped,
+              |    cast($CapAlloc as bigint) AS alloc FROM t2
+              |  WHERE j <= kstar),
+              |u0 AS (SELECT source, toks,
+              |    $MixBudget - kstar * $CapAlloc AS rbudget, trest
+              |  FROM t2 WHERE j > kstar),
+              |u1 AS (SELECT *,
+              |    cast((cast(rbudget as HUGEINT) * toks) // trest
+              |      as bigint) AS base_alloc,
+              |    cast((cast(rbudget as HUGEINT) * toks) % trest
+              |      as bigint) AS rem
+              |  FROM u0),
+              |u2 AS (SELECT *,
+              |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+              |    rbudget - cast(sum(base_alloc) OVER () as bigint)
+              |      AS leftover
+              |  FROM u1),
+              |unc AS (SELECT source, toks, 0 AS capped,
+              |    base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+              |      AS alloc FROM u2)
+              |SELECT source, toks, cast(capped as bigint) AS capped,
+              |  cast(alloc as bigint) AS alloc
+              |FROM (SELECT * FROM cap UNION ALL SELECT * FROM unc)
+              |  z""".stripMargin),
+      (s, d) => cappedMix(Catalog.t(s, d, "documents"), col("source"),
+        expr(s"cast(size($sparkWords) as bigint)"), MixBudget, CapAlloc))
   )
 
   /** p20 batch size (sequences per padded batch). */
@@ -1271,6 +1336,64 @@ object Pipeline {
       (col("base_alloc") +
         when(col("rr") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** p29's closed-form integer water-filling: allocate `budget` over
+    * groups proportionally to `tokensCol` mass, but no group above
+    * `cap`; freed mass redistributes among the uncapped (see the p29
+    * QueryDef comment for the prefix characterization). Returns
+    * `(by, toks, capped, alloc)` with Σalloc = budget exactly (or the
+    * full budget short only when every group is capped and
+    * n·cap < budget — a caller policy error surfaced by the
+    * conservation law, not hidden).
+    */
+  def cappedMix(docs: DataFrame, byCol: Column, tokensCol: Column,
+      budget: Long, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = boundedGroups(docs.withColumn("n_tokens", tokensCol)
+      .groupBy(byCol).agg(sum(col("n_tokens")).as("toks")), "cappedMix")
+    val wAll = Window.partitionBy()
+    val ord = Window.orderBy(col("toks").desc, byCol.asc)
+    val enriched = tok
+      .withColumn("j", row_number().over(ord))
+      .withColumn("total", sum(col("toks")).over(wAll))
+      .withColumn("pfx", coalesce(sum(col("toks"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("condi", when(
+        expr(s"(cast($budget as decimal(38,0)) - (j - 1) * $cap) * toks" +
+          s" > $cap * (cast(total as decimal(38,0)) - pfx)"), 1L)
+        .otherwise(0L))
+      .withColumn("prefok", min(col("condi"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kstar", sum(col("prefok")).over(wAll))
+      .withColumn("trest", sum(when(col("j") > col("kstar"), col("toks"))
+        .otherwise(0L)).over(wAll))
+    val capped = enriched.filter(col("j") <= col("kstar"))
+      .select(byCol, col("toks"), lit(1L).as("capped"),
+        lit(cap).as("alloc"))
+    val unc = enriched.filter(col("j") > col("kstar"))
+      .withColumn("rbudget", lit(budget) - col("kstar") * cap)
+      .withColumn("base_alloc", expr(
+        "cast((cast(rbudget as decimal(38,0)) * toks) div trest as bigint)"))
+      .withColumn("rem", expr(
+        "cast((cast(rbudget as decimal(38,0)) * toks) % trest as bigint)"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, byCol.asc)))
+      .withColumn("leftover",
+        col("rbudget") - sum(col("base_alloc")).over(wAll))
+      .select(byCol, col("toks"), lit(0L).as("capped"),
+        (col("base_alloc") +
+          when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+    capped.unionByName(unc)
+  }
+
+  /** p29's per-source ceiling: 5% of the budget — low enough to BIND
+    * on the test corpus's near-uniform ~4–6% source shares (an
+    * unbinding cap would gate nothing; the t46 vacuity lesson), high
+    * enough that n·cap = budget exactly at 20 sources, exercising the
+    * all-but-equal redistribution edge.
+    */
+  private[graft] val CapAlloc = MixBudget / 20
 
   /** The mix apportionments run UNPARTITIONED windows over one row per
     * group — fine by construction (mix groups are sources/domains, a

@@ -1720,6 +1720,91 @@ object RelationalQueries4 {
             sum(col("hz")).over(wRun).cast("long").as("cum_hazard_fx"))
       }),
 
+    // q80: HOLDOUT LIFT — the experimentation readout (A/B analysis):
+    // users hash-split into control/treatment by user_id parity (the
+    // deterministic holdout every rollout needs), conversion = any
+    // 'purchase' event, and the report is one row of exact counts,
+    // fixed-point rates, lift, and the two-proportion z² statistic.
+    // z² is computed as ONE exact rational — z² = (c1·n0 − c0·n1)² ·
+    // (n0+n1) / (n0·n1·c·(n−c)) — in decimal(38,0)/HUGEINT (the p28
+    // discipline: the squared cross term wraps int64 past ~3e9
+    // user-conversions), then ONE integer division to fixed point.
+    // No float variance chain to drift cross-engine; z² ≥ 3.84 is the
+    // familiar 95% line. Scale: one keyed aggregate over users, one
+    // scalar fold — nothing grows with event volume.
+    QueryDef(
+      "q80_holdout_lift",
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS variant,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |a AS (SELECT
+             |    coalesce(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END),
+             |      0) AS n0,
+             |    coalesce(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END),
+             |      0) AS c0,
+             |    coalesce(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END),
+             |      0) AS n1,
+             |    coalesce(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END),
+             |      0) AS c1
+             |  FROM u),
+             |z AS (SELECT n0, c0, n1, c1,
+             |    (cast(c1 as HUGEINT) * n0 - cast(c0 as HUGEINT) * n1)
+             |      AS df,
+             |    cast(n0 as HUGEINT) * n1 * (c0 + c1)
+             |      * (n0 + n1 - c0 - c1) AS den
+             |  FROM a)
+             |SELECT cast(n0 as bigint) AS n_control,
+             |  cast(c0 as bigint) AS conv_control,
+             |  cast(n1 as bigint) AS n_treatment,
+             |  cast(c1 as bigint) AS conv_treatment,
+             |  cast(CASE WHEN n0 = 0 THEN 0
+             |    ELSE c0 * 1000000 // n0 END as bigint) AS rate_control_fx,
+             |  cast(CASE WHEN n1 = 0 THEN 0
+             |    ELSE c1 * 1000000 // n1 END as bigint) AS rate_treatment_fx,
+             |  cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0
+             |    ELSE c1 * 1000000 // n1 - c0 * 1000000 // n0 END
+             |    as bigint) AS lift_fx,
+             |  cast(CASE WHEN den = 0 THEN 0
+             |    ELSE df * df * (n0 + n1) * 1000000 // den END
+             |    as bigint) AS z2_fx
+             |FROM z""".stripMargin),
+      (s, d) => {
+        val u = t(s, d, "events").filter(col("user_id").isNotNull)
+          .groupBy(col("user_id"), expr("user_id % 2").as("variant"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+        u.agg(
+          coalesce(sum(when(col("variant") === 0, 1L).otherwise(0L)),
+            lit(0L)).as("n0"),
+          coalesce(sum(when(col("variant") === 0, col("conv"))
+            .otherwise(0L)), lit(0L)).as("c0"),
+          coalesce(sum(when(col("variant") === 1, 1L).otherwise(0L)),
+            lit(0L)).as("n1"),
+          coalesce(sum(when(col("variant") === 1, col("conv"))
+            .otherwise(0L)), lit(0L)).as("c1"))
+          .withColumn("df", expr("cast(c1 as decimal(38,0)) * n0" +
+            " - cast(c0 as decimal(38,0)) * n1"))
+          .withColumn("den", expr("cast(n0 as decimal(38,0)) * n1" +
+            " * (c0 + c1) * (n0 + n1 - c0 - c1)"))
+          .select(col("n0").cast("long").as("n_control"),
+            col("c0").cast("long").as("conv_control"),
+            col("n1").cast("long").as("n_treatment"),
+            col("c1").cast("long").as("conv_treatment"),
+            expr("cast(CASE WHEN n0 = 0 THEN 0" +
+              " ELSE c0 * 1000000L div n0 END as bigint)")
+              .as("rate_control_fx"),
+            expr("cast(CASE WHEN n1 = 0 THEN 0" +
+              " ELSE c1 * 1000000L div n1 END as bigint)")
+              .as("rate_treatment_fx"),
+            expr("cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0" +
+              " ELSE c1 * 1000000L div n1 - c0 * 1000000L div n0 END" +
+              " as bigint)").as("lift_fx"),
+            expr("cast(CASE WHEN den = 0 THEN 0" +
+              " ELSE df * df * (n0 + n1) * 1000000 div den END" +
+              " as bigint)").as("z2_fx"))
+      }),
+
     // q79: BENFORD first-digit audit over order totals — the
     // data-integrity screen for fabricated or truncated numeric feeds
     // (organic multi-scale amounts follow log10(1+1/d); a synthetic or

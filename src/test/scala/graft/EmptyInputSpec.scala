@@ -146,7 +146,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // guarded); an empty graph carries zero restart mass; an empty
     // media lake has no clips to segment
     "q77_countmin_sketch", "q78_survival_hazard", "q79_benford_audit",
-    "g16_personalized_pagerank", "m12_audio_vad", "st30_stream_countmin")
+    "g16_personalized_pagerank", "m12_audio_vad", "st30_stream_countmin",
+    // an empty holdout reports one all-zero row (guarded sums); an
+    // empty corpus allocates an empty mix
+    "q80_holdout_lift", "p29_capped_mix")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

@@ -186,7 +186,10 @@ class RobustnessSpec extends AnyFunSuite {
     // (empty, CJK, RTL, 20k-token) through the seeded restart walk and
     // the char-code VAD framing
     "q77_countmin_sketch", "st30_stream_countmin",
-    "g16_personalized_pagerank", "m12_audio_vad")
+    "g16_personalized_pagerank", "m12_audio_vad",
+    // the two-user holdout (one converting arm) and the hostile-text
+    // capped mix (one source dominating by the 20k-token repeat doc)
+    "q80_holdout_lift", "p29_capped_mix")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

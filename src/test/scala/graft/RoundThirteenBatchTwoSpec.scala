@@ -169,6 +169,76 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("q80: counts conserve the user population and z² recounts " +
+    "exactly in big-integer arithmetic") {
+    val r = SparkEntry.queries("q80_holdout_lift")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n0 = row.getAs[Long]("n_control")
+    val c0 = row.getAs[Long]("conv_control")
+    val n1 = row.getAs[Long]("n_treatment")
+    val c1 = row.getAs[Long]("conv_treatment")
+    val users = Catalog.t(spark, sf, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(n0 + n1 == users)
+    assert(c0 <= n0 && c1 <= n1 && c0 + c1 > 0)
+    assert(row.getAs[Long]("rate_control_fx") == c0 * 1000000L / n0)
+    assert(row.getAs[Long]("lift_fx") ==
+      c1 * 1000000L / n1 - c0 * 1000000L / n0)
+    val (bn0, bc0, bn1, bc1) =
+      (BigInt(n0), BigInt(c0), BigInt(n1), BigInt(c1))
+    val df = bc1 * bn0 - bc0 * bn1
+    val den = bn0 * bn1 * (bc0 + bc1) * (bn0 + bn1 - bc0 - bc1)
+    val want = if (den == 0) BigInt(0)
+    else df * df * (bn0 + bn1) * 1000000 / den
+    assert(BigInt(row.getAs[Long]("z2_fx")) == want)
+  }
+
+  test("p29: allocation sums exactly to the budget, respects the cap, " +
+    "and matches the iterative water-filling fixpoint") {
+    val out = SparkEntry.queries("p29_capped_mix")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("toks"), r.getAs[Long]("capped"),
+          r.getAs[Long]("alloc"))).toMap
+    val budget = 100000L
+    val cap = budget / 20
+    assert(out.values.map(_._3).sum == budget,
+      "allocation does not conserve the budget")
+    assert(out.values.forall(_._3 <= cap), "a source exceeds the cap")
+    // independent reference: the ITERATIVE fixpoint (cap, redistribute,
+    // repeat) — the closed-form prefix rule must land on the same set
+    val toks = out.map { case (s, (t, _, _)) => s -> t }
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val r = budget - capped.size * cap
+      val trest = toks.collect {
+        case (s, t) if !capped(s) => t }.map(BigInt(_)).sum
+      val newly = toks.keys.filter(s => !capped(s) &&
+        BigInt(toks(s)) * r > BigInt(cap) * trest).toSet
+      changed = newly.nonEmpty
+      capped ++= newly
+    }
+    assert(out.filter(_._2._2 == 1L).keySet == capped,
+      "capped set differs from the iterative fixpoint")
+    // uncapped allocations are Hamilton over the remaining budget
+    val r = budget - capped.size * cap
+    val trest = toks.collect { case (s, t) if !capped(s) => t }.sum
+    val base = toks.collect { case (s, t) if !capped(s) =>
+      s -> (r * t / trest, r * t % trest) }.toMap
+    val leftover = r - base.values.map(_._1).sum
+    val extras = base.toSeq.sortBy { case (s, (_, rem)) => (-rem, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    base.foreach { case (s, (b, _)) =>
+      val want = b + (if (extras(s)) 1L else 0L)
+      assert(out(s)._3 == want, s"$s: alloc ${out(s)._3} != $want")
+    }
+    // the cap binds on this corpus — otherwise the op gates nothing
+    assert(capped.nonEmpty && capped.size < toks.size,
+      "cap must bind on some but not all sources at gate scale")
+  }
+
   test("m12: planted clips segment exactly (active runs, counts, " +
     "wrong-modality exclusion)") {
     val sqlc = spark
