@@ -258,14 +258,25 @@ object GraphAlgs {
       .repartition(p, col("src")).cache()
     // seed membership is loop-invariant too: bake it onto the node
     // table once — init mass and restart (base) mass are per-node
-    // constants of the loop
-    val sd = seeds.select(col("id")).distinct().withColumn("isSeed", lit(true))
-    val n0 = nodes.select(col("id"))
-      .join(sd, Seq("id"), "left")
-      .select(col("id"), coalesce(col("isSeed"), lit(false)).as("seed"))
-      .repartition(p, col("id")).cache()
+    // constants of the loop. The uniform call (pageRank delegates with
+    // `seeds eq nodes`) skips the membership join and the second count
+    // entirely: the seed column is a literal Catalyst folds away, so
+    // g01 keeps its pre-delegation setup shape.
+    val uniform = seeds eq nodes
+    val n0 = (if (uniform)
+        nodes.select(col("id")).withColumn("seed", lit(true))
+      else {
+        val sd = seeds.select(col("id")).distinct()
+          .withColumn("isSeed", lit(true))
+        nodes.select(col("id"))
+          .join(sd, Seq("id"), "left")
+          .select(col("id"), coalesce(col("isSeed"), lit(false)).as("seed"))
+      }).repartition(p, col("id")).cache()
     val n = n0.count()
-    val ns = if (n == 0) 0L else n0.filter(col("seed")).count()
+    val ns =
+      if (n == 0) 0L
+      else if (uniform) n
+      else n0.filter(col("seed")).count()
     if (ns == 0) { // empty graph or seed set: zero mass (and no div by 0)
       e.unpersist(); edgesWithDeg.unpersist()
       val out = n0.select(col("id"), lit(0L).as("rank"))
