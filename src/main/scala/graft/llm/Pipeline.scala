@@ -1006,10 +1006,12 @@ object Pipeline {
               |    $MixBudget - kstar * $CapAlloc AS rbudget, trest
               |  FROM t2 WHERE j > kstar),
               |u1 AS (SELECT *,
-              |    cast((cast(rbudget as HUGEINT) * toks) // trest
-              |      as bigint) AS base_alloc,
-              |    cast((cast(rbudget as HUGEINT) * toks) % trest
-              |      as bigint) AS rem
+              |    CASE WHEN trest = 0 THEN 0 ELSE
+              |      cast((cast(rbudget as HUGEINT) * toks) // trest
+              |        as bigint) END AS base_alloc,
+              |    CASE WHEN trest = 0 THEN 0 ELSE
+              |      cast((cast(rbudget as HUGEINT) * toks) % trest
+              |        as bigint) END AS rem
               |  FROM u0),
               |u2 AS (SELECT *,
               |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
@@ -1017,8 +1019,8 @@ object Pipeline {
               |      AS leftover
               |  FROM u1),
               |unc AS (SELECT source, toks, 0 AS capped,
-              |    base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
-              |      AS alloc FROM u2)
+              |    base_alloc + CASE WHEN trest > 0 AND rr <= leftover
+              |      THEN 1 ELSE 0 END AS alloc FROM u2)
               |SELECT source, toks, cast(capped as bigint) AS capped,
               |  cast(alloc as bigint) AS alloc
               |FROM (SELECT * FROM cap UNION ALL SELECT * FROM unc)
@@ -1330,7 +1332,7 @@ object Pipeline {
       .withColumn("base_alloc", expr(s"($budget * toks) div total"))
       .withColumn("rem", expr(s"($budget * toks) % total"))
       .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, byCol.asc)))
+        Window.orderBy(col("rem").desc, byCol.asc_nulls_last)))
       .withColumn("leftover", lit(budget) - sum(col("base_alloc")).over(wAll))
     ranked.select(byCol, col("toks"),
       (col("base_alloc") +
@@ -1341,10 +1343,12 @@ object Pipeline {
     * groups proportionally to `tokensCol` mass, but no group above
     * `cap`; freed mass redistributes among the uncapped (see the p29
     * QueryDef comment for the prefix characterization). Returns
-    * `(by, toks, capped, alloc)` with Σalloc = budget exactly (or the
-    * full budget short only when every group is capped and
-    * n·cap < budget — a caller policy error surfaced by the
-    * conservation law, not hidden).
+    * `(by, toks, capped, alloc)` with Σalloc = budget exactly. Two
+    * degenerate caller-policy cases allocate SHORT of the budget
+    * rather than fail or misallocate, surfaced by the conservation
+    * law: every group capped with n·cap < budget, and a remaining
+    * uncapped set whose token mass is zero (nothing to apportion
+    * over — those groups get 0, never a divide-by-zero).
     */
   def cappedMix(docs: DataFrame, byCol: Column, tokensCol: Column,
       budget: Long, cap: Long): DataFrame = {
@@ -1352,7 +1356,11 @@ object Pipeline {
     val tok = boundedGroups(docs.withColumn("n_tokens", tokensCol)
       .groupBy(byCol).agg(sum(col("n_tokens")).as("toks")), "cappedMix")
     val wAll = Window.partitionBy()
-    val ord = Window.orderBy(col("toks").desc, byCol.asc)
+    // asc_nulls_last: Spark's plain asc sorts NULL group keys FIRST
+    // while DuckDB's default is NULLS LAST — on a toks tie a NULL key
+    // would take a different rank per engine, flipping capped-set
+    // membership at the kstar boundary (round-13 review)
+    val ord = Window.orderBy(col("toks").desc, byCol.asc_nulls_last)
     val enriched = tok
       .withColumn("j", row_number().over(ord))
       .withColumn("total", sum(col("toks")).over(wAll))
@@ -1370,19 +1378,27 @@ object Pipeline {
     val capped = enriched.filter(col("j") <= col("kstar"))
       .select(byCol, col("toks"), lit(1L).as("capped"),
         lit(cap).as("alloc"))
+    // trest = 0 guard: when every positive-token group is capped and
+    // only zero-token groups remain uncapped, the Hamilton pass has
+    // no mass to apportion over — allocate them 0 instead of dividing
+    // by zero (Spark ANSI throws, DuckDB // returns NULL — a
+    // cross-engine split; round-13 review)
     val unc = enriched.filter(col("j") > col("kstar"))
       .withColumn("rbudget", lit(budget) - col("kstar") * cap)
       .withColumn("base_alloc", expr(
-        "cast((cast(rbudget as decimal(38,0)) * toks) div trest as bigint)"))
+        "CASE WHEN trest = 0 THEN 0L ELSE cast((cast(rbudget as" +
+          " decimal(38,0)) * toks) div trest as bigint) END"))
       .withColumn("rem", expr(
-        "cast((cast(rbudget as decimal(38,0)) * toks) % trest as bigint)"))
+        "CASE WHEN trest = 0 THEN 0L ELSE cast((cast(rbudget as" +
+          " decimal(38,0)) * toks) % trest as bigint) END"))
       .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, byCol.asc)))
+        Window.orderBy(col("rem").desc, byCol.asc_nulls_last)))
       .withColumn("leftover",
         col("rbudget") - sum(col("base_alloc")).over(wAll))
       .select(byCol, col("toks"), lit(0L).as("capped"),
         (col("base_alloc") +
-          when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          when(col("trest") > 0 && col("rr") <= col("leftover"), 1L)
+            .otherwise(0L))
           .as("alloc"))
     capped.unionByName(unc)
   }
@@ -1441,7 +1457,7 @@ object Pipeline {
       .withColumn("base_alloc", expr(s"($budget * w_fx) div total"))
       .withColumn("rem", expr(s"($budget * w_fx) % total"))
       .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, byCol.asc)))
+        Window.orderBy(col("rem").desc, byCol.asc_nulls_last)))
       .withColumn("leftover", lit(budget) - sum(col("base_alloc")).over(wAll))
       .select(byCol, col("toks"), col("w_fx"),
         (col("base_alloc") +

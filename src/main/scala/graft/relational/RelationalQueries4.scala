@@ -1623,9 +1623,9 @@ object RelationalQueries4 {
     // q77: COUNT-MIN sketch — the third sketch class in the registry
     // (KMV estimates cardinality, Misra-Gries finds heavy hitters,
     // count-min answers POINT FREQUENCY queries from fixed state).
-    // The sketch is 4 rows × 256 counters built map-side-combinably
+    // The sketch is 4 rows × 64 counters built map-side-combinably
     // straight off the event stream shape (each event explodes to its
-    // 4 (row, bucket) cells, partial-aggregating to ≤1024 keys per
+    // 4 (row, bucket) cells, partial-aggregating to ≤256 keys per
     // partition before any shuffle — state is the grid, never the
     // keyspace). Sketched keys are (user, day) activity cells — a
     // keyspace that EXCEEDS the grid width at every gate scale, so
@@ -1734,7 +1734,7 @@ object RelationalQueries4 {
     // scalar fold — nothing grows with event volume.
     QueryDef(
       "q80_holdout_lift",
-      Some("""WITH u AS (SELECT user_id, user_id % 2 AS variant,
+      Some("""WITH u AS (SELECT user_id, abs(user_id % 2) AS variant,
              |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              |      AS conv
              |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
@@ -1770,8 +1770,11 @@ object RelationalQueries4 {
              |    as bigint) AS z2_fx
              |FROM z""".stripMargin),
       (s, d) => {
+        // abs(): truncated modulo gives variant -1 for negative odd
+        // ids in BOTH engines, which would silently drop those users
+        // from both arms (round-13 review)
         val u = t(s, d, "events").filter(col("user_id").isNotNull)
-          .groupBy(col("user_id"), expr("user_id % 2").as("variant"))
+          .groupBy(col("user_id"), expr("abs(user_id % 2)").as("variant"))
           .agg(max(when(col("event_type") === "purchase", 1L)
             .otherwise(0L)).as("conv"))
         u.agg(
@@ -1863,10 +1866,14 @@ object RelationalQueries4 {
   // ---------------------------------------------- q77 count-min family
   /** Count-min grid: 4 independent affine hashes over a prime, folded
     * to 64 counters each — 256 longs of total state. The sketched
-    * key is the (user, day) activity cell packed into one int64
-    * (`user_id · 100003 + epoch_day`, reduced mod the prime before
-    * the multiply so the affine product never overflows); the formula
-    * is one string valid in BOTH dialects (int64 exact everywhere).
+    * key is the (user, day) activity cell packed into one int64:
+    * `(user_id mod 1000003) · 100003 + epoch_day` — the user id is
+    * reduced mod the prime BEFORE the multiply, so the packing never
+    * overflows even for snowflake-style 64-bit ids (users aliasing
+    * mod the prime share a sketch key, which a sketch tolerates by
+    * construction), and the downstream affine products stay ≤ ~1e15.
+    * The formula is one string valid in BOTH dialects (int64 exact
+    * everywhere).
     * Width 64 keeps the keyspace-to-width ratio ≥6 from the smallest
     * gate scale up, so probes genuinely OVER-count and the audit's
     * over_n column prices the sketch trade (a wider grid would be
@@ -1906,7 +1913,7 @@ object RelationalQueries4 {
     events.filter(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .withColumn("k", expr(
-        "user_id * 100003L + datediff(day, DATE '1970-01-01')"))
+        "(user_id % 1000003) * 100003L + datediff(day, DATE '1970-01-01')"))
 
   /** A keyed row's 4 grid cells, ready for `posexplode` → (r, bucket)
     * — the map side of the sketch build (batch q77 and stream st30
@@ -1943,8 +1950,8 @@ object RelationalQueries4 {
     */
   private[graft] def cmOracle: String =
     s"""WITH e AS (SELECT user_id, cast(ts AS DATE) AS day,
-       |    user_id * 100003 + date_diff('day', DATE '1970-01-01',
-       |      cast(ts AS DATE)) AS k
+       |    (user_id % 1000003) * 100003
+       |      + date_diff('day', DATE '1970-01-01', cast(ts AS DATE)) AS k
        |  FROM events WHERE user_id IS NOT NULL),
        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
        |hb AS (SELECT r, $cmBucketCase AS bucket FROM e CROSS JOIN rs),

@@ -679,10 +679,10 @@ object StreamingQueries {
               .cast("long").as("contamination_fx"))
       }),
 
-    // st30: STREAMING count-min frequency sketch — q77's 4×256 grid
+    // st30: STREAMING count-min frequency sketch — q77's 4×64 grid
     // maintained by a live complete-mode stream: every arriving event
     // explodes to its 4 (row, bucket) cells and ONE keyed count holds
-    // the state, bounded by the GRID (≤1024 counters) at any arrival
+    // the state, bounded by the GRID (≤256 counters) at any arrival
     // volume — the st26/st27 minimal-keyed-state idiom applied to
     // point-frequency queries ("how often did key X occur so far" from
     // fixed memory). Estimates extract at read time with the shared

@@ -40,7 +40,7 @@ object CountMinScaleSmoke {
       val keyed = spark.range(n).toDF("i")
         .select(expr("cast(floor(sqrt(i)) as bigint)").as("user_id"),
           expr("i % 7").as("day_i"))
-        .withColumn("k", expr("user_id * 100003L + day_i"))
+        .withColumn("k", expr("(user_id % 1000003) * 100003L + day_i"))
       val t0 = System.nanoTime()
       val grid = keyed
         .select(posexplode(graft.relational.RelationalQueries4.cmCells)

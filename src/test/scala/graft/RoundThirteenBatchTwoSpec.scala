@@ -19,7 +19,7 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
   private def cmKeys(): Array[Long] =
     Catalog.t(spark, sf, "events")
       .filter(col("user_id").isNotNull)
-      .select(expr("user_id * 100003L + datediff(to_date(ts)," +
+      .select(expr("(user_id % 1000003) * 100003L + datediff(to_date(ts)," +
         " DATE '1970-01-01')"))
       .collect().map(_.getLong(0))
 
@@ -29,7 +29,7 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
     val exact = cmKeys().groupBy(identity).map { case (k, v) =>
       k -> v.length.toLong }
     rows.foreach { r =>
-      val k = r.getAs[Long]("user_id") * 100003L +
+      val k = r.getAs[Long]("user_id") % 1000003L * 100003L +
         r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
       val en = r.getAs[Long]("exact_n")
       val est = r.getAs[Long]("cm_est")
@@ -61,7 +61,7 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
       grid((r, bucket(k, r))) += 1L))
     val out = SparkEntry.queries("q77_countmin_sketch")(spark, sf).collect()
     out.foreach { row =>
-      val k = row.getAs[Long]("user_id") * 100003L +
+      val k = row.getAs[Long]("user_id") % 1000003L * 100003L +
         row.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
       val want = (0 until 4).map(r => grid((r, bucket(k, r)))).min
       assert(row.getAs[Long]("cm_est") == want,
