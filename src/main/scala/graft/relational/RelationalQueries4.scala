@@ -1808,6 +1808,100 @@ object RelationalQueries4 {
               " as bigint)").as("z2_fx"))
       }),
 
+    // q81: THEIL-SEN robust trend per event type — the median of all
+    // pairwise day-over-day slopes, the estimator that shrugs off the
+    // outlier days that wreck least squares (q40's moments): up to
+    // ~29% contamination moves it nowhere. Exactness: slopes are
+    // integer fixed point ((Δy·1e6) div Δx — both engines truncate
+    // integer division toward zero, verified), the median is the
+    // LOWER median by rank (the q36 idiom — no interpolation, no
+    // floats), and the intercept is the lower median of the integer
+    // residuals y·1e6 − slope_fx·x. Scale: the pair join runs on DAY
+    // grain per type — (span choose 2) pairs regardless of event
+    // volume, the q75 day-grain discipline squared; event volume only
+    // ever crosses ONE keyed count. Types with a single day emit NULL
+    // trend rather than vanishing (the t46 zero-hit lesson).
+    QueryDef(
+      "q81_theilsen_trend",
+      Some("""WITH dg AS (SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) as bigint) AS y,
+             |    date_diff('day', DATE '1970-01-01', cast(ts AS DATE))
+             |      AS x
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.event_type,
+             |    ((b.y - a.y) * 1000000) // (b.x - a.x) AS slope_fx,
+             |    a.x AS xa, b.x AS xb
+             |  FROM dg a JOIN dg b ON a.event_type = b.event_type
+             |    AND a.x < b.x),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope_fx, xa, xb) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS cnt FROM p),
+             |sl AS (SELECT event_type, slope_fx, cnt AS n_pairs
+             |  FROM r WHERE rn = (cnt + 1) // 2),
+             |res AS (SELECT d.event_type,
+             |    d.y * 1000000 - s.slope_fx * d.x AS r_fx, d.x
+             |  FROM dg d JOIN sl s USING (event_type)),
+             |ri AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY r_fx, x) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS cnt FROM res),
+             |ic AS (SELECT event_type, r_fx AS intercept_fx
+             |  FROM ri WHERE rn = (cnt + 1) // 2),
+             |nd AS (SELECT event_type, cast(count(*) as bigint) AS n_days
+             |  FROM dg GROUP BY 1)
+             |SELECT nd.event_type, n_days,
+             |  cast(coalesce(n_pairs, 0) as bigint) AS n_pairs,
+             |  cast(slope_fx as bigint) AS slope_fx,
+             |  cast(intercept_fx as bigint) AS intercept_fx
+             |FROM nd LEFT JOIN sl USING (event_type)
+             |  LEFT JOIN ic USING (event_type)""".stripMargin),
+      (s, d) => {
+        val dg = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("x",
+            datediff(col("day"), lit("1970-01-01").cast("date")))
+        val a = dg.select(col("event_type"), col("x").as("xa"),
+          col("y").as("ya"))
+        val bb = dg.select(col("event_type"), col("x").as("xb"),
+          col("y").as("yb"))
+        val pairs = a.join(bb, Seq("event_type"))
+          .filter(col("xa") < col("xb"))
+          .select(col("event_type"),
+            expr("((yb - ya) * 1000000L) div (xb - xa)").as("slope_fx"),
+            col("xa"), col("xb"))
+        val wo = Window.partitionBy(col("event_type"))
+          .orderBy(col("slope_fx"), col("xa"), col("xb"))
+        val wc = Window.partitionBy(col("event_type"))
+        val sl = pairs
+          .select(col("event_type"), col("slope_fx"),
+            row_number().over(wo).as("rn"), count(lit(1)).over(wc).as("cnt"))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("slope_fx"),
+            col("cnt").as("n_pairs"))
+        val res = dg.join(sl.select(col("event_type"), col("slope_fx")),
+            Seq("event_type"))
+          .select(col("event_type"),
+            (col("y") * lit(1000000L) - col("slope_fx") * col("x"))
+              .as("r_fx"), col("x"))
+        val wo2 = Window.partitionBy(col("event_type"))
+          .orderBy(col("r_fx"), col("x"))
+        val ic = res
+          .select(col("event_type"), col("r_fx"),
+            row_number().over(wo2).as("rn"), count(lit(1)).over(wc).as("cnt"))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("r_fx").as("intercept_fx"))
+        val nd = dg.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+        nd.join(sl.select(col("event_type"), col("slope_fx"),
+            col("n_pairs")), Seq("event_type"), "left")
+          .join(ic, Seq("event_type"), "left")
+          .select(col("event_type"),
+            col("n_days").cast("long").as("n_days"),
+            coalesce(col("n_pairs"), lit(0L)).cast("long").as("n_pairs"),
+            col("slope_fx").cast("long").as("slope_fx"),
+            col("intercept_fx").cast("long").as("intercept_fx"))
+      }),
+
     // q79: BENFORD first-digit audit over order totals — the
     // data-integrity screen for fabricated or truncated numeric feeds
     // (organic multi-scale amounts follow log10(1+1/d); a synthetic or

@@ -148,8 +148,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "q77_countmin_sketch", "q78_survival_hazard", "q79_benford_audit",
     "g16_personalized_pagerank", "m12_audio_vad", "st30_stream_countmin",
     // an empty holdout reports one all-zero row (guarded sums); an
-    // empty corpus allocates an empty mix
-    "q80_holdout_lift", "p29_capped_mix")
+    // empty corpus allocates an empty mix; an empty event table has
+    // no day grain and trends to an empty report
+    "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

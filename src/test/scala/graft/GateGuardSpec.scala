@@ -47,7 +47,7 @@ class RegistryCompletenessSpec extends AnyFunSuite {
   test("registry size and oracle coverage do not silently shrink") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names in registry")
-    assert(names.size >= 335, s"registry shrank: ${names.size} < 335 declared queries")
+    assert(names.size >= 336, s"registry shrank: ${names.size} < 336 declared queries")
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.isEmpty,
       s"queries without a DuckDB oracle get only a weak rows-only check: $noOracle")

@@ -188,8 +188,10 @@ class RobustnessSpec extends AnyFunSuite {
     "q77_countmin_sketch", "st30_stream_countmin",
     "g16_personalized_pagerank", "m12_audio_vad",
     // the two-user holdout (one converting arm) and the hostile-text
-    // capped mix (one source dominating by the 20k-token repeat doc)
-    "q80_holdout_lift", "p29_capped_mix")
+    // capped mix (one source dominating by the 20k-token repeat doc);
+    // the 2-day adversarial event panel through the pairwise-slope
+    // trend (single-day types emit NULL trend, not a crash)
+    "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {

@@ -239,6 +239,50 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
       "cap must bind on some but not all sources at gate scale")
   }
 
+  test("q81: the Theil-Sen trend recounts exactly from first " +
+    "principles (pairwise slopes, lower medians)") {
+    val dg = Catalog.t(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"), col("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = dg.groupBy(_._1)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2) - 1)
+    }
+    val want = byType.map { case (t, rows) =>
+      val days = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield ((days(j)._2 - days(i)._2) * 1000000L) /
+        (days(j)._1 - days(i)._1)
+      if (slopes.isEmpty) t -> (days.length.toLong, 0L, None, None)
+      else {
+        val m = lowerMedian(slopes)
+        val b = lowerMedian(days.map { case (x, y) => y * 1000000L - m * x })
+        t -> (days.length.toLong, slopes.length.toLong, Some(m), Some(b))
+      }
+    }
+    val got = SparkEntry.queries("q81_theilsen_trend")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          Option(r.get(r.fieldIndex("slope_fx"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("intercept_fx")))
+            .map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (t, w) =>
+      assert(got(t) == w, s"$t: ${got(t)} != $w")
+    }
+    // n_pairs is the day-grain law: span choose 2
+    got.foreach { case (_, (nd, np, _, _)) =>
+      assert(np == nd * (nd - 1) / 2)
+    }
+  }
+
   test("m12: planted clips segment exactly (active runs, counts, " +
     "wrong-modality exclusion)") {
     val sqlc = spark
