@@ -37,6 +37,16 @@ object GraphAlgs {
   private def debug(msg: => String): Unit =
     if (sys.env.contains("GRAFT_DEBUG")) System.err.println(msg)
 
+  /** Wall-clock instrumentation of the last [[connectedComponents]]
+    * run on this driver: convergence round count and per-round seconds.
+    * Written once at loop exit (driver-side only; the smoke tools read
+    * it to show rounds grow O(log diameter) while per-round work stays
+    * proportional to edges — the scale claim single-query benches
+    * can't see).
+    */
+  final case class CcStats(rounds: Int, roundSecs: Seq[Double])
+  @volatile private[graft] var lastCcStats: Option[CcStats] = None
+
   /** Nodes at or below which the node-sized side is broadcast. ~4M rows
     * of (long, long) ≈ 64 MB serialized — a conservative ceiling for
     * executor broadcast memory; far below it at test scale, far above
@@ -100,6 +110,7 @@ object GraphAlgs {
     val small = n <= broadcastMaxNodes
     var prevSum = Long.MaxValue
     var round = 0
+    val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     while (curSum != prevSum && round < maxRounds) {
       val tr = System.nanoTime()
       // (1) min label among self and neighbors. Small N: broadcast the
@@ -125,9 +136,11 @@ object GraphAlgs {
       curSum = sumAndCount(nextT)._1
       labels = nextT
       round += 1
+      roundSecs += (System.nanoTime() - tr) / 1e9
       debug(s"[cc] round $round sum=$curSum " +
-        f"took=${(System.nanoTime() - tr) / 1e9}%.1fs")
+        f"took=${roundSecs.last}%.1fs")
     }
+    lastCcStats = Some(CcStats(round, roundSecs.toSeq))
     e.unpersist()
     labels0.unpersist()
     if (curSum != prevSum)

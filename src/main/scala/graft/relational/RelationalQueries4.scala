@@ -1981,15 +1981,25 @@ object RelationalQueries4 {
   private val CmA = Array(984123457L, 573259391L, 367191221L, 192910123L)
   private val CmB = Array(12289L, 524287L, 8191L, 131071L)
 
+  /** Bucket formula shared verbatim by both dialects. Both Spark and
+    * DuckDB use C-style truncated `%`, so a negative packed key (a
+    * negative user id survives `cmKeyed`'s packing) would yield a
+    * NEGATIVE bucket and silently widen the grid past depth×width —
+    * the final `(x % w + w) % w` folds that case back into [0, w) in
+    * both engines identically, keeping the ≤256-cell state bound
+    * unconditional.
+    */
   private def cmBucket(key: String, r: Int): String =
-    s"((($key % 1000003) * ${CmA(r)} + ${CmB(r)}) % 1000003) % $CmWidth"
+    s"(((($key % 1000003) * ${CmA(r)} + ${CmB(r)}) % 1000003)" +
+      s" % $CmWidth + $CmWidth) % $CmWidth"
 
   /** Driver-side mirror of the bucket family — one bucket per grid
     * row for a packed key (scale smoke probes; tiny, exact).
     */
   private[graft] def cmBucketsScala(key: Long): Array[Long] =
     (0 until CmDepth).map(r =>
-      (((key % 1000003L) * CmA(r) + CmB(r)) % 1000003L) % CmWidth)
+      ((((key % 1000003L) * CmA(r) + CmB(r)) % 1000003L)
+        % CmWidth + CmWidth) % CmWidth)
       .map(_.toLong).toArray
 
   /** The same family as a dialect-shared CASE over an `r` column. */

@@ -113,7 +113,16 @@ object CurationScaleSmoke {
         l
       }
       val nFamilies = labels.select("cluster_id").distinct().count()
-      row(copies, "d08_families", nSurv, nFamilies, cS)
+      // the r13 verdict's one superlinear stage: break its wall into
+      // convergence ROUNDS × per-round cost, so the artifact shows
+      // rounds grow O(log diameter) while per-round work tracks edges
+      val ccExtra = GraphAlgs.lastCcStats.map { st =>
+        val per = st.roundSecs.map(x => "%.2f".format(x)).mkString("[", ",", "]")
+        s""","cc_rounds":${st.rounds},"cc_round_s":$per,""" +
+          s""""cc_s_per_kpair":${"%.3f".format(
+            if (nPairs == 0) 0.0 else cS * 1000.0 / nPairs)}"""
+      }.getOrElse("")
+      row(copies, "d08_families", nSurv, nFamilies, cS, ccExtra)
 
       // stage 4 — p27 leakage-safe split keyed on the family id
       val (split, sS) = timed {

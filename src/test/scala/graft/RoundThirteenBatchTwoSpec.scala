@@ -49,7 +49,7 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
     val A = Array(984123457L, 573259391L, 367191221L, 192910123L)
     val B = Array(12289L, 524287L, 8191L, 131071L)
     def bucket(k: Long, r: Int): Long =
-      (((k % 1000003L) * A(r) + B(r)) % 1000003L) % 64L
+      ((((k % 1000003L) * A(r) + B(r)) % 1000003L) % 64L + 64L) % 64L
     val keys = cmKeys()
     // the keyspace must well exceed the grid width, or the sketch is
     // vacuously exact and the min-of-rows machinery untested
@@ -70,6 +70,20 @@ class RoundThirteenBatchTwoSpec extends AnyFunSuite {
     // at this keyspace-to-width ratio at least one probe over-counts
     assert(out.map(_.getAs[Long]("over_n")).max > 0L,
       "no probe over-counted — the collision regime is not exercised")
+  }
+
+  test("count-min buckets stay in [0, width) for NEGATIVE packed keys " +
+    "— the ≤depth×width state bound is unconditional") {
+    // a negative user id survives cmKeyed's packing as a negative key;
+    // truncated % alone would emit negative buckets and silently widen
+    // the grid to up to 4× its stated size (round-13 advice item)
+    val probes = Seq(Long.MinValue + 7L, -987654321987L, -1000003L, -1L,
+      0L, 1L, 999999999999L)
+    probes.foreach { k =>
+      graft.relational.RelationalQueries4.cmBucketsScala(k).foreach { b =>
+        assert(b >= 0L && b < 64L, s"key $k: bucket $b escapes [0, 64)")
+      }
+    }
   }
 
   test("st30 equals q77 cell-for-cell (kappa: the streaming grid IS " +
