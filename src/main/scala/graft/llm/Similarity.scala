@@ -755,10 +755,15 @@ object Similarity {
   // bands(rowBits) formula: 16→16, 17→19, 18→22), extending flat
   // candidate mass to ~10⁶ vectors per corpus — and measured the
   // ladder AT the sizes past the old cap (EPS_GRAPH_SCALE_r13.json:
-  // 160k/320k/640k rows). At 100 TB (10⁹⁺ vectors) the same formula
+  // 160k/320k/640k rows). Round 14 repeated the move one octave up
+  // (25×19: ceil(ln 0.26 / ln(1−0.8564¹⁹)) = 25 bands), so the first
+  // doubling past r13's measured 640k row (1.28M vectors) lands ON a
+  // ladder tier, not in fixed-family saturation — measured in
+  // EPS_GRAPH_SCALE_r14.json alongside sampled-groundtruth recall at
+  // the large-N tiers. At 100 TB (10⁹⁺ vectors) the same formula
   // extends by raising AdMaxBits/AdMaxBands again — the ladder is
-  // data, not structure, and the r13 raise is the existence proof:
-  // no consumer or oracle changed, only these constants and rows.
+  // data, not structure, and two consecutive raises are the existence
+  // proof: no consumer or oracle changed, only these constants.
 
   /** (maxN, rowBits, bands) tiers; N above the last tier takes the
     * (AdMaxBits, AdMaxBands) cap. Thresholds are exact integers shared
@@ -767,9 +772,9 @@ object Similarity {
     (1024L, 8, 4), (2048L, 9, 5), (4096L, 10, 6), (8192L, 11, 7),
     (16384L, 12, 8), (32768L, 13, 10), (65536L, 14, 12),
     (131072L, 15, 14), (262144L, 16, 16), (524288L, 17, 19),
-    (1048576L, 18, 22))
-  private[graft] val AdMaxBits = 18
-  private[graft] val AdMaxBands = 22
+    (1048576L, 18, 22), (2097152L, 19, 25))
+  private[graft] val AdMaxBits = 19
+  private[graft] val AdMaxBands = 25
 
   /** The (bands, rowBits) tier for a corpus of `n` vectors. */
   private[graft] def adaptiveFamily(n: Long): (Int, Int) =

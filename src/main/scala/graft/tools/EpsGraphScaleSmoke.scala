@@ -90,14 +90,18 @@ object EpsGraphScaleSmoke {
     val eps = 0.35
     val knnK = 3
     // scales 16/32/64 (160k/320k/640k vectors) are the round-13 rows:
-    // the first sizes past the old 16×16 cap (131,072), landing on the
-    // raised ladder's new tiers 16×16 / 19×17 and ON the new 22×18 cap
-    // — the sizes where the r12 verdict said the 100×-scale story was
-    // asserted, not measured. The exact all-pairs baseline and the
-    // fixed-family contrast stay confined to small scales (quadratic
-    // by construction — the contrast trend is established at 1×/2×/4×).
+    // the first sizes past the old 16×16 cap (131,072). Round 14 adds
+    // scale 128 (1.28M vectors — the first doubling past r13's
+    // measured range, landing ON the raised 25×19 cap tier) and, at
+    // every scale where exact all-pairs is unaffordable, a SAMPLED
+    // ground-truth recall row (exact cosine for a ~1k-probe panel
+    // against the full corpus — one broadcast pass, the d28 shape), so
+    // the eps/knn recall columns are measured at large N instead of
+    // null. The exact all-pairs baseline and the fixed-family contrast
+    // stay confined to small scales (quadratic by construction — the
+    // contrast trend is established at 1×/2×/4×).
     val scales = args.headOption.map(_.split(",").toSeq.map(_.toInt))
-      .getOrElse(Seq(1, 2, 4, 16, 32, 64))
+      .getOrElse(Seq(1, 2, 4, 16, 32, 64, 128))
     scales.foreach { scale =>
       val n = 10000L * scale
       val vecs = corpus(n).cache()
@@ -134,9 +138,9 @@ object EpsGraphScaleSmoke {
       val (adCand, adCandS) = timed {
         Similarity.adaptiveCandidatePairs(vecs).count()
       }
-      val (adEdges, adS) = timed {
-        Similarity.embeddingNearDups(vecs, eps, adaptive = true).count()
-      }
+      val adDf = Similarity.embeddingNearDups(vecs, eps, adaptive = true)
+        .cache()
+      val (adEdges, adS) = timed { adDf.count() }
       println(s"""{"metric":"eps_graph_scale_smoke","bands":"${bandsA}x$rowBitsA (ADAPTIVE r12)","path":"lsh_adaptive_full",""" +
         s""""n_vecs":$n,"pairs_examined":$adCand,""" +
         s""""pairs_per_vec":${"%.1f".format(adCand.toDouble / n)},""" +
@@ -144,6 +148,79 @@ object EpsGraphScaleSmoke {
         s""""edge_recall_at_eps":${ratio(adEdges, edgesExact)},""" +
         s""""candidates_s":${"%.1f".format(adCandS)},""" +
         s""""total_s":${"%.1f".format(adS)}}""")
+
+      // ROUND-14: sampled ground truth at the sizes where exact
+      // all-pairs is unaffordable. A deterministic ~1k-probe panel
+      // (every (n/1000)th id — uniform across cluster/noise blocks)
+      // gets EXACT cosine against the full corpus in one broadcast
+      // pass; eps recall = adaptive eps-edges incident to probes over
+      // exact probe-incident eps-edges, knn recall = s11's graph
+      // restricted to probe sources vs the probes' exact top-k.
+      if (!exactRunnable) {
+        val probeEvery = math.max(1L, n / 1000L)
+        def isProbe(c: org.apache.spark.sql.Column) =
+          pmod(c, lit(probeEvery)) === 0L
+        val probes = vecs.filter(isProbe(col("vec_id"))).cache()
+        val nProbes = probes.count()
+        // exact probe-incident eps edges (ground truth, broadcast pass)
+        val q = probes.select(col("vec_id").as("p_id"),
+          col("embedding").as("pe"))
+          .withColumn("pn", expr("sqrt(graft_dot(pe, pe))"))
+        val cnd = vecs.select(col("vec_id").as("c_id"),
+          col("embedding").as("ce"))
+          .withColumn("cn", expr("sqrt(graft_dot(ce, ce))"))
+        val (gtEps, gtEpsS) = timed {
+          val g = cnd.join(broadcast(q), col("p_id") =!= col("c_id"))
+            .withColumn("cosine", expr("graft_dot(pe, ce) / (pn * cn)"))
+            .filter(col("cosine") >= eps)
+            .select(col("p_id"), col("c_id")).cache()
+          g.count()
+          g
+        }
+        val nGtEps = gtEps.count()
+        val adHits = adDf
+          .select(col("vec_a").as("p_id"), col("vec_b").as("c_id"))
+          .union(adDf.select(col("vec_b").as("p_id"), col("vec_a").as("c_id")))
+          .filter(isProbe(col("p_id")))
+        val nEpsHit = gtEps.join(adHits, Seq("p_id", "c_id"), "left_semi")
+          .count()
+        // exact top-k of the probes (same broadcast shape) vs s11's
+        // full-corpus knn graph restricted to probe sources
+        val (gtKnn, gtKnnS) = timed {
+          val g = Similarity.cosineTopK(
+            probes.select(col("vec_id").as("query_id"), col("embedding")),
+            vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+            knnK).cache()
+          g.count()
+          g
+        }
+        val nGtKnn = gtKnn.count()
+        val nGtKnnHi = gtKnn.filter(col("cosine") >= 0.7).count()
+        val (lshKnn, knnS) = timed {
+          val g = Similarity.knnGraph(vecs, knnK, knownN = Some(n))
+            .filter(isProbe(col("src")))
+            .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+            .cache()
+          g.count()
+          g
+        }
+        val knnHit = gtKnn.join(lshKnn, Seq("query_id", "neighbor_id"),
+          "left_semi").cache()
+        val nKnnHit = knnHit.count()
+        val nKnnHitHi = knnHit.filter(col("cosine") >= 0.7).count()
+        println(s"""{"metric":"eps_graph_scale_smoke","bands":"${bandsA}x$rowBitsA (ADAPTIVE r12)","path":"sampled_groundtruth",""" +
+          s""""n_vecs":$n,"probes":$nProbes,"k":$knnK,""" +
+          s""""gt_eps_edges":$nGtEps,""" +
+          s""""eps_recall_sampled":${ratio(nEpsHit, Some(nGtEps))},""" +
+          s""""exact_knn_edges":$nGtKnn,""" +
+          s""""knn_recall":${ratio(nKnnHit, Some(nGtKnn))},""" +
+          s""""exact_knn_edges_cos_ge_0_7":$nGtKnnHi,""" +
+          s""""knn_recall_cos_ge_0_7":${ratio(nKnnHitHi, Some(nGtKnnHi))},""" +
+          s""""gt_eps_s":${"%.1f".format(gtEpsS)},""" +
+          s""""gt_knn_s":${"%.1f".format(gtKnnS)},""" +
+          s""""knn_total_s":${"%.1f".format(knnS)}}""")
+        Seq(gtEps, gtKnn, lshKnn, knnHit, probes).foreach(_.unpersist())
+      }
 
       // s11's knn graph vs the exact knn graph (the recall contract's
       // measured artifact). Exact graph = same window over the exact
@@ -210,6 +287,7 @@ object EpsGraphScaleSmoke {
         s""""candidates_s":${"%.1f".format(pCandS)},""" +
         s""""total_s":${"%.1f".format(pLshS)}}""")
       panel.unpersist()
+      adDf.unpersist()
       vecs.unpersist()
     }
     spark.stop()

@@ -29,7 +29,11 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(Similarity.adaptiveFamily(262144L) == ((16, 16)))
     assert(Similarity.adaptiveFamily(262145L) == ((19, 17)))
     assert(Similarity.adaptiveFamily(524289L) == ((22, 18)))
-    assert(Similarity.adaptiveFamily(Long.MaxValue) == ((22, 18)))
+    // round 14: one more octave — 1.28M-vector corpora (the first
+    // doubling past r13's measured 640k row) land on a tier, not on
+    // fixed-family saturation
+    assert(Similarity.adaptiveFamily(1048577L) == ((25, 19)))
+    assert(Similarity.adaptiveFamily(Long.MaxValue) == ((25, 19)))
     // monotone: more vectors never means fewer bits or fewer bands
     val tiers = Seq(1L, 1024L, 2048L, 4096L, 8192L, 16384L, 32768L,
       65536L, 131072L, 262144L, 524288L, 1048576L,
