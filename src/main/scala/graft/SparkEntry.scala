@@ -15,6 +15,7 @@ object SparkEntry {
       relational.RelationalQueries2.all ++
       relational.RelationalQueries3.all ++
       relational.RelationalQueries4.all ++
+      relational.RelationalQueries5.all ++
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
       llm.Pipeline.all ++

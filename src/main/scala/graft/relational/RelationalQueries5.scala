@@ -1,0 +1,335 @@
+package graft.relational
+
+import graft.{Catalog, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth batch: the round-14 inferential/robust statistics panel —
+  * the readouts an experimentation or data-quality team runs on top of
+  * the warehouse, each computed in EXACT integer/decimal arithmetic so
+  * the two engines cannot drift (the q80/q81 discipline):
+  *
+  *  - q82 Mann–Whitney rank-sum test: the nonparametric A/B companion
+  *    to q80's two-proportion z² — q80 tests a RATE, q82 tests a whole
+  *    distribution shift (per-customer order counts between holdout
+  *    arms) with no normality assumption. Tie-exact via doubled ranks.
+  *  - q83 Gini concentration of token mass per source: the corpus-
+  *    inequality screen ("is this source five giant documents in a
+  *    trench coat?") that sits next to t46's drift and p29's caps.
+  *  - q84 Kendall tau-a between two event streams' daily volumes:
+  *    rank correlation from concordant/discordant day pairs — the
+  *    monotone-association readout immune to outlier days (q81's
+  *    robustness argument applied to correlation).
+  *  - q85 lag-1 autocorrelation of daily event volume: the serial-
+  *    dependence diagnostic (trend/seasonality smell test) behind
+  *    every "is traffic i.i.d. enough to sample daily?" decision.
+  *
+  * Scale notes (100 TB stance): every query reduces event/order volume
+  * to a BOUNDED grain first — value grain (q82: the per-customer count
+  * domain), source grain (q83), day grain (q84/q85: the calendar span,
+  * zero-filled from a generated spine so missing days count as zeros in
+  * both engines). The only pairwise work (q84) runs on the day spine —
+  * (span choose 2) pairs regardless of event volume. Wide products ride
+  * decimal(38,0)/HUGEINT (ANSI mode throws on int64 overflow; the q80
+  * headroom note applies: past ~1e9 observations the single-division
+  * z²/gini forms need a wider intermediate or staged reduction).
+  */
+object RelationalQueries5 {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Catalog.t(s, d, n)
+
+  def all: Seq[QueryDef] = Seq(
+
+    // q82: MANN-WHITNEY U rank-sum test — per-customer order counts
+    // compared between the o_custkey-parity holdout arms. Exactness:
+    // ranks are handled at VALUE grain with the doubled-average-rank
+    // trick (avg rank of a tie block starting after m smaller rows
+    // with c members is m + (c+1)/2 — doubled, 2m + c + 1, an
+    // integer), so U, its null mean, and the tie-corrected z² are all
+    // exact rationals: z² = 3·(2U − n0n1)²·n(n−1) /
+    // (n0·n1·(n³ − n − Σ(t³−t))), one decimal38/HUGEINT division to
+    // fixed point. Rank-biserial effect size (2U/(n0n1) − 1) rides
+    // the same doubled integers. Scale: one keyed count per customer,
+    // then everything at COUNT-VALUE grain (a handful of distinct
+    // values no matter how many customers).
+    QueryDef(
+      "q82_ranksum_test",
+      Some("""WITH u AS (SELECT o_custkey, abs(o_custkey % 2) AS variant,
+             |    count(*) AS cnt FROM orders GROUP BY 1, 2),
+             |v AS (SELECT cnt AS val, count(*) AS c,
+             |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+             |  FROM u GROUP BY 1),
+             |r AS (SELECT val, c, c1,
+             |    coalesce(sum(c) OVER (ORDER BY val
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS m
+             |  FROM v),
+             |a AS (SELECT
+             |    coalesce(sum(c1 * (2 * m + c + 1)), 0) AS r1_2,
+             |    coalesce(sum(c1), 0) AS n1,
+             |    coalesce(sum(c - c1), 0) AS n0,
+             |    coalesce(sum(c * c * c - c), 0) AS tie_term
+             |  FROM r),
+             |z AS (SELECT n0, n1, tie_term,
+             |    r1_2 - n1 * (n1 + 1) AS u1_2,
+             |    n0 + n1 AS n,
+             |    cast(r1_2 - n1 * (n1 + 1) as HUGEINT) - cast(n0 as
+             |      HUGEINT) * n1 AS diff2,
+             |    cast(n0 as HUGEINT) * n1
+             |      * (cast(n0 + n1 as HUGEINT) * (n0 + n1) * (n0 + n1)
+             |        - (n0 + n1) - tie_term) AS den
+             |  FROM a)
+             |SELECT cast(n0 as bigint) AS n_control,
+             |  cast(n1 as bigint) AS n_treatment,
+             |  cast(u1_2 as bigint) AS u1_doubled,
+             |  cast(n0 * n1 as bigint) AS mean_u_doubled,
+             |  cast(tie_term as bigint) AS tie_term,
+             |  cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0
+             |    ELSE diff2 * 1000000 // (cast(n0 as HUGEINT) * n1) END
+             |    as bigint) AS rank_biserial_fx,
+             |  cast(CASE WHEN den = 0 THEN 0
+             |    ELSE diff2 * diff2 * 3 * n * (n - 1) * 1000000 // den
+             |    END as bigint) AS z2_fx
+             |FROM z""".stripMargin),
+      (s, d) => {
+        val u = t(s, d, "orders")
+          .groupBy(col("o_custkey"), expr("abs(o_custkey % 2)").as("variant"))
+          .agg(count(lit(1)).as("cnt"))
+        val v = u.groupBy(col("cnt").as("val"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+        // value-grain window: a handful of rows however many customers
+        val wm = Window.orderBy(col("val"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = v.withColumn("m",
+          coalesce(sum(col("c")).over(wm), lit(0L)))
+        r.agg(
+          coalesce(sum(expr("c1 * (2 * m + c + 1)")), lit(0L)).as("r1_2"),
+          coalesce(sum(col("c1")), lit(0L)).as("n1"),
+          coalesce(sum(expr("c - c1")), lit(0L)).as("n0"),
+          coalesce(sum(expr("c * c * c - c")), lit(0L)).as("tie_term"))
+          .withColumn("u1_2", expr("r1_2 - n1 * (n1 + 1)"))
+          .withColumn("n", expr("n0 + n1"))
+          .withColumn("diff2", expr("cast(u1_2 as decimal(38,0))" +
+            " - cast(n0 as decimal(38,0)) * n1"))
+          .withColumn("den", expr("cast(n0 as decimal(38,0)) * n1" +
+            " * (cast(n as decimal(38,0)) * n * n - n - tie_term)"))
+          .select(col("n0").cast("long").as("n_control"),
+            col("n1").cast("long").as("n_treatment"),
+            col("u1_2").cast("long").as("u1_doubled"),
+            expr("cast(n0 * n1 as bigint)").as("mean_u_doubled"),
+            col("tie_term").cast("long").as("tie_term"),
+            expr("cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0" +
+              " ELSE diff2 * 1000000" +
+              " div (cast(n0 as decimal(38,0)) * n1) END as bigint)")
+              .as("rank_biserial_fx"),
+            expr("cast(CASE WHEN den = 0 THEN 0" +
+              " ELSE diff2 * diff2 * 3 * n * (n - 1) * 1000000 div den" +
+              " END as bigint)").as("z2_fx"))
+      }),
+
+    // q83: GINI concentration of token mass per source — how unequal
+    // a source's contribution is across its documents (a source whose
+    // tokens live in three giant files needs different dedup/packing
+    // treatment than one with uniform pages). Exactness: with docs
+    // ranked ASCENDING by (tokens, doc_id), G = (2·Σi·xᵢ − (n+1)·Σx)
+    // / (n·Σx); the tie-break is value-neutral (equal x inside a tie
+    // block contribute x·Σi whatever the order), so the statistic is
+    // deterministic and one integer division makes it fixed point.
+    // Scale: one narrow projection, a per-source window at document
+    // grain, one keyed aggregate — nothing pairwise.
+    QueryDef(
+      "q83_gini_concentration",
+      Some("""WITH dd AS (SELECT source, doc_id,
+             |    cast(len(string_split(text, ' ')) as bigint) AS toks
+             |  FROM documents),
+             |r AS (SELECT source, toks, row_number() OVER (
+             |    PARTITION BY source ORDER BY toks, doc_id) AS i
+             |  FROM dd),
+             |a AS (SELECT source, count(*) AS n, sum(toks) AS tot,
+             |    sum(cast(i as HUGEINT) * toks) AS iwx
+             |  FROM r GROUP BY 1)
+             |SELECT source, cast(n as bigint) AS n_docs,
+             |  cast(tot as bigint) AS total_tokens,
+             |  cast(CASE WHEN tot = 0 THEN 0
+             |    ELSE (2 * iwx - (cast(n as HUGEINT) + 1) * tot)
+             |      * 1000000 // (cast(n as HUGEINT) * tot) END
+             |    as bigint) AS gini_fx
+             |FROM a""".stripMargin),
+      (s, d) => {
+        val dd = t(s, d, "documents").select(col("source"), col("doc_id"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("toks"))
+        val wr = Window.partitionBy(col("source"))
+          .orderBy(col("toks"), col("doc_id"))
+        dd.withColumn("i", row_number().over(wr))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("toks")).as("tot"),
+            sum(expr("cast(i as decimal(38,0)) * toks")).as("iwx"))
+          .select(col("source"),
+            col("n").cast("long").as("n_docs"),
+            col("tot").cast("long").as("total_tokens"),
+            expr("cast(CASE WHEN tot = 0 THEN 0" +
+              " ELSE (2 * iwx - (cast(n as decimal(38,0)) + 1) * tot)" +
+              " * 1000000 div (cast(n as decimal(38,0)) * tot) END" +
+              " as bigint)").as("gini_fx"))
+      }),
+
+    // q84: KENDALL tau-a between click and purchase daily volumes —
+    // monotone association from concordant/discordant day pairs, the
+    // correlation that (like q81's slope) ignores how FAR an outlier
+    // day moved, only which way. The day series zero-fills from a
+    // generated calendar spine, so a day with clicks and no purchases
+    // counts as (a, 0) in both engines instead of silently vanishing
+    // from the join. tau-a = (C − D) / (n choose 2) — an exact
+    // rational; C, D, and the tie count are plain integers. Scale:
+    // volume crosses ONE keyed day count; the pair panel is
+    // (span choose 2) rows on the broadcast day spine — bounded by
+    // the calendar, never by event volume.
+    QueryDef(
+      "q84_kendall_corr",
+      Some("""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
+             |    max(cast(ts AS DATE)) AS hi FROM events),
+             |spine AS (SELECT cast(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) as date) AS day FROM b),
+             |c AS (SELECT cast(ts AS DATE) AS day,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS a,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS bb
+             |  FROM events GROUP BY 1),
+             |x AS (SELECT day, coalesce(a, 0) AS a, coalesce(bb, 0) AS b
+             |  FROM spine LEFT JOIN c USING (day)),
+             |p AS (SELECT (u.a - v.a) * (u.b - v.b) AS prod
+             |  FROM x u JOIN x v ON u.day < v.day),
+             |g AS (SELECT count(*) AS n_pairs,
+             |    coalesce(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END), 0)
+             |      AS concordant,
+             |    coalesce(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END), 0)
+             |      AS discordant,
+             |    coalesce(sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END), 0)
+             |      AS tied
+             |  FROM p),
+             |nd AS (SELECT count(*) AS n_days FROM x)
+             |SELECT cast(n_days as bigint) AS n_days,
+             |  cast(n_pairs as bigint) AS n_pairs,
+             |  cast(concordant as bigint) AS concordant,
+             |  cast(discordant as bigint) AS discordant,
+             |  cast(tied as bigint) AS tied,
+             |  cast(concordant - discordant as bigint) AS s_stat,
+             |  cast(CASE WHEN n_pairs = 0 THEN 0
+             |    ELSE (concordant - discordant) * 1000000 // n_pairs END
+             |    as bigint) AS tau_a_fx
+             |FROM nd, g""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b = ev.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        // empty input: sequence(NULL, NULL) is NULL and explode drops
+        // it, so the spine is empty in both engines, not a crash
+        val spine = b.select(
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val c = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("a"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("b"))
+        val x = spine.join(c, Seq("day"), "left")
+          .select(col("day"), coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+        val xu = x.select(col("day").as("du"), col("a").as("au"),
+          col("b").as("bu"))
+        val xv = x.select(col("day").as("dv"), col("a").as("av"),
+          col("b").as("bv"))
+        // day-grain pair panel: both sides bounded by the calendar
+        // span, so the broadcast nested-loop is a fixed small cost
+        val p = xu.join(broadcast(xv), col("du") < col("dv"))
+          .select(expr("(au - av) * (bu - bv)").as("prod"))
+        val g = p.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("prod") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("concordant"),
+          coalesce(sum(when(col("prod") < 0, 1L).otherwise(0L)), lit(0L))
+            .as("discordant"),
+          coalesce(sum(when(col("prod") === 0, 1L).otherwise(0L)), lit(0L))
+            .as("tied"))
+        val nd = x.agg(count(lit(1)).as("n_days"))
+        nd.crossJoin(broadcast(g))
+          .select(col("n_days").cast("long").as("n_days"),
+            col("n_pairs").cast("long").as("n_pairs"),
+            col("concordant").cast("long").as("concordant"),
+            col("discordant").cast("long").as("discordant"),
+            col("tied").cast("long").as("tied"),
+            (col("concordant") - col("discordant")).cast("long")
+              .as("s_stat"),
+            expr("cast(CASE WHEN n_pairs = 0 THEN 0" +
+              " ELSE (concordant - discordant) * 1000000L div n_pairs" +
+              " END as bigint)").as("tau_a_fx"))
+      }),
+
+    // q85: LAG-1 AUTOCORRELATION of daily event volume — the serial-
+    // dependence smell test ("is yesterday's traffic informative about
+    // today's?") behind sampling and forecasting decisions. Exactness:
+    // multiply the Pearson form through by n² so the centered terms
+    // are INTEGERS (cy_t = n·y_t − Σy), then r₁ = Σ(cy_t·cy_{t+1}) /
+    // Σ(cy_t²) is one exact rational → one fixed-point division (the
+    // q80 single-rational discipline; no float mean to drift). The
+    // series zero-fills from the calendar spine like q84, so gaps are
+    // real zeros. Scale: one keyed day count; the window and aggregate
+    // run at day grain.
+    QueryDef(
+      "q85_autocorr_lag1",
+      Some("""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
+             |    max(cast(ts AS DATE)) AS hi FROM events),
+             |spine AS (SELECT cast(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) as date) AS day FROM b),
+             |c AS (SELECT cast(ts AS DATE) AS day, count(*) AS y
+             |  FROM events GROUP BY 1),
+             |x AS (SELECT day, coalesce(y, 0) AS y
+             |  FROM spine LEFT JOIN c USING (day)),
+             |st AS (SELECT count(*) AS n, coalesce(sum(y), 0) AS s
+             |  FROM x),
+             |z AS (SELECT cast(n as HUGEINT) * y - s AS cy,
+             |    lead(cast(n as HUGEINT) * y - s) OVER (ORDER BY day)
+             |      AS cy1
+             |  FROM x, st),
+             |a AS (SELECT coalesce(sum(cy * cy), 0) AS den,
+             |    coalesce(sum(cy * cy1), 0) AS num
+             |  FROM z)
+             |SELECT cast(n as bigint) AS n_days,
+             |  cast(s as bigint) AS total_events,
+             |  cast(CASE WHEN den = 0 THEN 0
+             |    ELSE num * 1000000 // den END as bigint) AS r1_fx
+             |FROM st, a""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b = ev.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val spine = b.select(
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val c = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val x = spine.join(c, Seq("day"), "left")
+          .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+        val st = x.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("y")), lit(0L)).as("s"))
+        // day-grain window (tiny): the lead pairs adjacent calendar
+        // days; the NULL tail product drops from the sum identically
+        // in both engines
+        val wd = Window.orderBy(col("day"))
+        val z = x.crossJoin(broadcast(st))
+          .withColumn("cy", expr("cast(n as decimal(38,0)) * y - s"))
+          .withColumn("cy1", lead(col("cy"), 1).over(wd))
+        val a = z.agg(
+          coalesce(sum(expr("cy * cy")), lit(0L).cast("decimal(38,0)"))
+            .as("den"),
+          coalesce(sum(expr("cy * cy1")), lit(0L).cast("decimal(38,0)"))
+            .as("num"))
+        st.crossJoin(broadcast(a))
+          .select(col("n").cast("long").as("n_days"),
+            col("s").cast("long").as("total_events"),
+            expr("cast(CASE WHEN den = 0 THEN 0" +
+              " ELSE num * 1000000 div den END as bigint)").as("r1_fx"))
+      })
+  )
+}

@@ -150,7 +150,13 @@ class EmptyInputSpec extends AnyFunSuite {
     // an empty holdout reports one all-zero row (guarded sums); an
     // empty corpus allocates an empty mix; an empty event table has
     // no day grain and trends to an empty report
-    "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend")
+    "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend",
+    // round 14: empty orders → one all-zero rank-sum row (guarded
+    // denominators); empty documents → empty Gini table; empty events
+    // → a NULL day spine explodes to zero rows, so Kendall and the
+    // autocorrelation emit one all-zero row through their guards
+    "q82_ranksum_test", "q83_gini_concentration", "q84_kendall_corr",
+    "q85_autocorr_lag1")
 
   /** Model-building ops: an empty MODEL (centroids, codebook, seeds) is
     * a caller bug and must refuse with the documented message — not a

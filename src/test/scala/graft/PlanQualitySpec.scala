@@ -717,6 +717,9 @@ class PlanQualitySpec extends AnyFunSuite {
   //    IVF/PQ), a constant of the operator.
   //  - "sketch": pair algebra over ALREADY-AGGREGATED sketch rows
   //    (q72: |event types|^2 rows of <=k longs each).
+  //  - "calendar": pair panel over the DAY spine (q84's Kendall day
+  //    pairs) — both sides bounded by the calendar span, never by
+  //    event volume.
   //
   // If a new query trips this test, either remove the nested loop
   // (preferred) or add it here WITH its boundedness argument.
@@ -750,7 +753,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "q76_decayed_engagement" -> "scalar",
     "q78_survival_hazard" -> "scalar", "q79_benford_audit" -> "scalar",
     "t46_source_vocab_drift" -> "scalar",
-    "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar")
+    "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar",
+    "q84_kendall_corr" -> "calendar", "q85_autocorr_lag1" -> "scalar")
 
   test("registry-wide: no CartesianProduct anywhere; BNLJ only on the " +
     "bounded-side allowlist (and the allowlist stays live)") {

@@ -191,7 +191,14 @@ class RobustnessSpec extends AnyFunSuite {
     // capped mix (one source dominating by the 20k-token repeat doc);
     // the 2-day adversarial event panel through the pairwise-slope
     // trend (single-day types emit NULL trend, not a crash)
-    "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend")
+    "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend",
+    // round 14: the adversarial panels through source Gini (one
+    // dominating doc) and the 2-day Kendall/autocorrelation series
+    // (one pair, zero variance); q82 reads ORDERS, which this
+    // document/event fixture does not synthesize — its tiny-n and
+    // all-tied arms are covered by the EmptyInputSpec sweep and the
+    // first-principles recount instead
+    "q83_gini_concentration", "q84_kendall_corr", "q85_autocorr_lag1")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
