@@ -56,12 +56,31 @@ object GraphAlgs {
 
   /** Per-round lineage truncation: reliable `checkpoint()` when a
     * directory is given, executor-local `localCheckpoint` otherwise.
+    *
+    * The re-wrap through `createDataFrame(rdd, schema)` after the
+    * checkpoint is load-bearing (round-14 finding, measured at the
+    * curation smoke's 100× scale): Spark's checkpoint node COPIES the
+    * origin plan's `sizeInBytes` statistic, and every round of a
+    * self-referential iteration joins the previous table with a
+    * derivative of itself — so the carried estimate SQUARES per round.
+    * Its bit-length doubles each round, and by round ~18 the driver
+    * spends its time in multi-megabyte BigInteger multiplications
+    * inside `SizeInBytesOnlyStatsPlanVisitor` (observed: round walls
+    * 2.5 s → 5 → 10 → 24 → 80 s, identical on the broadcast and
+    * co-partitioned paths, main thread pinned in Toom-Cook). Building
+    * a fresh DataFrame from the checkpointed RDD resets the statistic
+    * to the session default each round, which bounds every stats
+    * product the planner ever computes. The Row round-trip touches
+    * only node-sized tables (labels / ranks / frontiers), never edges.
     */
   private final class Rounds(spark: SparkSession, dir: Option[String]) {
     dir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (dir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    def truncate(df: DataFrame): DataFrame = {
+      val cp =
+        if (dir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
   }
 
   private def shufflePartitions(df: DataFrame): Int =
