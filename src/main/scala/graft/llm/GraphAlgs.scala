@@ -69,17 +69,30 @@ object GraphAlgs {
     * 2.5 s → 5 → 10 → 24 → 80 s, identical on the broadcast and
     * co-partitioned paths, main thread pinned in Toom-Cook). Building
     * a fresh DataFrame from the checkpointed RDD resets the statistic
-    * to the session default each round, which bounds every stats
-    * product the planner ever computes. The Row round-trip touches
-    * only node-sized tables (labels / ranks / frontiers), never edges.
+    * to the session default, which bounds every stats product the
+    * planner ever computes.
+    *
+    * The reset runs every [[StatsResetEvery]] truncations, not every
+    * one: the Row round-trip discards the checkpoint's partitioning
+    * metadata (costing a node-sized Exchange next round) and
+    * re-encodes rows, a measured ~1-2 s family tax per gate query
+    * when paid every round (TimeQ A/B). Between resets the estimate
+    * squares at most ~8 times — a ≤2^9·63-bit integer, microseconds
+    * to multiply — so planning cost stays bounded at ANY round count
+    * while the common path keeps the cheap plain checkpoint.
     */
+  private val StatsResetEvery = 16 // truncate calls ≈ 8 iteration rounds
   private final class Rounds(spark: SparkSession, dir: Option[String]) {
     dir.foreach(spark.sparkContext.setCheckpointDir)
+    private var calls = 0
     def truncate(df: DataFrame): DataFrame = {
       val cp =
         if (dir.isDefined) df.checkpoint(eager = true)
         else df.localCheckpoint(eager = true)
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      calls += 1
+      if (calls % StatsResetEvery == 0)
+        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      else cp
     }
   }
 
