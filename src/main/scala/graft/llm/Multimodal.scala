@@ -587,22 +587,24 @@ object Multimodal {
           if (src.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
             src.getSampleSizeInBits == 16) in
           else AudioSystem.getAudioInputStream(want, in)
-        val fmt = pcmIn.getFormat
-        val bytesPerFrame = fmt.getFrameSize
-        val big = fmt.isBigEndian
-        val bytes = pcmIn.readAllBytes()
-        val n = bytes.length / bytesPerFrame
-        val out = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          val off = i * bytesPerFrame // channel 0 leads each frame
-          val (lo, hi) = if (big) (bytes(off + 1), bytes(off))
-          else (bytes(off), bytes(off + 1))
-          out(i) = ((hi << 8) | (lo & 0xff)).toShort.toInt
-          i += 1
-        }
-        out
-      } finally in.close()
+        try {
+          val fmt = pcmIn.getFormat
+          val bytesPerFrame = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val bytes = pcmIn.readAllBytes()
+          val n = bytes.length / bytesPerFrame
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val off = i * bytesPerFrame // channel 0 leads each frame
+            val (lo, hi) = if (big) (bytes(off + 1), bytes(off))
+            else (bytes(off), bytes(off + 1))
+            out(i) = ((hi << 8) | (lo & 0xff)).toShort.toInt
+            i += 1
+          }
+          out
+        } finally pcmIn.close() // closing the converter cascades to `in`
+      } finally in.close() // no-op when already closed via pcmIn
     }
   }
 

@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
   * zero-filled from a generated spine so missing days count as zeros in
   * both engines). The only pairwise work (q84) runs on the day spine —
   * (span choose 2) pairs regardless of event volume. Wide products ride
-  * decimal(38,0)/HUGEINT (ANSI mode throws on int64 overflow; the q80
-  * headroom note applies: past ~1e9 observations the single-division
-  * z²/gini forms need a wider intermediate or staged reduction).
+  * decimal(38,0)/HUGEINT (ANSI mode throws on int64 overflow, never
+  * drifts). Per-op headroom: q82's z² stages its reduction past
+  * n = 200000 customers (exact single rational below, ≤1.5e-5-z²
+  * staging above, good to ~1e8 — see the q82 note); q83's Gini needs
+  * n_docs·total_tokens·2e6 ≤ 1e38 (≈5e31 doc·tokens per source — far
+  * past any real corpus); q84/q85 run at day grain where 38 digits
+  * are effectively unbounded.
   */
 object RelationalQueries5 {
 
@@ -49,11 +53,20 @@ object RelationalQueries5 {
     // with c members is m + (c+1)/2 — doubled, 2m + c + 1, an
     // integer), so U, its null mean, and the tie-corrected z² are all
     // exact rationals: z² = 3·(2U − n0n1)²·n(n−1) /
-    // (n0·n1·(n³ − n − Σ(t³−t))), one decimal38/HUGEINT division to
-    // fixed point. Rank-biserial effect size (2U/(n0n1) − 1) rides
-    // the same doubled integers. Scale: one keyed count per customer,
-    // then everything at COUNT-VALUE grain (a handful of distinct
-    // values no matter how many customers).
+    // (n0·n1·(n³ − n − Σ(t³−t))). Headroom (ANSI throws loud past
+    // it, never drifts): the single-rational numerator diff2²·3n(n−1)
+    // ·1e6 reaches ~1.9e5·n⁶ when the arms fully separate (|diff2| =
+    // n0·n1 ≈ n²/4), overflowing decimal(38,0)/HUGEINT near n ≈
+    // 2.9e5 customers — so past n = 200000 both dialects switch to a
+    // STAGED reduction: (diff2² div n0n1) — an integer ≤ n0n1 with
+    // truncation error < 1 — times 3n(n−1)·1e6 div cubic. Numerator
+    // ≤ 0.75e6·n⁴ → good to n ≈ 1e8 customers; the staging costs at
+    // most 3e6/n fx units (≤ 15 at the crossover, i.e. z² off by
+    // ≤ 1.5e-5), and both engines stage IDENTICALLY so the gate hash
+    // cannot split. Rank-biserial effect size (2U/(n0n1) − 1) rides
+    // the same doubled integers (safe to n ~ 2e16). Scale: one keyed
+    // count per customer, then everything at COUNT-VALUE grain (a
+    // handful of distinct values no matter how many customers).
     QueryDef(
       "q82_ranksum_test",
       Some("""WITH u AS (SELECT o_custkey, abs(o_custkey % 2) AS variant,
@@ -77,9 +90,8 @@ object RelationalQueries5 {
              |    n0 + n1 AS n,
              |    cast(r1_2 - n1 * (n1 + 1) as HUGEINT) - cast(n0 as
              |      HUGEINT) * n1 AS diff2,
-             |    cast(n0 as HUGEINT) * n1
-             |      * (cast(n0 + n1 as HUGEINT) * (n0 + n1) * (n0 + n1)
-             |        - (n0 + n1) - tie_term) AS den
+             |    cast(n0 + n1 as HUGEINT) * (n0 + n1) * (n0 + n1)
+             |      - (n0 + n1) - tie_term AS cubic
              |  FROM a)
              |SELECT cast(n0 as bigint) AS n_control,
              |  cast(n1 as bigint) AS n_treatment,
@@ -89,8 +101,13 @@ object RelationalQueries5 {
              |  cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0
              |    ELSE diff2 * 1000000 // (cast(n0 as HUGEINT) * n1) END
              |    as bigint) AS rank_biserial_fx,
-             |  cast(CASE WHEN den = 0 THEN 0
-             |    ELSE diff2 * diff2 * 3 * n * (n - 1) * 1000000 // den
+             |  cast(CASE WHEN n0 = 0 OR n1 = 0 OR cubic = 0 THEN 0
+             |    WHEN n <= 200000
+             |    THEN diff2 * diff2 * 3 * n * (n - 1) * 1000000
+             |      // (cast(n0 as HUGEINT) * n1 * cubic)
+             |    ELSE cast((diff2 * diff2)
+             |        // (cast(n0 as HUGEINT) * n1) as HUGEINT)
+             |      * 3 * n * (n - 1) * 1000000 // cubic
              |    END as bigint) AS z2_fx
              |FROM z""".stripMargin),
       (s, d) => {
@@ -114,8 +131,8 @@ object RelationalQueries5 {
           .withColumn("n", expr("n0 + n1"))
           .withColumn("diff2", expr("cast(u1_2 as decimal(38,0))" +
             " - cast(n0 as decimal(38,0)) * n1"))
-          .withColumn("den", expr("cast(n0 as decimal(38,0)) * n1" +
-            " * (cast(n as decimal(38,0)) * n * n - n - tie_term)"))
+          .withColumn("cubic", expr("cast(n as decimal(38,0)) * n * n" +
+            " - n - tie_term"))
           .select(col("n0").cast("long").as("n_control"),
             col("n1").cast("long").as("n_treatment"),
             col("u1_2").cast("long").as("u1_doubled"),
@@ -125,8 +142,13 @@ object RelationalQueries5 {
               " ELSE diff2 * 1000000" +
               " div (cast(n0 as decimal(38,0)) * n1) END as bigint)")
               .as("rank_biserial_fx"),
-            expr("cast(CASE WHEN den = 0 THEN 0" +
-              " ELSE diff2 * diff2 * 3 * n * (n - 1) * 1000000 div den" +
+            expr("cast(CASE WHEN n0 = 0 OR n1 = 0 OR cubic = 0 THEN 0" +
+              " WHEN n <= 200000" +
+              " THEN diff2 * diff2 * 3 * n * (n - 1) * 1000000" +
+              " div (cast(n0 as decimal(38,0)) * n1 * cubic)" +
+              " ELSE cast((diff2 * diff2)" +
+              " div (cast(n0 as decimal(38,0)) * n1) as decimal(38,0))" +
+              " * 3 * n * (n - 1) * 1000000 div cubic" +
               " END as bigint)").as("z2_fx"))
       }),
 
@@ -143,7 +165,9 @@ object RelationalQueries5 {
     QueryDef(
       "q83_gini_concentration",
       Some("""WITH dd AS (SELECT source, doc_id,
-             |    cast(len(string_split(text, ' ')) as bigint) AS toks
+             |    CASE WHEN text IS NULL THEN 0
+             |      ELSE cast(len(string_split(text, ' ')) as bigint) END
+             |      AS toks
              |  FROM documents),
              |r AS (SELECT source, toks, row_number() OVER (
              |    PARTITION BY source ORDER BY toks, doc_id) AS i
@@ -159,8 +183,14 @@ object RelationalQueries5 {
              |    as bigint) AS gini_fx
              |FROM a""".stripMargin),
       (s, d) => {
+        // NULL text → toks 0 explicitly (not coalesce: a legacy
+        // sizeOfNull=-1 session would sneak -1 past a coalesce), so
+        // the rank window's ORDER BY toks never sees a NULL — Spark
+        // sorts NULLS FIRST ascending, DuckDB NULLS LAST, and a NULL
+        // toks would shift every rank i cross-engine.
         val dd = t(s, d, "documents").select(col("source"), col("doc_id"),
-          expr("cast(size(split(text, ' ')) as bigint)").as("toks"))
+          expr("CASE WHEN text IS NULL THEN 0L" +
+            " ELSE cast(size(split(text, ' ')) as bigint) END").as("toks"))
         val wr = Window.partitionBy(col("source"))
           .orderBy(col("toks"), col("doc_id"))
         dd.withColumn("i", row_number().over(wr))

@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object CountMinScaleSmoke {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // deterministic JSON decimals
     val b = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-countmin-scale-smoke")

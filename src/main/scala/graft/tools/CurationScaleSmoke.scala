@@ -36,6 +36,7 @@ import org.apache.spark.sql.functions._
 object CurationScaleSmoke {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // deterministic JSON decimals
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val copiesList = if (args.length > 1)
       args(1).split(",").toSeq.map(_.toInt) else Seq(1, 10)

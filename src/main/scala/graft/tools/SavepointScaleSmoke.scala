@@ -63,6 +63,7 @@ object SavepointScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // deterministic JSON decimals
     val nKeys = if (args.length > 0) args(0).toLong else 5000000L
     val root = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft-scale").toString

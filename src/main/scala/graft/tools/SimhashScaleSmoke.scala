@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
 object SimhashScaleSmoke {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // deterministic JSON decimals
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val b = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

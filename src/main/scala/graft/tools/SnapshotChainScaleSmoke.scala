@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
 object SnapshotChainScaleSmoke {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // deterministic JSON decimals
     val nKeys = if (args.length > 0) args(0).toLong else 5000000L
     val batchRows = if (args.length > 1) args(1).toLong else 5000000L
     val nBatches = if (args.length > 2) args(2).toInt else 4

@@ -56,6 +56,35 @@ class RobustnessSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
     writeSingleFile(emb, d, "embeddings")
+    // orders: the adversarial shapes the o_custkey-grain statistics
+    // (q78 survival, q82 rank-sum) must survive — Long.MinValue and
+    // negative custkeys (abs(k % 2): MinValue % 2 = 0; negative odd
+    // keys land in arm 1 in BOTH engines' truncated modulo), order
+    // counts TIED across both parity arms (q82's doubled-average-rank
+    // tie machinery: count 1 appears in each arm, count 2 in both),
+    // same-day repeat orders (q78's zero-duration ties under the
+    // (day, o_orderkey) window), and a censored-only single-order
+    // customer at the horizon.
+    val day0 = 1704067200000000L // 2024-01-01 UTC, micros
+    val us = 86400000000L
+    val ord = Seq(
+      (101L, Long.MinValue, day0),         // arm 0: 2 orders, SAME day
+      (102L, Long.MinValue, day0),
+      (103L, 0L, day0 + 2 * us),           // arm 0: 1 order
+      (104L, 2L, day0),                    // arm 0: 2 orders, 3 days apart
+      (105L, 2L, day0 + 3 * us),
+      (106L, -3L, day0 + us),              // arm 1: 2 orders, 1 day apart
+      (107L, -3L, day0 + 2 * us),
+      (108L, -1L, day0 + 3 * us))          // arm 1: 1 order AT the horizon
+      .toDF("o_orderkey", "o_custkey", "o_us")
+      .withColumn("o_orderdate",
+        expr("cast(timestamp_micros(o_us) as timestamp_ntz)"))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(0.0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    writeSingleFile(ord, d, "orders")
     val baseUs = 1704067200000000L
     val ev = Seq(
       (1L, baseUs, 1L, "view", 0.0),
@@ -194,11 +223,13 @@ class RobustnessSpec extends AnyFunSuite {
     "q80_holdout_lift", "p29_capped_mix", "q81_theilsen_trend",
     // round 14: the adversarial panels through source Gini (one
     // dominating doc) and the 2-day Kendall/autocorrelation series
-    // (one pair, zero variance); q82 reads ORDERS, which this
-    // document/event fixture does not synthesize — its tiny-n and
-    // all-tied arms are covered by the EmptyInputSpec sweep and the
-    // first-principles recount instead
-    "q83_gini_concentration", "q84_kendall_corr", "q85_autocorr_lag1")
+    // (one pair, zero variance)
+    "q83_gini_concentration", "q84_kendall_corr", "q85_autocorr_lag1",
+    // round 15: the adversarial ORDERS table (Long.MinValue/negative
+    // custkeys, cross-arm tied counts, same-day repeat orders, a
+    // censored-only horizon customer) through the survival hazard and
+    // the rank-sum test
+    "q78_survival_hazard", "q82_ranksum_test")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
@@ -234,6 +265,22 @@ class RobustnessSpec extends AnyFunSuite {
     val pos = SparkEntry.queries("p19_interleave_order")(spark, dir).collect()
       .map(_.getLong(2))
     assert(pos.distinct.length === pos.length)
+    // q82 over the adversarial orders, recomputed by hand: arm 0
+    // (MinValue, 0, 2) has counts {2,1,2}, arm 1 (-3, -1) has {1,2};
+    // value grain → val 1: c=2,c1=1,m=0; val 2: c=3,c1=1,m=2; so
+    // r1_2 = 3 + 8 = 11, u1_2 = 11 − 2·3 = 5, diff2 = 5 − 6 = −1,
+    // tie_term = 6 + 24 = 30, cubic = 125 − 5 − 30 = 90, and
+    // z² = 1·3·5·4·1e6 / (6·90) = 111111 fx (truncated), biserial =
+    // −1e6/6 = −166666 fx (toward zero). Long.MinValue % 2 must land
+    // in arm 0 without abs() overflow for these to hold.
+    val q82 = SparkEntry.queries("q82_ranksum_test")(spark, dir).head()
+    assert(q82.getLong(0) === 3L, "n_control (MinValue, 0, 2)")
+    assert(q82.getLong(1) === 2L, "n_treatment (-3, -1)")
+    assert(q82.getLong(2) === 5L, "u1_doubled")
+    assert(q82.getLong(3) === 6L, "mean_u_doubled")
+    assert(q82.getLong(4) === 30L, "tie_term")
+    assert(q82.getLong(5) === -166666L, "rank_biserial_fx")
+    assert(q82.getLong(6) === 111111L, "z2_fx")
   }
 
   test("event-horizon timestamps survive the engine's parquet sink") {
