@@ -57,8 +57,8 @@ object GraphAlgs {
   /** Per-round lineage truncation: reliable `checkpoint()` when a
     * directory is given, executor-local `localCheckpoint` otherwise.
     *
-    * The re-wrap through `createDataFrame(rdd, schema)` after the
-    * checkpoint is load-bearing (round-14 finding, measured at the
+    * Severing inherited plan statistics after the checkpoint is
+    * load-bearing (round-14 finding, measured at the
     * curation smoke's 100× scale): Spark's checkpoint node COPIES the
     * origin plan's `sizeInBytes` statistic, and every round of a
     * self-referential iteration joins the previous table with a
@@ -72,27 +72,45 @@ object GraphAlgs {
     * to the session default, which bounds every stats product the
     * planner ever computes.
     *
-    * The reset runs every [[StatsResetEvery]] truncations, not every
-    * one: the Row round-trip discards the checkpoint's partitioning
-    * metadata (costing a node-sized Exchange next round) and
-    * re-encodes rows, a measured ~1-2 s family tax per gate query
-    * when paid every round (TimeQ A/B). Between resets the estimate
-    * squares at most ~8 times — a ≤2^9·63-bit integer, microseconds
-    * to multiply — so planning cost stays bounded at ANY round count
-    * while the common path keeps the cheap plain checkpoint.
+    * Round 15 replaced the Row round-trip with
+    * [[org.apache.spark.sql.graftshim.CheckpointStats.severStats]]:
+    * rebuild the Dataset around a new `LogicalRDD` sharing the
+    * checkpoint's `InternalRow` RDD, output, partitioning and
+    * ordering, with `originStats = None`. Zero re-encode, zero lost
+    * Exchange — so the sever now runs on EVERY truncation and the
+    * carried estimate never squares at all. (The round-14 compromise
+    * — a `createDataFrame(cp.rdd, cp.schema)` round-trip every 16th
+    * call, because paying its Exchange every round cost ~1-2 s per
+    * g-family gate query — survives behind `GRAFT_STATS_RESET=legacy`
+    * for A/B only.)
     */
-  private val StatsResetEvery = 16 // truncate calls ≈ 8 iteration rounds
+  private[graft] def legacyStatsReset: Boolean =
+    sys.env.get("GRAFT_STATS_RESET").contains("legacy")
+  private val StatsResetEvery = 16 // legacy A/B path only
   private final class Rounds(spark: SparkSession, dir: Option[String]) {
     dir.foreach(spark.sparkContext.setCheckpointDir)
     private var calls = 0
     def truncate(df: DataFrame): DataFrame = {
-      val cp =
-        if (dir.isDefined) df.checkpoint(eager = true)
-        else df.localCheckpoint(eager = true)
       calls += 1
-      if (calls % StatsResetEvery == 0)
-        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-      else cp
+      sys.env.get("GRAFT_STATS_RESET") match {
+        case Some("legacy") =>
+          val cp =
+            if (dir.isDefined) df.checkpoint(eager = true)
+            else df.localCheckpoint(eager = true)
+          if (calls % StatsResetEvery == 0)
+            cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+          else cp
+        case Some("sever-only") => // A/B probe: no layout recovery
+          val cp =
+            if (dir.isDefined) df.checkpoint(eager = true)
+            else df.localCheckpoint(eager = true)
+          org.apache.spark.sql.graftshim.CheckpointStats.severStats(cp)
+        case Some("stock") => // A/B probe: plain checkpoint, no sever
+          if (dir.isDefined) df.checkpoint(eager = true)
+          else df.localCheckpoint(eager = true)
+        case _ => org.apache.spark.sql.graftshim.CheckpointStats
+          .checkpointSevered(df, reliable = dir.isDefined)
+      }
     }
   }
 

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   *  - q85 lag-1 autocorrelation of daily event volume: the serial-
   *    dependence diagnostic (trend/seasonality smell test) behind
   *    every "is traffic i.i.d. enough to sample daily?" decision.
+  *  - q86 Spearman rank correlation (round 15): Pearson over doubled
+  *    average ranks — completes the rank-statistics trio (q82 rank
+  *    sums, q84 concordance, q86 rank correlation), reported as the
+  *    signed square so it stays one exact rational.
+  *  - q87 Wald–Wolfowitz runs test (round 15): above/below-median
+  *    sign streaks in daily volume — the categorical companion to
+  *    q85's linear serial dependence.
   *
   * Scale notes (100 TB stance): every query reduces event/order volume
   * to a BOUNDED grain first — value grain (q82: the per-customer count
@@ -360,6 +367,216 @@ object RelationalQueries5 {
             col("s").cast("long").as("total_events"),
             expr("cast(CASE WHEN den = 0 THEN 0" +
               " ELSE num * 1000000 div den END as bigint)").as("r1_fx"))
+      }),
+
+    // q86: SPEARMAN rank correlation between click and purchase daily
+    // volumes — completes the rank-statistics trio next to q82 (rank
+    // sums) and q84 (concordance): Spearman is Pearson over the RANK
+    // series, robust to any monotone rescaling of the volumes.
+    // Exactness: ranks are the q82 doubled-average-rank integers
+    // (2·rank() + tie_count − 1), centering multiplies through by n
+    // (the q85 trick) so cx/cy are integers, and the report is the
+    // SIGNED SQUARE sign(Sxy)·Sxy²/(Sxx·Syy) — one exact rational, no
+    // square root to drift (the q80 z² convention). The sign is
+    // applied OUTSIDE the truncated division so both engines divide
+    // positives only (no floor-vs-trunc trap). Headroom: the single
+    // rational holds to n = 1000 days (Sxy² ≤ 16n¹⁰); past that both
+    // dialects stage (Sxy² div Sxx)·1e6 div Syy — good to ~6e6 days,
+    // ≤ 1e6/Syy fx of staging error. Scale: one keyed day count;
+    // ranks/windows at day grain.
+    QueryDef(
+      "q86_spearman_corr",
+      Some("""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
+             |    max(cast(ts AS DATE)) AS hi FROM events),
+             |spine AS (SELECT cast(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) as date) AS day FROM b),
+             |c AS (SELECT cast(ts AS DATE) AS day,
+             |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS a,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS bb
+             |  FROM events GROUP BY 1),
+             |x AS (SELECT day, coalesce(a, 0) AS a, coalesce(bb, 0) AS b
+             |  FROM spine LEFT JOIN c USING (day)),
+             |r AS (SELECT
+             |    2 * rank() OVER (ORDER BY a)
+             |      + count(*) OVER (PARTITION BY a) - 1 AS ra,
+             |    2 * rank() OVER (ORDER BY b)
+             |      + count(*) OVER (PARTITION BY b) - 1 AS rb
+             |  FROM x),
+             |st AS (SELECT count(*) AS n, coalesce(sum(ra), 0) AS sa,
+             |    coalesce(sum(rb), 0) AS sb FROM r),
+             |z AS (SELECT cast(n as HUGEINT) * ra - sa AS cx,
+             |    cast(n as HUGEINT) * rb - sb AS cy
+             |  FROM r, st),
+             |a2 AS (SELECT coalesce(sum(cx * cy), 0) AS sxy,
+             |    coalesce(sum(cx * cx), 0) AS sxx,
+             |    coalesce(sum(cy * cy), 0) AS syy
+             |  FROM z)
+             |SELECT cast(n as bigint) AS n_days,
+             |  cast(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1
+             |    ELSE 0 END as bigint) AS rho_sign,
+             |  cast(CASE WHEN sxx = 0 OR syy = 0 THEN 0
+             |    WHEN n <= 1000
+             |    THEN (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)
+             |      * (sxy * sxy * 1000000 // (sxx * syy))
+             |    ELSE (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)
+             |      * (cast((sxy * sxy) // sxx as HUGEINT)
+             |        * 1000000 // syy)
+             |    END as bigint) AS rho2_fx
+             |FROM st, a2""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b = ev.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val spine = b.select(
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val c = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("a"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("b"))
+        val x = spine.join(c, Seq("day"), "left")
+          .select(col("day"), coalesce(col("a"), lit(0L)).as("a"),
+            coalesce(col("b"), lit(0L)).as("b"))
+        // doubled average ranks at day grain (tiny global windows —
+        // the q84/q85 calendar-bounded discipline)
+        val r = x.select(
+          expr("2 * rank() OVER (ORDER BY a)" +
+            " + count(*) OVER (PARTITION BY a) - 1").as("ra"),
+          expr("2 * rank() OVER (ORDER BY b)" +
+            " + count(*) OVER (PARTITION BY b) - 1").as("rb"))
+        val st = r.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("ra")), lit(0L)).as("sa"),
+          coalesce(sum(col("rb")), lit(0L)).as("sb"))
+        val z = r.crossJoin(broadcast(st))
+          .select(expr("cast(n as decimal(38,0)) * ra - sa").as("cx"),
+            expr("cast(n as decimal(38,0)) * rb - sb").as("cy"))
+        val a2 = z.agg(
+          coalesce(sum(expr("cx * cy")), lit(0L).cast("decimal(38,0)"))
+            .as("sxy"),
+          coalesce(sum(expr("cx * cx")), lit(0L).cast("decimal(38,0)"))
+            .as("sxx"),
+          coalesce(sum(expr("cy * cy")), lit(0L).cast("decimal(38,0)"))
+            .as("syy"))
+        st.crossJoin(broadcast(a2))
+          .select(col("n").cast("long").as("n_days"),
+            expr("cast(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1" +
+              " ELSE 0 END as bigint)").as("rho_sign"),
+            expr("cast(CASE WHEN sxx = 0 OR syy = 0 THEN 0" +
+              " WHEN n <= 1000" +
+              " THEN (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)" +
+              " * (sxy * sxy * 1000000 div (sxx * syy))" +
+              " ELSE (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)" +
+              " * (cast((sxy * sxy) div sxx as decimal(38,0))" +
+              " * 1000000 div syy)" +
+              " END as bigint)").as("rho2_fx"))
+      }),
+
+    // q87: WALD-WOLFOWITZ runs test on daily event volume — is the
+    // above/below-median sign sequence random, or does traffic come in
+    // streaks? The categorical companion to q85's autocorrelation (q85
+    // measures LINEAR serial dependence; the runs test catches any
+    // sign-pattern clustering). Exactness: the median is the LOWER
+    // median by rank (the q36 idiom — an actual data value, no
+    // interpolation), days equal to the median drop (the classical
+    // convention, deterministic in both engines), runs count sign
+    // changes + 1, and z² = (R·m − 2·n₁n₂ − m)²·(m−1) /
+    // (2n₁n₂·(2n₁n₂ − m)) is ONE exact rational (μ and σ² of the run
+    // count under the null, multiplied through) — good to ~1e6 days
+    // in 38 digits. Scale: day grain throughout.
+    QueryDef(
+      "q87_runs_test",
+      Some("""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
+             |    max(cast(ts AS DATE)) AS hi FROM events),
+             |spine AS (SELECT cast(unnest(generate_series(lo, hi,
+             |    INTERVAL 1 DAY)) as date) AS day FROM b),
+             |c AS (SELECT cast(ts AS DATE) AS day, count(*) AS y
+             |  FROM events GROUP BY 1),
+             |x AS (SELECT day, coalesce(y, 0) AS y
+             |  FROM spine LEFT JOIN c USING (day)),
+             |st AS (SELECT count(*) AS n FROM x),
+             |rk AS (SELECT y, row_number() OVER (ORDER BY y, day) AS rn
+             |  FROM x),
+             |med AS (SELECT coalesce(max(CASE WHEN rn =
+             |    (SELECT (n + 1) // 2 FROM st) THEN y END), 0) AS med
+             |  FROM rk),
+             |s AS (SELECT day, CASE WHEN y > med THEN 1 ELSE 0 END
+             |    AS sgn
+             |  FROM x, med WHERE y <> med),
+             |r AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev
+             |  FROM s),
+             |g AS (SELECT count(*) AS m,
+             |    coalesce(sum(sgn), 0) AS n_above,
+             |    coalesce(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+             |      THEN 1 ELSE 0 END), 0) AS changes
+             |  FROM r),
+             |z AS (SELECT m, n_above, m - n_above AS n_below,
+             |    CASE WHEN m > 0 THEN changes + 1 ELSE 0 END AS runs,
+             |    cast(CASE WHEN m > 0 THEN changes + 1 ELSE 0 END
+             |        as HUGEINT) * m
+             |      - 2 * cast(n_above as HUGEINT) * (m - n_above) - m
+             |      AS dd,
+             |    2 * cast(n_above as HUGEINT) * (m - n_above)
+             |      * (2 * cast(n_above as HUGEINT) * (m - n_above) - m)
+             |      AS den
+             |  FROM g)
+             |SELECT cast(n as bigint) AS n_days,
+             |  cast(med as bigint) AS median_volume,
+             |  cast(n_above as bigint) AS n_above,
+             |  cast(n_below as bigint) AS n_below,
+             |  cast(runs as bigint) AS n_runs,
+             |  cast(CASE WHEN den = 0 THEN 0
+             |    ELSE dd * dd * (m - 1) * 1000000 // den END
+             |    as bigint) AS z2_fx
+             |FROM st, med, z""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val b = ev.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        val spine = b.select(
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val c = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val x = spine.join(c, Seq("day"), "left")
+          .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+        val st = x.agg(count(lit(1)).as("n"))
+        val rk = x.select(col("y"),
+          expr("row_number() OVER (ORDER BY y, day)").as("rn"))
+        // lower median by rank: an actual value, empty-safe via the
+        // always-one-row aggregate
+        val med = rk.crossJoin(broadcast(st))
+          .agg(coalesce(max(when(col("rn") === expr("(n + 1) div 2"),
+            col("y"))), lit(0L)).as("med"))
+        val sgn = x.crossJoin(broadcast(med))
+          .filter(col("y") =!= col("med"))
+          .select(col("day"),
+            when(col("y") > col("med"), 1L).otherwise(0L).as("sgn"))
+        val r = sgn.select(col("sgn"),
+          expr("lag(sgn) OVER (ORDER BY day)").as("prev"))
+        val g = r.agg(count(lit(1)).as("m"),
+          coalesce(sum(col("sgn")), lit(0L)).as("n_above"),
+          coalesce(sum(when(col("prev").isNotNull &&
+            col("sgn") =!= col("prev"), 1L).otherwise(0L)), lit(0L))
+            .as("changes"))
+        val z = g.select(col("m"), col("n_above"),
+          (col("m") - col("n_above")).as("n_below"),
+          when(col("m") > 0, col("changes") + 1L).otherwise(0L)
+            .as("runs"))
+          .withColumn("dd", expr("cast(runs as decimal(38,0)) * m" +
+            " - 2 * cast(n_above as decimal(38,0)) * n_below - m"))
+          .withColumn("den",
+            expr("2 * cast(n_above as decimal(38,0)) * n_below" +
+              " * (2 * cast(n_above as decimal(38,0)) * n_below - m)"))
+        st.crossJoin(broadcast(med)).crossJoin(broadcast(z))
+          .select(col("n").cast("long").as("n_days"),
+            col("med").cast("long").as("median_volume"),
+            col("n_above").cast("long").as("n_above"),
+            col("n_below").cast("long").as("n_below"),
+            col("runs").cast("long").as("n_runs"),
+            expr("cast(CASE WHEN den = 0 THEN 0" +
+              " ELSE dd * dd * (m - 1) * 1000000 div den END" +
+              " as bigint)").as("z2_fx"))
       })
   )
 }

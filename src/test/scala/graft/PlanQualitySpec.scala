@@ -754,7 +754,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "q78_survival_hazard" -> "scalar", "q79_benford_audit" -> "scalar",
     "t46_source_vocab_drift" -> "scalar",
     "st21_stream_lateness" -> "scalar", "st23_stream_dist_drift" -> "scalar",
-    "q84_kendall_corr" -> "calendar", "q85_autocorr_lag1" -> "scalar")
+    "q84_kendall_corr" -> "calendar", "q85_autocorr_lag1" -> "scalar",
+    "q86_spearman_corr" -> "scalar", "q87_runs_test" -> "scalar")
 
   test("registry-wide: no CartesianProduct anywhere; BNLJ only on the " +
     "bounded-side allowlist (and the allowlist stays live)") {

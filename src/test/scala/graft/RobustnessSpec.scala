@@ -228,8 +228,11 @@ class RobustnessSpec extends AnyFunSuite {
     // round 15: the adversarial ORDERS table (Long.MinValue/negative
     // custkeys, cross-arm tied counts, same-day repeat orders, a
     // censored-only horizon customer) through the survival hazard and
-    // the rank-sum test
-    "q78_survival_hazard", "q82_ranksum_test")
+    // the rank-sum test; the 2-day adversarial event series through
+    // the Spearman signed square (one pair, tied ranks) and the runs
+    // test (all-below-median degenerate arms)
+    "q78_survival_hazard", "q82_ranksum_test",
+    "q86_spearman_corr", "q87_runs_test")
 
   test("the document/embedding/event query surface survives adversarial " +
     "content end-to-end (no-throw, well-formed results)") {
