@@ -794,12 +794,20 @@ object GraphAlgs {
     * aggregate — work decreases monotonically as nodes peel. The only
     * driver-side values are the per-round COUNTS (bounded by `rounds`),
     * never node data.
+    *
+    * The node side follows the family's EXPLICIT broadcast/co-partition
+    * discipline (round-15 find: this was the one loop leaning on
+    * stats-based auto-broadcast for its semi-joins, which worked only
+    * by the accident that checkpoints inherited origin statistics —
+    * the severed-stats truncation exposed it as a 1.66× regression,
+    * caught by the quiet-bench flag + TimeQ A/B protocol).
     */
   def kCorePeelProfile(
       nodes: DataFrame,
       edges: DataFrame,
       k: Int,
       rounds: Int,
+      broadcastMaxNodes: Long = DefaultBroadcastMaxNodes,
       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, "k-core peel needs k >= 1, rounds >= 1")
     val spark = nodes.sparkSession
@@ -808,16 +816,26 @@ object GraphAlgs {
     val e = undirected(edges, p)
     var remaining = rd.truncate(nodes.select(col("id")).distinct())
     var nRem = remaining.count()
+    val small = nRem <= broadcastMaxNodes
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var r = 0
     while (r < rounds) {
       r += 1
+      // node-sized sides: broadcast while they fit, co-partition past
+      // that (the edge list keeps its cached hash(src)%p layout; the
+      // dst-keyed semi pays the one honest edge shuffle at scale)
+      val remSrc = remaining.select(col("id").as("src"))
+      val remDst = remaining.select(col("id").as("dst"))
+      val (srcIn, dstIn) =
+        if (small) (broadcast(remSrc), broadcast(remDst))
+        else (remSrc.repartition(p, col("src")), remDst)
       val deg = e
-        .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(srcIn, Seq("src"), "left_semi")
+        .join(dstIn, Seq("dst"), "left_semi")
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val degIn = if (small) broadcast(deg) else deg
       val next = rd.truncate(
-        remaining.join(deg, Seq("id"), "left")
+        remaining.join(degIn, Seq("id"), "left")
           .filter(coalesce(col("deg"), lit(0L)) >= k)
           .select(col("id")))
       val nNext = next.count()
