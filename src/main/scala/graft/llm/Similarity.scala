@@ -636,14 +636,28 @@ object Similarity {
     * by id (never carried through the candidate join), filtered to
     * `minCosine`. Shared by [[embeddingNearDups]] and d29's report so
     * the candidate→verify join has ONE definition. `e` must carry
-    * (vec_id, embedding, nrm). */
+    * (vec_id, embedding, nrm).
+    *
+    * Both fetch-back joins carry a SHUFFLE_HASH hint on the embedding
+    * side (round-15 find, root-caused at the 2.56M ladder tier): after
+    * the first join attaches `ea`, the pair relation is FAT (~300 B of
+    * float payload per row), and the default sort-merge join for the
+    * second fetch would shuffle AND SORT that fat intermediate by
+    * vec_b — ~80 GB of sort spill at 2.56M vectors (measured: two
+    * disk-exhaustion aborts at a 78 GB free ceiling). Hash-building
+    * the embedding side instead streams the fat side with no sort:
+    * the build side is the (vec_id → embedding) dimension table, whose
+    * per-partition slice (|corpus| · ~300 B / shuffle partitions) is
+    * exactly the thing that stays small when partitions scale with the
+    * cluster — the sound build choice at any corpus size. */
   private[llm] def cosineOnCandidates(e: DataFrame, cand: DataFrame,
       minCosine: Double): DataFrame = {
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("nrm").as("nb"))
-    cand.join(ea, "vec_a").join(eb, "vec_b")
+    cand.join(ea.hint("SHUFFLE_HASH"), "vec_a")
+      .join(eb.hint("SHUFFLE_HASH"), "vec_b")
       .withColumn("cosine", expr(s"${sparkDot("ea", "eb")} / (na * nb)"))
       .filter(col("cosine") >= minCosine)
       .select("vec_a", "vec_b", "cosine")
