@@ -1267,15 +1267,30 @@ object Clustering {
     // the corpus and never more than cap rows on the driver side of
     // any stage
     val panel = dbscanPanel(Catalog.t(s, d, "embeddings"))
+    // cache(), round 16: the eps-graph relation below feeds the degree
+    // count AND the border semi-join, and `counted` feeds the core set
+    // AND the final report — without the caches the LSH candidate +
+    // verify pipeline (the query's dominant cost) appeared FOUR times
+    // in one physical plan (359 operators, the embeddings scan repeated
+    // 104×; measured plan audit, plans/r16/c11_dbscan_core_before.txt).
+    // Lazy cache rather than an eager checkpoint so the eps-graph
+    // subtree stays INSIDE the returned plan, which is what
+    // PlanQualitySpec's c11 pin (no cartesian / no mandatory broadcast)
+    // inspects.
     val pairs = Similarity.embeddingNearDups(panel, DbscanEps,
-      bands = DbscanBands, rowBits = DbscanRowBits)
-    val edges = pairs.select(col("vec_a").as("ia"), col("vec_b").as("ib"))
-      .union(pairs.select(col("vec_b").as("ia"), col("vec_a").as("ib")))
+      bands = DbscanBands, rowBits = DbscanRowBits).cache()
+    // symmetrize with ONE scan (posexplode of both orientations) — the
+    // union formulation scanned the pair relation once per leg
+    val edges = pairs.select(explode(array(
+        struct(col("vec_a").as("ia"), col("vec_b").as("ib")),
+        struct(col("vec_b").as("ia"), col("vec_a").as("ib")))).as("e"))
+      .select(col("e.ia").as("ia"), col("e.ib").as("ib"))
     val deg = edges.groupBy(col("ia").as("vec_id"))
       .agg(count(lit(1)).as("n_nb"))
     val counted = panel.select(col("vec_id"))
       .join(deg, Seq("vec_id"), "left")
       .na.fill(0L, Seq("n_nb"))
+      .cache()
     val core = counted.filter(col("n_nb") + 1 >= DbscanMinPts)
       .select(col("vec_id").as("core_id"))
     val borderIds = edges

@@ -84,15 +84,23 @@ object GraphAlgs {
     * g-family gate query — survives behind `GRAFT_STATS_RESET=legacy`
     * for A/B only.)
     */
-  private[graft] def legacyStatsReset: Boolean =
-    sys.env.get("GRAFT_STATS_RESET").contains("legacy")
+  /** Truncation-mode switch, parsed in ONE place (the r15 advice found
+    * a dead second definition drifting beside the match): the
+    * `graft.statsReset` system property first — settable from specs,
+    * which is what lets StatsInvarianceSpec run the iterative gates
+    * under `stock` vs the shim in-process — then the `GRAFT_STATS_RESET`
+    * env var the bench A/B tooling uses. Unset = the shim.
+    */
+  private[graft] def statsResetMode: Option[String] =
+    sys.props.get("graft.statsReset")
+      .orElse(sys.env.get("GRAFT_STATS_RESET"))
   private val StatsResetEvery = 16 // legacy A/B path only
   private final class Rounds(spark: SparkSession, dir: Option[String]) {
     dir.foreach(spark.sparkContext.setCheckpointDir)
     private var calls = 0
     def truncate(df: DataFrame): DataFrame = {
       calls += 1
-      sys.env.get("GRAFT_STATS_RESET") match {
+      statsResetMode match {
         case Some("legacy") =>
           val cp =
             if (dir.isDefined) df.checkpoint(eager = true)
@@ -174,14 +182,27 @@ object GraphAlgs {
       val l1 = labels.join(nbrIn, labels("id") === nbrIn("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val l1t = rounds.truncate(l1)
       // (2) pointer jump: adopt the label of the current label (labels
-      // are always node ids, so the self-join is total)
+      // are always node ids, so the self-join is total).
+      //
+      // Round 16 (guide §2.4 — remove materializations a round does not
+      // need): the jump no longer gets its own checkpoint. On the
+      // broadcast path l1 is CACHED and the jump rides the round's one
+      // checkpoint job — the broadcast build of `ptr` executes l1 (one
+      // edge join) and fills the cache, the probe side then reads it —
+      // so each round stores ONE node-sized table instead of two and
+      // runs one fewer job. On the co-partitioned (large-N) path the
+      // two shuffle stages of the jump join would RACE to fill a lazy
+      // cache and could execute the edge join twice, so that path keeps
+      // the explicit per-step checkpoint — at that scale the extra
+      // node-sized store is noise and determinism wins.
+      val l1t = if (small) l1.cache() else rounds.truncate(l1)
       val ptr = l1t.select(col("id").as("pid"), col("label").as("plabel"))
       val ptrIn = if (small) broadcast(ptr) else ptr
       val next = l1t.join(ptrIn, l1t("label") === ptrIn("pid"))
         .select(l1t("id"), least(l1t("label"), col("plabel")).as("label"))
       val nextT = rounds.truncate(next)
+      if (small) l1t.unpersist()
       prevSum = curSum
       curSum = sumAndCount(nextT)._1
       labels = nextT
@@ -245,11 +266,20 @@ object GraphAlgs {
     val rounds = new Rounds(spark, checkpointDir)
     val p = shufflePartitions(edges)
     val e = undirected(edges, p)
+    // Round 16 (guide §2.4): the visited set is a LAZY union of the
+    // per-depth checkpointed frontier frames, never re-materialized.
+    // The old shape re-checkpointed `dist.union(next)` every depth —
+    // one extra job per depth that copied the ENTIRE visited set again,
+    // O(Σ|visited|) total stores. Each per-depth leaf is already a
+    // checkpointed RDD, so the union plan stays shallow (≤ maxDepth
+    // leaves), the anti-join reads it as plain scans, and the only
+    // per-depth materialization left is the new frontier itself.
     var dist = rounds.truncate(
       seeds.select(col("probe"), col("id")).distinct()
         .withColumn("dist", lit(0)))
     var frontier = dist.select(col("probe"), col("id"))
     var frontierCount = frontier.count()
+    var visitedCount = frontierCount
     var depth = 0
     while (depth < maxDepth && frontierCount > 0) {
       depth += 1
@@ -258,11 +288,21 @@ object GraphAlgs {
         else frontier.repartition(p, col("id"))
       val nbrs = e.join(fIn, e("src") === fIn("id"))
         .select(col("probe"), col("dst").as("id")).distinct()
+      // the visited anti-join carries the family's EXPLICIT broadcast /
+      // co-partition discipline (round 16 — found by the new
+      // StatsInvarianceSpec, the g09 class in BFS: this was the one
+      // loop join with no hint, so its strategy depended on whether the
+      // truncation mode let checkpoint statistics leak through).
+      // Visited cardinality is tracked exactly (Σ frontier counts).
+      val vIn =
+        if (visitedCount <= broadcastMaxNodes) broadcast(dist)
+        else dist.repartition(p, col("probe"), col("id"))
       val next = rounds.truncate(
-        nbrs.join(dist, Seq("probe", "id"), "left_anti")
+        nbrs.join(vIn, Seq("probe", "id"), "left_anti")
           .withColumn("dist", lit(depth)))
       frontierCount = next.count()
-      dist = rounds.truncate(dist.union(next))
+      visitedCount += frontierCount
+      dist = dist.union(next)
       frontier = next.select(col("probe"), col("id"))
       debug(s"[msbfs] depth $depth frontier=$frontierCount")
     }
@@ -717,15 +757,19 @@ object GraphAlgs {
     val wed = ab.join(bc, "v").filter(col("w") =!= col("u"))
       .select(col("u"), col("w")).distinct()
     val adj = e.select(col("src").as("u"), col("dst").as("w"))
+    // node-sized; materialized eagerly so the edge cache can be
+    // released here instead of leaking until the session's next
+    // clearCache (round-16 unpersist-after-consumption sweep)
     val reach = wed.join(adj, Seq("u", "w"), "left_anti")
       .groupBy(col("u")).agg(count(lit(1)).as("two_hop"))
-    val out = nodes.select(col("id"))
+      .localCheckpoint(true)
+    e.unpersist()
+    nodes.select(col("id"))
       .join(deg.select(col("node").as("id"), col("deg")), Seq("id"), "left")
       .join(reach.select(col("u").as("id"), col("two_hop")), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("deg"), lit(0L)).as("degree"),
         coalesce(col("two_hop"), lit(0L)).as("two_hop"))
-    out
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent pair with
@@ -757,14 +801,20 @@ object GraphAlgs {
       .filter(col("cn") >= minCommon)
     val adj = e.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("w"))
-    val out = cn.join(adj, Seq("u", "w"), "left_anti")
+    // the wedge count and the adjacency anti-join are the two consumers
+    // of the cached edge list: materialize their composition eagerly
+    // BEFORE e.unpersist(), or the returned lazy plan recomputes the
+    // symmetrize+repartition for each of its three e-scans (round-16
+    // unpersist-after-consumption sweep)
+    val nonAdj = cn.join(adj, Seq("u", "w"), "left_anti")
+      .localCheckpoint(true)
+    e.unpersist()
+    nonAdj
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
       .select(col("u"), col("w"), col("cn").as("common_neighbors"),
         expr("cast(cn as double) / cast(du + dw - cn as double)")
           .as("jaccard"))
-    e.unpersist()
-    out
   }
 
   /** Newman modularity of a community assignment, reported PER
@@ -816,14 +866,19 @@ object GraphAlgs {
     val e = undirected(edges, p)
     var remaining = rd.truncate(nodes.select(col("id")).distinct())
     var nRem = remaining.count()
-    val small = nRem <= broadcastMaxNodes
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var r = 0
     while (r < rounds) {
       r += 1
       // node-sized sides: broadcast while they fit, co-partition past
       // that (the edge list keeps its cached hash(src)%p layout; the
-      // dst-keyed semi pays the one honest edge shuffle at scale)
+      // dst-keyed semi pays the one honest edge shuffle at scale).
+      // `small` re-evaluates PER ROUND from nRem (round-16, from the
+      // r15 advice): the remaining set only shrinks, so a graph that
+      // starts above the broadcast ceiling switches to broadcasts the
+      // round its core peels under it, instead of paying co-partition
+      // shuffles for the rest of the loop on a tiny survivor set.
+      val small = nRem <= broadcastMaxNodes
       val remSrc = remaining.select(col("id").as("src"))
       val remDst = remaining.select(col("id").as("dst"))
       val (srcIn, dstIn) =
@@ -854,18 +909,27 @@ object GraphAlgs {
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val m2 = e.agg(count(lit(1)).as("m2"))
     val com = labels.select(col("id"), col("community"))
-    val dc = com.join(deg, com("id") === deg("node"), "left")
-      .groupBy(col("community"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    // m2 and intra are the two OTHER consumers of the cached edge list;
+    // materialize them eagerly (they are 1 row and |communities| rows)
+    // BEFORE e.unpersist() below. The old shape unpersisted e while the
+    // returned lazy plan still referenced it through both, so the
+    // consumer recomputed the symmetrize+repartition of the whole edge
+    // list twice (round-16 find, guide §5 "unpersist when done" read
+    // literally: done means CONSUMED, not constructed).
+    val m2 = e.agg(count(lit(1)).as("m2")).localCheckpoint(true)
     val intra = e
       .join(com.select(col("id").as("src"), col("community").as("ca")), "src")
       .join(com.select(col("id").as("dst"), col("community").as("cb")), "dst")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra2"))
-    val out = dc.join(intra, Seq("community"), "left")
+      .localCheckpoint(true)
+    e.unpersist()
+    val dc = com.join(deg, com("id") === deg("node"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    dc.join(intra, Seq("community"), "left")
       .crossJoin(broadcast(m2))
       .select(col("community"), col("n_members"),
         expr("coalesce(intra2, cast(0 as bigint)) div 2").as("intra_edges"),
@@ -874,8 +938,6 @@ object GraphAlgs {
                |    - cast(degree_sum as decimal(38,0)) * degree_sum as double)
                |  / cast(cast(m2 as decimal(38,0)) * m2 as double)"""
           .stripMargin).as("contribution"))
-    e.unpersist()
-    out
   }
 
   /** Global degree profile of an undirected graph: node/edge counts,
@@ -908,6 +970,9 @@ object GraphAlgs {
     val nodeStats = deg.agg(
       count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"),
       sum(col("deg")).as("sum_deg"))
+    // one row; materialized eagerly so e.unpersist() below happens
+    // AFTER the edge list's last consumer ran, not before (round-16
+    // unpersist-after-consumption sweep)
     val moments = e
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
@@ -916,6 +981,7 @@ object GraphAlgs {
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"),
         sum(col("dy") * col("dy")).as("syy"))
+      .localCheckpoint(true)
     val out = nodeStats.crossJoin(moments).select(
       col("n_nodes"),
       expr("sum_deg div 2").as("n_edges"),

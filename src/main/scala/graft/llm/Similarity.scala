@@ -218,8 +218,15 @@ object Similarity {
   def knnGraph(vecs: DataFrame, k: Int,
       knownN: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized ONCE (round 16): the symmetrizing union below
+    // consumes the pair relation twice, and without the eager
+    // checkpoint the whole LSH candidate + verify pipeline (the
+    // dominant cost at every corpus size) executed once PER UNION LEG —
+    // the worked-example rule (guide §8): decide on narrow rows once,
+    // never recompute the heavy pass to re-read its output. The
+    // checkpoint is narrow (vec_a, vec_b, cosine) — ~24 B/pair.
     val pairs = embeddingNearDups(vecs, minCosine = -1.0, adaptive = true,
-      knownN = knownN)
+      knownN = knownN).localCheckpoint(true)
     val sym = pairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cosine"))
       .unionAll(pairs
@@ -877,7 +884,12 @@ object Similarity {
     // desynced from the table would hash-fail here — d29 gates the
     // memo as well as the ladder
     val (bands, rowBits) = adaptiveFamily(corpusN(s, d))
+    // materialized ONCE (round 16): the candidate relation is consumed
+    // twice below (its own count + the verify join) and the banded
+    // self-join + distinct behind it is the report's dominant cost —
+    // without the eager checkpoint it executed once per consumer
     val cand = lshCandidatePairs(e, bands, rowBits, AdMaxBits)
+      .localCheckpoint(true)
     val dups = cosineOnCandidates(
       e.withColumn("nrm", expr(s"${sparkNorm("embedding")}")), cand, 0.9)
     e.agg(count(lit(1)).as("n_vecs"))

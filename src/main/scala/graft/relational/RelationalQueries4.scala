@@ -1766,8 +1766,13 @@ object RelationalQueries4 {
              |    ELSE c1 * 1000000 // n1 - c0 * 1000000 // n0 END
              |    as bigint) AS lift_fx,
              |  cast(CASE WHEN den = 0 THEN 0
-             |    ELSE df * df * (n0 + n1) * 1000000 // den END
-             |    as bigint) AS z2_fx
+             |    WHEN n0 + n1 <= 2000000
+             |    THEN df * df * (n0 + n1) * 1000000 // den
+             |    ELSE cast((df * df)
+             |        // (cast(n0 as HUGEINT) * n1) as HUGEINT)
+             |      * (n0 + n1) * 1000000
+             |      // (cast(c0 + c1 as HUGEINT) * (n0 + n1 - c0 - c1))
+             |    END as bigint) AS z2_fx
              |FROM z""".stripMargin),
       (s, d) => {
         // abs(): truncated modulo gives variant -1 for negative odd
@@ -1803,9 +1808,29 @@ object RelationalQueries4 {
             expr("cast(CASE WHEN n0 = 0 OR n1 = 0 THEN 0" +
               " ELSE c1 * 1000000L div n1 - c0 * 1000000L div n0 END" +
               " as bigint)").as("lift_fx"),
+            // z² stages past n = 2,000,000 users (round 16, closing the
+            // r15 verdict's "last unstaged single rational"): the exact
+            // numerator df²·n·1e6 grows ~6e4·n⁵ and overflows
+            // decimal(38,0)/HUGEINT near n ≈ 4.4e6 users. Below the
+            // threshold both engines evaluate the single exact rational
+            // (2e36 at the crossover — 50× headroom); above it both
+            // stage IDENTICALLY: q = df² div (n0·n1) — an integer
+            // ≤ n0·n1 (|df| ≤ n0·n1), Long-safe to n ≈ 6e9, truncation
+            // error < 1 — then q·n·1e6 div (c·(n−c)), numerator
+            // ≤ 2.5e5·n³, good to n ≈ 3.6e9 users (den's own
+            // decimal(38,0) bound binds first). Staging error ≤
+            // n·1e6/(c·(n−c)) fx — ≤ 1 fx once conversions exceed ~1e6;
+            // both dialects take the same branch at the same n, so the
+            // gate hash cannot split. Spec: RoundSixteenOpsSpec.
             expr("cast(CASE WHEN den = 0 THEN 0" +
-              " ELSE df * df * (n0 + n1) * 1000000 div den END" +
-              " as bigint)").as("z2_fx"))
+              " WHEN n0 + n1 <= 2000000" +
+              " THEN df * df * (n0 + n1) * 1000000 div den" +
+              " ELSE cast((df * df)" +
+              " div (cast(n0 as decimal(38,0)) * n1) as decimal(38,0))" +
+              " * (n0 + n1) * 1000000" +
+              " div (cast(c0 + c1 as decimal(38,0))" +
+              " * (n0 + n1 - c0 - c1))" +
+              " END as bigint)").as("z2_fx"))
       }),
 
     // q81: THEIL-SEN robust trend per event type — the median of all

@@ -381,9 +381,10 @@ object RelationalQueries5 {
     // applied OUTSIDE the truncated division so both engines divide
     // positives only (no floor-vs-trunc trap). Headroom: the single
     // rational holds to n = 1000 days (Sxy² ≤ 16n¹⁰); past that both
-    // dialects stage (Sxy² div Sxx)·1e6 div Syy — good to ~6e6 days,
-    // ≤ 1e6/Syy fx of staging error. Scale: one keyed day count;
-    // ranks/windows at day grain.
+    // dialects stage by SHIFTING the moments by n³ first (round 16 —
+    // see the staged-branch note at the Spark select): good to ~3e7
+    // days with sub-fx staging error for non-degenerate series. Scale:
+    // one keyed day count; ranks/windows at day grain.
     QueryDef(
       "q86_spearman_corr",
       Some("""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
@@ -412,7 +413,12 @@ object RelationalQueries5 {
              |a2 AS (SELECT coalesce(sum(cx * cy), 0) AS sxy,
              |    coalesce(sum(cx * cx), 0) AS sxx,
              |    coalesce(sum(cy * cy), 0) AS syy
-             |  FROM z)
+             |  FROM z),
+             |q AS (SELECT n, sxy, sxx, syy,
+             |    abs(sxy) // (cast(n as HUGEINT) * n * n) AS sxyq,
+             |    sxx // (cast(n as HUGEINT) * n * n) AS sxxq,
+             |    syy // (cast(n as HUGEINT) * n * n) AS syyq
+             |  FROM st, a2)
              |SELECT cast(n as bigint) AS n_days,
              |  cast(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1
              |    ELSE 0 END as bigint) AS rho_sign,
@@ -420,11 +426,12 @@ object RelationalQueries5 {
              |    WHEN n <= 1000
              |    THEN (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)
              |      * (sxy * sxy * 1000000 // (sxx * syy))
+             |    WHEN sxxq = 0 OR syyq = 0 THEN 0
              |    ELSE (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)
-             |      * (cast((sxy * sxy) // sxx as HUGEINT)
-             |        * 1000000 // syy)
+             |      * (cast(sxyq as HUGEINT) * sxyq * 1000000
+             |        // (cast(sxxq as HUGEINT) * syyq))
              |    END as bigint) AS rho2_fx
-             |FROM st, a2""".stripMargin),
+             |FROM q""".stripMargin),
       (s, d) => {
         val ev = t(s, d, "events")
         val b = ev.agg(min(to_date(col("ts"))).as("lo"),
@@ -459,7 +466,29 @@ object RelationalQueries5 {
             .as("sxx"),
           coalesce(sum(expr("cy * cy")), lit(0L).cast("decimal(38,0)"))
             .as("syy"))
+        // Staged branch restaged in round 16 (r15 advice: the old
+        // (sxy² div sxx)·1e6 div syy staged form still materialized
+        // sxy² — decimal/HUGEINT overflow near n ≈ 4800 days — and
+        // Spark's Long-typed IntegralDivide quotient diverged from
+        // DuckDB's HUGEINT // before that). New form: shift all three
+        // moments by n³ FIRST (sxyq = |sxy| div n³ ≤ 4n², Long-safe to
+        // n ≈ 1.5e9), then one rational sxyq²·1e6 div (sxxq·syyq) —
+        // every intermediate ≤ 1.6e7·n⁴, so the binding bound is the
+        // sxx/syy aggregates themselves (4n⁵ ≤ 1e38 → n ≈ 3e7 days,
+        // 82,000 years). Staging error ≲ (2n³/|sxy| + n³/sxx +
+        // n³/syy)·1e6 fx — sub-fx for any non-degenerate series past
+        // the 1000-day crossover (sxx,syy ~ n⁵ there); a pathological
+        // near-constant series with sxx < n³ reports 0 (sxxq = 0), in
+        // BOTH engines, rather than either engine throwing. Both
+        // dialects stage identically, so the gate hash cannot split.
+        // Spec: RoundSixteenOpsSpec.
         st.crossJoin(broadcast(a2))
+          .withColumn("sxyq",
+            expr("abs(sxy) div (cast(n as decimal(38,0)) * n * n)"))
+          .withColumn("sxxq",
+            expr("sxx div (cast(n as decimal(38,0)) * n * n)"))
+          .withColumn("syyq",
+            expr("syy div (cast(n as decimal(38,0)) * n * n)"))
           .select(col("n").cast("long").as("n_days"),
             expr("cast(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1" +
               " ELSE 0 END as bigint)").as("rho_sign"),
@@ -467,9 +496,10 @@ object RelationalQueries5 {
               " WHEN n <= 1000" +
               " THEN (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)" +
               " * (sxy * sxy * 1000000 div (sxx * syy))" +
+              " WHEN sxxq = 0 OR syyq = 0 THEN 0" +
               " ELSE (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)" +
-              " * (cast((sxy * sxy) div sxx as decimal(38,0))" +
-              " * 1000000 div syy)" +
+              " * (cast(sxyq as decimal(38,0)) * sxyq * 1000000" +
+              " div (cast(sxxq as decimal(38,0)) * syyq))" +
               " END as bigint)").as("rho2_fx"))
       }),
 

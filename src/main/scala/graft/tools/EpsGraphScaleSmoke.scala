@@ -90,6 +90,47 @@ object EpsGraphScaleSmoke {
 
     val eps = 0.35
     val knnK = 3
+
+    // ---------------- round-16 BLOCKED VERIFY mode (the 2.56M row) ----
+    //
+    // `runMain graft.tools.EpsGraphScaleSmoke blocked[:scale[:slices]]`
+    //
+    // Round 15 established the 2.56M tier is NOT an algorithmic wall:
+    // candidate mass stays sub-quadratic, but the verify join's fat
+    // (pair + embedding) intermediate is one ~80 GB shuffle against a
+    // ~78 GB free-disk ceiling on this box. This mode closes the row by
+    // never materializing that shuffle (guide §8 — move heavy bytes
+    // once, and here: never move them at all):
+    //
+    //  1. the NARROW candidate relation (vec_a, vec_b — 16 B/pair) is
+    //     computed once and parked as parquet;
+    //  2. verification runs in `slices` sequential id-range blocks of
+    //     vec_b: each block's embedding slice (n/slices rows ≈ 50 MB at
+    //     2.56M/16) is BROADCAST, so after the SHUFFLE_HASH fetch of
+    //     `ea` (narrow pair stream shuffled, embedding dimension table
+    //     built — the round-15 fix) the fat intermediate is consumed
+    //     in place by a broadcast hash join and NEVER crosses an
+    //     exchange;
+    //  3. each block's verified (vec_a, vec_b, cosine) rows (24 B/pair)
+    //     land in parquet; the union IS the same pair set the unblocked
+    //     verify produces (vec_b ranges partition the candidate set),
+    //     re-read for eps-edge counts and the sampled-recall panel.
+    //
+    // Per-slice shuffle is ~1 GB (pairs/16 + the ea dimension table)
+    // and the worst resident footprint is one slice's shuffle plus the
+    // narrow parquet artifacts — the 80 GB sort/shuffle of the naive
+    // plan never exists. Semantics are pinned by construction: same
+    // candidate set, same graft_dot cosine, disjoint+complete blocks.
+    if (args.headOption.exists(_.startsWith("blocked"))) {
+      val parts = args.head.split(":")
+      val scale = if (parts.length > 1) parts(1).toInt else 256
+      val slices = if (parts.length > 2) parts(2).toInt else 16
+      blockedRow(spark, corpus(10000L * scale), 10000L * scale,
+        slices, eps, knnK)
+      spark.stop()
+      return
+    }
+
     // scales 16/32/64 (160k/320k/640k vectors) are the round-13 rows:
     // the first sizes past the old 16×16 cap (131,072). Round 14 adds
     // scale 128 (1.28M vectors — the first doubling past r13's
@@ -292,5 +333,155 @@ object EpsGraphScaleSmoke {
       vecs.unpersist()
     }
     spark.stop()
+  }
+
+  /** The blocked-verify ladder row (see the mode comment in main). */
+  private def blockedRow(spark: SparkSession, corpus: DataFrame, n: Long,
+      slices: Int, eps: Double, knnK: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import scala.jdk.CollectionConverters._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def freeGb: Double =
+      new java.io.File("/tmp").getUsableSpace / 1e9
+    def rmTree(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val base = "/tmp/graft-eps-blocked"
+    rmTree(base)
+    val candPath = s"$base/cand"
+    val verPath = s"$base/verified"
+    val (bandsA, rowBitsA) = Similarity.adaptiveFamily(n)
+
+    val vecs = corpus.cache()
+    vecs.count()
+    System.err.println(f"[blocked] n=$n family=${bandsA}x$rowBitsA " +
+      f"slices=$slices free=${freeGb}%.1fGB")
+
+    // 1. narrow candidate relation, parked once
+    val (_, candS) = timed {
+      Similarity.adaptiveCandidatePairs(vecs, n)
+        .write.mode("overwrite").parquet(candPath)
+    }
+    val nCand = spark.read.parquet(candPath).count()
+    System.err.println(f"[blocked] candidates=$nCand " +
+      f"(${nCand.toDouble / n}%.1f/vec) in ${candS}%.1fs free=${freeGb}%.1fGB")
+
+    // 2. sequential id-range verify blocks (never the fat shuffle)
+    val e = vecs.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val per = (n + slices - 1) / slices
+    var verifyS = 0.0
+    (0 until slices).foreach { i =>
+      val lo = i * per
+      val hi = math.min(n, (i + 1) * per)
+      val ebSlice = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+      val (_, sliceS) = timed {
+        spark.read.parquet(candPath)
+          .filter(col("vec_b") >= lo && col("vec_b") < hi)
+          .join(ea.hint("SHUFFLE_HASH"), "vec_a")
+          .join(broadcast(ebSlice), "vec_b")
+          .withColumn("cosine", expr("graft_dot(ea, eb) / (na * nb)"))
+          .select(col("vec_a"), col("vec_b"), col("cosine"))
+          .write.mode("overwrite").parquet(s"$verPath/slice=$i")
+      }
+      verifyS += sliceS
+      // drop the slice's shuffle files before the next one starts: the
+      // ContextCleaner removes them when the stage's RDDs are GC'd
+      System.gc()
+      System.err.println(f"[blocked] slice $i [$lo,$hi) took ${sliceS}%.1fs " +
+        f"free=${freeGb}%.1fGB")
+    }
+
+    // 3. the union of blocks IS the unblocked pair set — measure it
+    val verified = spark.read.parquet(s"$verPath/slice=*")
+    val nAll = verified.count()
+    val nEps = verified.filter(col("cosine") >= eps).count()
+    println(s"""{"metric":"eps_graph_scale_smoke","bands":"${bandsA}x$rowBitsA (ADAPTIVE r12)","path":"lsh_adaptive_blocked",""" +
+      s""""n_vecs":$n,"slices":$slices,"pairs_examined":$nCand,""" +
+      s""""pairs_per_vec":${"%.1f".format(nCand.toDouble / n)},""" +
+      s""""verified_pairs":$nAll,"eps_edges":$nEps,""" +
+      s""""candidates_s":${"%.1f".format(candS)},""" +
+      s""""verify_s":${"%.1f".format(verifyS)}}""")
+
+    // 4. sampled ground truth (the r14 panel, sourced from the blocked
+    // pair set): exact probe-incident eps edges + exact probe top-k
+    val probeEvery = math.max(1L, n / 1000L)
+    def isProbe(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(probeEvery)) === 0L
+    val probes = vecs.filter(isProbe(col("vec_id"))).cache()
+    val nProbes = probes.count()
+    val q = probes.select(col("vec_id").as("p_id"), col("embedding").as("pe"))
+      .withColumn("pn", expr("sqrt(graft_dot(pe, pe))"))
+    val cnd = vecs.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .withColumn("cn", expr("sqrt(graft_dot(ce, ce))"))
+    val (gtEps, gtEpsS) = timed {
+      val g = cnd.join(broadcast(q), col("p_id") =!= col("c_id"))
+        .withColumn("cosine", expr("graft_dot(pe, ce) / (pn * cn)"))
+        .filter(col("cosine") >= eps)
+        .select(col("p_id"), col("c_id")).cache()
+      g.count()
+      g
+    }
+    val nGtEps = gtEps.count()
+    val sym = verified
+      .select(col("vec_a").as("p_id"), col("vec_b").as("c_id"), col("cosine"))
+      .union(verified
+        .select(col("vec_b").as("p_id"), col("vec_a").as("c_id"), col("cosine")))
+    val adHits = sym.filter(col("cosine") >= eps)
+      .filter(isProbe(col("p_id"))).select(col("p_id"), col("c_id"))
+    val nEpsHit = gtEps.join(adHits, Seq("p_id", "c_id"), "left_semi").count()
+    val (gtKnn, gtKnnS) = timed {
+      val g = Similarity.cosineTopK(
+        probes.select(col("vec_id").as("query_id"), col("embedding")),
+        vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        knnK).cache()
+      g.count()
+      g
+    }
+    val nGtKnn = gtKnn.count()
+    val nGtKnnHi = gtKnn.filter(col("cosine") >= 0.7).count()
+    // s11's knn graph from the blocked pair set: the per-src window is
+    // src-partitioned, so restricting to probe sources BEFORE the
+    // window returns exactly the probe rows of the full graph
+    val (lshKnn, knnS) = timed {
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("cosine").desc, col("c_id").asc)
+      val g = sym.filter(isProbe(col("p_id")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= knnK)
+        .select(col("p_id").as("query_id"), col("c_id").as("neighbor_id"))
+        .cache()
+      g.count()
+      g
+    }
+    val knnHit = gtKnn.join(lshKnn, Seq("query_id", "neighbor_id"),
+      "left_semi").cache()
+    val nKnnHit = knnHit.count()
+    val nKnnHitHi = knnHit.filter(col("cosine") >= 0.7).count()
+    def ratio(num: Long, den: Long): String =
+      if (den > 0) "%.3f".format(num.toDouble / den) else "null"
+    println(s"""{"metric":"eps_graph_scale_smoke","bands":"${bandsA}x$rowBitsA (ADAPTIVE r12)","path":"sampled_groundtruth_blocked",""" +
+      s""""n_vecs":$n,"probes":$nProbes,"k":$knnK,""" +
+      s""""gt_eps_edges":$nGtEps,""" +
+      s""""eps_recall_sampled":${ratio(nEpsHit, nGtEps)},""" +
+      s""""exact_knn_edges":$nGtKnn,""" +
+      s""""knn_recall":${ratio(nKnnHit, nGtKnn)},""" +
+      s""""exact_knn_edges_cos_ge_0_7":$nGtKnnHi,""" +
+      s""""knn_recall_cos_ge_0_7":${ratio(nKnnHitHi, nGtKnnHi)},""" +
+      s""""gt_eps_s":${"%.1f".format(gtEpsS)},""" +
+      s""""gt_knn_s":${"%.1f".format(gtKnnS)},""" +
+      s""""knn_total_s":${"%.1f".format(knnS)},""" +
+      s""""free_gb_end":${"%.1f".format(freeGb)}}""")
+    Seq(gtEps, gtKnn, lshKnn, knnHit, probes, vecs).foreach(_.unpersist())
   }
 }

@@ -48,6 +48,18 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * `LogicalRDD`'s second parameter list are `private[sql]` — the
   * standard pattern for extensions that must construct logical plans
   * directly. Pure Spark-internals plumbing; cites nothing external.
+  *
+  * **Spark-upgrade contract (round 16, from the r15 verdict):** every
+  * internals dependency here degrades to STOCK behavior, never to a
+  * wrong answer — a non-`LogicalRDD` checkpoint plan falls back to the
+  * round-14 Row round-trip, a non-AQE (or output-misaligned, or
+  * throwing) `finalPhysicalPlan` keeps whatever layout stock
+  * checkpoint stored, and any attribute the remap cannot place keeps
+  * stock's answer. GraftShimFallbackSpec exercises each of those
+  * paths; on a Spark version bump re-run it together with
+  * RoundFifteenOpsSpec's severed-stats/layout pins FIRST — if the
+  * repair stops firing, results stay correct and only the
+  * zero-Exchange plan pins fail, which is the designed failure mode.
   */
 object CheckpointStats {
 
@@ -103,7 +115,7 @@ object CheckpointStats {
     * physical output attributes to the checkpoint's logical output,
     * positionally (same arity and names, or we keep stock's answer).
     */
-  private def recoverLayout(
+  private[graftshim] def recoverLayout(
       origin: DataFrame, l: LogicalRDD): (Partitioning, Seq[SortOrder]) = {
     val stock = (l.outputPartitioning, l.outputOrdering)
     if (!l.outputPartitioning.isInstanceOf[UnknownPartitioning]) return stock
