@@ -95,6 +95,21 @@ object GraphAlgs {
     sys.props.get("graft.statsReset")
       .orElse(sys.env.get("GRAFT_STATS_RESET"))
   private val StatsResetEvery = 16 // legacy A/B path only
+
+  /** Mode-aware one-shot truncation for iterative loops OUTSIDE this
+    * file (t34's textrank) — the same switch Rounds.truncate honors,
+    * executor-local only, so StatsInvarianceSpec's stock-vs-shim sweep
+    * exercises those loops too. */
+  private[graft] def truncateLocal(df: DataFrame): DataFrame =
+    statsResetMode match {
+      case Some("legacy") | Some("stock") => df.localCheckpoint(true)
+      case Some("sever-only") =>
+        org.apache.spark.sql.graftshim.CheckpointStats
+          .severStats(df.localCheckpoint(true))
+      case _ => org.apache.spark.sql.graftshim.CheckpointStats
+        .checkpointSevered(df)
+    }
+
   private final class Rounds(spark: SparkSession, dir: Option[String]) {
     dir.foreach(spark.sparkContext.setCheckpointDir)
     private var calls = 0

@@ -2265,24 +2265,40 @@ object TextAnalysis {
         col("cnt")))
       .groupBy(col("lang"), col("u"), col("v")).agg(sum(col("cnt")).as("wgt"))
     val wdeg = e0.groupBy(col("lang"), col("u")).agg(sum(col("wgt")).as("wdeg"))
-    val e = e0.join(wdeg, Seq("lang", "u")).localCheckpoint(true)
+    // round 16 (r15 verdict item 6): the iteration's truncation runs
+    // through the graftshim — this was the one remaining IN-LOOP
+    // localCheckpoint outside GraphAlgs.Rounds, so its inherited stats
+    // compounded geometrically across rounds (bounded by TrIters, but
+    // the class is now gone) — and with severed stats the loop carries
+    // the graph family's EXPLICIT broadcast/co-partition discipline
+    // instead of leaning on stats-based auto-broadcast (the g09
+    // lesson; t34 is swept by StatsInvarianceSpec like the g-family).
+    val p = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = graft.llm.GraphAlgs.truncateLocal(e0.join(wdeg, Seq("lang", "u")))
     val nv = wdeg.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
-    val nodes = wdeg.select(col("lang"), col("u"))
+    val nodes = graft.llm.GraphAlgs.truncateLocal(
+      wdeg.select(col("lang"), col("u"))
       .join(nv, "lang")
       .withColumn("init", expr(s"$TrScale div nv"))
-      .withColumn("base", expr("(15 * init) div 100"))
-      .localCheckpoint(true)
+      .withColumn("base", expr("(15 * init) div 100")))
+    val nWords = nodes.count()
+    val small = nWords <= graft.llm.GraphAlgs.DefaultBroadcastMaxNodes
     var tr = nodes.select(col("lang"), col("u"), col("init").as("val"))
     for (_ <- 1 to iters) {
-      val contrib = tr.join(e, Seq("lang", "u"))
+      val trIn =
+        if (small) broadcast(tr)
+        else tr.repartition(p, col("lang"), col("u"))
+      val contrib = trIn.join(e, Seq("lang", "u"))
         .groupBy(col("lang"), col("v"))
         .agg(sum(expr("(val * wgt) div wdeg")).as("msum"))
-      tr = nodes.select(col("lang"), col("u"), col("base"))
-        .join(contrib.withColumnRenamed("v", "u"), Seq("lang", "u"), "left")
+      val contribIn =
+        if (small) broadcast(contrib) else contrib
+      tr = graft.llm.GraphAlgs.truncateLocal(nodes
+        .select(col("lang"), col("u"), col("base"))
+        .join(contribIn.withColumnRenamed("v", "u"), Seq("lang", "u"), "left")
         .select(col("lang"), col("u"),
           (col("base") + expr("(85 * coalesce(msum, 0L)) div 100"))
-            .as("val"))
-        .localCheckpoint(true)
+            .as("val")))
     }
     val wtop = Window.partitionBy(col("lang"))
       .orderBy(col("val").desc, col("u").asc)

@@ -619,7 +619,13 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("t34_textrank")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Join"), p)
-    assert(count(p, "Exchange") == 1, p)
+    // at most ONE Exchange: the window's lang repartition. Round 16
+    // routed the rank truncation through the graftshim, whose layout
+    // repair can hand the window an already-satisfying distribution
+    // (a single coalesced partition at test scale) — zero Exchanges
+    // then; the pin's point is only that iteration cost never
+    // re-enters the report
+    assert(count(p, "Exchange") <= 1, p)
   }
 
   test("p22 preference pairs shuffle on the stratum key only: no " +

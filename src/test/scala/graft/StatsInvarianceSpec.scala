@@ -37,7 +37,8 @@ class StatsInvarianceSpec extends AnyFunSuite {
     "d08_conn_components", "g01_pagerank", "g02_label_propagation",
     "g05_bfs_layers", "g08_modularity", "g09_kcore_peel",
     "g12_incremental_components", "g14_truss_decomposition",
-    "g15_harmonic_centrality", "g16_personalized_pagerank")
+    "g15_harmonic_centrality", "g16_personalized_pagerank",
+    "t34_textrank")
 
   private def linkedDir(tag: String): String = {
     val p = java.nio.file.Paths.get(s"/tmp/graft-statsinv-$tag")
