@@ -62,15 +62,23 @@ object Bench {
             failedNames += q.name
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        // queries may cache() intermediates (LSH signatures); release
+        // them OUTSIDE the timed region — and do it between the min-of-N
+        // RUNS of one query, not only between queries (round-17
+        // measurement fix, requested by the r16 verdict): Spark's
+        // CacheManager matches run 2's identical plan against run 1's
+        // still-populated InMemoryRelation, so a query whose builder
+        // caches its dominant subtree (c11, d03) recorded a run-2
+        // "minimum" that timed a mostly-materialized plan. Clearing
+        // here makes every run recompute from the parquet inputs.
+        // GC between runs/queries so one run's heap garbage doesn't tax
+        // the next run's allocations — in-suite d07 measured 2.6x its
+        // isolated time from exactly this carryover.
+        spark.catalog.clearCache()
+        System.gc()
+        secs
       }
-      // queries may cache() intermediates (LSH signatures); release them
-      // so storage memory stays flat across the suite, and GC between
-      // queries (outside the timed region) so one query's heap garbage
-      // doesn't tax the next query's allocations — in-suite d07 measured
-      // 2.6x its isolated time from exactly this carryover
-      spark.catalog.clearCache()
-      System.gc()
       q.name -> times.min
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE) would emit

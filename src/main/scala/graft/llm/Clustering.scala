@@ -1277,6 +1277,12 @@ object Clustering {
     // subtree stays INSIDE the returned plan, which is what
     // PlanQualitySpec's c11 pin (no cartesian / no mandatory broadcast)
     // inspects.
+    // Lifecycle (r16 advice): the returned LAZY plan references both
+    // caches, so this builder cannot unpersist them itself — release is
+    // the CALLER's: `spark.catalog.clearCache()` after consuming the
+    // result (the bench does this between every run; a long-lived
+    // library session that batch-calls builders must do the same or
+    // storage grows by ~|panel eps-graph| per invocation).
     val pairs = Similarity.embeddingNearDups(panel, DbscanEps,
       bands = DbscanBands, rowBits = DbscanRowBits).cache()
     // symmetrize with ONE scan (posexplode of both orientations) — the

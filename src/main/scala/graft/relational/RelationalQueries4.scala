@@ -195,23 +195,48 @@ object RelationalQueries4 {
              |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM dev)
              |WHERE rn = (n + 1) // 2""".stripMargin),
       (s, d) => {
-        def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
-          val wo = Window.partitionBy(col("l_returnflag"))
-            .orderBy(col(valueCol), col("l_orderkey"), col("l_linenumber"))
-          val wc = Window.partitionBy(col("l_returnflag"))
-          df.select(col("l_returnflag"), col(valueCol),
-              row_number().over(wo).as("rn"), count(lit(1)).over(wc).as("n"))
-            .filter(col("rn") === expr("(n + 1) div 2"))
+        // Round 17 (guide §2.5): the rank-pick median sorted the ENTIRE
+        // lineitem table inside a window partitioned by the 3-value
+        // return flag — two full-table sorts feeding 3 reducers each, the
+        // textbook skewed-partition shape. The discrete median at rank
+        // (n+1) div 2 depends only on the (flag, value) HISTOGRAM: the
+        // tie-break columns order equal values among themselves and
+        // cannot change which VALUE sits at the picked rank. So: one
+        // map-side-combinable histogram aggregate (~50 distinct
+        // quantities per flag), a cumulative count over the tiny
+        // histogram, and the deviation median derives from the SAME
+        // histogram (count(|q-med| = v) = count(q = med+v) +
+        // count(q = med-v)) — one lineitem scan total, zero full-table
+        // sorts, identical rows (oracle-hash-verified).
+        def histMedian(hist: DataFrame, valueCol: String, out: String): DataFrame = {
+          val wcum = Window.partitionBy(col("l_returnflag"))
+            .orderBy(col(valueCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wall = Window.partitionBy(col("l_returnflag"))
+          hist
+            .withColumn("cum", sum(col("cnt")).over(wcum))
+            .withColumn("n", sum(col("cnt")).over(wall))
+            // the target rank falls inside this value's run of tied rows
+            .filter(col("cum") >= expr("(n + 1) div 2") &&
+              col("cum") - col("cnt") < expr("(n + 1) div 2"))
             .select(col("l_returnflag"), col(valueCol).as(out))
         }
-        val x = t(s, d, "lineitem")
-          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        // tiny (|flags| x |distinct quantities|); eagerly materialized so
+        // its two consumers (median pick + deviation histogram) cost ONE
+        // lineitem scan, not two
+        val hist = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
             expr("cast(round(l_quantity * 100) as bigint)").as("q100"))
-        val med = discMedian(x, "q100", "med100")
-        val dev = x.join(broadcast(med), Seq("l_returnflag"))
-          .select(col("l_returnflag"), abs(col("q100") - col("med100")).as("d100"),
-            col("l_orderkey"), col("l_linenumber"))
-        discMedian(dev, "d100", "mad100")
+          .groupBy(col("l_returnflag"), col("q100"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val med = histMedian(hist, "q100", "med100")
+        val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            abs(col("q100") - col("med100")).as("d100"), col("cnt"))
+          .groupBy(col("l_returnflag"), col("d100"))
+          .agg(sum(col("cnt")).as("cnt"))
+        histMedian(devHist, "d100", "mad100")
           .select(col("l_returnflag"),
             (col("mad100").cast("double") / 100).as("mad"))
       }),
@@ -809,8 +834,17 @@ object RelationalQueries4 {
              |  cast(rn as int) AS rn
              |FROM r WHERE rn <= 20""".stripMargin),
       (s, d) => {
+        // cache(), round 17 (the c11 pattern, guide §5 reuse): `op`
+        // (the distinct order-part relation — a full lineitem scan plus
+        // a two-column distinct Exchange) feeds FOUR consumers in one
+        // plan: the order count, the per-part supports, and both legs
+        // of the pair self-join. Uncached, the scan+distinct ran 4x.
+        // Lazy cache keeps the subtree inside the returned plan; release
+        // is the caller's clearCache after consumption (the bench does
+        // this between runs).
         val op = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .cache()
         val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
         val ps = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
         val pp = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
