@@ -1243,12 +1243,21 @@ object Dedup {
       if (cur != null && (cur._1 eq s)) cur
       else {
         val docs = Catalog.t(s, d, "documents")
-        (s, docs.select(col("doc_id").as("id")).distinct().localCheckpoint(true),
+        // checkpointActualStats (round 17): the stock checkpoint
+        // inherits the ESTIMATE of the join-heavy candidate derivation
+        // (5.9 GB for the ~2 MB sf0.1 edge list), which poisoned every
+        // size-derived decision downstream — the graph family's
+        // adaptive partition counts most of all. The shim swaps in the
+        // checkpoint's actual stored size.
+        (s,
+          org.apache.spark.sql.graftshim.CheckpointStats
+            .checkpointActualStats(
+              docs.select(col("doc_id").as("id")).distinct()),
           // hamming rides along: g03 selects the tight-clique subgraph
-          simhashNearDupPairs(docs)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"),
-              col("hamming"))
-            .localCheckpoint(true))
+          org.apache.spark.sql.graftshim.CheckpointStats
+            .checkpointActualStats(simhashNearDupPairs(docs)
+              .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+                col("hamming"))))
       }
     })
     (entry._2, entry._3)

@@ -140,6 +140,34 @@ object GraphAlgs {
   private def shufflePartitions(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** Scale-adaptive partition count for the family's explicit
+    * repartition+cache layouts (round 17, guide §2.2: derive
+    * partitioning from input size, never a constant tuned to either
+    * local mode or a cluster). The gate graphs are a few MB; laying
+    * them out across `spark.sql.shuffle.partitions` tasks made every
+    * loop stage pay parallelism it could not use — JobProfile measured
+    * ~0.35 s/task of pure contention per iteration at local[32], and
+    * the whole suite ran FASTER at 8 cores than 32 (the r16 driver's
+    * scaling block). Deriving the count from the plan's `sizeInBytes`
+    * statistic fixes that from the data: tiny graphs collapse to a few
+    * partitions, while anything large (or statistically unknown —
+    * severed stats report the session default, i.e. effectively
+    * infinite) keeps the configured parallelism, so no behavior changes
+    * at cluster scale. Pure layout: results are partitioning-invariant
+    * by the family's integer-exact contract.
+    */
+  private[graft] val TargetPartitionBytes: Long = 32L * 1024 * 1024
+
+  private[graft] def adaptiveP(df: DataFrame, conf: Int): Int = {
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val p =
+      if (sz <= 0) conf
+      else ((sz + TargetPartitionBytes - 1) / TargetPartitionBytes)
+        .min(BigInt(conf)).max(BigInt(1)).toInt
+    debug(s"[adaptiveP] sizeInBytes=$sz conf=$conf -> p=$p")
+    p
+  }
+
   /** Symmetrized edge list, hash-partitioned by `src` once and cached.
     * Callers own the unpersist. The explicit fixed-width repartition is
     * load-bearing: AQE never coalesces a user repartition, so the
@@ -169,7 +197,7 @@ object GraphAlgs {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
     val rounds = new Rounds(spark, checkpointDir)
-    val p = shufflePartitions(nodes)
+    val p = adaptiveP(edges, shufflePartitions(nodes))
     val e = undirected(edges, p)
     val labels0 = nodes.select(col("id"))
       .withColumn("label", col("id")).cache()
@@ -211,6 +239,12 @@ object GraphAlgs {
       // cache and could execute the edge join twice, so that path keeps
       // the explicit per-step checkpoint — at that scale the extra
       // node-sized store is noise and determinism wins.
+      // (Round 17 measured and REJECTED a pointer-composition variant —
+      // ptr∘ptr, so each round adopts l(l(l(v))): on the gate graph the
+      // convergence round count did NOT drop (7 both ways — min-label
+      // flow through edge adjacency is the binding constraint, not
+      // pointer depth) while each round paid one more node-sized join;
+      // interleaved A/B: 4.43 vs 3.77 s warm on g12. Single jump kept.)
       val l1t = if (small) l1.cache() else rounds.truncate(l1)
       val ptr = l1t.select(col("id").as("pid"), col("label").as("plabel"))
       val ptrIn = if (small) broadcast(ptr) else ptr
@@ -279,7 +313,7 @@ object GraphAlgs {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val rounds = new Rounds(spark, checkpointDir)
-    val p = shufflePartitions(edges)
+    val p = adaptiveP(edges, shufflePartitions(edges))
     val e = undirected(edges, p)
     // Round 16 (guide §2.4): the visited set is a LAZY union of the
     // per-depth checkpointed frontier frames, never re-materialized.
@@ -363,7 +397,7 @@ object GraphAlgs {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
     val rounds = new Rounds(spark, checkpointDir)
-    val p = shufflePartitions(nodes)
+    val p = adaptiveP(edges, shufflePartitions(nodes))
     // cached: the edge set appears on BOTH sides of the deg bake-in join
     // below — uncached it would evaluate its lineage twice
     val e = undirected(edges, p)
@@ -456,7 +490,7 @@ object GraphAlgs {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = nodes.sparkSession
     val rt = new Rounds(spark, checkpointDir)
-    val p = shufflePartitions(nodes)
+    val p = adaptiveP(edges, shufflePartitions(nodes))
     val e = undirected(edges, p)
     val n0 = nodes.select(col("id")).repartition(p, col("id")).cache()
     val small = n0.count() <= broadcastMaxNodes
@@ -494,7 +528,7 @@ object GraphAlgs {
     * all-pairs; counts are exact integers, lcc a single IEEE division.
     */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val p = shufflePartitions(nodes)
+    val p = adaptiveP(edges, shufflePartitions(nodes))
     val e = undirected(edges, p)
     // deg and o are each consumed by MULTIPLE downstream joins that the
     // caller materializes after this method returns — eager
@@ -552,7 +586,7 @@ object GraphAlgs {
     * triangle counting does.
     */
   def edgeTriangleSupport(edges: DataFrame, minSupport: Int): DataFrame = {
-    val p = shufflePartitions(edges)
+    val p = adaptiveP(edges, shufflePartitions(edges))
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -763,7 +797,7 @@ object GraphAlgs {
     * hamming cut) exactly as triangle counting does.
     */
   def twoHopReach(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val p = shufflePartitions(nodes)
+    val p = adaptiveP(edges, shufflePartitions(nodes))
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -803,7 +837,7 @@ object GraphAlgs {
     * Already-adjacent pairs leave via one anti-join.
     */
   def linkPrediction(edges: DataFrame, minCommon: Int): DataFrame = {
-    val p = shufflePartitions(edges)
+    val p = adaptiveP(edges, shufflePartitions(edges))
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -877,7 +911,7 @@ object GraphAlgs {
     require(k >= 1 && rounds >= 1, "k-core peel needs k >= 1, rounds >= 1")
     val spark = nodes.sparkSession
     val rd = new Rounds(spark, checkpointDir)
-    val p = shufflePartitions(nodes)
+    val p = adaptiveP(edges, shufflePartitions(nodes))
     val e = undirected(edges, p)
     var remaining = rd.truncate(nodes.select(col("id")).distinct())
     var nRem = remaining.count()
@@ -920,19 +954,25 @@ object GraphAlgs {
   }
 
   def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val p = shufflePartitions(edges)
+    val p = adaptiveP(edges, shufflePartitions(edges))
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val com = labels.select(col("id"), col("community"))
-    // m2 and intra are the two OTHER consumers of the cached edge list;
-    // materialize them eagerly (they are 1 row and |communities| rows)
-    // BEFORE e.unpersist() below. The old shape unpersisted e while the
-    // returned lazy plan still referenced it through both, so the
-    // consumer recomputed the symmetrize+repartition of the whole edge
-    // list twice (round-16 find, guide §5 "unpersist when done" read
-    // literally: done means CONSUMED, not constructed).
-    val m2 = e.agg(count(lit(1)).as("m2")).localCheckpoint(true)
+    // intra is the one OTHER consumer of the cached edge list;
+    // materialize it eagerly (|communities| rows) BEFORE e.unpersist()
+    // below. The old shape unpersisted e while the returned lazy plan
+    // still referenced it through both, so the consumer recomputed the
+    // symmetrize+repartition of the whole edge list twice (round-16
+    // find, guide §5 "unpersist when done" read literally: done means
+    // CONSUMED, not constructed).
+    // Round 17: m2 (the symmetrized edge count) is Σ deg — derive it
+    // from the already-checkpointed node-sized degree table instead of
+    // a third full scan of the cached edge list plus its own eager
+    // job (guide §2.4: remove passes the data does not need). Exact:
+    // every symmetrized row contributes 1 to exactly one node's degree.
+    // coalesce keeps the empty-graph value identical to count(*)'s 0.
+    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L)).as("m2"))
     val intra = e
       .join(com.select(col("id").as("src"), col("community").as("ca")), "src")
       .join(com.select(col("id").as("dst"), col("community").as("cb")), "dst")
@@ -978,7 +1018,7 @@ object GraphAlgs {
     * partials do almost all the work.
     */
   def degreeProfile(edges: DataFrame): DataFrame = {
-    val p = shufflePartitions(edges)
+    val p = adaptiveP(edges, shufflePartitions(edges))
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)

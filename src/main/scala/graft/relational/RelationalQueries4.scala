@@ -834,17 +834,16 @@ object RelationalQueries4 {
              |  cast(rn as int) AS rn
              |FROM r WHERE rn <= 20""".stripMargin),
       (s, d) => {
-        // cache(), round 17 (the c11 pattern, guide §5 reuse): `op`
-        // (the distinct order-part relation — a full lineitem scan plus
-        // a two-column distinct Exchange) feeds FOUR consumers in one
-        // plan: the order count, the per-part supports, and both legs
-        // of the pair self-join. Uncached, the scan+distinct ran 4x.
-        // Lazy cache keeps the subtree inside the returned plan; release
-        // is the caller's clearCache after consumption (the bench does
-        // this between runs).
+        // `op` feeds four consumers in one plan, but caching it was
+        // MEASURED 1.5x WORSE (round 17, interleaved TimeQ A/B x3:
+        // warm 2.91 vs 1.91 s): the repeated subtree ends in an
+        // identical distinct Exchange that ReuseExchange already
+        // deduplicates, so an InMemoryRelation only adds a columnar
+        // build + read on top of the reused shuffle. Unlike c11, where
+        // the repeats diverged above the exchange, there is nothing
+        // here for a cache to save. Left uncached deliberately.
         val op = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .cache()
         val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
         val ps = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
         val pp = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))

@@ -30,6 +30,11 @@ object TimeQ {
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"TIMEQ $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // same run-to-run cache hygiene as the round-17 Bench fix: a
+        // builder-cached subtree must not let run 2 time a populated
+        // cache (run 2 stays the JIT-warm, cache-cold number)
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
     spark.stop()

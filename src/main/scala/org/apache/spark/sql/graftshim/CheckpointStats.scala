@@ -91,6 +91,42 @@ object CheckpointStats {
     }
   }
 
+  /** Eagerly local-checkpoint `df` and attach the checkpoint's ACTUAL
+    * stored byte size as its statistics (round 17). Stock checkpoint
+    * copies the origin plan's sizeInBytes ESTIMATE, which for the
+    * join-heavy one-shot memo pins is off by three orders of magnitude
+    * (the near-dup edge memo: ~2 MB stored, 5.9 GB estimated) — and
+    * that poisons every size-derived decision downstream, from
+    * auto-broadcasts to the family's scale-adaptive partition counts.
+    * The materialized blocks are already registered with the block
+    * manager, so the true size is one driver-side storage-status read.
+    * Layout is recovered like [[checkpointSevered]]. Degradation
+    * contract: a non-`LogicalRDD` plan or an empty storage report keeps
+    * stock behavior (inherited estimate), never a wrong answer — the
+    * stats only steer layout and join strategy.
+    */
+  def checkpointActualStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    cp.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val session = cp.sparkSession.asInstanceOf[ClassicSession]
+        val (part, ord) = recoverLayout(df, l)
+        val actual = session.sparkContext.getRDDStorageInfo
+          .filter(_.id == l.rdd.id)
+          .map(i => BigInt(i.memSize) + BigInt(i.diskSize)).sum
+        val stats =
+          if (actual > 0)
+            Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+              sizeInBytes = actual))
+          else None // no storage entry: keep stock's inherited estimate
+        if (stats.isEmpty) cp // keep stock's inherited estimate
+        else Dataset.ofRows(session,
+          LogicalRDD(l.output, l.rdd, part, ord, l.isStreaming, l.stream)(
+            session, stats, None))
+      case _ => cp
+    }
+  }
+
   /** Rebuild an already-checkpointed `df` with inherited plan
     * statistics severed, keeping whatever layout its `LogicalRDD`
     * carries. Zero-copy for checkpoint-shaped plans; anything else
