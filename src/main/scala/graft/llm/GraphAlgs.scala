@@ -343,8 +343,15 @@ object GraphAlgs {
       // loop join with no hint, so its strategy depended on whether the
       // truncation mode let checkpoint statistics leak through).
       // Visited cardinality is tracked exactly (Σ frontier counts).
+      // Round 17 (r16 advice): unlike the family's other broadcasts
+      // (one node-sized table per round), this one REBUILDS the whole
+      // GROWING visited set every depth, and its rows carry probe
+      // fan-out — so it gets a quarter of the node ceiling (~1M rows
+      // ≈ 25 MB serialized), switching to the co-partitioned anti-join
+      // well before the rebuild-per-depth cost or executor broadcast
+      // memory can hurt. Results are join-strategy-invariant.
       val vIn =
-        if (visitedCount <= broadcastMaxNodes) broadcast(dist)
+        if (visitedCount <= broadcastMaxNodes / 4) broadcast(dist)
         else dist.repartition(p, col("probe"), col("id"))
       val next = rounds.truncate(
         nbrs.join(vIn, Seq("probe", "id"), "left_anti")

@@ -309,7 +309,20 @@ object TextAnalysis {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("cnt").desc, col("tri").asc)
-        Catalog.t(s, d, "documents")
+        // round 17 (JobProfile, guide §2/§6): documents.parquet reads
+        // as ONE split at test scale (single small file), so the
+        // trigram explode+aggregate — this query's entire cost — ran
+        // single-threaded (2.17 of 2.56 s in one task). When the scan
+        // cannot feed the session's parallelism, spread the narrow
+        // (lang, text) projection round-robin first: the shuffle moves
+        // each row once (~MB here); at corpus scale the scan has
+        // plenty of splits and no repartition fires.
+        val src = Catalog.t(s, d, "documents")
+          .select(col("lang"), col("text"))
+        val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val spread =
+          if (src.rdd.getNumPartitions < p) src.repartition(p) else src
+        spread
           // sequence(1, 0) DESCENDS in Spark — guard texts under 3 chars
           .select(col("lang"), explode(expr(
             "CASE WHEN length(text) >= 3 THEN transform(" +

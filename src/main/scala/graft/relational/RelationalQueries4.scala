@@ -37,6 +37,14 @@ object RelationalQueries4 {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Catalog.t(s, d, n)
 
+  /** q80's staged-reduction crossover (round 17, from the r16 advice):
+    * ONE constant interpolated into BOTH dialect strings, so the exact
+    * and staged branches cannot drift apart silently — the gate corpus
+    * never reaches the staged branch, which is exactly why a one-sided
+    * edit would split the oracle hash only above test scale.
+    */
+  private val Q80StageUsers = 2000000L
+
   def all: Seq[QueryDef] = Seq(
 
     // ----------------------------------------- correlated EXISTS / NOT EXISTS
@@ -1767,7 +1775,7 @@ object RelationalQueries4 {
     // scalar fold — nothing grows with event volume.
     QueryDef(
       "q80_holdout_lift",
-      Some("""WITH u AS (SELECT user_id, abs(user_id % 2) AS variant,
+      Some(s"""WITH u AS (SELECT user_id, abs(user_id % 2) AS variant,
              |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              |      AS conv
              |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
@@ -1799,7 +1807,7 @@ object RelationalQueries4 {
              |    ELSE c1 * 1000000 // n1 - c0 * 1000000 // n0 END
              |    as bigint) AS lift_fx,
              |  cast(CASE WHEN den = 0 THEN 0
-             |    WHEN n0 + n1 <= 2000000
+             |    WHEN n0 + n1 <= $Q80StageUsers
              |    THEN df * df * (n0 + n1) * 1000000 // den
              |    ELSE cast((df * df)
              |        // (cast(n0 as HUGEINT) * n1) as HUGEINT)
@@ -1856,7 +1864,7 @@ object RelationalQueries4 {
             // both dialects take the same branch at the same n, so the
             // gate hash cannot split. Spec: RoundSixteenOpsSpec.
             expr("cast(CASE WHEN den = 0 THEN 0" +
-              " WHEN n0 + n1 <= 2000000" +
+              s" WHEN n0 + n1 <= $Q80StageUsers" +
               " THEN df * df * (n0 + n1) * 1000000 div den" +
               " ELSE cast((df * df)" +
               " div (cast(n0 as decimal(38,0)) * n1) as decimal(38,0))" +

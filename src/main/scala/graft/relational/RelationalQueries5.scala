@@ -51,6 +51,12 @@ object RelationalQueries5 {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Catalog.t(s, d, n)
 
+  /** q86's staged-reduction crossover (round 17, from the r16 advice):
+    * ONE constant interpolated into BOTH dialect strings, so the exact
+    * and staged branches cannot drift apart silently above test scale.
+    */
+  private val Q86StageDays = 1000L
+
   def all: Seq[QueryDef] = Seq(
 
     // q82: MANN-WHITNEY U rank-sum test — per-customer order counts
@@ -387,7 +393,7 @@ object RelationalQueries5 {
     // one keyed day count; ranks/windows at day grain.
     QueryDef(
       "q86_spearman_corr",
-      Some("""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
+      Some(s"""WITH b AS (SELECT min(cast(ts AS DATE)) AS lo,
              |    max(cast(ts AS DATE)) AS hi FROM events),
              |spine AS (SELECT cast(unnest(generate_series(lo, hi,
              |    INTERVAL 1 DAY)) as date) AS day FROM b),
@@ -423,7 +429,7 @@ object RelationalQueries5 {
              |  cast(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1
              |    ELSE 0 END as bigint) AS rho_sign,
              |  cast(CASE WHEN sxx = 0 OR syy = 0 THEN 0
-             |    WHEN n <= 1000
+             |    WHEN n <= $Q86StageDays
              |    THEN (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)
              |      * (sxy * sxy * 1000000 // (sxx * syy))
              |    WHEN sxxq = 0 OR syyq = 0 THEN 0
@@ -493,7 +499,7 @@ object RelationalQueries5 {
             expr("cast(CASE WHEN sxy > 0 THEN 1 WHEN sxy < 0 THEN -1" +
               " ELSE 0 END as bigint)").as("rho_sign"),
             expr("cast(CASE WHEN sxx = 0 OR syy = 0 THEN 0" +
-              " WHEN n <= 1000" +
+              s" WHEN n <= $Q86StageDays" +
               " THEN (CASE WHEN sxy >= 0 THEN 1 ELSE -1 END)" +
               " * (sxy * sxy * 1000000 div (sxx * syy))" +
               " WHEN sxxq = 0 OR syyq = 0 THEN 0" +

@@ -771,14 +771,28 @@ object StreamingQueries {
         val schema = new org.apache.spark.sql.types.StructType()
           .add("doc_id", "long").add("text", "string").add("lang", "string")
         val name = s"st15_mem_${counter.incrementAndGet()}"
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "3").json(dir)
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(expr("graft_polyhash32(text)")).as("text_hash"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        // round 17: st15 was the one stream builder NOT applying the
+        // family's few-partitions override (runToMemorySink/st11/st24
+        // all run streams at 8), so each of its three file-trigger
+        // batches opened and committed a state store per SESSION
+        // shuffle partition — JobProfile measured ~0.8 s/task of store
+        // setup across 32 tasks per batch. Same rule, same rationale:
+        // a real deployment sizes state partitions to keyspace, not to
+        // this box. The conf is restored after the run.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "3").json(dir)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(expr("graft_polyhash32(text)")).as("text_hash"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          // restore only after the run: micro-batch planning reads the
+          // conf lazily during processAllAvailable, not at start()
+          try q.processAllAvailable() finally q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.table(name)
       }),
 
