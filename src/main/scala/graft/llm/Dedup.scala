@@ -271,7 +271,16 @@ object Dedup {
       "fuzzyPairs needs at least one blocking column — an unblocked " +
         "edit-distance verify is an all-pairs cartesian join")
     val keep = (Seq(idCol, nameCol) ++ blockCols).map(col)
-    val p = items.select(keep: _*)
+    val p0 = items.select(keep: _*)
+    // round 17 (JobProfile, the t12 class): a single-split input scan
+    // makes the quadratic in-block verify — this operator's entire
+    // cost — run single-threaded through the block join (1.34 of
+    // 1.71 s in one task on d07). Spread the narrow projection only
+    // when the scan cannot feed the session's parallelism; at corpus
+    // scale the scan has plenty of splits and no repartition fires.
+    val conf = items.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val p = if (p0.rdd.getNumPartitions < conf) p0.repartition(conf) else p0
     val a = p.select(Seq(col(idCol).as(outA), col(nameCol).as("name_a")) ++
       blockCols.map(col): _*)
     val b = p.select(Seq(col(idCol).as(outB), col(nameCol).as("name_b")) ++

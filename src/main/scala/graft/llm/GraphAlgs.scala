@@ -592,8 +592,14 @@ object GraphAlgs {
     * collect; callers pass a degree-bounded subgraph exactly as
     * triangle counting does.
     */
-  def edgeTriangleSupport(edges: DataFrame, minSupport: Int): DataFrame = {
-    val p = adaptiveP(edges, shufflePartitions(edges))
+  def edgeTriangleSupport(edges: DataFrame, minSupport: Int,
+      pOverride: Option[Int] = None): DataFrame = {
+    // pOverride (round 17): trussDecomposition's per-round survivor set
+    // is a severed-stats checkpoint (sizeInBytes = session default), so
+    // the statistic-derived count cannot see how small it is — but the
+    // caller tracks the exact edge count per round and passes the
+    // matching layout width down.
+    val p = pOverride.getOrElse(adaptiveP(edges, shufflePartitions(edges)))
     val e = undirected(edges, p)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -683,11 +689,18 @@ object GraphAlgs {
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var k = 3
     var rounds = 0
+    val confP = shufflePartitions(edges)
     while (k <= maxK && curN > 0 && curN > localMaxEdges) {
       var stable = false
       while (!stable && curN > 0 && curN > localMaxEdges) {
+        // size the round's layout from the EXACT survivor count (the
+        // checkpoint's severed stats cannot): ~48 B per symmetrized
+        // canonical edge, same 32 MB/partition target as adaptiveP
+        val pRound = ((curN * 48 + TargetPartitionBytes - 1) /
+          TargetPartitionBytes).min(confP).max(1).toInt
         val keep = rd.truncate(
-          edgeTriangleSupport(cur, k - 2).filter(col("in_truss"))
+          edgeTriangleSupport(cur, k - 2, Some(pRound))
+            .filter(col("in_truss"))
             .select(col("src"), col("dst")))
         val keepN = keep.count()
         rounds += 1
